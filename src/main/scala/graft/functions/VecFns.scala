@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions: dot product, norm, cosine similarity
+  * over `array<float>`/`array<double>` columns.
+  *
+  * Built on the higher-order functions `zip_with` + `aggregate` (codegen'd,
+  * no UDF, no driver round-trips). Inputs are cast to array<double> first so
+  * accumulation happens in double precision with left-to-right order —
+  * deterministic and reproducible by a SQL oracle summing in index order.
+  */
+object VecFns {
+
+  /** Cast to array<double> (exact for float inputs). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Dot product: sum_i a(i)*b(i), left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    dot(ad, bd) / (sqrt(norm2(ad)) * sqrt(norm2(bd)))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata.
+  *
+  * Mirrors how a training-data pipeline carries images/audio/video through
+  * Spark: the payload is an opaque `binary` column, metadata travels in a
+  * typed struct, and decode/feature-extraction runs batch-wise inside the
+  * executors (`mapPartitions`), never on the driver.
+  *
+  * The container ships no image/audio codecs, so [[fakeDecode]] is a
+  * clearly-marked deterministic STUB standing in for a real decoder (e.g.
+  * libjpeg/ffmpeg via Pandas UDF in PySpark or a JNI decoder in Scala).
+  * Everything around it — binary schema, partition-parallel batch shape,
+  * output struct — is the real plumbing and is what the tests exercise.
+  */
+object BinaryColumns {
+
+  /** Output schema of the decode stage: one row per asset with typed
+    * metadata and a fixed-length feature vector.
+    */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** STUB decoder: a real pipeline would decode the payload here (JPEG
+    * header parse, PCM frames, ...). This deterministic fake derives
+    * "dimensions" and an 8-dim "feature vector" from the raw bytes so the
+    * surrounding plumbing is testable without codec libraries.
+    */
+  private[multimodal] def fakeDecode(docId: Long, payload: Array[Byte]): Row = {
+    val n = payload.length
+    def b(i: Int): Int = if (n == 0) 0 else payload(i % n) & 0xff
+    val width = 16 + (b(0) * 256 + b(1)) % 2048
+    val height = 16 + (b(2) * 256 + b(3)) % 2048
+    val frames = 1 + b(4) % 32
+    val feature = Array.tabulate(8) { j =>
+      var acc = 0L
+      var i = j
+      while (i < n) { acc += (payload(i) & 0xff).toLong; i += 8 }
+      acc.toDouble / math.max(n, 1).toDouble
+    }
+    Row(docId, n, "application/octet-stream", width, height, frames, feature.toSeq)
+  }
+
+  /** Binary-asset frame: payload bytes + metadata struct, built from the
+    * documents table (text bytes stand in for media bytes). At 100 TB the
+    * payload column stays columnar parquet binary; metadata is a pruned
+    * struct so scans that only need metadata never read the payload.
+    */
+  def assets(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        col("source").as("origin"),
+        col("lang").as("tag"),
+        col("n_chars").cast("long").as("declared_size")).as("meta"))
+
+  /** Executor-side "decode" over binary payloads: mapPartitions so a real
+    * decoder could amortize per-batch init (codec contexts, model weights)
+    * exactly like `mapInPandas` batches in PySpark.
+    */
+  def decode(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** m01 query surface: metadata + decoded features, parquet-writable,
+    * deterministic (rows-only check — the decode is a stub).
+    */
+  def extractMeta(documents: DataFrame): DataFrame = {
+    val a = assets(documents)
+    decode(a)
+      .join(a.select(col("doc_id"), col("meta")), Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_bytes"), col("mime"),
+        col("width"), col("height"), col("n_frames"),
+        col("meta.origin").as("origin"), col("meta.tag").as("tag"),
+        col("meta.declared_size").as("declared_size"),
+        round(element_at(col("feature"), 1), 4).as("f0"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Technical-indicator operators: rolling means, Bollinger bands,
+  * lag momentum, rolling volatility, relative volume.
+  *
+  * Re-expresses `/root/reference/scripts/spark_jobs/data_transformation.py:162-228`.
+  *
+  * Every indicator is a window function partitioned by the series key and
+  * ordered by event time: one shuffle on the key, then per-partition sorted
+  * scans — the shape that scales linearly with executors when the key is
+  * high-cardinality (tickers/users). No global windows.
+  */
+object Indicators {
+
+  /** Rows-frame window over the series: partition by key, order by time. */
+  def seriesWindow(keyCol: String, ordering: Seq[Column]): WindowSpec =
+    Window.partitionBy(col(keyCol)).orderBy(ordering: _*)
+
+  /** Simple moving averages over trailing `period` rows (inclusive),
+    * one output column per period named `sma_<p>` (data_transformation.py:171-174).
+    */
+  def withSma(df: DataFrame, w: WindowSpec, valueCol: String, periods: Seq[Int]): DataFrame =
+    periods.foldLeft(df) { (d, p) =>
+      d.withColumn(s"sma_$p", avg(col(valueCol)).over(w.rowsBetween(-(p - 1), 0)))
+    }
+
+  /** Bollinger bands: rolling mean ± `k` rolling sample stddevs over
+    * `period` rows (data_transformation.py:181-184). stddev of a single
+    * row is null, so the first row's bands are null — matching SQL.
+    */
+  def withBollinger(df: DataFrame, w: WindowSpec, valueCol: String,
+                    period: Int, k: Double): DataFrame = {
+    val wp = w.rowsBetween(-(period - 1), 0)
+    df.withColumn("bb_mid", avg(col(valueCol)).over(wp))
+      .withColumn("bb_sd", stddev_samp(col(valueCol)).over(wp))
+      .withColumn("bb_up", col("bb_mid") + lit(k) * col("bb_sd"))
+      .withColumn("bb_lo", col("bb_mid") - lit(k) * col("bb_sd"))
+  }
+
+  /** Lag-based momentum: pct change vs the value `lag` rows back, 0.0 when
+    * the lagged value is missing or zero (data_transformation.py:194-217).
+    * Output columns `mom_<lag>`.
+    */
+  def withMomentum(df: DataFrame, w: WindowSpec, valueCol: String, lags: Seq[Int]): DataFrame =
+    lags.foldLeft(df) { (d, l) =>
+      val prev = lag(col(valueCol), l).over(w)
+      d.withColumn(
+        s"mom_$l",
+        when(prev.isNotNull && prev =!= 0.0, (col(valueCol) - prev) / prev * 100.0)
+          .otherwise(0.0))
+    }
+
+  /** Rolling volatility: sample stddev of the 1-row pct change over
+    * `period` rows; plus relative value vs the rolling mean
+    * (data_transformation.py:220-228). Null pct changes (series head) are
+    * ignored by stddev, matching SQL semantics.
+    */
+  def withVolatility(df: DataFrame, w: WindowSpec, valueCol: String, period: Int): DataFrame = {
+    val prev = lag(col(valueCol), 1).over(w)
+    val pct = when(prev.isNotNull && prev =!= 0.0, (col(valueCol) - prev) / prev * 100.0)
+    val wp = w.rowsBetween(-(period - 1), 0)
+    val rollAvg = avg(col(valueCol)).over(wp)
+    df.withColumn("__pct", pct)
+      .withColumn(s"vol_$period", stddev_samp(col("__pct")).over(wp))
+      .withColumn(
+        "rel_value",
+        when(rollAvg > 0.0, col(valueCol) / rollAvg).otherwise(1.0))
+      .drop("__pct")
+  }
+
+  /** Forward values via lead() at each horizon with guarded pct change,
+    * null when the future value is missing (sentiment_analysis.py:138-150).
+    * Output columns `chg_<h>`.
+    */
+  def withLeadHorizons(df: DataFrame, w: WindowSpec, valueCol: String, horizons: Seq[Int]): DataFrame =
+    horizons.foldLeft(df) { (d, h) =>
+      val nxt = lead(col(valueCol), h).over(w)
+      d.withColumn(
+        s"chg_$h",
+        when(nxt.isNotNull && col(valueCol) =!= 0.0,
+          (nxt - col(valueCol)) / col(valueCol) * 100.0))
+    }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-source merge operators.
+  *
+  * Re-expresses the reference's source-merge and master-dataset joins
+  * (`/root/reference/scripts/spark_jobs/data_transformation.py:79-108,327-392`):
+  * full-outer join with coalesce precedence + discrepancy tracking, and
+  * multi-way left joins with null-fill.
+  *
+  * Scale notes: the full-outer merge shuffles both sides once on the join
+  * key (order key / (user, day)) — co-partitioned, no broadcast needed for
+  * fact-fact. The master join reuses the same (user_id, day) partitioning
+  * across all three join stages, so Catalyst plans a single exchange per
+  * side and AQE coalesces post-shuffle partitions.
+  */
+object MergeOps {
+
+  /** Full-outer merge of a primary and secondary source on `keys`:
+    * primary values win, secondary fills the gaps, and an absolute
+    * discrepancy column records where both disagree
+    * (data_transformation.py:79-108).
+    *
+    * `valuePairs` maps output column name → (primary column, secondary column).
+    */
+  def mergeCoalesce(primary: DataFrame, secondary: DataFrame, keys: Seq[String],
+                    valuePairs: Map[String, (Column, Column)]): DataFrame = {
+    val joined = primary.join(secondary, keys, "full_outer")
+    valuePairs.foldLeft(joined) { case (d, (name, (p, s))) =>
+      d.withColumn(name, coalesce(p, s))
+        .withColumn(
+          s"${name}_discrepancy",
+          // lit(0), not 0.0: keeps decimal inputs decimal (exact money
+          // parity) instead of coercing the branch to double.
+          when(p.isNotNull && s.isNotNull, abs(p - s)).otherwise(lit(0)))
+    }
+  }
+
+  /** Left-join `right` onto `left` on `keys` and null-fill the given
+    * columns with defaults (data_transformation.py:358-383).
+    */
+  def leftJoinFill(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   fills: Map[String, Any]): DataFrame = {
+    val joined = left.join(right, keys, "left")
+    fills.foldLeft(joined) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), lit(v)))
+    }
+  }
+}

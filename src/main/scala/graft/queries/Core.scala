@@ -1,0 +1,608 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators._
+
+/** Reference-derived query surface (SURVEY.md §2, q01–q23), each paired
+  * with a DuckDB-portable oracle SQL string.
+  *
+  * Parity rules (SURVEY.md §6), refined after measuring engine rounding:
+  *
+  *  - Identical output column names on both sides; counts cast to BIGINT
+  *    in SQL (DuckDB int sums are HUGEINT otherwise); event ordering is
+  *    always a total order; timestamps emitted as dates/strings only.
+  *  - MONEY is computed in DECIMAL on both sides. The inputs are 2-decimal
+  *    doubles; `price * (1 - disc)` lands exactly on rounding ties
+  *    (x.xx50) where Spark (shortest-string HALF_UP) and DuckDB (exact
+  *    binary) structurally disagree on doubles. Decimal arithmetic is
+  *    exact and order-independent (parallel sums deterministic) and both
+  *    engines round decimals half-away-from-zero. Final decimals are cast
+  *    to DOUBLE (exact) so output schemas stay double.
+  *  - AVERAGES of lattice values are computed as exact decimal sum cast
+  *    to double, divided by the count — bit-identical across engines —
+  *    never via engine-native double `avg` (summation order differs).
+  *  - Remaining double roundings add a +1e-7 nudge on BOTH sides before
+  *    round(·,4): integer-ratio and small-frame-average values sit exactly
+  *    on 4dp ties (e.g. 1/32 = 0.03125), which the two engines' double
+  *    rounding would break differently; the shared nudge moves every
+  *    structural tie off the boundary in the same direction.
+  */
+object Core {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+  private def li(s: SparkSession, dir: String): DataFrame = Tables.lineitem(s, dir)
+
+  /** 2-decimal money cast (prices, discounts, taxes, quantities). */
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  /** 4-decimal measure cast (events.value). */
+  private def dec4(c: Column): Column = c.cast("decimal(18,4)")
+  /** Round a decimal to 2 and emit as double (exact). */
+  private def r2d(c: Column): Column = round(c, 2).cast("double")
+  /** Round a decimal to 4 and emit as double (exact). */
+  private def r4d(c: Column): Column = round(c, 4).cast("double")
+  /** Tie-nudged 4dp rounding for doubles (see object doc). */
+  private def r4e(c: Column): Column = round(c + lit(1e-7), 4)
+  /** Plain 4dp rounding — only for values already on the 4dp grid. */
+  private def r4(c: Column): Column = round(c, 4)
+
+  private val disc1 = lit(1) - dec2(col("l_discount")) // decimal(13,2), exact
+  private val revDec = dec2(col("l_extendedprice")) * disc1 // scale 4, exact
+
+  /** Daily series shared by q13–q19. */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    SentimentOps.dailyWithNextChange(ev(s, dir))
+
+  private val dailySql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v_avg,
+      |         MIN(value) AS v_min, MAX(value) AS v_max
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT *, LEAD(v_avg) OVER (PARTITION BY user_id ORDER BY day) AS nxt FROM daily),
+      |d3 AS (
+      |  SELECT user_id, day, n, v_avg, v_min, v_max,
+      |         CASE WHEN nxt IS NOT NULL AND v_avg <> 0
+      |              THEN (nxt - v_avg) / v_avg * 100 END AS chg_next
+      |  FROM d2)""".stripMargin
+
+  /** Exact sliding average: decimal window sum (order-independent) cast to
+    * double over the window count — bit-identical in Spark and DuckDB,
+    * unlike native double window `avg` (different summation trees).
+    */
+  private def exactSlidingAvg(vDec: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+                              period: Int): Column = {
+    val wp = w.rowsBetween(-(period - 1), 0)
+    sum(vDec).over(wp).cast("double") / count(vDec).over(wp)
+  }
+
+  private def slidingAvgSql(period: Int): String =
+    s"CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      s"ROWS BETWEEN ${period - 1} PRECEDING AND CURRENT ROW) AS DOUBLE) / " +
+      s"count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      s"ROWS BETWEEN ${period - 1} PRECEDING AND CURRENT ROW)"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, dir) =>
+      li(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r2d(sum(dec2(col("l_quantity")))).as("sum_qty"),
+          r2d(sum(dec2(col("l_extendedprice")))).as("sum_base"),
+          r2d(sum(revDec)).as("sum_disc"),
+          r4e(sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          r4e(sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("n"))),
+
+    "q02_dedup_latest" -> ((s, dir) =>
+      Cleaning
+        .dedupLatest(ev(s, dir), Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(
+          col("user_id"), col("event_type"), col("event_id"),
+          r4(col("value")).as("value"), col("ts").cast("date").as("day"))),
+
+    "q03_clean_validate" -> ((s, dir) => {
+      val base = Cleaning.requireNonNull(
+        li(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"))
+        .filter(
+          col("l_quantity") > 0 && col("l_extendedprice") > 0 &&
+            col("l_discount") >= 0 && col("l_discount") <= 1 && col("l_tax") >= 0)
+      val charge = revDec * (lit(1) + dec2(col("l_tax")))
+      val revD = revDec.cast("double")
+      base.select(
+        col("l_orderkey"), col("l_linenumber"),
+        r2d(revDec).as("revenue"),
+        r2d(charge).as("charge"),
+        r4e(Cleaning.guardedPct(revD, col("l_extendedprice"))).as("margin_pct"),
+        col("l_shipdate").cast("date").as("ship_date"))
+    }),
+
+    "q04_date_parts" -> ((s, dir) =>
+      Cleaning.withDateParts(Tables.orders(s, dir), "o_orderdate")
+        .groupBy("year", "month")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total_price"),
+          r4e(sum(dec2(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("urgent"))),
+
+    "q05_merge_coalesce" -> ((s, dir) => {
+      val a = li(s, dir).groupBy(col("l_orderkey").as("orderkey"))
+        .agg(sum(revDec).as("li_value"), count(lit(1)).as("li_count"))
+      val b = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("orderkey"), dec2(col("o_totalprice")).as("o_totalprice"))
+      MergeOps.mergeCoalesce(a, b, Seq("orderkey"),
+        Map("merged_value" -> (col("li_value"), col("o_totalprice"))))
+        .select(
+          col("orderkey"),
+          r2d(col("merged_value")).as("merged_value"),
+          r2d(col("merged_value_discrepancy")).as("discrepancy"),
+          when(col("li_value").isNotNull, 1).otherwise(0).as("has_li"),
+          when(col("o_totalprice").isNotNull, 1).otherwise(0).as("has_ord"))
+    }),
+
+    "q06_sma" -> ((s, dir) => {
+      val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+      val vDec = dec4(col("value"))
+      ev(s, dir).select(
+        col("user_id"), col("event_id"), r4(col("value")).as("value"),
+        r4e(exactSlidingAvg(vDec, w, 7)).as("sma_7"),
+        r4e(exactSlidingAvg(vDec, w, 20)).as("sma_20"),
+        r4e(exactSlidingAvg(vDec, w, 50)).as("sma_50"))
+    }),
+
+    "q07_bollinger" -> ((s, dir) => {
+      val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+      val mid = exactSlidingAvg(dec4(col("value")), w, 20)
+      val sd = stddev_samp(col("value")).over(w.rowsBetween(-19, 0))
+      ev(s, dir).select(
+        col("user_id"), col("event_id"),
+        r4e(mid).as("bb_mid"), r4e(sd).as("bb_sd"),
+        r4e(mid + lit(2.0) * sd).as("bb_up"),
+        r4e(mid - lit(2.0) * sd).as("bb_lo"))
+    }),
+
+    "q08_momentum" -> ((s, dir) => {
+      val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+      Indicators.withMomentum(ev(s, dir), w, "value", Seq(1, 5, 20))
+        .select(
+          col("user_id"), col("event_id"),
+          r4e(col("mom_1")).as("mom_1"), r4e(col("mom_5")).as("mom_5"),
+          r4e(col("mom_20")).as("mom_20"))
+    }),
+
+    "q09_volatility" -> ((s, dir) => {
+      val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+      val rollAvg = exactSlidingAvg(dec4(col("value")), w, 20)
+      Indicators.withVolatility(ev(s, dir), w, "value", 20)
+        .withColumn("rel_value", when(rollAvg > 0.0, col("value") / rollAvg).otherwise(1.0))
+        .select(
+          col("user_id"), col("event_id"),
+          r4e(col("vol_20")).as("vol_20"), r4e(col("rel_value")).as("rel_value"))
+    }),
+
+    "q10_daily_agg" -> ((s, dir) =>
+      SentimentOps.dailyAgg(ev(s, dir))
+        .select(
+          col("user_id"), col("day"), col("n"),
+          r4e(col("v_avg")).as("v_avg"), r4(col("v_min")).as("v_min"),
+          r4(col("v_max")).as("v_max"), r4e(col("v_sd")).as("v_sd"),
+          col("purchases"), col("clicks"), col("errors"),
+          r4e(col("purchase_ratio")).as("purchase_ratio"),
+          r4e(col("click_ratio")).as("click_ratio"))),
+
+    "q11_weighted_recency" -> ((s, dir) =>
+      SentimentOps.weightedRecency(ev(s, dir), tauHours = 24.0)
+        .select(col("user_id"), col("n"), r4e(col("weighted_avg")).as("weighted_avg"))),
+
+    "q12_lead_horizons" -> ((s, dir) => {
+      val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+      Indicators.withLeadHorizons(ev(s, dir), w, "value", Seq(1, 3, 5))
+        .select(
+          col("user_id"), col("event_id"),
+          r4e(col("chg_1")).as("chg_1"), r4e(col("chg_3")).as("chg_3"),
+          r4e(col("chg_5")).as("chg_5"))
+    }),
+
+    "q13_corr_by_key" -> ((s, dir) =>
+      SentimentOps.corrByKey(daily(s, dir))
+        .select(
+          col("user_id"), col("sample_size"),
+          r4e(col("corr_value")).as("corr_value"),
+          r4e(col("corr_volume")).as("corr_volume"),
+          r4e(col("avg_chg")).as("avg_chg"))),
+
+    "q14_corr_overall" -> ((s, dir) =>
+      SentimentOps.corrOverall(daily(s, dir))
+        .select(
+          col("total_samples"),
+          r4e(col("corr_value")).as("corr_value"),
+          r4e(col("corr_volume")).as("corr_volume"))),
+
+    "q15_category" -> ((s, dir) =>
+      SentimentOps.categorize(daily(s, dir))
+        .select(
+          col("bucket"), col("ord"), col("n_days"),
+          r4e(col("avg_chg")).as("avg_chg"), r4e(col("sd_chg")).as("sd_chg"))),
+
+    "q16_event_detect" -> ((s, dir) =>
+      SentimentOps.detectEvents(daily(s, dir), minEvents = 4, minIntradayPct = 100.0)
+        .select(
+          col("user_id"), col("day"), col("n"),
+          r4e(col("intraday_vol")).as("intraday_vol"),
+          r4e(col("chg_next")).as("chg_next"),
+          col("event_class"), col("alignment"))),
+
+    "q17_monthly_trends" -> ((s, dir) =>
+      SentimentOps.monthlyTrends(daily(s, dir))
+        .select(
+          col("year"), col("month"), col("trading_days"), col("total_events"),
+          r4e(col("avg_value")).as("avg_value"), r4e(col("avg_chg")).as("avg_chg"))),
+
+    "q18_master_join" -> ((s, dir) => {
+      val events = ev(s, dir)
+      val base = SentimentOps.dailyAgg(events)
+        .select("user_id", "day", "v_avg", "purchase_ratio")
+      val errs = events
+        .filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(
+          count(lit(1)).as("n_err"),
+          array_join(array_sort(collect_set(regexp_extract(col("props"), "[0-9]+", 0))), ",").as("ks"))
+      MergeOps.leftJoinFill(base, errs, Seq("user_id", "day"),
+        Map("n_err" -> 0L, "ks" -> ""))
+        .select(
+          col("user_id"), col("day"),
+          r4e(col("v_avg")).as("v_avg"),
+          r4e(col("purchase_ratio")).as("purchase_ratio"),
+          col("n_err"), col("ks"),
+          when(col("n_err") > 0, 1).otherwise(0).as("err_flag"),
+          (((dayofweek(col("day")) + 5) % 7) + 1).cast("int").as("dow"))
+    }),
+
+    "q19_top_movers" -> ((s, dir) =>
+      daily(s, dir)
+        .filter(col("chg_next").isNotNull)
+        .orderBy(abs(col("chg_next")).desc, col("user_id"), col("day"))
+        .limit(50)
+        .select(col("user_id"), col("day"), col("n"), r4e(col("chg_next")).as("chg_next"))),
+
+    "q20_tpch3" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = li(s, dir)
+        .filter(col("l_shipdate").cast("date") > lit("1997-01-01").cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+          col("o_orderpriority"))
+        .agg(sum(revDec).as("rev_raw"))
+        .orderBy(col("rev_raw").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("order_date"), col("o_orderpriority"),
+          r2d(col("rev_raw")).as("revenue"))
+    }),
+
+    "q21_tpch5" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+      val l = li(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      l.join(o.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c.select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(r2d(sum(revDec)).as("revenue"))
+    }),
+
+    "q22_window_tumble" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(
+          date_format(window(col("ts"), "1 hour").getField("start"), "yyyy-MM-dd HH:mm:ss")
+            .as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec4(col("value"))).cast("double").as("sum_v"))),
+
+    "q23_asof_join" -> ((s, dir) => {
+      val events = ev(s, dir)
+      val pUs = unix_micros(col("ts").cast("timestamp"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), pUs.as("p_us"))
+      val clicks = Cleaning.dedupLatest(
+        events.filter(col("event_type") === "click"),
+        Seq("user_id", "ts"), Seq(col("event_id").desc))
+        .select(col("user_id"), col("ts"), col("event_id"), pUs.as("c_us"))
+      AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+        valueCols = Seq("event_id", "c_us"), leftTieBreak = "event_id")
+        .select(
+          col("event_id").as("p_event_id"), col("user_id"),
+          col("asof_event_id").as("click_event_id"),
+          when(col("asof_event_id").isNotNull,
+            floor((col("p_us") - col("asof_c_us")) / 1000000.0).cast("long"))
+            .as("gap_sec"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-7, 4) AS avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-7, 4) AS avg_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, round(value, 4) AS value,
+        | CAST(ts AS DATE) AS day
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "q03_clean_validate" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+        | CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS charge,
+        | round(CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice <> 0
+        |   THEN (CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) - l_extendedprice) / l_extendedprice * 100
+        |   ELSE 0 END + 1e-7, 4) AS margin_pct,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  AND l_discount IS NOT NULL AND l_tax IS NOT NULL AND l_shipdate IS NOT NULL
+        |  AND l_quantity > 0 AND l_extendedprice > 0
+        |  AND l_discount >= 0 AND l_discount <= 1 AND l_tax >= 0""".stripMargin,
+
+    "q04_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year, CAST(month(o_orderdate) AS INT) AS month,
+        | count(*) AS n_orders,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-7, 4) AS avg_price,
+        | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q05_merge_coalesce" ->
+      """WITH a AS (
+        |  SELECT l_orderkey AS orderkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS li_value,
+        |         count(*) AS li_count
+        |  FROM lineitem GROUP BY 1),
+        |o2 AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice FROM orders)
+        |SELECT coalesce(a.orderkey, o2.o_orderkey) AS orderkey,
+        | CAST(round(coalesce(a.li_value, o2.o_totalprice), 2) AS DOUBLE) AS merged_value,
+        | CAST(round(CASE WHEN a.li_value IS NOT NULL AND o2.o_totalprice IS NOT NULL
+        |   THEN abs(a.li_value - o2.o_totalprice) ELSE 0 END, 2) AS DOUBLE) AS discrepancy,
+        | CASE WHEN a.li_value IS NOT NULL THEN 1 ELSE 0 END AS has_li,
+        | CASE WHEN o2.o_totalprice IS NOT NULL THEN 1 ELSE 0 END AS has_ord
+        |FROM a FULL OUTER JOIN o2 ON a.orderkey = o2.o_orderkey""".stripMargin,
+
+    "q06_sma" ->
+      s"""SELECT user_id, event_id, round(value, 4) AS value,
+         | round(${slidingAvgSql(7)} + 1e-7, 4) AS sma_7,
+         | round(${slidingAvgSql(20)} + 1e-7, 4) AS sma_20,
+         | round(${slidingAvgSql(50)} + 1e-7, 4) AS sma_50
+         |FROM events""".stripMargin,
+
+    "q07_bollinger" ->
+      s"""SELECT user_id, event_id,
+         | round(${slidingAvgSql(20)} + 1e-7, 4) AS bb_mid,
+         | round(stddev_samp(value) OVER w20 + 1e-7, 4) AS bb_sd,
+         | round(${slidingAvgSql(20)} + 2 * stddev_samp(value) OVER w20 + 1e-7, 4) AS bb_up,
+         | round(${slidingAvgSql(20)} - 2 * stddev_samp(value) OVER w20 + 1e-7, 4) AS bb_lo
+         |FROM events
+         |WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q08_momentum" ->
+      """SELECT user_id, event_id,
+        | round(CASE WHEN p1 IS NOT NULL AND p1 <> 0 THEN (value - p1) / p1 * 100 ELSE 0 END + 1e-7, 4) AS mom_1,
+        | round(CASE WHEN p5 IS NOT NULL AND p5 <> 0 THEN (value - p5) / p5 * 100 ELSE 0 END + 1e-7, 4) AS mom_5,
+        | round(CASE WHEN p20 IS NOT NULL AND p20 <> 0 THEN (value - p20) / p20 * 100 ELSE 0 END + 1e-7, 4) AS mom_20
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |   lag(value, 1) OVER w AS p1,
+        |   lag(value, 5) OVER w AS p5,
+        |   lag(value, 20) OVER w AS p20
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin,
+
+    "q09_volatility" ->
+      s"""SELECT user_id, event_id,
+         | round(stddev_samp(pct) OVER w20 + 1e-7, 4) AS vol_20,
+         | round(CASE WHEN ravg > 0 THEN value / ravg ELSE 1 END + 1e-7, 4) AS rel_value
+         |FROM (
+         |  SELECT user_id, event_id, ts, value,
+         |   CASE WHEN lag(value, 1) OVER w IS NOT NULL AND lag(value, 1) OVER w <> 0
+         |     THEN (value - lag(value, 1) OVER w) / (lag(value, 1) OVER w) * 100 END AS pct,
+         |   ${slidingAvgSql(20)} AS ravg
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q10_daily_agg" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) + 1e-7, 4) AS v_avg,
+        | round(min(value), 4) AS v_min,
+        | round(max(value), 4) AS v_max,
+        | round(stddev_samp(value) + 1e-7, 4) AS v_sd,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / count(*) + 1e-7, 4) AS purchase_ratio,
+        | round(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) / count(*) + 1e-7, 4) AS click_ratio
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q11_weighted_recency" ->
+      """WITH a AS (SELECT max(epoch_us(ts)) AS anchor_us FROM events),
+        |wtd AS (
+        |  SELECT user_id, value,
+        |   exp(-((a.anchor_us - epoch_us(ts)) / 3.6e9) / 24.0) AS w
+        |  FROM events, a)
+        |SELECT user_id, count(*) AS n,
+        | round(CASE WHEN sum(w) > 0 THEN sum(value * w) / sum(w) ELSE 0 END + 1e-7, 4) AS weighted_avg
+        |FROM wtd GROUP BY 1""".stripMargin,
+
+    "q12_lead_horizons" ->
+      """SELECT user_id, event_id,
+        | round(CASE WHEN n1 IS NOT NULL AND value <> 0 THEN (n1 - value) / value * 100 END + 1e-7, 4) AS chg_1,
+        | round(CASE WHEN n3 IS NOT NULL AND value <> 0 THEN (n3 - value) / value * 100 END + 1e-7, 4) AS chg_3,
+        | round(CASE WHEN n5 IS NOT NULL AND value <> 0 THEN (n5 - value) / value * 100 END + 1e-7, 4) AS chg_5
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |   lead(value, 1) OVER w AS n1,
+        |   lead(value, 3) OVER w AS n3,
+        |   lead(value, 5) OVER w AS n5
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin,
+
+    "q13_corr_by_key" -> (dailySql +
+      """
+        |SELECT user_id,
+        | CAST(sum(CASE WHEN chg_next IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sample_size,
+        | round(corr(v_avg, chg_next) + 1e-7, 4) AS corr_value,
+        | round(corr(n, chg_next) + 1e-7, 4) AS corr_volume,
+        | round(avg(chg_next) + 1e-7, 4) AS avg_chg
+        |FROM d3 GROUP BY 1""".stripMargin),
+
+    "q14_corr_overall" -> (dailySql +
+      """
+        |SELECT
+        | CAST(sum(CASE WHEN chg_next IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_samples,
+        | round(corr(v_avg, chg_next) + 1e-7, 4) AS corr_value,
+        | round(corr(n, chg_next) + 1e-7, 4) AS corr_volume
+        |FROM d3""".stripMargin),
+
+    "q15_category" -> (dailySql +
+      """,
+        |b AS (
+        |  SELECT *,
+        |   CASE WHEN v_avg < 20 THEN 'VeryLow' WHEN v_avg < 40 THEN 'Low'
+        |        WHEN v_avg < 60 THEN 'Mid' WHEN v_avg < 80 THEN 'High'
+        |        ELSE 'VeryHigh' END AS bucket
+        |  FROM d3)
+        |SELECT bucket,
+        | CASE WHEN bucket = 'VeryLow' THEN 1 WHEN bucket = 'Low' THEN 2
+        |      WHEN bucket = 'Mid' THEN 3 WHEN bucket = 'High' THEN 4
+        |      ELSE 5 END AS ord,
+        | count(*) AS n_days,
+        | round(avg(chg_next) + 1e-7, 4) AS avg_chg,
+        | round(stddev_samp(chg_next) + 1e-7, 4) AS sd_chg
+        |FROM b GROUP BY 1, 2""".stripMargin),
+
+    "q16_event_detect" -> (dailySql +
+      """,
+        |e AS (
+        |  SELECT *,
+        |   CASE WHEN v_avg <> 0 THEN (v_max - v_min) / v_avg * 100 ELSE 0 END AS iv
+        |  FROM d3)
+        |SELECT user_id, day, n,
+        | round(iv + 1e-7, 4) AS intraday_vol,
+        | round(chg_next + 1e-7, 4) AS chg_next,
+        | CASE WHEN chg_next > 0 THEN 'Positive' WHEN chg_next < 0 THEN 'Negative'
+        |      ELSE 'Flat' END AS event_class,
+        | CAST(sign(coalesce(chg_next, 0)) * sign(iv) AS INT) AS alignment
+        |FROM e WHERE n >= 4 AND iv >= 100""".stripMargin),
+
+    "q17_monthly_trends" -> (dailySql +
+      """
+        |SELECT CAST(year(day) AS INT) AS year, CAST(month(day) AS INT) AS month,
+        | count(*) AS trading_days,
+        | CAST(sum(n) AS BIGINT) AS total_events,
+        | round(avg(v_avg) + 1e-7, 4) AS avg_value,
+        | round(avg(chg_next) + 1e-7, 4) AS avg_chg
+        |FROM d3 GROUP BY 1, 2""".stripMargin),
+
+    "q18_master_join" ->
+      """WITH base AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS v_avg,
+        |   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / count(*) AS purchase_ratio
+        |  FROM events GROUP BY 1, 2),
+        |errs AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_err,
+        |   string_agg(DISTINCT regexp_extract(props, '[0-9]+'), ','
+        |     ORDER BY regexp_extract(props, '[0-9]+')) AS ks
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT b.user_id, b.day,
+        | round(b.v_avg + 1e-7, 4) AS v_avg,
+        | round(b.purchase_ratio + 1e-7, 4) AS purchase_ratio,
+        | coalesce(e.n_err, 0) AS n_err,
+        | coalesce(e.ks, '') AS ks,
+        | CASE WHEN coalesce(e.n_err, 0) > 0 THEN 1 ELSE 0 END AS err_flag,
+        | CAST(isodow(b.day) AS INT) AS dow
+        |FROM base b LEFT JOIN errs e ON b.user_id = e.user_id AND b.day = e.day""".stripMargin,
+
+    "q19_top_movers" -> (dailySql +
+      """
+        |SELECT user_id, day, n, round(chg_next + 1e-7, 4) AS chg_next
+        |FROM d3 WHERE chg_next IS NOT NULL
+        |ORDER BY abs(chg_next) DESC, user_id, day LIMIT 50""".stripMargin),
+
+    "q20_tpch3" ->
+      """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date, o.o_orderpriority,
+        | CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'MACHINERY'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q21_tpch5" ->
+      """SELECT n.n_name,
+        | CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q22_window_tumble" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q23_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS p_event_id, p.user_id,
+        | c.event_id AS click_event_id,
+        | CASE WHEN c.event_id IS NOT NULL
+        |   THEN CAST(floor((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0) AS BIGINT)
+        | END AS gap_sec
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)
+}

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{HashFns, TextFns, VecFns}
+import graft.similarity.LshAnn
+import graft.multimodal.BinaryColumns
+
+/** LLM-training-data pipeline queries (SURVEY.md §2: d01–d07, t01–t04, m01):
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
+  * similarity search, text analysis, multimodal column plumbing.
+  *
+  * Scale notes: candidate generation is always equi-join on
+  * shingle/band/label/bucket keys — never an unbounded cross join. Exact
+  * dedup and fingerprints are single hash-aggregates. All hashing is md5
+  * (portable to the SQL oracle).
+  */
+object LlmData {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+  /** Tie-nudged 4dp rounding: integer ratios and cosines of identical
+    * doubles can sit exactly on 4dp ties where Spark and DuckDB double
+    * rounding structurally differ; the shared +1e-7 nudge (applied in the
+    * oracle SQL too) moves ties off the boundary consistently.
+    */
+  private def r4(c: Column): Column = round(c + lit(1e-7), 4)
+
+  /** Shared shingle-set SQL (word 3-grams, distinct per doc). */
+  private val shinglesSql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _
+      |  WHERE len(t) >= 3)""".stripMargin
+
+  /** Pairwise doc cosine via explicit double dot product (index order, so
+    * it reproduces Spark's left-to-right `aggregate` fold bit-for-bit).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+       | (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
+       |  sqrt(list_sum(list_transform(range(1, len($b)+1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))""".stripMargin
+
+  private val minhashK = 8
+  private val bands = 4
+  private val bandRows = 2
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))),
+
+    "d02_ngram_jaccard" -> ((s, dir) => {
+      val sh = HashFns.explodedShingles(docs(s, dir)).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", col("common") / (col("sz_a") + col("sz_b") - col("common")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+    }),
+
+    "d03_minhash" -> ((s, dir) => {
+      val sig = HashFns.minhashSignatures(docs(s, dir), minhashK)
+      val bk = HashFns.bandKeys(sig, bands, bandRows)
+      bk.as("a").join(bk.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }),
+
+    "d04_simhash" -> ((s, dir) => HashFns.simhash(docs(s, dir), 16)),
+
+    "d05_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("c_id"))
+      broadcast(q).join(c, col("c_id") =!= col("q_id"))
+        .withColumn("cos_raw", VecFns.cosine(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("c_id"), col("rank"), r4(col("cos_raw")).as("cos"))
+    }),
+
+    "d06_embedding_neardup" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "label", "embedding")
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos_raw", VecFns.cosine(col("a.embedding"), col("b.embedding")))
+        .filter(col("cos_raw") >= 0.35)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          r4(col("cos_raw")).as("cos"))
+    }),
+
+    "d07_ann_lsh" -> ((s, dir) => LshAnn.topK(emb(s, dir), planes = 6, k = 3)),
+
+    "t01_lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("pred_lang", TextFns.predictLang(col("text")))
+        .select(
+          col("doc_id"), col("lang"), col("pred_lang"),
+          when(col("pred_lang") === col("lang"), 1).otherwise(0).as("correct"))),
+
+    "t02_quality" -> ((s, dir) => {
+      val toks = TextFns.tokens(col("text"))
+      val nTok = size(toks)
+      val avgTokLen = length(translate(col("text"), " ", "")) / nTok
+      val punctN = length(col("text")) - length(translate(col("text"), ".,;:!?", ""))
+      val stopRatio = TextFns.tokenCountIn(toks, TextFns.markers("en")) / nTok
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        nTok.as("n_tok"),
+        r4(avgTokLen).as("avg_tok_len"),
+        punctN.as("punct_n"),
+        r4(stopRatio).as("stop_ratio"),
+        (when(nTok >= 20, 1).otherwise(0) +
+          when(avgTokLen >= 3.0 && avgTokLen <= 8.0, 1).otherwise(0) +
+          when(stopRatio > 0.01, 1).otherwise(0)).as("quality_score"))
+    }),
+
+    "t03_token_count" -> ((s, dir) => {
+      val ws = size(TextFns.tokens(col("text")))
+      val re = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      docs(s, dir).select(
+        col("doc_id"), ws.as("ws_tokens"), re.as("re_tokens"),
+        r4(re.cast("double") / ws).as("tok_ratio"))
+    }),
+
+    "t04_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(TextFns.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))),
+
+    "m01_multimodal_meta" -> ((s, dir) => BinaryColumns.extractMeta(docs(s, dir))))
+
+  private val simhashBits = 16
+
+  private def simhashSql: String = {
+    val sums = (0 until simhashBits)
+      .map(j => s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n   ")
+    val assemble = (0 until simhashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+       |sb AS (SELECT doc_id,
+       |   $sums
+       |  FROM h GROUP BY 1)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM sb""".stripMargin
+  }
+
+  private def minhashSigSql: String = {
+    val mins = (0 until minhashK)
+      .map(i => s"min(md5('$i|' || s)) AS h$i").mkString(",\n   ")
+    s"""$shinglesSql,
+       |sig AS (
+       |  SELECT doc_id,
+       |   $mins
+       |  FROM sh GROUP BY 1)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d02_ngram_jaccard" -> (shinglesSql +
+      """,
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | round(common / (x.sz + y.sz - common) + 1e-7, 4) AS jaccard
+        |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |WHERE common / (x.sz + y.sz - common) >= 0.6""".stripMargin),
+
+    "d03_minhash" -> (minhashSigSql + {
+      val bandSelects = (0 until bands).map { b =>
+        val cols = (b * bandRows until (b + 1) * bandRows).map(i => s"h$i").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s""",
+         |bk AS (
+         |  $bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bk a JOIN bk b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
+    }),
+
+    "d04_simhash" -> simhashSql,
+
+    "d05_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+         |p AS (
+         |  SELECT q_id, c_id,
+         |   ${cosSql("qe", "ce")} AS cos_raw
+         |  FROM q, c WHERE c_id <> q_id)
+         |SELECT q_id, c_id, CAST(rnk AS INT) AS rank, round(cos_raw + 1e-7, 4) AS cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, c_id) AS rnk
+         |      FROM p)
+         |WHERE rnk <= 5""".stripMargin,
+
+    "d06_embedding_neardup" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |   ${cosSql("a.embedding", "b.embedding")} AS cos_raw
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, round(cos_raw + 1e-7, 4) AS cos FROM p WHERE cos_raw >= 0.35""".stripMargin,
+
+    "t01_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang, text,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','a'))) AS s_en,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('der','die','und','ein'))) AS s_de,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('el','la','los','y'))) AS s_es,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('le','les','et','une'))) AS s_fr
+        |  FROM documents),
+        |pred AS (
+        |  SELECT doc_id, lang,
+        |   CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |        WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |        WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |        WHEN s_es >= s_fr THEN 'es'
+        |        ELSE 'fr' END AS pred_lang
+        |  FROM sc)
+        |SELECT doc_id, lang, pred_lang,
+        | CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS correct
+        |FROM pred""".stripMargin,
+
+    "t02_quality" ->
+      """WITH m AS (
+        |  SELECT doc_id, length(text) AS n_chars_calc,
+        |   len(string_split(text, ' ')) AS n_tok,
+        |   length(replace(text, ' ', '')) AS n_nonspace,
+        |   length(text) - length(replace(replace(replace(replace(replace(replace(
+        |     text, '.', ''), ',', ''), ';', ''), ':', ''), '!', ''), '?', '')) AS punct_n,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','a'))) AS stop_n
+        |  FROM documents)
+        |SELECT doc_id, n_chars_calc, n_tok,
+        | round(n_nonspace / n_tok + 1e-7, 4) AS avg_tok_len,
+        | punct_n,
+        | round(stop_n / n_tok + 1e-7, 4) AS stop_ratio,
+        | (CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END +
+        |  CASE WHEN n_nonspace / n_tok >= 3.0 AND n_nonspace / n_tok <= 8.0 THEN 1 ELSE 0 END +
+        |  CASE WHEN stop_n / n_tok > 0.01 THEN 1 ELSE 0 END) AS quality_score
+        |FROM m""".stripMargin,
+
+    "t03_token_count" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+        | round(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::DOUBLE /
+        |   len(string_split(text, ' ')) + 1e-7, 4) AS tok_ratio
+        |FROM documents""".stripMargin,
+
+    "t04_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        | count(*) AS n_docs, min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1""".stripMargin)
+}
