@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.similarity.LshAnn
+
+class FnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens + shingles3 build word 3-grams") {
+    val df = Seq("a b c d").toDF("text")
+    val out = df.select(HashFns.shingles3(TextFns.tokens(col("text"))).as("s"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d"))
+  }
+
+  test("predictLang picks the dominant stopword profile") {
+    val df = Seq(
+      ("the cat and the dog of a house", "en"),
+      ("der hund und die katze ein haus", "de"),
+      ("el perro y la casa los gatos", "es"),
+      ("le chien et les chats une maison", "fr")
+    ).toDF("text", "expected")
+    val out = df.select(TextFns.predictLang(col("text")).as("p"), col("expected"))
+      .as[(String, String)].collect()
+    out.foreach { case (p, e) => assert(p == e, s"predicted $p expected $e") }
+  }
+
+  test("fingerprint collapses case and punctuation") {
+    val df = Seq(("Hello, World!", "hello   world"), ("a", "b")).toDF("x", "y")
+    val out = df.select(
+      (TextFns.fingerprint(col("x")) === TextFns.fingerprint(col("y"))).as("eq"))
+      .as[Boolean].collect().toSeq
+    assert(out == Seq(true, false))
+  }
+
+  test("cosine similarity: identical vectors = 1, orthogonal = 0") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("a", "b")
+    val out = df.select(round(VecFns.cosine(col("a"), col("b")), 9).as("c"))
+      .as[Double].collect().toSeq
+    assert(out == Seq(1.0, 0.0))
+  }
+
+  test("simhash is deterministic and within bit range") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val out = HashFns.simhash(docs, 16).as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("minhash signatures identical for identical docs") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val sig = HashFns.minhashSignatures(docs, 4).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("LSH bucket is deterministic and identical vectors collide") {
+    val df = Seq(
+      (1L, Seq.fill(8)(0.5f)),
+      (2L, Seq.fill(8)(0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = df.select(LshAnn.bucket(col("embedding"), 6, 8).as("b"))
+      .as[Long].collect().toSeq
+    assert(out(0) == out(1))
+    assert(out(0) >= 0 && out(0) < 64)
+  }
+}

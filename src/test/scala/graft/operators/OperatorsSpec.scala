@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("dedupLatest keeps exactly the freshest row per key") {
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 1.0),
+      (1L, "a", ts("2024-01-01 11:00:00"), 2.0),
+      (1L, "b", ts("2024-01-01 09:00:00"), 3.0),
+      (2L, "a", ts("2024-01-01 08:00:00"), 4.0)
+    ).toDF("user_id", "event_type", "ts", "value")
+    val out = Cleaning.dedupLatest(df, Seq("user_id", "event_type"), Seq(col("ts").desc))
+      .select("user_id", "event_type", "value").as[(Long, String, Double)].collect().toSet
+    assert(out == Set((1L, "a", 2.0), (1L, "b", 3.0), (2L, "a", 4.0)))
+  }
+
+  test("guardedPct returns 0 on zero/null denominator") {
+    val df = Seq((10.0, 5.0), (10.0, 0.0)).toDF("num", "den")
+    val out = df.select(Cleaning.guardedPct(col("num"), col("den")).as("p"))
+      .as[Double].collect().toSeq
+    assert(out == Seq(100.0, 0.0))
+  }
+
+  test("asofJoin attaches the latest right row at or before each left ts") {
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 11:00:00"), 200L)
+    ).toDF("user_id", "ts", "click_id")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 1L), // after click 100, before 101
+      (1L, ts("2024-01-01 12:00:00"), 2L), // equal ts: inclusive, click 101
+      (2L, ts("2024-01-01 10:00:00"), 3L), // before any click: null
+      (3L, ts("2024-01-01 10:00:00"), 4L) // user with no clicks: null
+    ).toDF("user_id", "ts", "purchase_id")
+    val out = AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+      valueCols = Seq("click_id"), leftTieBreak = "purchase_id")
+      .select("purchase_id", "asof_click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(100L), 2L -> Some(101L), 3L -> None, 4L -> None))
+  }
+
+  test("withSma equals the value itself on the first row of a series") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 01:00:00"), 2L, 20.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+    val out = Indicators.withSma(df, w, "value", Seq(7))
+      .orderBy("event_id").select("sma_7").as[Double].collect().toSeq
+    assert(out == Seq(10.0, 15.0))
+  }
+
+  test("withMomentum guards missing lag with 0") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 01:00:00"), 2L, 15.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+    val out = Indicators.withMomentum(df, w, "value", Seq(1))
+      .orderBy("event_id").select("mom_1").as[Double].collect().toSeq
+    assert(out == Seq(0.0, 50.0))
+  }
+
+  test("mergeCoalesce: primary wins, secondary fills, discrepancy tracked") {
+    val a = Seq((1L, Some(10.0)), (2L, None)).toDF("k", "pv")
+      .select(col("k"), col("pv").as("pv"))
+    val b = Seq((1L, 12.0), (2L, 7.0), (3L, 9.0)).toDF("k", "sv")
+    val out = MergeOps.mergeCoalesce(a, b, Seq("k"),
+      Map("m" -> (col("pv"), col("sv"))))
+      .select("k", "m", "m_discrepancy").as[(Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((10.0, 2.0)))
+    assert(out(2L) == ((7.0, 0.0)))
+    assert(out(3L) == ((9.0, 0.0)))
+  }
+
+  test("dailyAgg counts and ratios") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "purchase", 10.0),
+      (1L, ts("2024-01-01 11:00:00"), "click", 20.0),
+      (1L, ts("2024-01-01 12:00:00"), "click", 30.0),
+      (1L, ts("2024-01-02 10:00:00"), "error", 40.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = SentimentOps.dailyAgg(df)
+      .select("day", "n", "v_avg", "purchases", "clicks", "purchase_ratio")
+      .as[(java.sql.Date, Long, Double, Long, Long, Double)]
+      .collect().map(r => r._1.toString -> r).toMap
+    val d1 = out("2024-01-01")
+    assert(d1._2 == 3 && d1._3 == 20.0 && d1._4 == 1 && d1._5 == 2)
+    assert(math.abs(d1._6 - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("detectEvents filters by min events and intraday volatility") {
+    val daily = Seq(
+      (1L, "2024-01-01", 5L, 10.0, 5.0, 25.0, Some(3.0)), // iv = 200 -> kept
+      (1L, "2024-01-02", 5L, 10.0, 9.0, 11.0, Some(-1.0)), // iv = 20 -> dropped
+      (1L, "2024-01-03", 2L, 10.0, 0.0, 30.0, None) // n < 4 -> dropped
+    ).toDF("user_id", "day", "n", "v_avg", "v_min", "v_max", "chg_next")
+    val out = SentimentOps.detectEvents(daily, 4, 100.0)
+      .select("day", "event_class", "alignment").as[(String, String, Int)].collect()
+    assert(out.toSeq == Seq(("2024-01-01", "Positive", 1)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkSpec, Tables}
+import graft.queries.Core
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming tumbling agg matches the batch q22 result (memory sink parity)") {
+    // Materialize the sf0.001 events (micros ts) as the stream input.
+    val dir = Files.createTempDirectory("evstream").toString
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.tumbling(EventStream.read(spark, dir))
+      .writeStream.format("memory").queryName("tumble_parity")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("tumble_parity")
+      .select("bucket", "event_type", "n", "sum_v")
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = Core.defs("q22_window_tumble")(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionize splits a user's events on the gap and aggregates each session") {
+    val events = Seq(
+      Sessionize.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Sessionize.Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+      // 50 min gap > 30 min -> new session
+      Sessionize.Event(3, ts("2024-01-01 11:00:00"), 1, "purchase", 3.0),
+      // other user, one session
+      Sessionize.Event(4, ts("2024-01-01 10:00:00"), 2, "click", 5.0),
+      // closes user 1's second session via another gap
+      Sessionize.Event(5, ts("2024-01-01 12:00:00"), 1, "click", 7.0)
+    ).toDS()
+
+    // Batch mode: gaps inside the data close sessions; the final open
+    // session per user is retained in state (not emitted).
+    val out = Sessionize.sessionize(events, gapSeconds = 30 * 60).collect()
+    assert(out.length == 2)
+    val first = out.find(_.session_start == ts("2024-01-01 10:00:00")).get
+    assert(first.user_id == 1 && first.n_events == 2 && first.total_value == 3.0
+      && first.duration_sec == 600)
+    val second = out.find(_.session_start == ts("2024-01-01 11:00:00")).get
+    assert(second.user_id == 1 && second.n_events == 1 && second.total_value == 3.0)
+  }
+
+  test("sliding window agg runs on a bounded frame") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 10.0, ""),
+      (2L, ts("2024-01-01 10:35:00"), 1L, "click", 20.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStream.sliding(df).as[(String, Long, Long, Double)].collect()
+    // event 1 belongs to windows starting 09:30 and 10:00; event 2 to 10:00 and 10:30
+    assert(out.length == 3)
+    val w10 = out.find(_._1 == "2024-01-01 10:00:00").get
+    assert(w10._3 == 2 && w10._4 == 15.0)
+  }
+}
