@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.graftshim.Shim
+
+/** Session extension entry point: registers graft's native expressions as
+  * SQL functions. Wire it at session build —
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * — or call [[GraftExtensions.register]] on a live session. Either way,
+  * `SELECT graft_dot(a, b)` / `graft_cosine(a, b)` become available to
+  * pure-SQL users with the same codegen'd implementation the DataFrame
+  * API uses.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotFunction)
+  }
+}
+
+object GraftExtensions {
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProduct].getName, null, "graft_dot",
+    "graft_dot(a, b) - dot product of two array<double> columns", "")
+
+  val dotFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression) =
+    (FunctionIdentifier("graft_dot"), dotInfo,
+      exprs => DotProduct(exprs(0), exprs(1)))
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    Shim.registerFunction(spark, "graft_dot", dotInfo,
+      exprs => DotProduct(exprs(0), exprs(1)))
+}

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Ingestion surface: schema-enforced reads of json/csv/parquet plus
+  * partitioned parquet writes.
+  *
+  * Re-expresses the reference's extract/load layer
+  * (`/root/reference/scripts/spark_jobs/data_cleaning.py:30-68` reads API
+  * JSON dumps; `:100-118` writes parquet partitioned by year/month, the
+  * layout its Hive external tables mount).
+  *
+  * Scale notes: every reader takes an explicit schema — schema inference
+  * is a full extra pass over the source at 100 TB and non-deterministic
+  * under drift. Corrupt rows are quarantined via PERMISSIVE +
+  * `_corrupt_record` (a routable side-channel, not a job failure).
+  * Partitioned writes target (year, month) — low-cardinality directory
+  * partitioning that prunes time-range scans without creating a
+  * small-file explosion per key.
+  */
+object Ingest {
+
+  val corruptCol = "_corrupt_record"
+
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains(corruptCol)) schema
+    else schema.add(StructField(corruptCol, org.apache.spark.sql.types.StringType))
+
+  /** Schema-enforced JSON-lines read; malformed rows land in
+    * `_corrupt_record` instead of failing the job.
+    */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  /** Schema-enforced CSV read with header, same quarantine contract. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+
+  /** Split a quarantined read into (valid, corrupt) frames. */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    // PERMISSIVE json requires caching before filtering on the corrupt
+    // column (Spark refuses the raw-record-only query otherwise).
+    val cached = df.cache()
+    (cached.filter(col(corruptCol).isNull).drop(corruptCol),
+      cached.filter(col(corruptCol).isNotNull))
+  }
+
+  /** Recursively flatten struct columns to top-level `parent_child`
+    * columns (the reference's nested-API-payload flattening,
+    * data_cleaning.py:41-58). Arrays are left intact — explode is a
+    * row-multiplying decision the caller makes explicitly.
+    */
+  def flatten(df: DataFrame): DataFrame = {
+    def cols(schema: StructType, prefix: String): Seq[org.apache.spark.sql.Column] =
+      schema.fields.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val name = path.replace(".", "_")
+        f.dataType match {
+          case s: StructType => cols(s, path)
+          case _ => Seq(col(path).as(name))
+        }
+      }
+    val flat = df.select(cols(df.schema, ""): _*)
+    if (flat.schema.exists(_.dataType.isInstanceOf[StructType])) flatten(flat) else flat
+  }
+
+  /** Partitioned parquet write: directory layout `col1=v/col2=v/...`,
+    * prunable by any engine mounting the path (Hive/Trino/DuckDB/Spark).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Year/month-partitioned write of a timestamped frame — the
+    * reference's standard lake layout (derives the partition columns,
+    * then writes).
+    */
+  def writeByMonth(df: DataFrame, tsCol: String, path: String): Unit =
+    writePartitioned(
+      df.withColumn("year", year(col(tsCol))).withColumn("month", month(col(tsCol))),
+      path, Seq("year", "month"))
+}

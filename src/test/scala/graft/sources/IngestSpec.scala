@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftExtensions, SparkSpec}
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  test("readJson enforces the schema and quarantines corrupt rows") {
+    val dir = Files.createTempDirectory("ingest-json")
+    Files.writeString(dir.resolve("a.json"),
+      """{"id": 1, "name": "ok", "score": 1.5}
+        |{"id": "not a number", "name": "bad"
+        |{"id": 2, "name": "ok2", "score": 2.5}
+        |""".stripMargin)
+    val (valid, corrupt) = Ingest.quarantine(
+      Ingest.readJson(spark, dir.toString, schema))
+    assert(valid.count() == 2)
+    assert(corrupt.count() == 1)
+    assert(valid.columns.toSeq == Seq("id", "name", "score"))
+  }
+
+  test("readCsv round-trips typed rows") {
+    val dir = Files.createTempDirectory("ingest-csv")
+    Files.writeString(dir.resolve("a.csv"),
+      "id,name,score\n1,alpha,1.5\n2,beta,2.5\n")
+    val df = Ingest.readCsv(spark, dir.toString, schema)
+    val (valid, _) = Ingest.quarantine(df)
+    assert(valid.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "alpha", 1.5), (2L, "beta", 2.5)))
+  }
+
+  test("flatten lifts nested structs to prefixed top-level columns") {
+    val df = Seq((1L, ("x", (2.0, 3.0)))).toDF("id", "payload")
+      .select(col("id"), col("payload._1").as("tag"),
+        struct(col("payload._2._1").as("open"), col("payload._2._2").as("close")).as("prices"))
+    val flat = Ingest.flatten(df)
+    assert(flat.columns.toSeq == Seq("id", "tag", "prices_open", "prices_close"))
+    assert(flat.as[(Long, String, Double, Double)].head() == ((1L, "x", 2.0, 3.0)))
+  }
+
+  test("writeByMonth produces a prunable year/month directory layout") {
+    val dir = Files.createTempDirectory("ingest-part").toString
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-02-15 00:00:00"), 2.0)
+    ).toDF("id", "ts", "v")
+    Ingest.writeByMonth(df, "ts", dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2)
+    // partition pruning: only one directory scanned for month=1
+    val pruned = back.filter(col("year") === 2024 && col("month") === 1)
+    assert(pruned.count() == 1)
+    assert(new java.io.File(s"$dir/year=2024/month=1").exists())
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(out == 11.0)
+  }
+}
