@@ -323,6 +323,46 @@ object Core {
           col("event_type"))
         .agg(count(lit(1)).as("n"), sum(dec4(col("value"))).cast("double").as("sum_v"))),
 
+    "q24_recent_perf" -> ((s, dir) => {
+      // v_recent_performance (postgresql_schemas.sql:225-241): trailing
+      // trailing reporting window (14 days), anchored at the dataset max day so the
+      // result is deterministic (the reference anchors at CURRENT_DATE).
+      val dd = daily(s, dir)
+      dd.crossJoin(broadcast(dd.agg(max("day").as("anchor"))))
+        .filter(col("day") >= date_sub(col("anchor"), 14))
+        .select(
+          col("user_id"), col("day"), col("n"),
+          r4e(col("v_avg")).as("v_avg"),
+          r4e(col("purchase_ratio")).as("purchase_ratio"),
+          r4e(col("chg_next")).as("chg_next"))
+    }),
+
+    "q25_strong_corr" -> ((s, dir) =>
+      // v_strong_correlation_stocks (postgresql_schemas.sql:260-271):
+      // per-key correlations above a threshold with a minimum sample.
+      SentimentOps.corrByKey(daily(s, dir))
+        .filter(abs(col("corr_value")) > 0.15 && col("sample_size") >= 10)
+        .select(
+          col("user_id"), col("sample_size"),
+          r4e(col("corr_value")).as("corr_value"),
+          r4e(col("avg_chg")).as("avg_chg"))),
+
+    "q26_date_dim" -> ((s, dir) => {
+      // populate_date_dimension (postgresql_schemas.sql:278+): calendar
+      // dimension spanning the fact table's date range.
+      val span = Tables.orders(s, dir).agg(
+        min(col("o_orderdate").cast("date")).as("d0"),
+        max(col("o_orderdate").cast("date")).as("d1"))
+      val dow = (((dayofweek(col("date")) + 5) % 7) + 1).cast("int")
+      span
+        .select(explode(sequence(col("d0"), col("d1"))).as("date"))
+        .select(
+          col("date"), year(col("date")).as("year"), month(col("date")).as("month"),
+          dayofmonth(col("date")).as("day"), quarter(col("date")).as("quarter"),
+          dow.as("dow"),
+          when(dow >= 6, 1).otherwise(0).as("is_weekend"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -592,6 +632,42 @@ object Core {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q24_recent_perf" -> (dailySql.replace("MIN(value) AS v_min, MAX(value) AS v_max",
+      """MIN(value) AS v_min, MAX(value) AS v_max,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / count(*) AS purchase_ratio""".stripMargin)
+      .replace("SELECT user_id, day, n, v_avg, v_min, v_max,",
+        "SELECT user_id, day, n, v_avg, v_min, v_max, purchase_ratio,") +
+      """
+        |SELECT user_id, day, n,
+        | round(v_avg + 1e-7, 4) AS v_avg,
+        | round(purchase_ratio + 1e-7, 4) AS purchase_ratio,
+        | round(chg_next + 1e-7, 4) AS chg_next
+        |FROM d3, (SELECT max(day) AS anchor FROM d3) a
+        |WHERE day >= anchor - INTERVAL 14 DAY""".stripMargin),
+
+    "q25_strong_corr" -> (dailySql +
+      """
+        |, c AS (
+        |  SELECT user_id,
+        |   CAST(sum(CASE WHEN chg_next IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sample_size,
+        |   corr(v_avg, chg_next) AS corr_value,
+        |   avg(chg_next) AS avg_chg
+        |  FROM d3 GROUP BY 1)
+        |SELECT user_id, sample_size,
+        | round(corr_value + 1e-7, 4) AS corr_value,
+        | round(avg_chg + 1e-7, 4) AS avg_chg
+        |FROM c WHERE abs(corr_value) > 0.15 AND sample_size >= 10""".stripMargin),
+
+    "q26_date_dim" ->
+      """WITH r AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+        |                  max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+        |d AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS date FROM r)
+        |SELECT date, CAST(year(date) AS INT) AS year, CAST(month(date) AS INT) AS month,
+        | CAST(day(date) AS INT) AS day, CAST(quarter(date) AS INT) AS quarter,
+        | CAST(isodow(date) AS INT) AS dow,
+        | CASE WHEN isodow(date) >= 6 THEN 1 ELSE 0 END AS is_weekend
+        |FROM d""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (
