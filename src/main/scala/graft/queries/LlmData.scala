@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{HashFns, TextFns, VecFns}
-import graft.similarity.LshAnn
+import graft.similarity.{IvfAnn, LshAnn}
 import graft.multimodal.BinaryColumns
 
 /** LLM-training-data pipeline queries (SURVEY.md §2: d01–d07, t01–t04, m01):
@@ -116,6 +116,9 @@ object LlmData {
     }),
 
     "d07_ann_lsh" -> ((s, dir) => LshAnn.topK(emb(s, dir), planes = 6, k = 3)),
+
+    "d08_ann_ivf" -> ((s, dir) =>
+      IvfAnn.topK(emb(s, dir), nQueries = 10, k = 5, nlist = 16, nprobe = 4)),
 
     "t01_lang_id" -> ((s, dir) =>
       docs(s, dir)

@@ -1,0 +1,69 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecFns
+
+/** IVF-style approximate-nearest-neighbor search (inverted-file index):
+  * the second scale path next to [[LshAnn]].
+  *
+  * Structure of a production IVF: a small coarse quantizer (nlist
+  * centroids) partitions the corpus into inverted lists; a query probes
+  * only its `nprobe` closest lists. Here the quantizer is a deterministic
+  * sample of the corpus (first `nlist` vectors by id — a stand-in for
+  * k-means training, which would be an offline job at 100 TB), broadcast
+  * to assign every vector via `nlist` cosine comparisons; search is then
+  * an equi-join on the centroid id — candidate count shrinks by
+  * ~nprobe/nlist versus brute force, with recall < 1 by construction
+  * (rows-only check, like LSH ANN).
+  */
+object IvfAnn {
+
+  /** Assign each vector to its nearest centroid id. */
+  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("__sim").desc, col("cent_id"))
+    embeddings
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", VecFns.cosine(col("embedding"), col("ce")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+  }
+
+  /** Probe assignment: each query's `nprobe` nearest centroid ids. */
+  def probes(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("__sim").desc, col("cent_id"))
+    queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", VecFns.cosine(col("qe"), col("ce")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cent_id"))
+  }
+
+  /** IVF ANN top-k: queries = vectors with vec_id < nQueries (mirroring
+    * the brute-force d05 query set). Output (q_id, c_id, rank, cos).
+    */
+  def topK(embeddings: DataFrame, nQueries: Int, k: Int,
+           nlist: Int, nprobe: Int): DataFrame = {
+    val centroids = embeddings
+      .filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val lists = assign(embeddings, centroids)
+    val qs = probes(
+      embeddings.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe")),
+      centroids, nprobe)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    qs
+      .join(lists, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        VecFns.cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+}
