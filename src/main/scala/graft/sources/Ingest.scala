@@ -75,6 +75,18 @@ object Ingest {
     if (flat.schema.exists(_.dataType.isInstanceOf[StructType])) flatten(flat) else flat
   }
 
+  /** Explode an array-of-structs column into one row per element with the
+    * element's fields flattened to `alias_field` columns (the reference's
+    * SEC-filings unnesting, data_cleaning.py:215-258: one row per filing
+    * from a per-company filings array).
+    */
+  def explodeStructArray(df: DataFrame, arrayCol: String, alias: String): DataFrame = {
+    val exploded = df.withColumn(alias, explode(col(arrayCol))).drop(arrayCol)
+    val elemFields = exploded.schema(alias).dataType.asInstanceOf[StructType].fieldNames
+    val keep = exploded.columns.filterNot(_ == alias).map(col)
+    exploded.select(keep ++ elemFields.map(f => col(s"$alias.$f").as(s"${alias}_$f")): _*)
+  }
+
   /** Partitioned parquet write: directory layout `col1=v/col2=v/...`,
     * prunable by any engine mounting the path (Hive/Trino/DuckDB/Spark).
     */

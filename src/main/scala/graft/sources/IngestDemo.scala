@@ -42,6 +42,13 @@ object IngestDemo {
     val pruned = spark.read.parquet(lake).where("year = 2024 AND month = 2")
     println(s"pruned month=2 rows: ${pruned.count()}")
 
+    val filings = spark.read.json(
+      spark.createDataset(Seq(
+        """{"company": "acme", "filings": [{"form": "10-K", "fy": 2023}, {"form": "10-Q", "fy": 2024}]}"""))(
+        org.apache.spark.sql.Encoders.STRING))
+    val unnested = Ingest.explodeStructArray(filings, "filings", "filing")
+    println(s"unnested filings: ${unnested.count()} cols=${unnested.columns.mkString(",")}")
+
     GraftExtensions.register(spark)
     val d = spark.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
       .head().getDouble(0)

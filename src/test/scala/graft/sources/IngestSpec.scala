@@ -48,6 +48,20 @@ class IngestSpec extends SparkSpec {
     assert(flat.as[(Long, String, Double, Double)].head() == ((1L, "x", 2.0, 3.0)))
   }
 
+  test("explodeStructArray unnests one row per element with flattened fields") {
+    val df = Seq(
+      ("acme", Seq(("10-K", 2023), ("10-Q", 2024))),
+      ("beta", Seq(("8-K", 2024)))
+    ).toDF("company", "filings")
+      .select(col("company"),
+        transform(col("filings"),
+          f => struct(f.getField("_1").as("form"), f.getField("_2").as("fy"))).as("filings"))
+    val out = Ingest.explodeStructArray(df, "filings", "filing")
+    assert(out.columns.toSeq == Seq("company", "filing_form", "filing_fy"))
+    assert(out.as[(String, String, Int)].collect().toSet ==
+      Set(("acme", "10-K", 2023), ("acme", "10-Q", 2024), ("beta", "8-K", 2024)))
+  }
+
   test("writeByMonth produces a prunable year/month directory layout") {
     val dir = Files.createTempDirectory("ingest-part").toString
     val df = Seq(
