@@ -53,6 +53,15 @@ object IngestDemo {
     val d = spark.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
       .head().getDouble(0)
     println(s"graft_dot: $d")
+
+    Bucketed.write(valid.withColumnRenamed("id", "k"), "demo_a", "k", 4)
+    Bucketed.write(valid.selectExpr("id AS k", "price * 2 AS p2"), "demo_b", "k", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bj = Bucketed.join(spark, "demo_a", "demo_b", "k")
+    val nShuffles = bj.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    println(s"bucketed join rows: ${bj.count()}, shuffles in plan: $nShuffles")
     spark.stop()
   }
 }

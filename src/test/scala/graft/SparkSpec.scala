@@ -13,6 +13,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // fresh warehouse per test JVM: managed-table specs (bucketing) must
+    // not trip over locations orphaned by a previous run
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"

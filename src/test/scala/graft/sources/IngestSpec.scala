@@ -75,6 +75,12 @@ class IngestSpec extends SparkSpec {
     val pruned = back.filter(col("year") === 2024 && col("month") === 1)
     assert(pruned.count() == 1)
     assert(new java.io.File(s"$dir/year=2024/month=1").exists())
+    // partition pruning reaches the scan as a partition filter (inputFiles
+    // is relation-level and would not show the pruning)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty)
   }
 
   test("graft_dot is callable from SQL after registration") {

@@ -55,6 +55,45 @@ class StreamingSpec extends SparkSpec {
     assert(second.user_id == 1 && second.n_events == 1 && second.total_value == 3.0)
   }
 
+  test("streaming sessionize closes sessions via the event-time timeout across batches") {
+    val dir = Files.createTempDirectory("sess-stream")
+    def writeBatch(file: String, rows: Seq[Sessionize.Event]): Unit =
+      rows.toDS().toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", org.apache.spark.sql.functions.lit(""))
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+
+    writeBatch("b1", Seq(
+      Sessionize.Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Sessionize.Event(2, ts("2024-01-01 10:05:00"), 7, "click", 2.0)))
+
+    val sessions = Sessionize.sessionize(
+      EventStream.read(spark, dir.toString)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[Sessionize.Event]
+        .withWatermark("ts", "10 seconds"),
+      gapSeconds = 600)
+    val q = sessions.writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout").count() == 0) // session still open
+
+      // Batch 2 advances the watermark past end+gap -> timeout fires.
+      writeBatch("b2", Seq(
+        Sessionize.Event(9, ts("2024-01-01 12:00:00"), 8, "click", 9.0)))
+      q.processAllAvailable()
+      // one more batch so the timeout registered after batch 2 executes
+      writeBatch("b3", Seq(
+        Sessionize.Event(10, ts("2024-01-01 12:30:00"), 8, "click", 1.0)))
+      q.processAllAvailable()
+
+      val closed = spark.table("sess_timeout")
+        .as[Sessionize.Session].collect().filter(_.user_id == 7L)
+      assert(closed.length == 1)
+      assert(closed.head.n_events == 2 && closed.head.total_value == 3.0)
+    } finally q.stop()
+  }
+
   test("sliding window agg runs on a bounded frame") {
     val df = Seq(
       (1L, ts("2024-01-01 10:05:00"), 1L, "click", 10.0, ""),
