@@ -153,6 +153,26 @@ object LlmData {
         r4(re.cast("double") / ws).as("tok_ratio"))
     }),
 
+    "t05_tfidf" -> ((s, dir) => {
+      // Top-3 TF-IDF terms per doc. idf is rounded to 8dp before scoring:
+      // ln() differs by ulps between engines, and the round pins scores to
+      // identical doubles so the rank ordering is cross-engine stable.
+      val d = docs(s, dir)
+      val tf = d
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val nDocs = d.agg(countDistinct("doc_id").as("n_docs"))
+      val df = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("idf", round(log(col("n_docs").cast("double") / col("df")), 8))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df.select("term", "idf"), "term")
+        .withColumn("score", col("tf") * col("idf"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("rank"), r4(col("score")).as("tfidf"))
+    }),
+
     "t04_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         .groupBy(TextFns.fingerprint(col("text")).as("fp"))
@@ -289,6 +309,23 @@ object LlmData {
         | round(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::DOUBLE /
         |   len(string_split(text, ' ')) + 1e-7, 4) AS tok_ratio
         |FROM documents""".stripMargin,
+
+    "t05_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |idf AS (
+        |  SELECT term, round(ln(n.n_docs::DOUBLE / count(DISTINCT doc_id)), 8) AS idf
+        |  FROM tf, n GROUP BY term, n.n_docs),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS score
+        |  FROM tf JOIN idf ON tf.term = idf.term)
+        |SELECT doc_id, term, CAST(rnk AS INT) AS rank, round(score + 1e-7, 4) AS tfidf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
 
     "t04_fingerprint" ->
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
