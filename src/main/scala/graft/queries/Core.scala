@@ -363,6 +363,17 @@ object Core {
           when(dow >= 6, 1).otherwise(0).as("is_weekend"))
     }),
 
+    "q27_skyline" -> ((s, dir) => {
+      // Pareto frontier of orders: maximize total price, minimize order
+      // date ("best deals earliest") — two-phase distributed skyline.
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("order_date"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("days"))
+      Skyline.maxMin(o, "o_totalprice", "days")
+        .select("o_orderkey", "o_totalprice", "order_date")
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -668,6 +679,15 @@ object Core {
         | CAST(isodow(date) AS INT) AS dow,
         | CASE WHEN isodow(date) >= 6 THEN 1 ELSE 0 END AS is_weekend
         |FROM d""".stripMargin,
+
+    "q27_skyline" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+        |           FROM orders)
+        |SELECT o_orderkey, o_totalprice, order_date FROM o a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM o b
+        |  WHERE b.o_totalprice >= a.o_totalprice AND b.order_date <= a.order_date
+        |    AND (b.o_totalprice > a.o_totalprice OR b.order_date < a.order_date))""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (

@@ -82,6 +82,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == ((9.0, 0.0)))
   }
 
+  test("skyline keeps exactly the non-dominated points, duplicates included") {
+    val df = Seq(
+      (1L, 10.0, 5.0), // dominated by 4 (higher x, lower y)
+      (2L, 20.0, 3.0), // frontier
+      (3L, 20.0, 3.0), // duplicate of frontier point -> kept
+      (4L, 15.0, 2.0), // frontier
+      (5L, 15.0, 4.0), // dominated by 4 (same x, lower y)
+      (6L, 25.0, 9.0), // frontier (max x)
+      (7L, 5.0, 1.0) // frontier (min y)
+    ).toDF("id", "x", "y")
+    val out = Skyline.maxMin(df, "x", "y").select("id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L, 4L, 6L, 7L))
+  }
+
   test("dailyAgg counts and ratios") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), "purchase", 10.0),
