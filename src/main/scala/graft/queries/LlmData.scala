@@ -120,6 +120,35 @@ object LlmData {
     "d08_ann_ivf" -> ((s, dir) =>
       IvfAnn.topK(emb(s, dir), nQueries = 10, k = 5, nlist = 16, nprobe = 4)),
 
+    "d09_editdist_neardup" -> ((s, dir) => {
+      // Edit-distance near-dup pairs with prefix blocking (string
+      // similarity join pattern, cf. ICDE 2022 compressed-index joins in
+      // PAPERS.md): candidates share a 32-char prefix (equi-join — never
+      // all pairs), then exact Levenshtein filters. The oracle mirrors the
+      // blocking, so results are identical by construction.
+      val d = docs(s, dir).select(
+        col("doc_id"), col("text"),
+        substring(col("text"), 1, 32).as("pfx"))
+      d.as("a").join(d.as("b"),
+          col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("dist", levenshtein(col("a.text"), col("b.text")))
+        .filter(col("dist") <= 30)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("dist"))
+    }),
+
+    "q28_approx_stats" -> ((s, dir) =>
+      // Sketch aggregates (rows-only: sketch internals are engine-
+      // specific): HLL distinct users and approximate value percentiles
+      // per event type — the O(1)-memory path for 100 TB cardinality and
+      // distribution questions. Accuracy is spec-asserted vs exact.
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          round(percentile_approx(col("value"), lit(0.5), lit(1000)), 4).as("p50"),
+          round(percentile_approx(col("value"), lit(0.95), lit(1000)), 4).as("p95"),
+          count(lit(1)).as("n"))),
+
     "t01_lang_id" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("pred_lang", TextFns.predictLang(col("text")))
@@ -263,6 +292,13 @@ object LlmData {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, round(cos_raw + 1e-7, 4) AS cos FROM p WHERE cos_raw >= 0.35""".stripMargin,
+
+    "d09_editdist_neardup" ->
+      """WITH d AS (SELECT doc_id, text, substr(text, 1, 32) AS pfx FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        |FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 30""".stripMargin,
 
     "t01_lang_id" ->
       """WITH sc AS (

@@ -23,6 +23,20 @@ class AnnSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 
+  test("approx sketch aggregates land within tolerance of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val approx = LlmData.defs("q28_approx_stats")(spark, sfDir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"))
+      .select("event_type", "u").as[(String, Long)].collect().toMap
+    exact.foreach { case (t, u) =>
+      val a = approx(t)
+      assert(math.abs(a - u).toDouble / u < 0.1, s"$t approx=$a exact=$u")
+    }
+  }
+
   test("ANN variants recall against brute-force top-5") {
     val exact = LlmData.defs("d05_cosine_topk")(spark, sfDir)
       .select("q_id", "c_id").as[(Long, Long)].collect().toSet
