@@ -374,6 +374,46 @@ object Core {
         .select("o_orderkey", "o_totalprice", "order_date")
     }),
 
+    "q29_rollup" -> ((s, dir) =>
+      // Hierarchical rollup totals (flag, status) -> (flag) -> grand
+      // total — the OLAP cube slice of the reference's fact tables.
+      li(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(r2d(sum(revDec)).as("revenue"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("revenue"), col("n"))),
+
+    "q30_distribution" -> ((s, dir) =>
+      // Exact quantiles per event type (interpolated percentile — the
+      // exact counterpart of q28's sketch path).
+      ev(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          r4e(expr("percentile(value, 0.5)")).as("p50"),
+          r4e(expr("percentile(value, 0.9)")).as("p90"),
+          r4(min("value")).as("v_min"),
+          r4(max("value")).as("v_max"))),
+
+    "q31_anti_semi" -> ((s, dir) => {
+      // Semi/anti join coverage: per market segment, customers with and
+      // without any order.
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val o = Tables.orders(s, dir).select("o_custkey")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("with_orders"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("without_orders"))
+      MergeOps.leftJoinFill(
+        c.groupBy("c_mktsegment").agg(count(lit(1)).as("n_cust"))
+          .join(semi, Seq("c_mktsegment"), "left"),
+        anti, Seq("c_mktsegment"), Map("without_orders" -> 0L))
+        .withColumn("with_orders", coalesce(col("with_orders"), lit(0L)))
+        .select("c_mktsegment", "n_cust", "with_orders", "without_orders")
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -688,6 +728,31 @@ object Core {
         |  SELECT 1 FROM o b
         |  WHERE b.o_totalprice >= a.o_totalprice AND b.order_date <= a.order_date
         |    AND (b.o_totalprice > a.o_totalprice OR b.order_date < a.order_date))""".stripMargin,
+
+    "q29_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q30_distribution" ->
+      """SELECT event_type, count(*) AS n,
+        | round(quantile_cont(value, 0.5) + 1e-7, 4) AS p50,
+        | round(quantile_cont(value, 0.9) + 1e-7, 4) AS p90,
+        | round(min(value), 4) AS v_min,
+        | round(max(value), 4) AS v_max
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q31_anti_semi" ->
+      """SELECT c_mktsegment,
+        | count(*) AS n_cust,
+        | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+        | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS without_orders
+        |FROM customer c GROUP BY 1""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (
