@@ -414,6 +414,30 @@ object Core {
         .select("c_mktsegment", "n_cust", "with_orders", "without_orders")
     }),
 
+    "q32_sessionize_batch" -> ((s, dir) => {
+      // Relational sessionization (gap > 30 min splits): session id =
+      // running count of gap-breaks per user. The batch mirror of
+      // streaming/Sessionize — same session boundaries, so the spec
+      // cross-validates the two implementations.
+      val gapUs = 30L * 60 * 1000000
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val prev = lag(us, 1).over(w)
+      ev(s, dir)
+        .withColumn("__new", when(prev.isNull || us - prev > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(us).as("start_us"),
+          max(us).as("end_us"),
+          count(lit(1)).as("n_events"),
+          sum(dec4(col("value"))).cast("double").as("total_value"))
+        .select(
+          col("user_id"), col("session_id"), col("n_events"), col("total_value"),
+          floor((col("end_us") - col("start_us")) / 1000000L).cast("long").as("duration_sec"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -753,6 +777,25 @@ object Core {
         | CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |   THEN 0 ELSE 1 END) AS BIGINT) AS without_orders
         |FROM customer c GROUP BY 1""".stripMargin,
+
+    "q32_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |   lag(epoch_us(ts)) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS newf
+        |  FROM e),
+        |sid AS (
+        |  SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        | CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_sec
+        |FROM sid GROUP BY 1, 2""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (

@@ -94,6 +94,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch sessionize query agrees with the stateful Sessionize operator") {
+    // q32 emits every session; batch-mode Sessionize emits all but the
+    // final open session per user — so counts differ by #users.
+    val q32 = Core.defs("q32_sessionize_batch")(spark, sfDir)
+    val events = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Sessionize.Event]
+    val closed = Sessionize.sessionize(events, gapSeconds = 30 * 60)
+    val nUsers = events.map(_.user_id).distinct().count()
+    assert(q32.count() == closed.count() + nUsers)
+  }
+
   test("sliding window agg runs on a bounded frame") {
     val df = Seq(
       (1L, ts("2024-01-01 10:05:00"), 1L, "click", 10.0, ""),
