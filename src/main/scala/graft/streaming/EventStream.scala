@@ -54,6 +54,29 @@ object EventStream {
         col("event_type"), col("n"), col("sum_v"))
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the `within` interval before it. Both sides are
+    * watermarked, and the time-range predicate bounds the join state —
+    * Spark evicts buffered rows once the watermark passes the range, so
+    * state is O(rate × within), not O(history). Works identically on
+    * bounded frames (batch parity testable).
+    */
+  def purchaseClickJoin(events: DataFrame, within: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    def wm(df: DataFrame, tsCol: String): DataFrame =
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val purchases = wm(events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts")), "p_ts")
+    val clicks = wm(events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts")), "c_ts")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $within"))
+      .select(col("p_id"), col("user_id"), col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Sliding window per-user mean value (width/slide), watermarked. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {

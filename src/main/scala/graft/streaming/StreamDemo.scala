@@ -44,6 +44,12 @@ object StreamDemo {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     sq.awaitTermination(120000)
     println(s"closed sessions: ${spark.table("demo_sessions").count()}")
+
+    val ssj = EventStream.purchaseClickJoin(EventStream.read(spark, dir))
+      .writeStream.format("memory").queryName("demo_ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    ssj.awaitTermination(120000)
+    println(s"stream-stream joined pairs: ${spark.table("demo_ssj").count()}")
     spark.stop()
   }
 }

@@ -94,6 +94,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join of the same frames") {
+    val dir = Files.createTempDirectory("ssj").toString
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.purchaseClickJoin(EventStream.read(spark, dir))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ssj_out")
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    val batch = EventStream.purchaseClickJoin(Tables.events(spark, sfDir))
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("batch sessionize query agrees with the stateful Sessionize operator") {
     // q32 emits every session; batch-mode Sessionize emits all but the
     // final open session per user — so counts differ by #users.
