@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * a single hot group in an aggregation, and a broadcast-too-big build
   * side with a skewed probe key.
   *
-  * Both are pure DataFrame transforms — results are identical to the
-  * unsalted equivalents (asserted by spec), only the shuffle layout
+  * Both are pure DataFrame transforms producing the same rows as their
+  * unsalted equivalents (asserted by spec); only the shuffle layout
   * changes: a hot key's rows spread over `salts` partitions instead of
-  * one straggler task.
+  * one straggler task. Note the usual floating-point caveat: salting a
+  * double sum changes accumulation order, so results are exact-equal for
+  * integer/decimal values and equal-up-to-ulps for doubles — use decimal
+  * inputs where bit-reproducibility matters (see the oracle protocol).
   */
 object Skew {
 

@@ -45,7 +45,7 @@ object Core {
   /** Round a decimal to 4 and emit as double (exact). */
   private def r4d(c: Column): Column = round(c, 4).cast("double")
   /** Tie-nudged 4dp rounding for doubles (see object doc). */
-  private def r4e(c: Column): Column = round(c + lit(1e-7), 4)
+  private def r4e(c: Column): Column = Parity.r4e(c)
   /** Plain 4dp rounding — only for values already on the 4dp grid. */
   private def r4(c: Column): Column = round(c, 4)
 
@@ -263,7 +263,7 @@ object Core {
           r4e(col("purchase_ratio")).as("purchase_ratio"),
           col("n_err"), col("ks"),
           when(col("n_err") > 0, 1).otherwise(0).as("err_flag"),
-          (((dayofweek(col("day")) + 5) % 7) + 1).cast("int").as("dow"))
+          Parity.isoDow(col("day")).as("dow"))
     }),
 
     "q19_top_movers" -> ((s, dir) =>
@@ -327,8 +327,10 @@ object Core {
       // v_recent_performance (postgresql_schemas.sql:225-241): trailing
       // trailing reporting window (14 days), anchored at the dataset max day so the
       // result is deterministic (the reference anchors at CURRENT_DATE).
-      val dd = daily(s, dir)
-      dd.crossJoin(broadcast(dd.agg(max("day").as("anchor"))))
+      // anchor = max event date, from one cheap scan of events — NOT
+      // from re-running the whole daily pipeline just for its max(day)
+      val anchor = ev(s, dir).agg(max(col("ts").cast("date")).as("anchor"))
+      daily(s, dir).crossJoin(broadcast(anchor))
         .filter(col("day") >= date_sub(col("anchor"), 14))
         .select(
           col("user_id"), col("day"), col("n"),
@@ -353,7 +355,7 @@ object Core {
       val span = Tables.orders(s, dir).agg(
         min(col("o_orderdate").cast("date")).as("d0"),
         max(col("o_orderdate").cast("date")).as("d1"))
-      val dow = (((dayofweek(col("date")) + 5) % 7) + 1).cast("int")
+      val dow = Parity.isoDow(col("date"))
       span
         .select(explode(sequence(col("d0"), col("d1"))).as("date"))
         .select(

@@ -27,7 +27,7 @@ object LlmData {
     * rounding structurally differ; the shared +1e-7 nudge (applied in the
     * oracle SQL too) moves ties off the boundary consistently.
     */
-  private def r4(c: Column): Column = round(c + lit(1e-7), 4)
+  private def r4(c: Column): Column = Parity.r4e(c)
 
   /** Shared shingle-set SQL (word 3-grams, distinct per doc). */
   private val shinglesSql =

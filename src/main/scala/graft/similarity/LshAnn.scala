@@ -29,8 +29,12 @@ object LshAnn {
     var state = 0x9e3779b97f4a7c15L
     def next(): Double = {
       state ^= state << 13; state ^= state >>> 7; state ^= state << 17
-      // map to [-1, 1)
-      (state >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+      // 53-bit mantissa / 2^53 -> [0, 1), then map to [-1, 1). (Dividing
+      // the 53-bit value by 2^52 would give [0, 2) and bias every
+      // component positive — all planes would then share a common
+      // sum-of-components term and signatures would collapse into a few
+      // hot buckets.)
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
     Seq.fill(planes)(Seq.fill(dim)(next()))
   }

@@ -62,17 +62,21 @@ object Ingest {
     * row-multiplying decision the caller makes explicitly.
     */
   def flatten(df: DataFrame): DataFrame = {
-    def cols(schema: StructType, prefix: String): Seq[org.apache.spark.sql.Column] =
+    def cols(schema: StructType, prefix: String): Seq[(String, org.apache.spark.sql.Column)] =
       schema.fields.flatMap { f =>
         val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
         val name = path.replace(".", "_")
         f.dataType match {
           case s: StructType => cols(s, path)
-          case _ => Seq(col(path).as(name))
+          case _ => Seq(name -> col(path).as(name))
         }
       }
-    val flat = df.select(cols(df.schema, ""): _*)
-    if (flat.schema.exists(_.dataType.isInstanceOf[StructType])) flatten(flat) else flat
+    val out = cols(df.schema, "")
+    val names = out.map(_._1)
+    require(names.distinct.size == names.size,
+      "flatten would produce duplicate column names: " +
+        names.diff(names.distinct).distinct.mkString(", "))
+    df.select(out.map(_._2): _*)
   }
 
   /** Explode an array-of-structs column into one row per element with the

@@ -50,7 +50,10 @@ object Sessionize {
     sorted.foreach { e =>
       val t = e.ts.getTime
       open match {
-        case Some(s) if t - s.end < gapMs =>
+        // gap <= gapMs continues the session (split strictly-greater),
+        // matching the relational sessionizer q32 (`us - prev > gapUs`
+        // splits) so batch and streaming agree on boundary-exact gaps.
+        case Some(s) if t - s.end <= gapMs =>
           open = Some(SessionState(s.start, math.max(s.end, t),
             s.nEvents + 1, s.totalValue + e.value))
         case Some(s) =>
