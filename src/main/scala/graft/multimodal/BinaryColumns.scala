@@ -77,6 +77,33 @@ object BinaryColumns {
     spark.createDataFrame(rdd, decodedSchema)
   }
 
+  /** Aspect-preserving resize metadata: scale (width, height) to fit in a
+    * `maxDim` box (integer floor arithmetic — deterministic). A real
+    * pipeline would pass these targets to the decoder; here they are the
+    * column-level plumbing.
+    */
+  def resizedDims(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
+                  maxDim: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val longest = greatest(width, height)
+    val scaled = (c: org.apache.spark.sql.Column) =>
+      when(longest <= maxDim, c)
+        .otherwise(floor(c * maxDim / longest).cast("int"))
+    (scaled(width), scaled(height))
+  }
+
+  /** Frame sampling plumbing: one row per sampled frame (every `step`-th
+    * frame of each asset), with a deterministic per-frame fingerprint
+    * standing in for a decoded-frame feature. The explode keeps frames
+    * distributed — no per-asset collection.
+    */
+  def sampleFrames(decoded: DataFrame, step: Int): DataFrame =
+    decoded
+      .select(
+        col("doc_id"), col("n_frames"), col("width"), col("height"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+      .withColumn("frame_fp",
+        md5(concat_ws(":", col("doc_id"), col("frame_idx")).cast("binary")))
+
   /** m01 query surface: metadata + decoded features, parquet-writable,
     * deterministic (rows-only check — the decode is a stub).
     */

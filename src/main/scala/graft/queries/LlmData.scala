@@ -207,7 +207,20 @@ object LlmData {
         .groupBy(TextFns.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))),
 
-    "m01_multimodal_meta" -> ((s, dir) => BinaryColumns.extractMeta(docs(s, dir))))
+    "m01_multimodal_meta" -> ((s, dir) => BinaryColumns.extractMeta(docs(s, dir))),
+
+    "m02_frame_sample" -> ((s, dir) => {
+      // Frame-sample + resize plumbing over the decoded assets
+      // (rows-only: the decode is a stub; the explode/resize column
+      // mechanics are the real surface).
+      val decoded = BinaryColumns.decode(BinaryColumns.assets(docs(s, dir)))
+      val (rw, rh) = BinaryColumns.resizedDims(col("width"), col("height"), 512)
+      BinaryColumns.sampleFrames(decoded, step = 4)
+        .withColumn("resized_w", rw)
+        .withColumn("resized_h", rh)
+        .select("doc_id", "frame_idx", "frame_fp", "n_frames",
+          "width", "height", "resized_w", "resized_h")
+    }))
 
   private val simhashBits = 16
 

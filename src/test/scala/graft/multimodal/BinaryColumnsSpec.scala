@@ -12,6 +12,25 @@ class BinaryColumnsSpec extends SparkSpec {
     assert(a.count() > 0)
   }
 
+  test("frame sampling emits ceil(n_frames/step) rows and bounded resize dims") {
+    import org.apache.spark.sql.functions.col
+    val decoded = BinaryColumns.decode(
+      BinaryColumns.assets(Tables.documents(spark, sfDir)).limit(50))
+    val (rw, rh) = BinaryColumns.resizedDims(col("width"), col("height"), 512)
+    val sampled = BinaryColumns.sampleFrames(decoded, step = 4)
+      .withColumn("rw", rw).withColumn("rh", rh)
+    val perDoc = sampled.groupBy("doc_id", "n_frames")
+      .count().collect()
+    perDoc.foreach { r =>
+      val expected = (r.getAs[Int]("n_frames") + 3) / 4
+      assert(r.getAs[Long]("count") == expected)
+    }
+    sampled.select("rw", "rh").collect().foreach { r =>
+      assert(r.getInt(0) <= 512 && r.getInt(1) <= 512)
+      assert(r.getInt(0) > 0 && r.getInt(1) > 0)
+    }
+  }
+
   test("decode is deterministic and emits the declared schema") {
     val a = BinaryColumns.assets(Tables.documents(spark, sfDir)).limit(20)
     val d1 = BinaryColumns.decode(a).collect().sortBy(_.getLong(0))
