@@ -440,6 +440,33 @@ object Core {
           floor((col("end_us") - col("start_us")) / 1000000L).cast("long").as("duration_sec"))
     }),
 
+    "q33_small_qty_rev" -> ((s, dir) => {
+      // TPC-H Q17 shape: revenue in lineitems whose quantity is below half
+      // their part's average quantity (per-group scalar aggregate joined
+      // back to the fact rows).
+      val l = li(s, dir).select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      val avgQty = l.groupBy("l_partkey")
+        .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+      l.join(broadcast(avgQty), Seq("l_partkey"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(
+          r2d(sum(dec2(col("l_extendedprice")))).as("small_rev"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q34_cust_order_dist" -> ((s, dir) => {
+      // TPC-H Q13 shape: distribution of customers by order count,
+      // including zero-order customers (left join + conditional count).
+      val c = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables.orders(s, dir).select("o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_custkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -798,6 +825,25 @@ object Core {
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
         | CAST(floor((max(us) - min(us)) / 1000000) AS BIGINT) AS duration_sec
         |FROM sid GROUP BY 1, 2""".stripMargin,
+
+    "q33_small_qty_rev" ->
+      """WITH a AS (
+        |  SELECT l_partkey,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        | CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS small_rev,
+        | count(*) AS n
+        |FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+        |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin,
+
+    "q34_cust_order_dist" ->
+      """SELECT n_orders, count(*) AS n_customers
+        |FROM (
+        |  SELECT c.c_custkey, count(o.o_custkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (
