@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.Sessionize
+
+/** Randomized differential tests: seeded random inputs, distributed
+  * operator vs an obviously-correct brute-force reference. Catches edge
+  * cases (ties, duplicates, boundary gaps) that hand-picked fixtures
+  * miss, while staying deterministic (fixed seed).
+  */
+class DifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(20260812L)
+
+  test("asofJoin equals the brute-force per-row as-of lookup on random data") {
+    for (_ <- 1 to 3) {
+      val nUsers = 4
+      val clicks = Seq.tabulate(60) { i =>
+        (rnd.nextInt(nUsers).toLong, new Timestamp(rnd.nextInt(1000) * 1000L), i.toLong)
+      } // (user, ts, click_id) — dedup to one click per (user, ts), max id
+        .groupBy(c => (c._1, c._2)).map(_._2.maxBy(_._3)).toSeq
+      val purchases = Seq.tabulate(40) { i =>
+        (rnd.nextInt(nUsers + 1).toLong, new Timestamp(rnd.nextInt(1000) * 1000L), (1000 + i).toLong)
+      }
+      val expected = purchases.map { case (u, ts, pid) =>
+        val best = clicks.filter(c => c._1 == u && !c._2.after(ts))
+          .sortBy(c => (c._2.getTime, c._3)).lastOption
+        pid -> best.map(_._3)
+      }.toMap
+
+      val out = AsOf.asofJoin(
+        purchases.toDF("user_id", "ts", "purchase_id"),
+        clicks.toDF("user_id", "ts", "click_id"),
+        "user_id", "ts", valueCols = Seq("click_id"), leftTieBreak = "purchase_id")
+        .select("purchase_id", "asof_click_id")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(out == expected)
+    }
+  }
+
+  test("skyline equals the brute-force dominance filter on random data") {
+    for (_ <- 1 to 3) {
+      val pts = Seq.tabulate(200)(i =>
+        (i.toLong, rnd.nextInt(30).toDouble, rnd.nextInt(30).toDouble))
+      val expected = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, bx, by) =>
+          bx >= x && by <= y && (bx > x || by < y)
+        }
+      }.map(_._1).toSet
+      val out = Skyline.maxMin(pts.toDF("id", "x", "y"), "x", "y")
+        .select("id").as[Long].collect().toSet
+      assert(out == expected)
+    }
+  }
+
+  test("Sessionize fold equals the relational gap-split reference on random data") {
+    for (_ <- 1 to 3) {
+      val gapMs = 60000L
+      val times = Seq.fill(50)(rnd.nextInt(3000).toLong * 1000L).distinct.sorted
+      val events = times.zipWithIndex.map { case (t, i) =>
+        Sessionize.Event(i.toLong, new Timestamp(t), 1L, "click", 1.0)
+      }
+      // reference: split when gap > gapMs (strictly), matching q32
+      val sessions = events.foldLeft(List.empty[List[Long]]) { (acc, e) =>
+        acc match {
+          case head :: tail if e.ts.getTime - head.last <= gapMs =>
+            (head :+ e.ts.getTime) :: tail
+          case _ => List(e.ts.getTime) :: acc
+        }
+      }
+      val expectedClosed = sessions.reverse.dropRight(1) // last session stays open
+        .map(s => (s.head, s.last, s.size.toLong))
+
+      val out = Sessionize.sessionize(events.toDS(), gapSeconds = 60)
+        .collect()
+        .sortBy(_.session_start.getTime)
+        .map(s => (s.session_start.getTime, s.session_end.getTime, s.n_events))
+        .toSeq
+      assert(out == expectedClosed)
+    }
+  }
+}
