@@ -467,6 +467,34 @@ object Core {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    "q35_pivot" -> ((s, dir) =>
+      // Pivot the event-type dimension into columns (fixed value list so
+      // the schema is stable and no distinct-values pre-pass runs).
+      ev(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .select(col("user_id"), col("click"), col("error"),
+          col("purchase"), col("signup"), col("view"))),
+
+    "q36_range_window" -> ((s, dir) => {
+      // Time-based RANGE frame (trailing 1 hour by event time) — unlike
+      // the rows-frames of q06-q09, frame membership follows the
+      // timestamp value, so ties and irregular spacing are handled by
+      // the range semantics identically in both engines.
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val w = Window.partitionBy("user_id").orderBy(col("__us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev(s, dir)
+        .withColumn("__us", us)
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(dec4(col("value"))).over(w))
+        .select(
+          col("user_id"), col("event_id"), col("n_1h"),
+          r4e(col("sum_1h").cast("double") / col("n_1h")).as("avg_1h"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -844,6 +872,24 @@ object Core {
         |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |  GROUP BY 1)
         |GROUP BY 1""".stripMargin,
+
+    "q35_pivot" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q36_range_window" ->
+      """SELECT user_id, event_id,
+        | count(*) OVER w AS n_1h,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |   / (count(*) OVER w) + 1e-7, 4) AS avg_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (
