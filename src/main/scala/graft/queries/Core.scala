@@ -495,6 +495,30 @@ object Core {
           r4e(col("sum_1h").cast("double") / col("n_1h")).as("avg_1h"))
     }),
 
+    "q37_rank_funcs" -> ((s, dir) => {
+      // Ranking-function family beyond row_number: quartiles, relative
+      // rank, and cumulative distribution per user series.
+      val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      ev(s, dir).select(
+        col("user_id"), col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        r4e(percent_rank().over(w)).as("pct_rank"),
+        r4e(cume_dist().over(w)).as("cume"))
+    }),
+
+    "q38_setops" -> ((s, dir) => {
+      // Set-operation coverage: users who clicked but never purchased
+      // (EXCEPT), and users who did both (INTERSECT), as one labeled
+      // union.
+      val byType = (t: String) => ev(s, dir)
+        .filter(col("event_type") === t).select("user_id").distinct()
+      val clickOnly = byType("click").except(byType("purchase"))
+        .withColumn("segment", lit("click_only"))
+      val both = byType("click").intersect(byType("purchase"))
+        .withColumn("segment", lit("both"))
+      clickOnly.unionByName(both).select("segment", "user_id")
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -890,6 +914,21 @@ object Core {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q37_rank_funcs" ->
+      """SELECT user_id, event_id,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | round(percent_rank() OVER w + 1e-7, 4) AS pct_rank,
+        | round(cume_dist() OVER w + 1e-7, 4) AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
+
+    "q38_setops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT 'click_only' AS segment, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT 'both' AS segment, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (
