@@ -85,9 +85,12 @@ object BinaryColumns {
   def resizedDims(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
                   maxDim: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val longest = greatest(width, height)
+    // degenerate inputs (longest <= 0) pass through unchanged — never a
+    // divide-by-zero; scaled dims floor to at least 1px so an extreme
+    // aspect ratio can't emit a zero-sized target
     val scaled = (c: org.apache.spark.sql.Column) =>
       when(longest <= maxDim, c)
-        .otherwise(floor(c * maxDim / longest).cast("int"))
+        .otherwise(greatest(floor(c * maxDim / longest).cast("int"), lit(1)))
     (scaled(width), scaled(height))
   }
 
@@ -98,6 +101,9 @@ object BinaryColumns {
     */
   def sampleFrames(decoded: DataFrame, step: Int): DataFrame =
     decoded
+      // zero-frame assets (corrupt/empty media) emit no frame rows rather
+      // than crashing sequence() with illegal boundaries
+      .filter(col("n_frames") > 0)
       .select(
         col("doc_id"), col("n_frames"), col("width"), col("height"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))

@@ -446,9 +446,11 @@ object Core {
       // back to the fact rows).
       val l = li(s, dir).select(col("l_partkey"), col("l_quantity"),
         col("l_extendedprice"))
+      // no broadcast hint: the aggregate has one row per distinct partkey
+      // and grows with scale factor — let AQE pick broadcast vs shuffle
       val avgQty = l.groupBy("l_partkey")
         .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
-      l.join(broadcast(avgQty), Seq("l_partkey"))
+      l.join(avgQty, Seq("l_partkey"))
         .filter(col("l_quantity") < col("avg_qty") * 0.5)
         .agg(
           r2d(sum(dec2(col("l_extendedprice")))).as("small_rev"),
@@ -474,7 +476,9 @@ object Core {
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
-        .na.fill(0L)
+        // fill only the pivot columns — an unscoped fill would also turn
+        // a null user_id into 0, silently colliding with a real user 0
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .select(col("user_id"), col("click"), col("error"),
           col("purchase"), col("signup"), col("view"))),
 

@@ -24,19 +24,34 @@ object Sessionize {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
+  /** start/end are epoch MICROseconds: the event data is
+    * microsecond-granular, and comparing millisecond-truncated
+    * `Timestamp.getTime` would disagree with the relational sessionizer
+    * q32 (which splits on microsecond gaps) for boundary-window gaps.
+    */
   case class SessionState(start: Long, end: Long, nEvents: Long, totalValue: Double)
 
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
                      n_events: Long, total_value: Double, duration_sec: Long)
 
+  private[streaming] def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTimestamp(us: Long): Timestamp = {
+    val sec = math.floorDiv(us, 1000000L)
+    val t = new Timestamp(sec * 1000L)
+    t.setNanos(((us - sec * 1000000L) * 1000L).toInt)
+    t
+  }
+
   private def toSession(userId: Long, s: SessionState): Session =
-    Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.nEvents,
-      s.totalValue, (s.end - s.start) / 1000L)
+    Session(userId, toTimestamp(s.start), toTimestamp(s.end), s.nEvents,
+      s.totalValue, (s.end - s.start) / 1000000L)
 
   /** Fold a user's new (batch-sorted) events into the open session,
     * emitting every session closed by a gap.
     */
-  def updateUser(gapMs: Long)(
+  def updateUser(gapUs: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
     if (state.hasTimedOut) {
@@ -44,16 +59,16 @@ object Sessionize {
       state.remove()
       return out
     }
-    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
     var open = state.getOption
     val closed = Seq.newBuilder[Session]
     sorted.foreach { e =>
-      val t = e.ts.getTime
+      val t = micros(e.ts)
       open match {
-        // gap <= gapMs continues the session (split strictly-greater),
+        // gap <= gapUs continues the session (split strictly-greater),
         // matching the relational sessionizer q32 (`us - prev > gapUs`
         // splits) so batch and streaming agree on boundary-exact gaps.
-        case Some(s) if t - s.end <= gapMs =>
+        case Some(s) if t - s.end <= gapUs =>
           open = Some(SessionState(s.start, math.max(s.end, t),
             s.nEvents + 1, s.totalValue + e.value))
         case Some(s) =>
@@ -68,7 +83,9 @@ object Sessionize {
         state.update(s)
         if (state.getOption.isDefined && !state.hasTimedOut) {
           // close the session once the watermark passes end + gap
-          try state.setTimeoutTimestamp(s.end + gapMs)
+          // timeout API is millisecond-based: round up so it fires
+          // strictly after end + gap
+          try state.setTimeoutTimestamp(math.floorDiv(s.end + gapUs, 1000L) + 1L)
           catch { case _: UnsupportedOperationException => () } // batch mode
         }
       case None => ()
@@ -88,6 +105,6 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        updateUser(gapSeconds * 1000L))
+        updateUser(gapSeconds * 1000000L))
   }
 }
