@@ -149,6 +149,19 @@ object LlmData {
           round(percentile_approx(col("value"), lit(0.95), lit(1000)), 4).as("p95"),
           count(lit(1)).as("n"))),
 
+    "d10_split_assign" -> ((s, dir) => {
+      // Deterministic 80/10/10 train/val/test assignment: md5-bucket of
+      // the doc id — stable under any partitioning/cluster size (unlike
+      // rand()/sampleBy, whose draw depends on partition layout), so the
+      // split is reproducible forever and portable to the SQL oracle.
+      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") % 100).cast("int")
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+    }),
+
     "t01_lang_id" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("pred_lang", TextFns.predictLang(col("text")))
@@ -312,6 +325,14 @@ object LlmData {
         | CAST(levenshtein(a.text, b.text) AS INT) AS dist
         |FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 30""".stripMargin,
+
+    "d10_split_assign" ->
+      """SELECT doc_id, lang,
+        | CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS INT) AS bucket,
+        | CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "t01_lang_id" ->
       """WITH sc AS (
