@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Cross-query consistency invariants: independent queries over the same
+  * data must agree on derivable facts. Cheap to run, and they catch
+  * semantic drift that per-query oracles can't (an oracle mirrors its
+  * query's definition; these tie different definitions together).
+  */
+class InvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rollup grand total equals the sum of the leaf groups") {
+    val rows = Core.defs("q29_rollup")(spark, sfDir)
+      .select("flag", "status", "revenue").as[(String, String, Double)].collect()
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL").map(_._3).sum
+    val leaves = rows.filter(r => r._1 != "ALL" && r._2 != "ALL").map(_._3).sum
+    assert(math.abs(grand - leaves) < 0.02) // decimal-rounded leaves
+  }
+
+  test("pivot row sums equal the per-user event counts") {
+    val pivotTotals = Core.defs("q35_pivot")(spark, sfDir)
+      .select(col("user_id"),
+        (col("click") + col("error") + col("purchase") + col("signup") + col("view")).as("t"))
+      .as[(Long, Long)].collect().toMap
+    val counts = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(pivotTotals == counts)
+  }
+
+  test("semi + anti counts partition the customer set") {
+    Core.defs("q31_anti_semi")(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("with_orders") + r.getAs[Long]("without_orders") ==
+        r.getAs[Long]("n_cust"))
+    }
+  }
+
+  test("quartiles are 1..4 and cume_dist ends at 1 per user") {
+    val df = Core.defs("q37_rank_funcs")(spark, sfDir)
+    val quartiles = df.select("quartile").distinct().as[Int].collect().toSet
+    assert(quartiles == Set(1, 2, 3, 4))
+    val maxCume = df.groupBy("user_id").agg(max("cume").as("m"))
+      .select("m").as[Double].collect()
+    maxCume.foreach(m => assert(m == 1.0))
+  }
+
+  test("exact dedup groups and fingerprint groups cover all docs") {
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val d01 = LlmData.defs("d01_exact_dedup")(spark, sfDir)
+      .agg(sum("n_dups")).as[Long].head()
+    val t04 = LlmData.defs("t04_fingerprint")(spark, sfDir)
+      .agg(sum("n_docs")).as[Long].head()
+    assert(d01 == nDocs && t04 == nDocs)
+  }
+
+  test("split assignment covers every doc exactly once with sane proportions") {
+    val split = LlmData.defs("d10_split_assign")(spark, sfDir)
+    val n = Tables.documents(spark, sfDir).count()
+    assert(split.count() == n)
+    val byS = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS("train") > byS("val") && byS("train") > byS("test"))
+  }
+
+  test("LSH and IVF ANN neighbor lists are subsets of plausible candidates (no self, ranked)") {
+    Seq("d07_ann_lsh", "d08_ann_ivf").foreach { q =>
+      val out = LlmData.defs(q)(spark, sfDir)
+        .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect()
+      assert(out.nonEmpty, q)
+      out.groupBy(_._1).foreach { case (qid, rows) =>
+        assert(rows.forall(_._2 != qid), s"$q self-match for $qid")
+        assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"$q ranks for $qid")
+      }
+    }
+  }
+}
