@@ -10,9 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Materialize EVERY output column, not .count(): count(1) lets Catalyst
+    // prune unreferenced projections/window expressions, under-measuring the
+    // work the verify path actually does. queryExecution.toRdd evaluates the
+    // optimized plan for the full output schema (each emitted UnsafeRow is
+    // fully computed), with no per-type hashing caveats.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
     // Warm up the session (JIT, codegen, parquet footer reads) so the
     // first timed query doesn't absorb one-time JVM startup cost.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     // Best-of-2 per query with the cache cleared between queries: single
     // shots on a shared box are noisy (GC, page cache, JIT), and leaked
     // .cache() blocks from one query must not distort the next.
@@ -20,7 +27,7 @@ object Bench {
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

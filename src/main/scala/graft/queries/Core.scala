@@ -148,13 +148,20 @@ object Core {
     }),
 
     "q06_sma" -> ((s, dir) => {
+      // Full reference horizon set (data_transformation.py:160-178):
+      // sma_{7,20,50,200} plus ema_12/ema_26, which the reference
+      // deliberately approximates as the 20-/50-row window means — we
+      // mirror that approximation for parity (noted in SURVEY §6).
       val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
       val vDec = dec4(col("value"))
       ev(s, dir).select(
         col("user_id"), col("event_id"), r4(col("value")).as("value"),
         r4e(exactSlidingAvg(vDec, w, 7)).as("sma_7"),
         r4e(exactSlidingAvg(vDec, w, 20)).as("sma_20"),
-        r4e(exactSlidingAvg(vDec, w, 50)).as("sma_50"))
+        r4e(exactSlidingAvg(vDec, w, 50)).as("sma_50"),
+        r4e(exactSlidingAvg(vDec, w, 200)).as("sma_200"),
+        r4e(exactSlidingAvg(vDec, w, 20)).as("ema_12"),
+        r4e(exactSlidingAvg(vDec, w, 50)).as("ema_26"))
     }),
 
     "q07_bollinger" -> ((s, dir) => {
@@ -523,6 +530,48 @@ object Core {
       clickOnly.unionByName(both).select("segment", "user_id")
     }),
 
+    "q39_market_summary" -> ((s, dir) => {
+      // v_daily_market_summary (hive_schemas.sql:282-294): per-DAY
+      // cross-key rollup (the one reporting view that aggregates across
+      // tickers, not per ticker) over a trailing 90-day window, anchored
+      // at the dataset max day (the reference anchors at CURRENT_DATE).
+      // count(distinct) is fine at scale: day is the group key, so the
+      // distinct set is per-day and the shuffle is keyed on (day, user).
+      val anchor = ev(s, dir).agg(max(col("ts").cast("date")).as("anchor"))
+      daily(s, dir).crossJoin(broadcast(anchor))
+        .filter(col("day") >= date_sub(col("anchor"), 90))
+        .groupBy("day")
+        .agg(
+          countDistinct("user_id").as("num_users"),
+          avg("chg_next").as("chg_raw"),
+          (sum("n").cast("double") / count(lit(1))).as("vol_raw"),
+          avg("v_avg").as("mkt_raw"),
+          sum("clicks").as("total_news"),
+          sum("purchases").as("total_filings"))
+        .select(
+          col("day"), col("num_users"),
+          r4e(col("chg_raw")).as("avg_chg"),
+          r4e(col("vol_raw")).as("avg_volume"),
+          r4e(col("mkt_raw")).as("market_value"),
+          col("total_news"), col("total_filings"))
+    }),
+
+    "q40_bullish_filter" -> ((s, dir) => {
+      // v_bullish_sentiment_stocks (hive_schemas.sql:267-279): threshold
+      // filter (signal > 60, volume >= 5) over the trailing 7 days,
+      // anchored at the dataset max day. Filters sit directly on the
+      // daily aggregate, so at scale this prunes before any wide output.
+      val anchor = ev(s, dir).agg(max(col("ts").cast("date")).as("anchor"))
+      daily(s, dir).crossJoin(broadcast(anchor))
+        .filter(col("day") >= date_sub(col("anchor"), 7) &&
+          col("v_avg") > 60.0 && col("n") >= 5)
+        .select(
+          col("user_id"), col("day"), col("n"),
+          r4e(col("v_avg")).as("v_avg"),
+          r4e(col("purchase_ratio")).as("purchase_ratio"),
+          r4e(col("chg_next")).as("chg_next"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -601,7 +650,10 @@ object Core {
       s"""SELECT user_id, event_id, round(value, 4) AS value,
          | round(${slidingAvgSql(7)} + 1e-7, 4) AS sma_7,
          | round(${slidingAvgSql(20)} + 1e-7, 4) AS sma_20,
-         | round(${slidingAvgSql(50)} + 1e-7, 4) AS sma_50
+         | round(${slidingAvgSql(50)} + 1e-7, 4) AS sma_50,
+         | round(${slidingAvgSql(200)} + 1e-7, 4) AS sma_200,
+         | round(${slidingAvgSql(20)} + 1e-7, 4) AS ema_12,
+         | round(${slidingAvgSql(50)} + 1e-7, 4) AS ema_26
          |FROM events""".stripMargin,
 
     "q07_bollinger" ->
@@ -933,6 +985,50 @@ object Core {
         |SELECT 'click_only' AS segment, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
         |UNION ALL
         |SELECT 'both' AS segment, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)""".stripMargin,
+
+    "q39_market_summary" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v_avg,
+        |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT *, LEAD(v_avg) OVER (PARTITION BY user_id ORDER BY day) AS nxt FROM daily),
+        |d3 AS (
+        |  SELECT user_id, day, n, v_avg, clicks, purchases,
+        |         CASE WHEN nxt IS NOT NULL AND v_avg <> 0
+        |              THEN (nxt - v_avg) / v_avg * 100 END AS chg_next
+        |  FROM d2)
+        |SELECT day, count(DISTINCT user_id) AS num_users,
+        | round(avg(chg_next) + 1e-7, 4) AS avg_chg,
+        | round(CAST(sum(n) AS DOUBLE) / count(*) + 1e-7, 4) AS avg_volume,
+        | round(avg(v_avg) + 1e-7, 4) AS market_value,
+        | CAST(sum(clicks) AS BIGINT) AS total_news,
+        | CAST(sum(purchases) AS BIGINT) AS total_filings
+        |FROM d3, (SELECT max(day) AS anchor FROM d3) a
+        |WHERE day >= anchor - INTERVAL 90 DAY
+        |GROUP BY day""".stripMargin,
+
+    "q40_bullish_filter" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v_avg,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / count(*) AS purchase_ratio
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT *, LEAD(v_avg) OVER (PARTITION BY user_id ORDER BY day) AS nxt FROM daily),
+        |d3 AS (
+        |  SELECT user_id, day, n, v_avg, purchase_ratio,
+        |         CASE WHEN nxt IS NOT NULL AND v_avg <> 0
+        |              THEN (nxt - v_avg) / v_avg * 100 END AS chg_next
+        |  FROM d2)
+        |SELECT user_id, day, n,
+        | round(v_avg + 1e-7, 4) AS v_avg,
+        | round(purchase_ratio + 1e-7, 4) AS purchase_ratio,
+        | round(chg_next + 1e-7, 4) AS chg_next
+        |FROM d3, (SELECT max(day) AS anchor FROM d3) a
+        |WHERE day >= anchor - INTERVAL 7 DAY AND v_avg > 60 AND n >= 5""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{HashFns, TextFns, VecFns}
-import graft.similarity.{IvfAnn, LshAnn}
+import graft.similarity.{IvfAnn, LshAnn, NgramJaccard}
 import graft.multimodal.BinaryColumns
 
 /** LLM-training-data pipeline queries (SURVEY.md §2: d01–d07, t01–t04, m01):
@@ -48,6 +48,9 @@ object LlmData {
   private val minhashK = 8
   private val bands = 4
   private val bandRows = 2
+  /** d06 LSH blocking: 6 tables × 3 planes (see d06 comment). */
+  private val d06Bands = 6
+  private val d06PlanesPerBand = 3
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> ((s, dir) =>
@@ -61,19 +64,11 @@ object LlmData {
       // doc, and fixed-width keys shuffle/compare cheaper than arbitrary
       // shingle text. The oracle hashes identically, so even a (≈2^-32)
       // collision would affect both engines the same way.
-      val sh = HashFns.explodedShingles(docs(s, dir))
-        .select(col("doc_id"), substring(md5(col("s").cast("binary")), 1, 16).as("sk"))
-        .cache()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("common"))
-      pairs
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn("jaccard", col("common") / (col("sz_a") + col("sz_b") - col("common")))
-        .filter(col("jaccard") >= 0.6)
+      //
+      // Hot-shingle bound: stop-shingle filtering at df > 100 (see
+      // NgramJaccard scaladoc for the O(Σ df²) scale argument); the
+      // oracle mirrors the cap, so results stay hash-checked.
+      NgramJaccard.pairs(docs(s, dir), minJaccard = 0.6, maxDf = 100)
         .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
     }),
 
@@ -106,16 +101,40 @@ object LlmData {
     }),
 
     "d06_embedding_neardup" -> ((s, dir) => {
-      val e = emb(s, dir).select("vec_id", "label", "embedding")
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos_raw", VecFns.cosine(col("a.embedding"), col("b.embedding")))
+      // Near-dup pairs (cos >= 0.35) with LSH-signature blocking, NOT
+      // label blocking: label blocks are O(Σ n_label²) — one big label is
+      // quadratic at 100 TB — while bucket population is bounded by
+      // planesPerBand (grow with corpus size) and recall is bought back
+      // with independent bands (1-(1-p^k)^L; ~0.8 at cos exactly 0.35 and
+      // higher for closer pairs at k=3, L=6). Candidate pairs come from an
+      // equi-join on (band, bkt), dedup, then one exact-cosine pass. The
+      // oracle embeds the SAME hyperplanes (literal doubles, index-order
+      // dot products), so the result is exactly hash-checked — the
+      // approximation is in the blocking, mirrored on both sides.
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          explode(LshAnn.bandedBuckets(col("embedding"), d06Bands, d06PlanesPerBand, 64))
+            .as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkt").as("bkt"))
+        .cache()
+      val cand = e.as("a").join(e.as("b"),
+          col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      val v = emb(s, dir).select(col("vec_id"), col("embedding"))
+      cand
+        .join(v.select(col("vec_id").as("a_id"), col("embedding").as("ae")), "a_id")
+        .join(v.select(col("vec_id").as("b_id"), col("embedding").as("be")), "b_id")
+        .withColumn("cos_raw", VecFns.cosine(col("ae"), col("be")))
         .filter(col("cos_raw") >= 0.35)
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          r4(col("cos_raw")).as("cos"))
+        .select(col("a_id"), col("b_id"), r4(col("cos_raw")).as("cos"))
     }),
 
-    "d07_ann_lsh" -> ((s, dir) => LshAnn.topK(emb(s, dir), planes = 6, k = 3)),
+    // Banded multi-table LSH (6×3): single-table recall at these corpus
+    // stats is ~0.04 (see NearDupSpec plane sweep), banding restores ~0.8.
+    "d07_ann_lsh" -> ((s, dir) =>
+      LshAnn.topKBanded(emb(s, dir), bands = 6, planesPerBand = 3, k = 3)),
 
     "d08_ann_ivf" -> ((s, dir) =>
       IvfAnn.topK(emb(s, dir), nQueries = 10, k = 5, nlist = 16, nprobe = 4)),
@@ -200,11 +219,16 @@ object LlmData {
       // ln() differs by ulps between engines, and the round pins scores to
       // identical doubles so the rank ordering is cross-engine stable.
       val d = docs(s, dir)
+      // Cache tf: it feeds both the df derivation and the scoring join, and
+      // the explode+aggregate upstream is the expensive part of this query
+      // (without the cache the whole pipeline evaluates twice).
       val tf = d
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .cache()
       val nDocs = d.agg(countDistinct("doc_id").as("n_docs"))
-      val df = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      // (doc_id, term) is unique in tf, so count(*) == count(distinct doc_id).
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocs))
         .withColumn("idf", round(log(col("n_docs").cast("double") / col("df")), 8))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
@@ -274,10 +298,14 @@ object LlmData {
     "d02_ngram_jaccard" -> (shinglesSql +
       """,
         |shk AS (SELECT doc_id, substr(md5(s), 1, 16) AS sk FROM sh),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM shk GROUP BY 1),
+        |shf AS (
+        |  SELECT doc_id, sk FROM (
+        |    SELECT doc_id, sk, count(*) OVER (PARTITION BY sk) AS df FROM shk)
+        |  WHERE df <= 100),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM shk a JOIN shk b ON a.sk = b.sk AND a.doc_id < b.doc_id
+        |  FROM shf a JOIN shf b ON a.sk = b.sk AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         | round(common / (x.sz + y.sz - common) + 1e-7, 4) AS jaccard
@@ -311,13 +339,24 @@ object LlmData {
          |      FROM p)
          |WHERE rnk <= 5""".stripMargin,
 
-    "d06_embedding_neardup" ->
-      s"""WITH p AS (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |   ${cosSql("a.embedding", "b.embedding")} AS cos_raw
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT a_id, b_id, round(cos_raw + 1e-7, 4) AS cos FROM p WHERE cos_raw >= 0.35""".stripMargin,
+    "d06_embedding_neardup" -> {
+      val bandSelects = LshAnn.bandedBucketSql("embedding", d06Bands, d06PlanesPerBand, 64)
+        .zipWithIndex
+        .map { case (bktSql, b) => s"SELECT vec_id, $b AS band, $bktSql AS bkt FROM embeddings" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH eb AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM eb a JOIN eb b
+         |    ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |p AS (
+         |  SELECT a_id, b_id,
+         |   ${cosSql("x.embedding", "y.embedding")} AS cos_raw
+         |  FROM cand JOIN embeddings x ON x.vec_id = a_id
+         |            JOIN embeddings y ON y.vec_id = b_id)
+         |SELECT a_id, b_id, round(cos_raw + 1e-7, 4) AS cos FROM p WHERE cos_raw >= 0.35""".stripMargin
+    },
 
     "d09_editdist_neardup" ->
       """WITH d AS (SELECT doc_id, text, substr(text, 1, 32) AS pfx FROM documents)

@@ -39,20 +39,98 @@ object LshAnn {
     Seq.fill(planes)(Seq.fill(dim)(next()))
   }
 
-  /** Signature bucket id of `vec` (array<float|double>) under `planes`
-    * fixed hyperplanes of dimension `dim`.
+  /** Bucket id column from a slice of hyperplanes: bit j set iff
+    * dot(vec, plane_j) >= 0.
     */
-  def bucket(vec: Column, planes: Int, dim: Int): Column = {
-    val hp = hyperplanes(planes, dim)
-    val vd = VecFns.asDouble(vec)
+  private def bucketOf(vd: Column, hp: Seq[Seq[Double]]): Column =
     hp.zipWithIndex.map { case (p, j) =>
       val planeLit = array(p.map(lit): _*)
       when(VecFns.dot(vd, planeLit) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** DuckDB SQL expression computing the SAME bucket id as [[bucketOf]]
+    * for a list column named `vec`: hyperplane components are embedded as
+    * literal doubles (shortest-string repr round-trips to the identical
+    * double), and each dot product sums in index order, matching
+    * [[graft.functions.DotProduct]]'s left-to-right fold bit-for-bit — so
+    * a SQL oracle can block on buckets exactly like the Spark side.
+    */
+  private def bucketSqlOf(vec: String, hp: Seq[Seq[Double]], dim: Int): String =
+    hp.zipWithIndex.map { case (p, j) =>
+      val planeLit = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $vec[i]::DOUBLE * ($planeLit)[i])) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Signature bucket id of `vec` (array<float|double>) under `planes`
+    * fixed hyperplanes of dimension `dim`.
+    */
+  def bucket(vec: Column, planes: Int, dim: Int): Column =
+    bucketOf(VecFns.asDouble(vec), hyperplanes(planes, dim))
+
+  /** Band-amplified signature keys — `bands` independent hash tables of
+    * `planesPerBand` hyperplanes each, as an array<struct<band,bkt>> to
+    * explode into per-table candidate keys. For pairs with per-plane
+    * collision probability p = 1 - angle/pi, recall after L tables of k
+    * planes is 1 - (1 - p^k)^L: k bounds bucket population (grow it with
+    * corpus size), L buys recall back. One evaluation emits all bands.
+    */
+  def bandedBuckets(vec: Column, bands: Int, planesPerBand: Int, dim: Int): Column = {
+    val hp = hyperplanes(bands * planesPerBand, dim)
+    val vd = VecFns.asDouble(vec)
+    val structs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        bucketOf(vd, hp.slice(b * planesPerBand, (b + 1) * planesPerBand)).as("bkt"))
+    }
+    array(structs: _*)
   }
 
-  /** Bucketed ANN top-k: join vectors within each LSH bucket, score with
-    * exact cosine, keep the top `k` neighbors per query by (cos desc, id).
+  /** Per-band DuckDB bucket expressions mirroring [[bandedBuckets]]
+    * exactly (same plane slices, same literal doubles, same fold order).
+    */
+  def bandedBucketSql(vec: String, bands: Int, planesPerBand: Int, dim: Int): Seq[String] = {
+    val hp = hyperplanes(bands * planesPerBand, dim)
+    (0 until bands).map { b =>
+      bucketSqlOf(vec, hp.slice(b * planesPerBand, (b + 1) * planesPerBand), dim)
+    }
+  }
+
+  /** Multi-table ANN top-k: candidates share a bucket in ANY of `bands`
+    * independent tables of `planesPerBand` planes, deduped, then scored
+    * with exact cosine and ranked per query. This is the production ANN
+    * shape: planesPerBand bounds bucket population (grow with corpus size
+    * — planesPerBand ≈ log2(n / targetBucket)), bands buys recall back
+    * (1-(1-p^k)^L), and the whole thing is equi-joins + one window — no
+    * cross join anywhere. Output: (q_id, c_id, rank, cos).
+    */
+  def topKBanded(embeddings: DataFrame, bands: Int, planesPerBand: Int, k: Int,
+                 dim: Int = 64): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"),
+        explode(bandedBuckets(col("embedding"), bands, planesPerBand, dim)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkt").as("bkt"))
+      .cache()
+    val cand = e.as("a").join(e.as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("c_id"))
+      .distinct()
+    val v = embeddings.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    cand
+      .join(v.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(v.select(col("vec_id").as("c_id"), col("embedding").as("ce")), "c_id")
+      .withColumn("cos", VecFns.cosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Single-table bucketed ANN top-k: join vectors within each LSH bucket,
+    * score with exact cosine, keep the top `k` neighbors per query by
+    * (cos desc, id). Kept as the simplest LSH shape (and the plane-sweep
+    * baseline); [[topKBanded]] is the recall-bearing production variant.
     * Output: (q_id, c_id, rank, cos).
     */
   def topK(embeddings: DataFrame, planes: Int, k: Int, dim: Int = 64): DataFrame = {
