@@ -84,4 +84,70 @@ object Indicators {
         when(nxt.isNotNull && col(valueCol) =!= 0.0,
           (nxt - col(valueCol)) / col(valueCol) * 100.0))
     }
+
+  /** Cutler's RSI over trailing `period` rows: 100 - 100/(1 + avgGain /
+    * avgLoss), with simple window means of gains/losses (the window-mean
+    * formulation, consistent with the reference's window-mean "EMA"
+    * approximation; Wilder smoothing is a recursive EWMA no finite SQL
+    * window expresses). Gains/losses are 4-decimal-lattice diffs, so they
+    * are cast to DECIMAL before the window sum — exact, order-independent,
+    * cross-engine deterministic; only the final ratio runs in double.
+    * First row of each series has no diff → NULL (ignored by the means).
+    * RSI pegs to 100 when the loss mean is 0 and is NULL until a diff
+    * exists. Output column `rsi_<period>`.
+    */
+  def withRsi(df: DataFrame, w: WindowSpec, valueCol: String, period: Int): DataFrame = {
+    val prev = lag(col(valueCol), 1).over(w)
+    val diff = col(valueCol) - prev
+    val gain = when(prev.isNull, lit(null)).when(diff > 0.0, diff).otherwise(0.0)
+    val loss = when(prev.isNull, lit(null)).when(diff < 0.0, -diff).otherwise(0.0)
+    val wp = w.rowsBetween(-(period - 1), 0)
+    def decAvg(c: Column): Column =
+      sum(c.cast("decimal(18,4)")).over(wp).cast("double") / count(c).over(wp)
+    val (g, l) = (decAvg(gain), decAvg(loss))
+    df.withColumn(
+      s"rsi_$period",
+      when(count(gain).over(wp) === 0, lit(null))
+        .when(l === 0.0, 100.0)
+        .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + g / l)))
+  }
+
+  /** MACD in the reference's window-mean EMA approximation
+    * (data_transformation.py:176-178 defines ema_12/ema_26 as the 20-/50-
+    * row window means): macd = mean_fast - mean_slow, signal = `signalP`-
+    * row mean of macd, histogram = macd - signal. The fast/slow means are
+    * exact decimal-sum/count; macd is then pinned to the 4-decimal lattice
+    * (same shared-nudge rounding as every emitted double) so the signal
+    * mean can run in exact DECIMAL too — fully order-independent, no
+    * engine-native double window aggregation anywhere. Output columns:
+    * macd, macd_signal, macd_hist (lattice doubles).
+    */
+  def withMacd(df: DataFrame, w: WindowSpec, valueCol: String,
+               fast: Int, slow: Int, signalP: Int): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(18,4)")
+    def decMean(p: Int): Column = {
+      val wp = w.rowsBetween(-(p - 1), 0)
+      sum(vDec).over(wp).cast("double") / count(vDec).over(wp)
+    }
+    val macd4 = round(decMean(fast) - decMean(slow) + 1e-7, 4)
+    val ws = w.rowsBetween(-(signalP - 1), 0)
+    df.withColumn("macd", macd4)
+      .withColumn("macd_signal",
+        round(sum(col("macd").cast("decimal(18,4)")).over(ws).cast("double") /
+          count(col("macd")).over(ws) + 1e-7, 4))
+      .withColumn("macd_hist", round(col("macd") - col("macd_signal") + 1e-7, 4))
+  }
+
+  /** Running-peak drawdown: peak = cumulative max of the series, drawdown
+    * = pct below peak (≤ 0). max() is order-independent, so parity is
+    * exact by construction. Output columns `peak`, `drawdown_pct`.
+    */
+  def withDrawdown(df: DataFrame, w: WindowSpec, valueCol: String): DataFrame = {
+    val peak = max(col(valueCol)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    df.withColumn("peak", peak)
+      .withColumn(
+        "drawdown_pct",
+        when(col("peak") > 0.0, (col(valueCol) - col("peak")) / col("peak") * 100.0)
+          .otherwise(0.0))
+  }
 }

@@ -572,6 +572,114 @@ object Core {
           r4e(col("chg_next")).as("chg_next"))
     }),
 
+    "q41_ticker_summary" -> ((s, dir) => {
+      // sentiment_summary_by_ticker (hive_schemas.sql:216-229): per-key
+      // lifetime summary over the daily series, incl. the same-day
+      // correlation (signal vs change from the PREVIOUS day — a lag
+      // column the daily pipeline doesn't carry, added here).
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val prev = lag(col("v_avg"), 1).over(w)
+      val nn = (c: Column) => when(isnan(c), lit(null)).otherwise(c)
+      daily(s, dir)
+        .withColumn("chg_same",
+          when(prev.isNotNull && prev =!= 0.0, (col("v_avg") - prev) / prev * 100.0))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("days_with_news"),
+          sum("n").as("total_events"),
+          (sum("n").cast("double") / count(lit(1))).as("npd_raw"),
+          avg("v_avg").as("avg_v_raw"),
+          stddev_samp(col("v_avg")).as("sd_raw"),
+          avg("purchase_ratio").as("bull_raw"),
+          avg("click_ratio").as("bear_raw"),
+          avg("chg_next").as("chg_raw"),
+          nn(corr(col("v_avg"), col("chg_same"))).as("corr_raw"))
+        .select(
+          col("user_id"), col("days_with_news"), col("total_events"),
+          r4e(col("npd_raw")).as("avg_events_per_day"),
+          r4e(col("avg_v_raw")).as("avg_value"),
+          r4e(col("sd_raw")).as("value_volatility"),
+          r4e(col("bull_raw")).as("avg_bullish_ratio"),
+          r4e(col("bear_raw")).as("avg_bearish_ratio"),
+          r4e(col("chg_raw")).as("avg_chg"),
+          r4e(col("corr_raw")).as("same_day_corr"))
+    }),
+
+    "q42_period_ohlc" -> ((s, dir) => {
+      // agg_stock_performance (postgresql_schemas.sql:114-133): per-key
+      // per-period OHLC rollup. open/close are first/last IN EVENT ORDER
+      // within the period — a grouped argmin/argmax, expressed as window
+      // first/last over the (key, week) partition then reduced (the values
+      // are constant per group, so min() picks them deterministically).
+      val ev2 = ev(s, dir).withColumn("wk", date_trunc("week", col("ts")).cast("date"))
+      val w = Window.partitionBy("user_id", "wk").orderBy(col("ts"), col("event_id"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev2
+        .withColumn("open_v", first("value").over(w))
+        .withColumn("close_v", last("value").over(wAll))
+        .groupBy("user_id", "wk")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("open_v").as("o_raw"),
+          min("close_v").as("c_raw"),
+          max("value").as("hi_raw"),
+          min("value").as("lo_raw"),
+          (sum(dec4(col("value"))).cast("double") / count(lit(1))).as("avg_raw"))
+        .select(
+          col("user_id"), col("wk"), col("n_events"),
+          r4(col("o_raw")).as("open"), r4(col("c_raw")).as("close"),
+          r4(col("hi_raw")).as("high"), r4(col("lo_raw")).as("low"),
+          r4e(col("avg_raw")).as("avg_value"),
+          r4e(when(col("o_raw") =!= 0.0,
+            (col("c_raw") - col("o_raw")) / col("o_raw") * 100.0).otherwise(0.0))
+            .as("chg_pct"))
+    }),
+
+    "q43_market_breadth" -> ((s, dir) =>
+      // analysis_market_sentiment (postgresql_schemas.sql:188-200): per-day
+      // market breadth — bullish/bearish/neutral key counts by signal
+      // threshold plus cross-key dispersion. Daily grain is unique per
+      // (key, day), so the breadth counts are plain conditional sums.
+      daily(s, dir)
+        .groupBy("day")
+        .agg(
+          count(lit(1)).as("num_users"),
+          avg("v_avg").as("avg_v_raw"),
+          sum(when(col("v_avg") > 60.0, 1).otherwise(0)).as("bullish"),
+          sum(when(col("v_avg") < 40.0, 1).otherwise(0)).as("bearish"),
+          sum(when(col("v_avg") >= 40.0 && col("v_avg") <= 60.0, 1).otherwise(0)).as("neutral"),
+          avg("chg_next").as("chg_raw"),
+          sum("n").as("total_events"),
+          stddev_samp(col("v_avg")).as("vol_raw"))
+        .select(
+          col("day"), col("num_users"),
+          r4e(col("avg_v_raw")).as("market_value"),
+          col("bullish"), col("bearish"), col("neutral"),
+          r4e(col("chg_raw")).as("avg_chg"),
+          col("total_events"),
+          r4e(col("vol_raw")).as("market_volatility"))),
+
+    "q44_rsi" -> ((s, dir) => {
+      val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+      Indicators.withRsi(ev(s, dir), w, "value", 14)
+        .select(col("user_id"), col("event_id"), r4(col("value")).as("value"),
+          r4e(col("rsi_14")).as("rsi_14"))
+    }),
+
+    "q45_macd" -> ((s, dir) => {
+      val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+      Indicators.withMacd(ev(s, dir), w, "value", fast = 20, slow = 50, signalP = 9)
+        .select(col("user_id"), col("event_id"),
+          col("macd"), col("macd_signal"), col("macd_hist"))
+    }),
+
+    "q46_drawdown" -> ((s, dir) => {
+      val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+      Indicators.withDrawdown(ev(s, dir), w, "value")
+        .select(col("user_id"), col("event_id"), r4(col("value")).as("value"),
+          r4(col("peak")).as("peak"), r4e(col("drawdown_pct")).as("drawdown_pct"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -1029,6 +1137,120 @@ object Core {
         | round(chg_next + 1e-7, 4) AS chg_next
         |FROM d3, (SELECT max(day) AS anchor FROM d3) a
         |WHERE day >= anchor - INTERVAL 7 DAY AND v_avg > 60 AND n >= 5""".stripMargin,
+
+    "q41_ticker_summary" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v_avg,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / count(*) AS purchase_ratio,
+        |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) / count(*) AS click_ratio
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT *,
+        |   LEAD(v_avg) OVER w AS nxt,
+        |   LAG(v_avg) OVER w AS prv
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |d3 AS (
+        |  SELECT user_id, day, n, v_avg, purchase_ratio, click_ratio,
+        |   CASE WHEN nxt IS NOT NULL AND v_avg <> 0
+        |        THEN (nxt - v_avg) / v_avg * 100 END AS chg_next,
+        |   CASE WHEN prv IS NOT NULL AND prv <> 0
+        |        THEN (v_avg - prv) / prv * 100 END AS chg_same
+        |  FROM d2)
+        |SELECT user_id,
+        | count(*) AS days_with_news,
+        | CAST(sum(n) AS BIGINT) AS total_events,
+        | round(CAST(sum(n) AS DOUBLE) / count(*) + 1e-7, 4) AS avg_events_per_day,
+        | round(avg(v_avg) + 1e-7, 4) AS avg_value,
+        | round(stddev_samp(v_avg) + 1e-7, 4) AS value_volatility,
+        | round(avg(purchase_ratio) + 1e-7, 4) AS avg_bullish_ratio,
+        | round(avg(click_ratio) + 1e-7, 4) AS avg_bearish_ratio,
+        | round(avg(chg_next) + 1e-7, 4) AS avg_chg,
+        | round(corr(v_avg, chg_same) + 1e-7, 4) AS same_day_corr
+        |FROM d3 GROUP BY 1""".stripMargin,
+
+    "q42_period_ohlc" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('week', ts)::DATE AS wk, value,
+        |   first_value(value) OVER (PARTITION BY user_id, date_trunc('week', ts)
+        |     ORDER BY ts, event_id) AS open_v,
+        |   last_value(value) OVER (PARTITION BY user_id, date_trunc('week', ts)
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+        |  FROM events)
+        |SELECT user_id, wk, count(*) AS n_events,
+        | round(min(open_v), 4) AS open, round(min(close_v), 4) AS close,
+        | round(max(value), 4) AS high, round(min(value), 4) AS low,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) + 1e-7, 4) AS avg_value,
+        | round(CASE WHEN min(open_v) <> 0
+        |   THEN (min(close_v) - min(open_v)) / min(open_v) * 100 ELSE 0 END + 1e-7, 4) AS chg_pct
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q43_market_breadth" -> (dailySql +
+      """
+        |SELECT day, count(*) AS num_users,
+        | round(avg(v_avg) + 1e-7, 4) AS market_value,
+        | CAST(sum(CASE WHEN v_avg > 60 THEN 1 ELSE 0 END) AS BIGINT) AS bullish,
+        | CAST(sum(CASE WHEN v_avg < 40 THEN 1 ELSE 0 END) AS BIGINT) AS bearish,
+        | CAST(sum(CASE WHEN v_avg >= 40 AND v_avg <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS neutral,
+        | round(avg(chg_next) + 1e-7, 4) AS avg_chg,
+        | CAST(sum(n) AS BIGINT) AS total_events,
+        | round(stddev_samp(v_avg) + 1e-7, 4) AS market_volatility
+        |FROM d3 GROUP BY 1""".stripMargin),
+
+    "q44_rsi" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts, value,
+        |   value - lag(value) OVER w AS diff,
+        |   lag(value) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |   CASE WHEN prev IS NULL THEN NULL WHEN diff > 0 THEN diff ELSE 0 END AS gain,
+        |   CASE WHEN prev IS NULL THEN NULL WHEN diff < 0 THEN -diff ELSE 0 END AS loss
+        |  FROM d),
+        |a AS (
+        |  SELECT user_id, event_id, value,
+        |   CAST(sum(CAST(gain AS DECIMAL(18,4))) OVER w14 AS DOUBLE)
+        |     / count(gain) OVER w14 AS g_avg,
+        |   CAST(sum(CAST(loss AS DECIMAL(18,4))) OVER w14 AS DOUBLE)
+        |     / count(loss) OVER w14 AS l_avg,
+        |   count(gain) OVER w14 AS n_diff
+        |  FROM g
+        |  WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, round(value, 4) AS value,
+        | round(CASE WHEN n_diff = 0 THEN NULL
+        |            WHEN l_avg = 0 THEN 100.0
+        |            ELSE 100.0 - 100.0 / (1.0 + g_avg / l_avg) END + 1e-7, 4) AS rsi_14
+        |FROM a""".stripMargin,
+
+    "q45_macd" ->
+      s"""WITH m AS (
+         |  SELECT user_id, event_id, ts,
+         |   round(${slidingAvgSql(20)} - ${slidingAvgSql(50)} + 1e-7, 4) AS macd
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, event_id, macd,
+         |   round(CAST(sum(CAST(macd AS DECIMAL(18,4))) OVER w9 AS DOUBLE)
+         |     / count(macd) OVER w9 + 1e-7, 4) AS macd_signal
+         |  FROM m
+         |  WINDOW w9 AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id, macd, macd_signal,
+         | round(macd - macd_signal + 1e-7, 4) AS macd_hist
+         |FROM s""".stripMargin,
+
+    "q46_drawdown" ->
+      """SELECT user_id, event_id, round(value, 4) AS value,
+        | round(max(value) OVER w, 4) AS peak,
+        | round(CASE WHEN max(value) OVER w > 0
+        |   THEN (value - max(value) OVER w) / (max(value) OVER w) * 100
+        |   ELSE 0 END + 1e-7, 4) AS drawdown_pct
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (

@@ -59,6 +59,53 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(10.0, 15.0))
   }
 
+  test("withRsi: all-gains pegs to 100, mixed series matches hand computation") {
+    // series 10 -> 12 -> 11: diffs +2, -1; 14-window means: gains (2+0)/2=1,
+    // losses (0+1)/2=0.5 -> rs=2 -> rsi = 100 - 100/3
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 01:00:00"), 2L, 12.0),
+      (1L, ts("2024-01-01 02:00:00"), 3L, 11.0),
+      (2L, ts("2024-01-01 00:00:00"), 4L, 1.0),
+      (2L, ts("2024-01-01 01:00:00"), 5L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+    val out = Indicators.withRsi(df, w, "value", 14)
+      .select("event_id", "rsi_14").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty) // no diff yet
+    assert(out(2L).contains(100.0)) // single gain, zero losses
+    assert(math.abs(out(3L).get - (100.0 - 100.0 / 3.0)) < 1e-9)
+    assert(out(5L).contains(100.0)) // independent series
+  }
+
+  test("withMacd matches sliding means and signal on a short series") {
+    val df = Seq.tabulate(4)(i =>
+      (1L, ts(f"2024-01-01 0$i%02d:00:00"), i.toLong, (i + 1) * 10.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+    val out = Indicators.withMacd(df, w, "value", fast = 2, slow = 3, signalP = 2)
+      .orderBy("event_id").select("macd", "macd_signal", "macd_hist")
+      .as[(Double, Double, Double)].collect().toSeq
+    // values 10,20,30,40: fast(2)-means 10,15,25,35; slow(3)-means 10,15,20,30
+    // macd 0,0,5,5; signal(2) 0,0,2.5,5; hist 0,0,2.5,0
+    assert(out == Seq((0.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+      (5.0, 2.5, 2.5), (5.0, 5.0, 0.0)))
+  }
+
+  test("withDrawdown tracks the running peak and never goes positive") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 01:00:00"), 2L, 8.0),
+      (1L, ts("2024-01-01 02:00:00"), 3L, 12.0),
+      (1L, ts("2024-01-01 03:00:00"), 4L, 9.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+    val out = Indicators.withDrawdown(df, w, "value")
+      .orderBy("event_id").select("peak", "drawdown_pct")
+      .as[(Double, Double)].collect().toSeq
+    assert(out == Seq((10.0, 0.0), (10.0, -20.0), (12.0, 0.0), (12.0, -25.0)))
+  }
+
   test("withMomentum guards missing lag with 0") {
     val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
       (1L, ts("2024-01-01 01:00:00"), 2L, 15.0))
