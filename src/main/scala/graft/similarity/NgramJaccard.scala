@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFns
@@ -25,13 +24,27 @@ object NgramJaccard {
   /** Exploded (doc_id, sk) shingle keys — 16-hex-char md5 prefixes of the
     * word 3-grams (fixed-width keys shuffle/compare cheaper than raw
     * shingle text) — with keys of document frequency > maxDf dropped.
+    *
+    * The hot-key set is found with a map-side-combining aggregate and
+    * broadcast into an anti-join: by construction it holds at most
+    * n_shingles/maxDf keys (tiny — stop-shingles are rare by definition),
+    * so this never sorts or windows the full shingle stream the way a
+    * count-over-partition formulation would.
     */
   def cappedShingleKeys(documents: DataFrame, maxDf: Int): DataFrame =
+    cappedFrom(shingleKeys(documents), maxDf)
+
+  /** Raw exploded (doc_id, sk) keys, no cap. */
+  def shingleKeys(documents: DataFrame): DataFrame =
     HashFns.explodedShingles(documents)
       .select(col("doc_id"), substring(md5(col("s").cast("binary")), 1, 16).as("sk"))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sk")))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
+
+  private def cappedFrom(sh: DataFrame, maxDf: Int): DataFrame = {
+    val hot = sh.groupBy("sk").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("sk")
+    sh.join(broadcast(hot), Seq("sk"), "left_anti")
+  }
 
   /** Candidate pairs sharing at least one (capped) shingle key, with the
     * shared-key count. Equi-join on sk — never all-pairs.
@@ -47,9 +60,12 @@ object NgramJaccard {
     * double, caller rounds for parity).
     */
   def pairs(documents: DataFrame, minJaccard: Double, maxDf: Int): DataFrame = {
-    // Cache the capped keys: consumed by both the sizes aggregate and the
-    // pair join, and the upstream shingle explode dominates cost.
-    val sh = cappedShingleKeys(documents, maxDf).cache()
+    // Cache the RAW shingle stream, not the capped one: the hot-key
+    // aggregate, the anti-join probe side, the sizes aggregate, and both
+    // sides of the pair join all re-derive from it, and the explode+md5
+    // upstream is the expensive part — one cache serves all four consumers
+    // (the anti-join re-filter over cached rows is cheap by comparison).
+    val sh = cappedFrom(shingleKeys(documents).cache(), maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     candidatePairs(sh)
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")

@@ -64,6 +64,48 @@ class InvariantsSpec extends SparkSpec {
     assert(byS("train") > byS("val") && byS("train") > byS("test"))
   }
 
+  test("market breadth partitions the per-day user counts (q43 vs q39)") {
+    val breadth = Core.defs("q43_market_breadth")(spark, sfDir).collect()
+    breadth.foreach { r =>
+      assert(r.getAs[Long]("bullish") + r.getAs[Long]("bearish") +
+        r.getAs[Long]("neutral") == r.getAs[Long]("num_users"))
+    }
+    // q39's trailing-90-day window covers the whole test span, so the two
+    // independent per-day rollups must agree on users and total events
+    val q39 = Core.defs("q39_market_summary")(spark, sfDir)
+      .select("day", "num_users").as[(java.sql.Date, Long)].collect().toMap
+    val q43 = breadth.map(r =>
+      r.getAs[java.sql.Date]("day") -> r.getAs[Long]("num_users")).toMap
+    assert(q39 == q43)
+  }
+
+  test("weekly OHLC bounds hold and events reconcile with the raw stream (q42)") {
+    val ohlc = Core.defs("q42_period_ohlc")(spark, sfDir).collect()
+    ohlc.foreach { r =>
+      val (o, c, h, l) = (r.getAs[Double]("open"), r.getAs[Double]("close"),
+        r.getAs[Double]("high"), r.getAs[Double]("low"))
+      assert(l <= o && o <= h && l <= c && c <= h, s"OHLC bounds violated: $r")
+    }
+    val total = ohlc.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
+  test("RSI stays in [0,100] and drawdown never goes positive (q44/q46)") {
+    val rsi = Core.defs("q44_rsi")(spark, sfDir)
+      .agg(min("rsi_14"), max("rsi_14")).as[(Double, Double)].head()
+    assert(rsi._1 >= 0.0 && rsi._2 <= 100.0, s"RSI range $rsi")
+    val dd = Core.defs("q46_drawdown")(spark, sfDir)
+      .agg(max("drawdown_pct")).as[Double].head()
+    assert(dd <= 0.0, s"positive drawdown $dd")
+  }
+
+  test("MACD histogram is macd minus signal on every row (q45)") {
+    val bad = Core.defs("q45_macd")(spark, sfDir)
+      .filter(abs(col("macd") - col("macd_signal") - col("macd_hist")) > 1e-3)
+      .count()
+    assert(bad == 0L)
+  }
+
   test("LSH and IVF ANN neighbor lists are subsets of plausible candidates (no self, ranked)") {
     Seq("d07_ann_lsh", "d08_ann_ivf").foreach { q =>
       val out = LlmData.defs(q)(spark, sfDir)
