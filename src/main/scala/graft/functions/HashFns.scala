@@ -35,6 +35,23 @@ object HashFns {
       .select(col("doc_id"), explode(shingles3(toks)).as("s"))
   }
 
+  /** Word n-grams in order, duplicates kept (for repetition counting).
+    * Caller must ensure size(toks) >= n (sequence() needs a non-negative
+    * range).
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*))
+
+  /** Exploded distinct (doc_id, n-gram) pairs for docs with >= n tokens. */
+  def explodedNgrams(documents: DataFrame, n: Int): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    documents
+      .filter(size(toks) >= n)
+      .select(col("doc_id"), explode(array_distinct(ngrams(toks, n))).as("s"))
+  }
+
   /** MinHash signatures: one row per doc, long columns h0..h<k-1> (k <= 8).
     *
     * Hash-family construction tuned for scan cost at scale: TWO md5

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{HashFns, TextFns, VecFns}
-import graft.similarity.{IvfAnn, LshAnn, NgramJaccard}
+import graft.similarity.{ConnectedComponents, IvfAnn, LshAnn, NgramJaccard}
 import graft.multimodal.BinaryColumns
 
 /** LLM-training-data pipeline queries (SURVEY.md §2: d01–d07, t01–t04, m01):
@@ -139,6 +139,30 @@ object LlmData {
     "d08_ann_ivf" -> ((s, dir) =>
       IvfAnn.topK(emb(s, dir), nQueries = 10, k = 5, nlist = 16, nprobe = 4)),
 
+    "d11_dup_clusters" -> ((s, dir) =>
+      // Transitive closure of the MinHash candidate pairs: the cluster-
+      // canonicalization step a real dedup pipeline runs after pairing
+      // (one representative per duplicate cluster). Distributed min-label
+      // propagation (ConnectedComponents scaladoc has the scale story);
+      // the oracle computes the same closure with a recursive CTE.
+      ConnectedComponents.dupClusters(docs(s, dir), defs("d03_minhash")(s, dir))),
+
+    "d12_contamination" -> ((s, dir) => {
+      // Benchmark decontamination: flag corpus docs sharing any verbatim
+      // word 8-gram with a held-out benchmark set (stand-in: every 50th
+      // doc), the standard n-gram-overlap check run before pretraining.
+      // The benchmark's distinct 8-gram hashes are broadcast (eval sets
+      // are tiny vs the corpus); one equi-join + count per doc — the
+      // corpus side is never self-joined.
+      val sh = HashFns.explodedNgrams(docs(s, dir), 8)
+        .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+      val bench = sh.filter(col("doc_id") % 50 === 0).select("h").distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+    }),
+
     "d09_editdist_neardup" -> ((s, dir) => {
       // Edit-distance near-dup pairs with prefix blocking (string
       // similarity join pattern, cf. ICDE 2022 compressed-index joins in
@@ -244,6 +268,36 @@ object LlmData {
         .groupBy(TextFns.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))),
 
+    "t06_repetition" -> ((s, dir) => {
+      // Repetition-based quality stats (the Gopher/RefinedWeb-style
+      // filters): type-token ratio, most-frequent-token fraction, and
+      // most-frequent-bigram fraction, plus a composite flag. Duplicates
+      // KEPT in the n-gram streams (repetition is the signal); all three
+      // are explode -> hash-aggregate pipelines, joined back per doc.
+      val toks = TextFns.tokens(col("text"))
+      val base = docs(s, dir).select(
+        col("doc_id"), size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_dist"))
+      val tokTop = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("t_max"), sum("c").as("t_tot"))
+      val bgTop = docs(s, dir)
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), explode(HashFns.ngrams(toks, 2)).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("b_max"), sum("c").as("b_tot"))
+      val dr = col("n_dist").cast("double") / col("n_tok")
+      val bf = col("b_max").cast("double") / col("b_tot")
+      base.join(tokTop, "doc_id").join(bgTop, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_tok"),
+          r4(dr).as("distinct_ratio"),
+          r4(col("t_max").cast("double") / col("t_tot")).as("top_tok_frac"),
+          r4(bf).as("top_bigram_frac"),
+          when(dr < 0.3 || coalesce(bf, lit(0.0)) > 0.1, 1).otherwise(0).as("flagged"))
+    }),
+
     "m01_multimodal_meta" -> ((s, dir) => BinaryColumns.extractMeta(docs(s, dir))),
 
     "m02_frame_sample" -> ((s, dir) => {
@@ -290,6 +344,23 @@ object LlmData {
        |  FROM shd GROUP BY 1)""".stripMargin
   }
 
+  /** MinHash band CTE chain ending in `mpairs` (doc_a, doc_b) — shared by
+    * the d03 oracle and d11's recursive-closure oracle.
+    */
+  private def minhashPairCtes: String = minhashSigSql + {
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * bandRows until (b + 1) * bandRows).map(i => s"h$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s""",
+       |bk AS (
+       |  $bandSelects),
+       |mpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -312,18 +383,37 @@ object LlmData {
         |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         |WHERE common / (x.sz + y.sz - common) >= 0.6""".stripMargin),
 
-    "d03_minhash" -> (minhashSigSql + {
-      val bandSelects = (0 until bands).map { b =>
-        val cols = (b * bandRows until (b + 1) * bandRows).map(i => s"h$i").mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      s""",
-         |bk AS (
-         |  $bandSelects)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bk a JOIN bk b
-         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
-    }),
+    "d03_minhash" -> (minhashPairCtes + "\nSELECT doc_a, doc_b FROM mpairs"),
+
+    "d11_dup_clusters" -> (minhashPairCtes.replaceFirst("WITH tok", "WITH RECURSIVE tok") +
+      """,
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM mpairs
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM mpairs),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst),
+        |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+        |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size
+        |FROM cl JOIN sz USING (cluster_id)""".stripMargin),
+
+    "d12_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |   t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) _
+        |  WHERE len(t) >= 8),
+        |h AS (SELECT doc_id, md5(s) AS h FROM sh),
+        |bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM h JOIN bench USING (h)
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY 1""".stripMargin,
 
     "d04_simhash" -> simhashSql,
 
@@ -439,5 +529,28 @@ object LlmData {
     "t04_fingerprint" ->
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
         | count(*) AS n_docs, min(doc_id) AS min_doc_id
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "t06_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_dist FROM tok),
+        |tf AS (
+        |  SELECT doc_id, u, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS u FROM tok) GROUP BY 1, 2),
+        |t1 AS (SELECT doc_id, max(c) AS t_max, sum(c) AS t_tot FROM tf GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) _
+        |  WHERE len(t) >= 2),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |b1 AS (SELECT doc_id, max(c) AS b_max, sum(c) AS b_tot FROM bgc GROUP BY 1)
+        |SELECT base.doc_id, CAST(n_tok AS INT) AS n_tok,
+        | round(n_dist::DOUBLE / n_tok + 1e-7, 4) AS distinct_ratio,
+        | round(t1.t_max::DOUBLE / t1.t_tot + 1e-7, 4) AS top_tok_frac,
+        | round(b1.b_max::DOUBLE / b1.b_tot + 1e-7, 4) AS top_bigram_frac,
+        | CASE WHEN n_dist::DOUBLE / n_tok < 0.3
+        |        OR coalesce(b1.b_max::DOUBLE / b1.b_tot, 0) > 0.1
+        |      THEN 1 ELSE 0 END AS flagged
+        |FROM base JOIN t1 USING (doc_id) LEFT JOIN b1 USING (doc_id)""".stripMargin)
 }

@@ -1,0 +1,73 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph — the cluster
+  * canonicalization step every production dedup pipeline runs after
+  * candidate pairing (pick one representative per duplicate cluster, drop
+  * the rest). Pairs only say "a ~ b"; transitive closure turns them into
+  * clusters: {a~b, b~c} => {a,b,c} share one cluster id.
+  *
+  * Algorithm: min-label propagation WITH pointer jumping, restricted to
+  * graph nodes — each round every node takes min(own label, neighbors'
+  * labels, label of its own label). The neighbor step moves a minimum one
+  * hop; the label-of-label step halves pointer chains (path compression),
+  * so convergence is O(log n) rounds even on an adversarial path graph,
+  * the same asymptotics as the alternating large-star/small-star method.
+  * Each round is two equi-joins + a hash aggregate (fully distributed, no
+  * driver-side graph), the working set is only the docs that appear in a
+  * pair (≪ corpus at scale — near-dup graphs are sparse), and
+  * `localCheckpoint` truncates the plan lineage each round so the loop
+  * doesn't accumulate a deep DAG.
+  */
+object ConnectedComponents {
+
+  /** Cluster assignment for every document: (doc_id, cluster_id,
+    * cluster_size), where cluster_id = min doc_id reachable through
+    * `pairs` (columns doc_a, doc_b) and docs in no pair are singleton
+    * clusters of themselves.
+    */
+  def dupClusters(documents: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("doc_id")).distinct().persist()
+
+    var labels = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_cl")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("dst_cl").as("nbr_cl"))
+      // pointer jumping: the label of my label (labels is keyed by doc_id
+      // and every label IS a node id, so this is a self-join)
+      val jump = labels.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump_cl"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .join(jump, Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_cl"), col("cluster_id")),
+            coalesce(col("jump_cl"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val changes = next
+        .join(labels.withColumnRenamed("cluster_id", "old_cl"), "doc_id")
+        .filter(col("cluster_id") < col("old_cl"))
+        .count()
+      labels = next
+      done = changes == 0L
+      iter += 1
+    }
+
+    val singles = documents.select("doc_id")
+      .join(nodes, Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", col("doc_id"))
+    val all = labels.unionByName(singles)
+    val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+  }
+}
