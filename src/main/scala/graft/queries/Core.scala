@@ -572,6 +572,18 @@ object Core {
           r4e(col("chg_next")).as("chg_next"))
     }),
 
+    "q47_top_events" -> ((s, dir) =>
+      // v_top_sentiment_movers (hive_schemas.sql:253-264): threshold
+      // filter + ORDER BY abs(signal) DESC with secondary keys + LIMIT
+      // over the event-detection grain — TakeOrderedAndProject shape, the
+      // top-k never materializes a global sort at scale.
+      daily(s, dir)
+        .filter(col("chg_next").isNotNull && abs(col("chg_next")) > 50.0 && col("n") >= 3)
+        .orderBy(abs(col("chg_next")).desc, col("n").desc, col("user_id"), col("day"))
+        .limit(100)
+        .select(col("user_id"), col("day"), col("n"),
+          r4e(col("v_avg")).as("v_avg"), r4e(col("chg_next")).as("chg_next"))),
+
     "q41_ticker_summary" -> ((s, dir) => {
       // sentiment_summary_by_ticker (hive_schemas.sql:216-229): per-key
       // lifetime summary over the daily series, incl. the same-day
@@ -1137,6 +1149,16 @@ object Core {
         | round(chg_next + 1e-7, 4) AS chg_next
         |FROM d3, (SELECT max(day) AS anchor FROM d3) a
         |WHERE day >= anchor - INTERVAL 7 DAY AND v_avg > 60 AND n >= 5""".stripMargin,
+
+    "q47_top_events" -> (dailySql +
+      """
+        |SELECT user_id, day, n,
+        | round(v_avg + 1e-7, 4) AS v_avg,
+        | round(chg_next + 1e-7, 4) AS chg_next
+        |FROM d3
+        |WHERE chg_next IS NOT NULL AND abs(chg_next) > 50 AND n >= 3
+        |ORDER BY abs(chg_next) DESC, n DESC, user_id, day
+        |LIMIT 100""".stripMargin),
 
     "q41_ticker_summary" ->
       """WITH daily AS (

@@ -77,6 +77,21 @@ object EventStream {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** Streaming exact dedup on event_id — the at-least-once-ingestion
+    * guard (re-deliveries of the same event are dropped). Uses
+    * `dropDuplicatesWithinWatermark`, so dedup state is evicted once the
+    * watermark passes a key: state is O(rate × delay), not O(history) —
+    * the only formulation that survives an unbounded 100 TB/day stream.
+    * Duplicate deliveries arriving later than the watermark horizon are
+    * by contract not caught (that is the deliberate state/completeness
+    * trade every streaming dedup makes). Batch input degrades to plain
+    * dropDuplicates (re-expresses data_cleaning.py dropDuplicates).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** Sliding window per-user mean value (width/slide), watermarked. */
   def sliding(events: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {

@@ -94,6 +94,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event_ids within the watermark") {
+    val dir = Files.createTempDirectory("dedup-stream")
+    def writeBatch(rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", org.apache.spark.sql.functions.lit(""))
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+
+    writeBatch(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 2.0)))
+
+    val q = EventStream.dedupStream(EventStream.read(spark, dir.toString))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // re-delivery of event 2 (at-least-once source) + a new event
+      writeBatch(Seq(
+        (2L, ts("2024-01-01 10:01:00"), 1L, "click", 2.0),
+        (3L, ts("2024-01-01 10:02:00"), 2L, "view", 3.0)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L)) // each exactly once
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join of the same frames") {
     val dir = Files.createTempDirectory("ssj").toString
     Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
