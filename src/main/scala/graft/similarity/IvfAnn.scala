@@ -45,23 +45,33 @@ object IvfAnn {
 
   /** IVF ANN top-k: queries = vectors with vec_id < nQueries (mirroring
     * the brute-force d05 query set). Output (q_id, c_id, rank, cos).
+    *
+    * The list-search phase (the O(candidates) hot path) carries
+    * precomputed norms, so scoring is 1 dot + 1 divide per candidate
+    * instead of cosine's 3 dots; the quantizer phases keep plain cosine
+    * (only nlist comparisons per vector). Same double association, so
+    * scores are bit-identical to the cosine formulation.
     */
   def topK(embeddings: DataFrame, nQueries: Int, k: Int,
            nlist: Int, nprobe: Int): DataFrame = {
     val centroids = embeddings
       .filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val nrm = (v: org.apache.spark.sql.Column) => sqrt(VecFns.norm2(VecFns.asDouble(v)))
     val lists = assign(embeddings, centroids)
+      .withColumn("c_nrm", nrm(col("embedding")))
     val qs = probes(
       embeddings.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe")),
       centroids, nprobe)
+      .withColumn("q_nrm", nrm(col("qe")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     qs
       .join(lists, Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("c_id"),
-        VecFns.cosine(col("qe"), col("embedding")).as("cos"))
+        (VecFns.dot(VecFns.asDouble(col("qe")), VecFns.asDouble(col("embedding"))) /
+          (col("q_nrm") * col("c_nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 4).as("cos"))

@@ -116,12 +116,19 @@ object LshAnn {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("c_id"))
       .distinct()
-    val v = embeddings.select(col("vec_id"), col("embedding"))
+    // Precompute each vector's norm ONCE and carry it to the pair phase:
+    // cosine recomputed per pair would spend 3 dot products per candidate
+    // (dot + both norms); with norms carried it's 1 dot + 1 divide —
+    // 3x less vector math in the O(candidates) hot path. Same double
+    // association (sqrt(na)*sqrt(nb)), so scores are bit-identical.
+    val v = embeddings
+      .select(col("vec_id"), VecFns.asDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", sqrt(VecFns.norm2(col("ve"))))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     cand
-      .join(v.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
-      .join(v.select(col("vec_id").as("c_id"), col("embedding").as("ce")), "c_id")
-      .withColumn("cos", VecFns.cosine(col("qe"), col("ce")))
+      .join(v.select(col("vec_id").as("q_id"), col("ve").as("qe"), col("nrm").as("qn")), "q_id")
+      .join(v.select(col("vec_id").as("c_id"), col("ve").as("ce"), col("nrm").as("cn")), "c_id")
+      .withColumn("cos", VecFns.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 4).as("cos"))

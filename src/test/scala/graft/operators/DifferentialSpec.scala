@@ -45,6 +45,30 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("connected components equal brute-force union-find on random graphs") {
+    for (_ <- 1 to 3) {
+      val nNodes = 40
+      val edges = Seq.fill(25)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      // brute-force union-find with min-root canonicalization
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until nNodes).map(i => i.toLong -> find(i).toLong).toMap
+
+      val docs = (0 until nNodes).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      val out = graft.similarity.ConnectedComponents
+        .dupClusters(docs, edges.toDF("doc_a", "doc_b"))
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+      assert(out == expected)
+    }
+  }
+
   test("skyline equals the brute-force dominance filter on random data") {
     for (_ <- 1 to 3) {
       val pts = Seq.tabulate(200)(i =>
