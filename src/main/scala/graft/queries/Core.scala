@@ -1249,19 +1249,23 @@ object Core {
         |FROM a""".stripMargin,
 
     "q45_macd" ->
+      // `+ 0` after each round: MACD's near-zero 4dp-lattice values can
+      // round to zero from below, where DuckDB returns IEEE -0.0 but
+      // Spark's BigDecimal round returns +0.0; adding +0.0 maps -0.0 to
+      // +0.0 (exact identity for every other double), aligning the engines.
       s"""WITH m AS (
          |  SELECT user_id, event_id, ts,
-         |   round(${slidingAvgSql(20)} - ${slidingAvgSql(50)} + 1e-7, 4) AS macd
+         |   round(${slidingAvgSql(20)} - ${slidingAvgSql(50)} + 1e-7, 4) + 0 AS macd
          |  FROM events),
          |s AS (
          |  SELECT user_id, event_id, macd,
          |   round(CAST(sum(CAST(macd AS DECIMAL(18,4))) OVER w9 AS DOUBLE)
-         |     / count(macd) OVER w9 + 1e-7, 4) AS macd_signal
+         |     / count(macd) OVER w9 + 1e-7, 4) + 0 AS macd_signal
          |  FROM m
          |  WINDOW w9 AS (PARTITION BY user_id ORDER BY ts, event_id
          |    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
          |SELECT user_id, event_id, macd, macd_signal,
-         | round(macd - macd_signal + 1e-7, 4) AS macd_hist
+         | round(macd - macd_signal + 1e-7, 4) + 0 AS macd_hist
          |FROM s""".stripMargin,
 
     "q46_drawdown" ->
