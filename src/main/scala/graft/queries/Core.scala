@@ -717,8 +717,8 @@ object Core {
         | CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base,
         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc,
-        | round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-7, 4) AS avg_qty,
-        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-7, 4) AS avg_price,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-7, 4) + 0 AS avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-7, 4) + 0 AS avg_price,
         | count(*) AS n
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
@@ -735,7 +735,7 @@ object Core {
         | CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS charge,
         | round(CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice <> 0
         |   THEN (CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) - l_extendedprice) / l_extendedprice * 100
-        |   ELSE 0 END + 1e-7, 4) AS margin_pct,
+        |   ELSE 0 END + 1e-7, 4) + 0 AS margin_pct,
         | CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem
         |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
@@ -747,7 +747,7 @@ object Core {
       """SELECT CAST(year(o_orderdate) AS INT) AS year, CAST(month(o_orderdate) AS INT) AS month,
         | count(*) AS n_orders,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price,
-        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-7, 4) AS avg_price,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) + 1e-7, 4) + 0 AS avg_price,
         | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent
         |FROM orders GROUP BY 1, 2""".stripMargin,
 
@@ -768,29 +768,29 @@ object Core {
 
     "q06_sma" ->
       s"""SELECT user_id, event_id, round(value, 4) AS value,
-         | round(${slidingAvgSql(7)} + 1e-7, 4) AS sma_7,
-         | round(${slidingAvgSql(20)} + 1e-7, 4) AS sma_20,
-         | round(${slidingAvgSql(50)} + 1e-7, 4) AS sma_50,
-         | round(${slidingAvgSql(200)} + 1e-7, 4) AS sma_200,
-         | round(${slidingAvgSql(20)} + 1e-7, 4) AS ema_12,
-         | round(${slidingAvgSql(50)} + 1e-7, 4) AS ema_26
+         | round(${slidingAvgSql(7)} + 1e-7, 4) + 0 AS sma_7,
+         | round(${slidingAvgSql(20)} + 1e-7, 4) + 0 AS sma_20,
+         | round(${slidingAvgSql(50)} + 1e-7, 4) + 0 AS sma_50,
+         | round(${slidingAvgSql(200)} + 1e-7, 4) + 0 AS sma_200,
+         | round(${slidingAvgSql(20)} + 1e-7, 4) + 0 AS ema_12,
+         | round(${slidingAvgSql(50)} + 1e-7, 4) + 0 AS ema_26
          |FROM events""".stripMargin,
 
     "q07_bollinger" ->
       s"""SELECT user_id, event_id,
-         | round(${slidingAvgSql(20)} + 1e-7, 4) AS bb_mid,
-         | round(stddev_samp(value) OVER w20 + 1e-7, 4) AS bb_sd,
-         | round(${slidingAvgSql(20)} + 2 * stddev_samp(value) OVER w20 + 1e-7, 4) AS bb_up,
-         | round(${slidingAvgSql(20)} - 2 * stddev_samp(value) OVER w20 + 1e-7, 4) AS bb_lo
+         | round(${slidingAvgSql(20)} + 1e-7, 4) + 0 AS bb_mid,
+         | round(stddev_samp(value) OVER w20 + 1e-7, 4) + 0 AS bb_sd,
+         | round(${slidingAvgSql(20)} + 2 * stddev_samp(value) OVER w20 + 1e-7, 4) + 0 AS bb_up,
+         | round(${slidingAvgSql(20)} - 2 * stddev_samp(value) OVER w20 + 1e-7, 4) + 0 AS bb_lo
          |FROM events
          |WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id
          |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q08_momentum" ->
       """SELECT user_id, event_id,
-        | round(CASE WHEN p1 IS NOT NULL AND p1 <> 0 THEN (value - p1) / p1 * 100 ELSE 0 END + 1e-7, 4) AS mom_1,
-        | round(CASE WHEN p5 IS NOT NULL AND p5 <> 0 THEN (value - p5) / p5 * 100 ELSE 0 END + 1e-7, 4) AS mom_5,
-        | round(CASE WHEN p20 IS NOT NULL AND p20 <> 0 THEN (value - p20) / p20 * 100 ELSE 0 END + 1e-7, 4) AS mom_20
+        | round(CASE WHEN p1 IS NOT NULL AND p1 <> 0 THEN (value - p1) / p1 * 100 ELSE 0 END + 1e-7, 4) + 0 AS mom_1,
+        | round(CASE WHEN p5 IS NOT NULL AND p5 <> 0 THEN (value - p5) / p5 * 100 ELSE 0 END + 1e-7, 4) + 0 AS mom_5,
+        | round(CASE WHEN p20 IS NOT NULL AND p20 <> 0 THEN (value - p20) / p20 * 100 ELSE 0 END + 1e-7, 4) + 0 AS mom_20
         |FROM (
         |  SELECT user_id, event_id, value,
         |   lag(value, 1) OVER w AS p1,
@@ -801,8 +801,8 @@ object Core {
 
     "q09_volatility" ->
       s"""SELECT user_id, event_id,
-         | round(stddev_samp(pct) OVER w20 + 1e-7, 4) AS vol_20,
-         | round(CASE WHEN ravg > 0 THEN value / ravg ELSE 1 END + 1e-7, 4) AS rel_value
+         | round(stddev_samp(pct) OVER w20 + 1e-7, 4) + 0 AS vol_20,
+         | round(CASE WHEN ravg > 0 THEN value / ravg ELSE 1 END + 1e-7, 4) + 0 AS rel_value
          |FROM (
          |  SELECT user_id, event_id, ts, value,
          |   CASE WHEN lag(value, 1) OVER w IS NOT NULL AND lag(value, 1) OVER w <> 0
@@ -815,15 +815,15 @@ object Core {
 
     "q10_daily_agg" ->
       """SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
-        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) + 1e-7, 4) AS v_avg,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) + 1e-7, 4) + 0 AS v_avg,
         | round(min(value), 4) AS v_min,
         | round(max(value), 4) AS v_max,
-        | round(stddev_samp(value) + 1e-7, 4) AS v_sd,
+        | round(stddev_samp(value) + 1e-7, 4) + 0 AS v_sd,
         | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
         | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-        | round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / count(*) + 1e-7, 4) AS purchase_ratio,
-        | round(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) / count(*) + 1e-7, 4) AS click_ratio
+        | round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / count(*) + 1e-7, 4) + 0 AS purchase_ratio,
+        | round(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) / count(*) + 1e-7, 4) + 0 AS click_ratio
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q11_weighted_recency" ->
@@ -833,14 +833,14 @@ object Core {
         |   exp(-((a.anchor_us - epoch_us(ts)) / 3.6e9) / 24.0) AS w
         |  FROM events, a)
         |SELECT user_id, count(*) AS n,
-        | round(CASE WHEN sum(w) > 0 THEN sum(value * w) / sum(w) ELSE 0 END + 1e-7, 4) AS weighted_avg
+        | round(CASE WHEN sum(w) > 0 THEN sum(value * w) / sum(w) ELSE 0 END + 1e-7, 4) + 0 AS weighted_avg
         |FROM wtd GROUP BY 1""".stripMargin,
 
     "q12_lead_horizons" ->
       """SELECT user_id, event_id,
-        | round(CASE WHEN n1 IS NOT NULL AND value <> 0 THEN (n1 - value) / value * 100 END + 1e-7, 4) AS chg_1,
-        | round(CASE WHEN n3 IS NOT NULL AND value <> 0 THEN (n3 - value) / value * 100 END + 1e-7, 4) AS chg_3,
-        | round(CASE WHEN n5 IS NOT NULL AND value <> 0 THEN (n5 - value) / value * 100 END + 1e-7, 4) AS chg_5
+        | round(CASE WHEN n1 IS NOT NULL AND value <> 0 THEN (n1 - value) / value * 100 END + 1e-7, 4) + 0 AS chg_1,
+        | round(CASE WHEN n3 IS NOT NULL AND value <> 0 THEN (n3 - value) / value * 100 END + 1e-7, 4) + 0 AS chg_3,
+        | round(CASE WHEN n5 IS NOT NULL AND value <> 0 THEN (n5 - value) / value * 100 END + 1e-7, 4) + 0 AS chg_5
         |FROM (
         |  SELECT user_id, event_id, value,
         |   lead(value, 1) OVER w AS n1,
@@ -853,17 +853,17 @@ object Core {
       """
         |SELECT user_id,
         | CAST(sum(CASE WHEN chg_next IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sample_size,
-        | round(corr(v_avg, chg_next) + 1e-7, 4) AS corr_value,
-        | round(corr(n, chg_next) + 1e-7, 4) AS corr_volume,
-        | round(avg(chg_next) + 1e-7, 4) AS avg_chg
+        | round(corr(v_avg, chg_next) + 1e-7, 4) + 0 AS corr_value,
+        | round(corr(n, chg_next) + 1e-7, 4) + 0 AS corr_volume,
+        | round(avg(chg_next) + 1e-7, 4) + 0 AS avg_chg
         |FROM d3 GROUP BY 1""".stripMargin),
 
     "q14_corr_overall" -> (dailySql +
       """
         |SELECT
         | CAST(sum(CASE WHEN chg_next IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_samples,
-        | round(corr(v_avg, chg_next) + 1e-7, 4) AS corr_value,
-        | round(corr(n, chg_next) + 1e-7, 4) AS corr_volume
+        | round(corr(v_avg, chg_next) + 1e-7, 4) + 0 AS corr_value,
+        | round(corr(n, chg_next) + 1e-7, 4) + 0 AS corr_volume
         |FROM d3""".stripMargin),
 
     "q15_category" -> (dailySql +
@@ -879,8 +879,8 @@ object Core {
         |      WHEN bucket = 'Mid' THEN 3 WHEN bucket = 'High' THEN 4
         |      ELSE 5 END AS ord,
         | count(*) AS n_days,
-        | round(avg(chg_next) + 1e-7, 4) AS avg_chg,
-        | round(stddev_samp(chg_next) + 1e-7, 4) AS sd_chg
+        | round(avg(chg_next) + 1e-7, 4) + 0 AS avg_chg,
+        | round(stddev_samp(chg_next) + 1e-7, 4) + 0 AS sd_chg
         |FROM b GROUP BY 1, 2""".stripMargin),
 
     "q16_event_detect" -> (dailySql +
@@ -890,8 +890,8 @@ object Core {
         |   CASE WHEN v_avg <> 0 THEN (v_max - v_min) / v_avg * 100 ELSE 0 END AS iv
         |  FROM d3)
         |SELECT user_id, day, n,
-        | round(iv + 1e-7, 4) AS intraday_vol,
-        | round(chg_next + 1e-7, 4) AS chg_next,
+        | round(iv + 1e-7, 4) + 0 AS intraday_vol,
+        | round(chg_next + 1e-7, 4) + 0 AS chg_next,
         | CASE WHEN chg_next > 0 THEN 'Positive' WHEN chg_next < 0 THEN 'Negative'
         |      ELSE 'Flat' END AS event_class,
         | CAST(sign(coalesce(chg_next, 0)) * sign(iv) AS INT) AS alignment
@@ -902,8 +902,8 @@ object Core {
         |SELECT CAST(year(day) AS INT) AS year, CAST(month(day) AS INT) AS month,
         | count(*) AS trading_days,
         | CAST(sum(n) AS BIGINT) AS total_events,
-        | round(avg(v_avg) + 1e-7, 4) AS avg_value,
-        | round(avg(chg_next) + 1e-7, 4) AS avg_chg
+        | round(avg(v_avg) + 1e-7, 4) + 0 AS avg_value,
+        | round(avg(chg_next) + 1e-7, 4) + 0 AS avg_chg
         |FROM d3 GROUP BY 1, 2""".stripMargin),
 
     "q18_master_join" ->
@@ -918,8 +918,8 @@ object Core {
         |     ORDER BY regexp_extract(props, '[0-9]+')) AS ks
         |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
         |SELECT b.user_id, b.day,
-        | round(b.v_avg + 1e-7, 4) AS v_avg,
-        | round(b.purchase_ratio + 1e-7, 4) AS purchase_ratio,
+        | round(b.v_avg + 1e-7, 4) + 0 AS v_avg,
+        | round(b.purchase_ratio + 1e-7, 4) + 0 AS purchase_ratio,
         | coalesce(e.n_err, 0) AS n_err,
         | coalesce(e.ks, '') AS ks,
         | CASE WHEN coalesce(e.n_err, 0) > 0 THEN 1 ELSE 0 END AS err_flag,
@@ -928,7 +928,7 @@ object Core {
 
     "q19_top_movers" -> (dailySql +
       """
-        |SELECT user_id, day, n, round(chg_next + 1e-7, 4) AS chg_next
+        |SELECT user_id, day, n, round(chg_next + 1e-7, 4) + 0 AS chg_next
         |FROM d3 WHERE chg_next IS NOT NULL
         |ORDER BY abs(chg_next) DESC, user_id, day LIMIT 50""".stripMargin),
 
@@ -972,9 +972,9 @@ object Core {
         "SELECT user_id, day, n, v_avg, v_min, v_max, purchase_ratio,") +
       """
         |SELECT user_id, day, n,
-        | round(v_avg + 1e-7, 4) AS v_avg,
-        | round(purchase_ratio + 1e-7, 4) AS purchase_ratio,
-        | round(chg_next + 1e-7, 4) AS chg_next
+        | round(v_avg + 1e-7, 4) + 0 AS v_avg,
+        | round(purchase_ratio + 1e-7, 4) + 0 AS purchase_ratio,
+        | round(chg_next + 1e-7, 4) + 0 AS chg_next
         |FROM d3, (SELECT max(day) AS anchor FROM d3) a
         |WHERE day >= anchor - INTERVAL 14 DAY""".stripMargin),
 
@@ -987,8 +987,8 @@ object Core {
         |   avg(chg_next) AS avg_chg
         |  FROM d3 GROUP BY 1)
         |SELECT user_id, sample_size,
-        | round(corr_value + 1e-7, 4) AS corr_value,
-        | round(avg_chg + 1e-7, 4) AS avg_chg
+        | round(corr_value + 1e-7, 4) + 0 AS corr_value,
+        | round(avg_chg + 1e-7, 4) + 0 AS avg_chg
         |FROM c WHERE abs(corr_value) > 0.15 AND sample_size >= 10""".stripMargin),
 
     "q26_date_dim" ->
@@ -1020,8 +1020,8 @@ object Core {
 
     "q30_distribution" ->
       """SELECT event_type, count(*) AS n,
-        | round(quantile_cont(value, 0.5) + 1e-7, 4) AS p50,
-        | round(quantile_cont(value, 0.9) + 1e-7, 4) AS p90,
+        | round(quantile_cont(value, 0.5) + 1e-7, 4) + 0 AS p50,
+        | round(quantile_cont(value, 0.9) + 1e-7, 4) + 0 AS p90,
         | round(min(value), 4) AS v_min,
         | round(max(value), 4) AS v_max
         |FROM events GROUP BY 1""".stripMargin,
@@ -1086,7 +1086,7 @@ object Core {
       """SELECT user_id, event_id,
         | count(*) OVER w AS n_1h,
         | round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
-        |   / (count(*) OVER w) + 1e-7, 4) AS avg_1h
+        |   / (count(*) OVER w) + 1e-7, 4) + 0 AS avg_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
@@ -1094,8 +1094,8 @@ object Core {
     "q37_rank_funcs" ->
       """SELECT user_id, event_id,
         | CAST(ntile(4) OVER w AS INT) AS quartile,
-        | round(percent_rank() OVER w + 1e-7, 4) AS pct_rank,
-        | round(cume_dist() OVER w + 1e-7, 4) AS cume
+        | round(percent_rank() OVER w + 1e-7, 4) + 0 AS pct_rank,
+        | round(cume_dist() OVER w + 1e-7, 4) + 0 AS cume
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
 
@@ -1121,9 +1121,9 @@ object Core {
         |              THEN (nxt - v_avg) / v_avg * 100 END AS chg_next
         |  FROM d2)
         |SELECT day, count(DISTINCT user_id) AS num_users,
-        | round(avg(chg_next) + 1e-7, 4) AS avg_chg,
-        | round(CAST(sum(n) AS DOUBLE) / count(*) + 1e-7, 4) AS avg_volume,
-        | round(avg(v_avg) + 1e-7, 4) AS market_value,
+        | round(avg(chg_next) + 1e-7, 4) + 0 AS avg_chg,
+        | round(CAST(sum(n) AS DOUBLE) / count(*) + 1e-7, 4) + 0 AS avg_volume,
+        | round(avg(v_avg) + 1e-7, 4) + 0 AS market_value,
         | CAST(sum(clicks) AS BIGINT) AS total_news,
         | CAST(sum(purchases) AS BIGINT) AS total_filings
         |FROM d3, (SELECT max(day) AS anchor FROM d3) a
@@ -1144,17 +1144,17 @@ object Core {
         |              THEN (nxt - v_avg) / v_avg * 100 END AS chg_next
         |  FROM d2)
         |SELECT user_id, day, n,
-        | round(v_avg + 1e-7, 4) AS v_avg,
-        | round(purchase_ratio + 1e-7, 4) AS purchase_ratio,
-        | round(chg_next + 1e-7, 4) AS chg_next
+        | round(v_avg + 1e-7, 4) + 0 AS v_avg,
+        | round(purchase_ratio + 1e-7, 4) + 0 AS purchase_ratio,
+        | round(chg_next + 1e-7, 4) + 0 AS chg_next
         |FROM d3, (SELECT max(day) AS anchor FROM d3) a
         |WHERE day >= anchor - INTERVAL 7 DAY AND v_avg > 60 AND n >= 5""".stripMargin,
 
     "q47_top_events" -> (dailySql +
       """
         |SELECT user_id, day, n,
-        | round(v_avg + 1e-7, 4) AS v_avg,
-        | round(chg_next + 1e-7, 4) AS chg_next
+        | round(v_avg + 1e-7, 4) + 0 AS v_avg,
+        | round(chg_next + 1e-7, 4) + 0 AS chg_next
         |FROM d3
         |WHERE chg_next IS NOT NULL AND abs(chg_next) > 50 AND n >= 3
         |ORDER BY abs(chg_next) DESC, n DESC, user_id, day
@@ -1182,13 +1182,13 @@ object Core {
         |SELECT user_id,
         | count(*) AS days_with_news,
         | CAST(sum(n) AS BIGINT) AS total_events,
-        | round(CAST(sum(n) AS DOUBLE) / count(*) + 1e-7, 4) AS avg_events_per_day,
-        | round(avg(v_avg) + 1e-7, 4) AS avg_value,
-        | round(stddev_samp(v_avg) + 1e-7, 4) AS value_volatility,
-        | round(avg(purchase_ratio) + 1e-7, 4) AS avg_bullish_ratio,
-        | round(avg(click_ratio) + 1e-7, 4) AS avg_bearish_ratio,
-        | round(avg(chg_next) + 1e-7, 4) AS avg_chg,
-        | round(corr(v_avg, chg_same) + 1e-7, 4) AS same_day_corr
+        | round(CAST(sum(n) AS DOUBLE) / count(*) + 1e-7, 4) + 0 AS avg_events_per_day,
+        | round(avg(v_avg) + 1e-7, 4) + 0 AS avg_value,
+        | round(stddev_samp(v_avg) + 1e-7, 4) + 0 AS value_volatility,
+        | round(avg(purchase_ratio) + 1e-7, 4) + 0 AS avg_bullish_ratio,
+        | round(avg(click_ratio) + 1e-7, 4) + 0 AS avg_bearish_ratio,
+        | round(avg(chg_next) + 1e-7, 4) + 0 AS avg_chg,
+        | round(corr(v_avg, chg_same) + 1e-7, 4) + 0 AS same_day_corr
         |FROM d3 GROUP BY 1""".stripMargin,
 
     "q42_period_ohlc" ->
@@ -1203,21 +1203,21 @@ object Core {
         |SELECT user_id, wk, count(*) AS n_events,
         | round(min(open_v), 4) AS open, round(min(close_v), 4) AS close,
         | round(max(value), 4) AS high, round(min(value), 4) AS low,
-        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) + 1e-7, 4) AS avg_value,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) + 1e-7, 4) + 0 AS avg_value,
         | round(CASE WHEN min(open_v) <> 0
-        |   THEN (min(close_v) - min(open_v)) / min(open_v) * 100 ELSE 0 END + 1e-7, 4) AS chg_pct
+        |   THEN (min(close_v) - min(open_v)) / min(open_v) * 100 ELSE 0 END + 1e-7, 4) + 0 AS chg_pct
         |FROM b GROUP BY 1, 2""".stripMargin,
 
     "q43_market_breadth" -> (dailySql +
       """
         |SELECT day, count(*) AS num_users,
-        | round(avg(v_avg) + 1e-7, 4) AS market_value,
+        | round(avg(v_avg) + 1e-7, 4) + 0 AS market_value,
         | CAST(sum(CASE WHEN v_avg > 60 THEN 1 ELSE 0 END) AS BIGINT) AS bullish,
         | CAST(sum(CASE WHEN v_avg < 40 THEN 1 ELSE 0 END) AS BIGINT) AS bearish,
         | CAST(sum(CASE WHEN v_avg >= 40 AND v_avg <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS neutral,
-        | round(avg(chg_next) + 1e-7, 4) AS avg_chg,
+        | round(avg(chg_next) + 1e-7, 4) + 0 AS avg_chg,
         | CAST(sum(n) AS BIGINT) AS total_events,
-        | round(stddev_samp(v_avg) + 1e-7, 4) AS market_volatility
+        | round(stddev_samp(v_avg) + 1e-7, 4) + 0 AS market_volatility
         |FROM d3 GROUP BY 1""".stripMargin),
 
     "q44_rsi" ->
@@ -1245,7 +1245,7 @@ object Core {
         |SELECT user_id, event_id, round(value, 4) AS value,
         | round(CASE WHEN n_diff = 0 THEN NULL
         |            WHEN l_avg = 0 THEN 100.0
-        |            ELSE 100.0 - 100.0 / (1.0 + g_avg / l_avg) END + 1e-7, 4) AS rsi_14
+        |            ELSE 100.0 - 100.0 / (1.0 + g_avg / l_avg) END + 1e-7, 4) + 0 AS rsi_14
         |FROM a""".stripMargin,
 
     "q45_macd" ->
@@ -1273,7 +1273,7 @@ object Core {
         | round(max(value) OVER w, 4) AS peak,
         | round(CASE WHEN max(value) OVER w > 0
         |   THEN (value - max(value) OVER w) / (max(value) OVER w) * 100
-        |   ELSE 0 END + 1e-7, 4) AS drawdown_pct
+        |   ELSE 0 END + 1e-7, 4) + 0 AS drawdown_pct
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,

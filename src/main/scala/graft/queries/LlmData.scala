@@ -111,17 +111,8 @@ object LlmData {
       // oracle embeds the SAME hyperplanes (literal doubles, index-order
       // dot products), so the result is exactly hash-checked — the
       // approximation is in the blocking, mirrored on both sides.
-      val e = emb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          explode(LshAnn.bandedBuckets(col("embedding"), d06Bands, d06PlanesPerBand, 64))
-            .as("bk"))
-        .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkt").as("bkt"))
-        .cache()
-      val cand = e.as("a").join(e.as("b"),
-          col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        .distinct()
+      val cand = LshAnn.bandedCandidates(
+        emb(s, dir), d06Bands, d06PlanesPerBand, 64, ordered = true)
       val v = emb(s, dir).select(col("vec_id"), col("embedding"))
       cand
         .join(v.select(col("vec_id").as("a_id"), col("embedding").as("ae")), "a_id")
@@ -379,7 +370,7 @@ object LlmData {
         |  FROM shf a JOIN shf b ON a.sk = b.sk AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
-        | round(common / (x.sz + y.sz - common) + 1e-7, 4) AS jaccard
+        | round(common / (x.sz + y.sz - common) + 1e-7, 4) + 0 AS jaccard
         |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         |WHERE common / (x.sz + y.sz - common) >= 0.6""".stripMargin),
 
@@ -424,7 +415,7 @@ object LlmData {
          |  SELECT q_id, c_id,
          |   ${cosSql("qe", "ce")} AS cos_raw
          |  FROM q, c WHERE c_id <> q_id)
-         |SELECT q_id, c_id, CAST(rnk AS INT) AS rank, round(cos_raw + 1e-7, 4) AS cos
+         |SELECT q_id, c_id, CAST(rnk AS INT) AS rank, round(cos_raw + 1e-7, 4) + 0 AS cos
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, c_id) AS rnk
          |      FROM p)
          |WHERE rnk <= 5""".stripMargin,
@@ -445,7 +436,7 @@ object LlmData {
          |   ${cosSql("x.embedding", "y.embedding")} AS cos_raw
          |  FROM cand JOIN embeddings x ON x.vec_id = a_id
          |            JOIN embeddings y ON y.vec_id = b_id)
-         |SELECT a_id, b_id, round(cos_raw + 1e-7, 4) AS cos FROM p WHERE cos_raw >= 0.35""".stripMargin
+         |SELECT a_id, b_id, round(cos_raw + 1e-7, 4) + 0 AS cos FROM p WHERE cos_raw >= 0.35""".stripMargin
     },
 
     "d09_editdist_neardup" ->
@@ -493,9 +484,9 @@ object LlmData {
         |   len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','a'))) AS stop_n
         |  FROM documents)
         |SELECT doc_id, n_chars_calc, n_tok,
-        | round(n_nonspace / n_tok + 1e-7, 4) AS avg_tok_len,
+        | round(n_nonspace / n_tok + 1e-7, 4) + 0 AS avg_tok_len,
         | punct_n,
-        | round(stop_n / n_tok + 1e-7, 4) AS stop_ratio,
+        | round(stop_n / n_tok + 1e-7, 4) + 0 AS stop_ratio,
         | (CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END +
         |  CASE WHEN n_nonspace / n_tok >= 3.0 AND n_nonspace / n_tok <= 8.0 THEN 1 ELSE 0 END +
         |  CASE WHEN stop_n / n_tok > 0.01 THEN 1 ELSE 0 END) AS quality_score
@@ -506,7 +497,7 @@ object LlmData {
         | len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
         | round(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::DOUBLE /
-        |   len(string_split(text, ' ')) + 1e-7, 4) AS tok_ratio
+        |   len(string_split(text, ' ')) + 1e-7, 4) + 0 AS tok_ratio
         |FROM documents""".stripMargin,
 
     "t05_tfidf" ->
@@ -521,7 +512,7 @@ object LlmData {
         |scored AS (
         |  SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS score
         |  FROM tf JOIN idf ON tf.term = idf.term)
-        |SELECT doc_id, term, CAST(rnk AS INT) AS rank, round(score + 1e-7, 4) AS tfidf
+        |SELECT doc_id, term, CAST(rnk AS INT) AS rank, round(score + 1e-7, 4) + 0 AS tfidf
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
         |      FROM scored)
         |WHERE rnk <= 3""".stripMargin,
@@ -546,9 +537,9 @@ object LlmData {
         |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
         |b1 AS (SELECT doc_id, max(c) AS b_max, sum(c) AS b_tot FROM bgc GROUP BY 1)
         |SELECT base.doc_id, CAST(n_tok AS INT) AS n_tok,
-        | round(n_dist::DOUBLE / n_tok + 1e-7, 4) AS distinct_ratio,
-        | round(t1.t_max::DOUBLE / t1.t_tot + 1e-7, 4) AS top_tok_frac,
-        | round(b1.b_max::DOUBLE / b1.b_tot + 1e-7, 4) AS top_bigram_frac,
+        | round(n_dist::DOUBLE / n_tok + 1e-7, 4) + 0 AS distinct_ratio,
+        | round(t1.t_max::DOUBLE / t1.t_tot + 1e-7, 4) + 0 AS top_tok_frac,
+        | round(b1.b_max::DOUBLE / b1.b_tot + 1e-7, 4) + 0 AS top_bigram_frac,
         | CASE WHEN n_dist::DOUBLE / n_tok < 0.3
         |        OR coalesce(b1.b_max::DOUBLE / b1.b_tot, 0) > 0.1
         |      THEN 1 ELSE 0 END AS flagged

@@ -35,6 +35,10 @@ object ConnectedComponents {
     val nodes = edges.select(col("src").as("doc_id")).distinct().persist()
 
     var labels = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+    // the checkpointed internal RDD of the PREVIOUS round, freed once the
+    // round's change-count (the last consumer) has run — bounds pinned
+    // storage at two label tables instead of one per round
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -58,10 +62,16 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("cluster_id", "old_cl"), "doc_id")
         .filter(col("cluster_id") < col("old_cl"))
         .count()
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = Some(labels.queryExecution.toRdd)
       labels = next
       done = changes == 0L
       iter += 1
     }
+    if (!done)
+      System.err.println(
+        s"[graft] ConnectedComponents: no fixpoint after $maxIters rounds — " +
+          "cluster ids may be unconverged (component larger than 2^rounds)")
 
     val singles = documents.select("doc_id")
       .join(nodes, Seq("doc_id"), "left_anti")

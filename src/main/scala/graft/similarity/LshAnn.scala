@@ -96,6 +96,29 @@ object LshAnn {
     }
   }
 
+  /** Deduped candidate pairs sharing a bucket in ANY of `bands` tables of
+    * `planesPerBand` planes. `ordered = true` emits each pair once with
+    * a < b (near-dup pair semantics); `false` emits both directions
+    * (per-query neighbor semantics). The exploded bucket table is cached:
+    * the self-join consumes it twice and the 18-dot-product signature is
+    * the expensive part. Output columns: (a_id, b_id).
+    */
+  def bandedCandidates(embeddings: DataFrame, bands: Int, planesPerBand: Int,
+                       dim: Int, ordered: Boolean): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"),
+        explode(bandedBuckets(col("embedding"), bands, planesPerBand, dim)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkt").as("bkt"))
+      .cache()
+    val idPred =
+      if (ordered) col("a.vec_id") < col("b.vec_id")
+      else col("a.vec_id") =!= col("b.vec_id")
+    e.as("a").join(e.as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") && idPred)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+  }
+
   /** Multi-table ANN top-k: candidates share a bucket in ANY of `bands`
     * independent tables of `planesPerBand` planes, deduped, then scored
     * with exact cosine and ranked per query. This is the production ANN
@@ -106,16 +129,8 @@ object LshAnn {
     */
   def topKBanded(embeddings: DataFrame, bands: Int, planesPerBand: Int, k: Int,
                  dim: Int = 64): DataFrame = {
-    val e = embeddings
-      .select(col("vec_id"),
-        explode(bandedBuckets(col("embedding"), bands, planesPerBand, dim)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkt").as("bkt"))
-      .cache()
-    val cand = e.as("a").join(e.as("b"),
-        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("c_id"))
-      .distinct()
+    val cand = bandedCandidates(embeddings, bands, planesPerBand, dim, ordered = false)
+      .select(col("a_id").as("q_id"), col("b_id").as("c_id"))
     // Precompute each vector's norm ONCE and carry it to the pair phase:
     // cosine recomputed per pair would spend 3 dot products per candidate
     // (dot + both norms); with norms carried it's 1 dot + 1 divide —

@@ -70,13 +70,15 @@ class InvariantsSpec extends SparkSpec {
       assert(r.getAs[Long]("bullish") + r.getAs[Long]("bearish") +
         r.getAs[Long]("neutral") == r.getAs[Long]("num_users"))
     }
-    // q39's trailing-90-day window covers the whole test span, so the two
-    // independent per-day rollups must agree on users and total events
+    // every q39 day (trailing-90-window) must agree with q43's independent
+    // per-day rollup; q43 covers all days, so q39 ⊆ q43 regardless of the
+    // dataset's time span
     val q39 = Core.defs("q39_market_summary")(spark, sfDir)
       .select("day", "num_users").as[(java.sql.Date, Long)].collect().toMap
     val q43 = breadth.map(r =>
       r.getAs[java.sql.Date]("day") -> r.getAs[Long]("num_users")).toMap
-    assert(q39 == q43)
+    assert(q39.nonEmpty)
+    q39.foreach { case (d, n) => assert(q43.get(d).contains(n), s"day $d: q39=$n q43=${q43.get(d)}") }
   }
 
   test("weekly OHLC bounds hold and events reconcile with the raw stream (q42)") {
