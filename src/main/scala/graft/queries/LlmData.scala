@@ -145,8 +145,12 @@ object LlmData {
       // The benchmark's distinct 8-gram hashes are broadcast (eval sets
       // are tiny vs the corpus); one equi-join + count per doc — the
       // corpus side is never self-joined.
+      // cache: the hashed 8-gram stream feeds both the benchmark-set
+      // derivation and the corpus probe side — without it the explode+md5
+      // (the expensive part) evaluates twice
       val sh = HashFns.explodedNgrams(docs(s, dir), 8)
         .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+        .cache()
       val bench = sh.filter(col("doc_id") % 50 === 0).select("h").distinct()
       sh.filter(col("doc_id") % 50 =!= 0)
         .join(broadcast(bench), "h")
