@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProduct
+import graft.functions.{CosineSim, DotProduct}
 import org.apache.spark.sql.graftshim.Shim
 
 /** Session extension entry point: registers graft's native expressions as
@@ -23,6 +23,7 @@ import org.apache.spark.sql.graftshim.Shim
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.cosineFunction)
   }
 }
 
@@ -32,14 +33,28 @@ object GraftExtensions {
     classOf[DotProduct].getName, null, "graft_dot",
     "graft_dot(a, b) - dot product of two array<double> columns", "")
 
+  private val cosineInfo = new ExpressionInfo(
+    classOf[CosineSim].getName, null, "graft_cosine",
+    "graft_cosine(a, b) - cosine similarity of two array<double> columns " +
+      "(single fused pass)", "")
+
   val dotFunction: (FunctionIdentifier, ExpressionInfo,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression) =
     (FunctionIdentifier("graft_dot"), dotInfo,
       exprs => DotProduct(exprs(0), exprs(1)))
 
+  val cosineFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression) =
+    (FunctionIdentifier("graft_cosine"), cosineInfo,
+      exprs => CosineSim(exprs(0), exprs(1)))
+
   /** Imperative registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     Shim.registerFunction(spark, "graft_dot", dotInfo,
       exprs => DotProduct(exprs(0), exprs(1)))
+    Shim.registerFunction(spark, "graft_cosine", cosineInfo,
+      exprs => CosineSim(exprs(0), exprs(1)))
+  }
 }

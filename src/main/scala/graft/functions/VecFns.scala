@@ -26,10 +26,10 @@ object VecFns {
   /** Squared L2 norm. */
   def norm2(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a)
-    val bd = asDouble(b)
-    dot(ad, bd) / (sqrt(norm2(ad)) * sqrt(norm2(bd)))
-  }
+  /** Cosine similarity in double precision. Backed by the fused
+    * [[CosineSim]] expression: one array pass with three accumulators
+    * instead of three [[DotProduct]] traversals, bit-identical results
+    * (same per-accumulator fold order and final association).
+    */
+  def cosine(a: Column, b: Column): Column = CosineSim(a, b)
 }

@@ -45,6 +45,32 @@ class FnsSpec extends SparkSpec {
     assert(out == Seq(1.0, 0.0))
   }
 
+  test("fused CosineSim is bit-identical to the composed dot/sqrt formulation") {
+    val rnd = new scala.util.Random(7L)
+    val df = Seq.fill(50)((Seq.fill(64)(rnd.nextFloat() - 0.5f),
+      Seq.fill(64)(rnd.nextFloat() - 0.5f))).toDF("a", "b")
+    val ad = VecFns.asDouble(col("a"))
+    val bd = VecFns.asDouble(col("b"))
+    val composed = VecFns.dot(ad, bd) /
+      (sqrt(VecFns.norm2(ad)) * sqrt(VecFns.norm2(bd)))
+    val out = df.select(VecFns.cosine(col("a"), col("b")).as("f"), composed.as("c"))
+      .as[(Double, Double)].collect()
+    // bit-for-bit, not approximate: same fold order per accumulator
+    out.foreach { case (f, c) =>
+      assert(java.lang.Double.doubleToLongBits(f) == java.lang.Double.doubleToLongBits(c))
+    }
+  }
+
+  test("graft_cosine SQL function registers and matches the DataFrame path") {
+    graft.GraftExtensions.register(spark)
+    val df = Seq((Seq(1.0f, 2.0f), Seq(2.0f, 1.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("cos_in")
+    val sql = spark.sql("SELECT graft_cosine(CAST(a AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>)) FROM cos_in")
+      .as[Double].head()
+    val api = df.select(VecFns.cosine(col("a"), col("b"))).as[Double].head()
+    assert(sql == api)
+  }
+
   test("simhash is deterministic and within bit range") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta"))
       .toDF("doc_id", "text")
