@@ -572,6 +572,36 @@ object Core {
           r4e(col("chg_next")).as("chg_next"))
     }),
 
+    "q48_rolling_distinct" -> ((s, dir) => {
+      // Trailing-7-day active users per day — the classic lakehouse
+      // engagement metric. Neither Spark nor SQL supports
+      // COUNT(DISTINCT) OVER a window frame, so the scalable formulation
+      // is a bounded range join: per-day user sets joined to the trailing
+      // 7 calendar days (fixed 7x fan-out on the small daily grain),
+      // then one distinct count per day.
+      val d = ev(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val days = d.select("day").distinct()
+      days.as("w").join(d.as("u"),
+          col("u.day") >= date_sub(col("w.day"), 6) && col("u.day") <= col("w.day"))
+        .groupBy(col("w.day").as("day"))
+        .agg(countDistinct("user_id").as("active_users_7d"))
+    }),
+
+    "q49_cumulative_users" -> ((s, dir) => {
+      // Cumulative unique users over time WITHOUT a running distinct:
+      // each user contributes on their first-seen day only (one
+      // aggregate), then a running sum over the tiny per-day new-user
+      // counts — O(days) window state, scales to any history length.
+      val firstDay = ev(s, dir)
+        .groupBy("user_id")
+        .agg(min(col("ts").cast("date")).as("day"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      firstDay.groupBy("day")
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cumulative_users", sum("new_users").over(w))
+    }),
+
     "q47_top_events" -> ((s, dir) =>
       // v_top_sentiment_movers (hive_schemas.sql:253-264): threshold
       // filter + ORDER BY abs(signal) DESC with secondary keys + LIMIT
@@ -1149,6 +1179,24 @@ object Core {
         | round(chg_next + 1e-7, 4) + 0 AS chg_next
         |FROM d3, (SELECT max(day) AS anchor FROM d3) a
         |WHERE day >= anchor - INTERVAL 7 DAY AND v_avg > 60 AND n >= 5""".stripMargin,
+
+    "q48_rolling_distinct" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM d)
+        |SELECT w.day AS day, count(DISTINCT u.user_id) AS active_users_7d
+        |FROM days w JOIN d u
+        |  ON u.day >= w.day - INTERVAL 6 DAY AND u.day <= w.day
+        |GROUP BY 1""".stripMargin,
+
+    "q49_cumulative_users" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+        |n AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        | CAST(sum(new_users) OVER (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cumulative_users
+        |FROM n""".stripMargin,
 
     "q47_top_events" -> (dailySql +
       """
