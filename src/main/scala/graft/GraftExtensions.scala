@@ -29,6 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  // SQL-surface input coercion: wrap arguments in a cast to array<double>
+  // so graft_dot/graft_cosine on array<float> (embeddings' storage type)
+  // read correctly instead of getDouble-misreading 4-byte elements; the
+  // cast is a no-op for array<double> inputs.
+  private def toDoubleArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+
   private val dotInfo = new ExpressionInfo(
     classOf[DotProduct].getName, null, "graft_dot",
     "graft_dot(a, b) - dot product of two array<double> columns", "")
@@ -42,19 +52,19 @@ object GraftExtensions {
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression) =
     (FunctionIdentifier("graft_dot"), dotInfo,
-      exprs => DotProduct(exprs(0), exprs(1)))
+      exprs => DotProduct(toDoubleArray(exprs(0)), toDoubleArray(exprs(1))))
 
   val cosineFunction: (FunctionIdentifier, ExpressionInfo,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression) =
     (FunctionIdentifier("graft_cosine"), cosineInfo,
-      exprs => CosineSim(exprs(0), exprs(1)))
+      exprs => CosineSim(toDoubleArray(exprs(0)), toDoubleArray(exprs(1))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     Shim.registerFunction(spark, "graft_dot", dotInfo,
-      exprs => DotProduct(exprs(0), exprs(1)))
+      exprs => DotProduct(toDoubleArray(exprs(0)), toDoubleArray(exprs(1))))
     Shim.registerFunction(spark, "graft_cosine", cosineInfo,
-      exprs => CosineSim(exprs(0), exprs(1)))
+      exprs => CosineSim(toDoubleArray(exprs(0)), toDoubleArray(exprs(1))))
   }
 }

@@ -21,8 +21,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries that cache intermediates (t05, d02, d06, d07) must not pin
-      // storage for the remaining ~60 queries' execution memory
+      // queries that cache intermediates must not pin storage for the
+      // remaining queries' execution memory
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must already be array<double>; the public apply() below casts.
+  // Inputs must be array<double>; both entry points cast (apply() below
+  // and the graft_dot registration builder), so array<float> inputs get
+  // correct reads, never raw-byte getDouble misreads.
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {

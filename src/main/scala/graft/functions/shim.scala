@@ -25,4 +25,16 @@ object Shim {
       .sessionState.functionRegistry
       .registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** The RDD a `localCheckpoint(eager = true)` Dataset actually persisted
+    * (its analyzed plan is a `LogicalRDD` over that RDD). Needed to free
+    * checkpoint storage explicitly: `Dataset.queryExecution.toRdd` builds
+    * a fresh wrapper RDD, so unpersisting it is a no-op, and checkpoint
+    * persists are RDD-level — `spark.catalog.clearCache()` can't see them.
+    */
+  def checkpointedRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }

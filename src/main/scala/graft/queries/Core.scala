@@ -575,16 +575,19 @@ object Core {
     "q48_rolling_distinct" -> ((s, dir) => {
       // Trailing-7-day active users per day — the classic lakehouse
       // engagement metric. Neither Spark nor SQL supports
-      // COUNT(DISTINCT) OVER a window frame, so the scalable formulation
-      // is a bounded range join: per-day user sets joined to the trailing
-      // 7 calendar days (fixed 7x fan-out on the small daily grain),
-      // then one distinct count per day.
+      // COUNT(DISTINCT) OVER a window frame, and a pure range-predicate
+      // join would plan as BroadcastNestedLoopJoin (no equi-keys —
+      // O(days × user-days) comparisons). Instead each (user, day) row
+      // EXPLODES into the 7 window days it contributes to, turning the
+      // range condition into an equi-join key: fixed 7x fan-out on the
+      // already-reduced daily grain, all hash joins/aggregates.
       val d = ev(s, dir)
         .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
       val days = d.select("day").distinct()
-      days.as("w").join(d.as("u"),
-          col("u.day") >= date_sub(col("w.day"), 6) && col("u.day") <= col("w.day"))
-        .groupBy(col("w.day").as("day"))
+      val contrib = d.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      contrib.join(days, Seq("day"), "left_semi")
+        .groupBy("day")
         .agg(countDistinct("user_id").as("active_users_7d"))
     }),
 

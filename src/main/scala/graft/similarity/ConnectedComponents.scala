@@ -63,7 +63,7 @@ object ConnectedComponents {
         .filter(col("cluster_id") < col("old_cl"))
         .count()
       prevRdd.foreach(_.unpersist(false))
-      prevRdd = Some(labels.queryExecution.toRdd)
+      prevRdd = org.apache.spark.sql.graftshim.Shim.checkpointedRdd(labels)
       labels = next
       done = changes == 0L
       iter += 1

@@ -61,14 +61,27 @@ class FnsSpec extends SparkSpec {
     }
   }
 
-  test("graft_cosine SQL function registers and matches the DataFrame path") {
+  test("CosineSim matches the composed form on ragged (unequal-length) arrays") {
+    // norms must run over each FULL array (dot over the overlap), like the
+    // composed dot/sqrt form — not all three accumulators over min(len)
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val composed = VecFns.dot(col("a"), col("b")) /
+      (sqrt(VecFns.norm2(col("a"))) * sqrt(VecFns.norm2(col("b"))))
+    val out = df.select(VecFns.cosine(col("a"), col("b")).as("f"), composed.as("c"))
+      .as[(Double, Double)].head()
+    assert(java.lang.Double.doubleToLongBits(out._1) == java.lang.Double.doubleToLongBits(out._2))
+    assert(math.abs(out._1 - 5.0 / (math.sqrt(14.0) * math.sqrt(5.0))) < 1e-12)
+  }
+
+  test("graft_cosine SQL function registers and coerces float arrays like the DataFrame path") {
     graft.GraftExtensions.register(spark)
     val df = Seq((Seq(1.0f, 2.0f), Seq(2.0f, 1.0f))).toDF("a", "b")
     df.createOrReplaceTempView("cos_in")
-    val sql = spark.sql("SELECT graft_cosine(CAST(a AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>)) FROM cos_in")
-      .as[Double].head()
+    // no hand-cast: the registration builder coerces array<float> itself
+    val sql = spark.sql("SELECT graft_cosine(a, b) FROM cos_in").as[Double].head()
     val api = df.select(VecFns.cosine(col("a"), col("b"))).as[Double].head()
     assert(sql == api)
+    assert(math.abs(sql - 4.0 / 5.0) < 1e-12) // (2+2)/(sqrt5*sqrt5)
   }
 
   test("simhash is deterministic and within bit range") {
