@@ -108,6 +108,24 @@ class InvariantsSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("rolling distinct bounds and cumulative users monotone to the global total") {
+    val ev = Tables.events(spark, sfDir)
+    val dailyDistinct = ev.groupBy(col("ts").cast("date").as("day"))
+      .agg(countDistinct("user_id").as("d1")).as[(java.sql.Date, Long)].collect().toMap
+    val rolling = Core.defs("q48_rolling_distinct")(spark, sfDir)
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(rolling.keySet == dailyDistinct.keySet)
+    val total = ev.select("user_id").distinct().count()
+    rolling.foreach { case (d, n) =>
+      // trailing-7d count is at least the single day's and at most all users
+      assert(n >= dailyDistinct(d) && n <= total, s"day $d n=$n")
+    }
+    val cum = Core.defs("q49_cumulative_users")(spark, sfDir)
+      .orderBy("day").select("cumulative_users").as[Long].collect().toSeq
+    assert(cum == cum.sorted, "cumulative users must be non-decreasing")
+    assert(cum.last == total, "final cumulative count must equal total distinct users")
+  }
+
   test("LSH and IVF ANN neighbor lists are subsets of plausible candidates (no self, ranked)") {
     Seq("d07_ann_lsh", "d08_ann_ivf").foreach { q =>
       val out = LlmData.defs(q)(spark, sfDir)
