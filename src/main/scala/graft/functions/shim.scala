@@ -26,6 +26,26 @@ object Shim {
       .registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — needed to hand a custom LogicalPlan node back to
+    * the user-facing API.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to a live session (the
+    * imperative counterpart to `injectPlannerStrategy` at session build).
+    */
+  def addStrategy(spark: org.apache.spark.sql.SparkSession,
+                  strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
+
   /** The RDD a `localCheckpoint(eager = true)` Dataset actually persisted
     * (its analyzed plan is a `LogicalRDD` over that RDD). Needed to free
     * checkpoint storage explicitly: `Dataset.queryExecution.toRdd` builds

@@ -572,6 +572,17 @@ object Core {
           r4e(col("chg_next")).as("chg_next"))
     }),
 
+    "q50_topk_native" -> ((s, dir) =>
+      // Per-key top-k via the custom whole-operator Catalyst path
+      // (TopKPerKeyNode -> strategy -> bounded-heap exec, one hash
+      // exchange, NO per-group sort — see plans/TopKPerKey.scala): the
+      // total order (value desc, event_id) makes the result set identical
+      // to the window row_number formulation the oracle uses.
+      graft.plans.TopKPerKey(
+        ev(s, dir), Seq(col("user_id")),
+        Seq(col("value").desc, col("event_id")), k = 3)
+        .select(col("user_id"), col("event_id"), r4(col("value")).as("value"))),
+
     "q48_rolling_distinct" -> ((s, dir) => {
       // Trailing-7-day active users per day — the classic lakehouse
       // engagement metric. Neither Spark nor SQL supports
@@ -1182,6 +1193,12 @@ object Core {
         | round(chg_next + 1e-7, 4) + 0 AS chg_next
         |FROM d3, (SELECT max(day) AS anchor FROM d3) a
         |WHERE day >= anchor - INTERVAL 7 DAY AND v_avg > 60 AND n >= 5""".stripMargin,
+
+    "q50_topk_native" ->
+      """SELECT user_id, event_id, round(value, 4) AS value
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY value DESC, event_id) <= 3""".stripMargin,
 
     "q48_rolling_distinct" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

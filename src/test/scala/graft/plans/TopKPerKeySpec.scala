@@ -1,0 +1,49 @@
+package graft.plans
+
+import scala.util.Random
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Differential + plan specs for the custom per-key top-k operator. */
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42L)
+
+  test("TopKPerKey equals the window row_number formulation on random data") {
+    for (_ <- 1 to 3) {
+      val df = Seq.fill(500)((rnd.nextInt(7).toLong, rnd.nextInt(1000), rnd.nextLong()))
+        .toDF("key", "value", "id")
+      // total order: (value desc, id) — deterministic top-k
+      val custom = TopKPerKey(df, Seq(col("key")),
+        Seq(col("value").desc, col("id")), k = 5)
+        .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+      val w = Window.partitionBy("key").orderBy(col("value").desc, col("id"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+      assert(custom == viaWindow)
+    }
+  }
+
+  test("TopKPerKey handles fewer-than-k groups, duplicates, and single rows") {
+    val df = Seq(
+      (1L, 10, 1L), (1L, 10, 2L), (1L, 20, 3L), // dup values
+      (2L, 5, 4L) // single-row group
+    ).toDF("key", "value", "id")
+    val out = TopKPerKey(df, Seq(col("key")), Seq(col("value"), col("id")), k = 2)
+      .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+    assert(out == Set((1L, 10, 1L), (1L, 10, 2L), (2L, 5, 4L)))
+  }
+
+  test("TopKPerKey plans as the custom exec with a single hash exchange") {
+    val df = Seq((1L, 1.0)).toDF("key", "v")
+    val plan = TopKPerKey(df, Seq(col("key")), Seq(col("v")), k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(plan.contains("Exchange hashpartitioning(key"), plan)
+  }
+}
