@@ -130,4 +130,20 @@ object TopKPerKey {
         throw new IllegalStateException(s"unexpected resolved plan: $other")
     }
   }
+
+  /** Top-k per key PLUS a dense 1..k rank column: the heap operator
+    * reduces each key group to k rows first, then a window ranks only
+    * the survivors — so the per-group sort that row_number needs runs
+    * over k rows, not the whole group. Drop-in for the
+    * `row_number <= k` pattern when the rank itself is wanted in the
+    * output. Results are identical to the window formulation when
+    * `orderBy` is a total order.
+    */
+  def withRank(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column], k: Int,
+               rankCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(orderBy: _*)
+    apply(df, keys, orderBy, k)
+      .withColumn(rankCol, org.apache.spark.sql.functions.row_number().over(w))
+  }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{HashFns, TextFns, VecFns}
+import graft.plans.TopKPerKey
 import graft.similarity.{ConnectedComponents, IvfAnn, LshAnn, NgramJaccard}
 import graft.multimodal.BinaryColumns
 
@@ -88,15 +89,19 @@ object LlmData {
     "d04_simhash" -> ((s, dir) => HashFns.simhash(docs(s, dir), 16)),
 
     "d05_cosine_topk" -> ((s, dir) => {
+      // Top-k via the custom bounded-heap operator (plans/TopKPerKey):
+      // the window row_number formulation sorts EVERY candidate pair per
+      // query; the heap keeps k and the rank window only sorts the k
+      // survivors. Identical result under the (cos desc, c_id) total
+      // order, so the oracle is unchanged.
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("c_id"))
-      broadcast(q).join(c, col("c_id") =!= col("q_id"))
+      val scored = broadcast(q).join(c, col("c_id") =!= col("q_id"))
         .withColumn("cos_raw", VecFns.cosine(col("qe"), col("ce")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+      TopKPerKey.withRank(scored, Seq(col("q_id")),
+          Seq(col("cos_raw").desc, col("c_id")), k = 5, rankCol = "rank")
         .select(col("q_id"), col("c_id"), col("rank"), r4(col("cos_raw")).as("cos"))
     }),
 

@@ -65,15 +65,15 @@ object IvfAnn {
         .select(col("vec_id").as("q_id"), col("embedding").as("qe")),
       centroids, nprobe)
       .withColumn("q_nrm", nrm(col("qe")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    qs
+    val scored = qs
       .join(lists, Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("c_id"),
         (VecFns.dot(VecFns.asDouble(col("qe")), VecFns.asDouble(col("embedding"))) /
           (col("q_nrm") * col("c_nrm"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded-heap top-k (plans/TopKPerKey): no sort of the probed lists
+    graft.plans.TopKPerKey.withRank(scored, Seq(col("q_id")),
+        Seq(col("cos").desc, col("c_id")), k, rankCol = "rank")
       .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
 }

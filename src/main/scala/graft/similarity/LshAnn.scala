@@ -139,13 +139,14 @@ object LshAnn {
     val v = embeddings
       .select(col("vec_id"), VecFns.asDouble(col("embedding")).as("ve"))
       .withColumn("nrm", sqrt(VecFns.norm2(col("ve"))))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    cand
+    val scored = cand
       .join(v.select(col("vec_id").as("q_id"), col("ve").as("qe"), col("nrm").as("qn")), "q_id")
       .join(v.select(col("vec_id").as("c_id"), col("ve").as("ce"), col("nrm").as("cn")), "c_id")
       .withColumn("cos", VecFns.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded-heap top-k (plans/TopKPerKey): no sort of the full
+    // candidate set per query; the rank window sorts only the k kept
+    graft.plans.TopKPerKey.withRank(scored, Seq(col("q_id")),
+        Seq(col("cos").desc, col("c_id")), k, rankCol = "rank")
       .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
 
