@@ -22,13 +22,15 @@ object Cleaning {
     * (reference: row_number over (partition by key order by recency desc)
     * then rn = 1, data_cleaning.py:70-72). `ordering` must be a total
     * order within each key group for deterministic results.
+    *
+    * Implemented as the k=1 case of the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator: the window formulation sorts
+    * every key group in full to keep one row; the heap keeps a single
+    * best row per key in one streaming pass over the same single
+    * shuffle.
     */
-  def dedupLatest(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+  def dedupLatest(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame =
+    graft.plans.TopKPerKey(df, keys.map(col), ordering, k = 1)
 
   /** Drop rows where any of `cols` is null (data_cleaning.py:74-81). */
   def requireNonNull(df: DataFrame, cols: Seq[String]): DataFrame =
