@@ -75,8 +75,16 @@ case class TopKPerKeyExec(
       }
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(
-          keyGen(row).copy(), mutable.PriorityQueue.empty(heapOrd))
+        // probe with the (reused) projection output; copy the key only on
+        // a miss — no per-row allocation on the hot path
+        val probe = keyGen(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty(heapOrd)
+            heaps(probe.copy()) = h
+            h
+        }
         if (heap.size < kLocal) {
           heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
         } else if (ord.compare(row, heap.head) < 0) {

@@ -39,6 +39,26 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out == Set((1L, 10, 1L), (1L, 10, 2L), (2L, 5, 4L)))
   }
 
+  test("TopKPerKey matches the window formulation with NULL keys and NULL sort values") {
+    for (_ <- 1 to 3) {
+      val df = Seq.fill(300)((
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(3).toLong),
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(50)),
+        rnd.nextLong()))
+        .toDF("key", "value", "id")
+      val custom = TopKPerKey(df, Seq(col("key")),
+        Seq(col("value").desc_nulls_last, col("id")), k = 4)
+        .select("key", "value", "id")
+        .as[(Option[Long], Option[Int], Long)].collect().toSet
+      val w = Window.partitionBy("key").orderBy(col("value").desc_nulls_last, col("id"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4)
+        .select("key", "value", "id")
+        .as[(Option[Long], Option[Int], Long)].collect().toSet
+      assert(custom == viaWindow)
+    }
+  }
+
   test("TopKPerKey plans as the custom exec with a single hash exchange") {
     val df = Seq((1L, 1.0)).toDF("key", "v")
     val plan = TopKPerKey(df, Seq(col("key")), Seq(col("v")), k = 1)
