@@ -59,6 +59,20 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey is correct when the child is already clustered by the key") {
+    // pre-repartitioning by the key lets EnsureRequirements elide the
+    // exchange — the per-partition heaps must still see whole key groups
+    val df = Seq.fill(400)((rnd.nextInt(6).toLong, rnd.nextInt(100), rnd.nextLong()))
+      .toDF("key", "value", "id")
+      .repartition(col("key"))
+    val custom = TopKPerKey(df, Seq(col("key")), Seq(col("value"), col("id")), k = 3)
+      .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+    val w = Window.partitionBy("key").orderBy(col("value"), col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+    assert(custom == viaWindow)
+  }
+
   test("TopKPerKey plans as the custom exec with a single hash exchange") {
     val df = Seq((1L, 1.0)).toDF("key", "v")
     val plan = TopKPerKey(df, Seq(col("key")), Seq(col("v")), k = 1)
