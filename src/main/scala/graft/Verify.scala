@@ -22,7 +22,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that cache intermediates must not pin storage for the
-      // remaining queries' execution memory
+      // remaining queries' execution memory (releaseAll additionally
+      // frees localCheckpoint RDDs, which clearCache can't see)
+      CacheRegistry.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

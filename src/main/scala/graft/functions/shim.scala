@@ -38,12 +38,61 @@ object Shim {
 
   /** Idempotently add a planner strategy to a live session (the
     * imperative counterpart to `injectPlannerStrategy` at session build).
+    *
+    * The check-then-append is guarded by a lock on the session's
+    * `experimental` holder: `extraStrategies` is a plain mutable field, so
+    * two threads planning concurrently could otherwise drop or double-add
+    * the strategy. The membership check runs against the PLANNER's full
+    * strategy list, which includes both `extraStrategies` and anything
+    * injected via `SparkSessionExtensions` — so a session built with
+    * `GraftExtensions` is not double-registered here.
     */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,
                   strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(strategy))
-      exp.extraStrategies = exp.extraStrategies :+ strategy
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val exp = cs.experimental
+    exp.synchronized {
+      if (!cs.sessionState.planner.strategies.contains(strategy))
+        exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
+  }
+
+  /** A spill-capable row sorter over `output` rows under `sortOrder` —
+    * the exact construction `SortExec.createSorter` uses (radix/prefix
+    * sort when the leading key supports it, `TaskMemoryManager`-accounted
+    * pages, disk spill past the task's memory share). Must be called
+    * inside a task (it binds to the running task's memory manager via
+    * `TaskContext`). Exposed for operators that need a sort-based
+    * fallback path without planning a separate `SortExec`.
+    */
+  def rowSorter(output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+                sortOrder: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder])
+      : org.apache.spark.sql.execution.UnsafeExternalRowSorter = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, RowOrdering, SortPrefix, UnsafeProjection}
+    import org.apache.spark.sql.execution.{SortPrefixUtils, UnsafeExternalRowSorter}
+    val ordering = RowOrdering.create(sortOrder, output)
+    val boundSortExpression = BindReferences.bindReference(sortOrder.head, output)
+    val prefixComparator = SortPrefixUtils.getPrefixComparator(boundSortExpression)
+    val canUseRadixSort =
+      org.apache.spark.sql.internal.SQLConf.get.enableRadixSort &&
+        sortOrder.length == 1 &&
+        SortPrefixUtils.canSortFullyWithPrefix(boundSortExpression)
+    val prefixExpr = SortPrefix(boundSortExpression)
+    val prefixProjection = UnsafeProjection.create(Seq(prefixExpr))
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val result = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: org.apache.spark.sql.catalyst.InternalRow)
+          : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        val prefix = prefixProjection.apply(row)
+        result.isNull = prefix.isNullAt(0)
+        result.value = if (result.isNull) prefixExpr.nullValue else prefix.getLong(0)
+        result
+      }
+    }
+    val pageSize = org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+    val schema = org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
+    UnsafeExternalRowSorter.create(
+      schema, ordering, prefixComparator, prefixComputer, pageSize, canUseRadixSort)
   }
 
   /** The RDD a `localCheckpoint(eager = true)` Dataset actually persisted

@@ -66,15 +66,40 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
+    // Heap state is bounded at O(distinct keys × k) retained rows, which
+    // is small for ranking keys but approaches one copy of the ENTIRE
+    // partition for near-unique keys (dedup). Past these thresholds the
+    // partition falls back to a sort-based pass through Spark's own
+    // spill-capable external sorter, so memory stays task-accounted
+    // instead of growing an unaccounted JVM map until OOM. Defaults:
+    // 64 MiB of retained row bytes or 2M retained rows per task —
+    // comfortably inside a 4 GiB / 4-core executor even with JVM
+    // per-entry overhead on top.
+    val maxBytes = conf.getConfString("spark.graft.topk.maxRetainedBytes",
+      (64L * 1024 * 1024).toString).toLong
+    val maxRows = conf.getConfString("spark.graft.topk.maxRetainedRows",
+      (2L * 1024 * 1024).toString).toLong
     child.execute().mapPartitions { iter =>
       val keyGen = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
+      // child contract is InternalRow, not UnsafeRow: when the exchange is
+      // elided (pre-clustered child) some operators emit GenericInternalRow
+      // — convert through an identity projection instead of casting
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      def asUnsafe(row: InternalRow): UnsafeRow = row match {
+        case u: UnsafeRow => u
+        case other => toUnsafe(other)
+      }
       // max-heap on the ordering: head = current worst of the k best
       val heapOrd = new Ordering[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(a, b)
       }
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { row =>
+      var retainedBytes = 0L
+      var retainedRows = 0L
+      var spilled = false
+      while (iter.hasNext && !spilled) {
+        val row = asUnsafe(iter.next())
         // probe with the (reused) projection output; copy the key only on
         // a miss — no per-row allocation on the hot path
         val probe = keyGen(row)
@@ -82,17 +107,63 @@ case class TopKPerKeyExec(
           case Some(h) => h
           case None =>
             val h = mutable.PriorityQueue.empty(heapOrd)
-            heaps(probe.copy()) = h
+            val keyCopy = probe.copy()
+            heaps(keyCopy) = h
+            retainedBytes += keyCopy.getSizeInBytes
             h
         }
         if (heap.size < kLocal) {
-          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+          val kept = row.copy()
+          heap.enqueue(kept)
+          retainedBytes += kept.getSizeInBytes
+          retainedRows += 1
         } else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+          retainedBytes -= heap.dequeue().getSizeInBytes
+          val kept = row.copy()
+          heap.enqueue(kept)
+          retainedBytes += kept.getSizeInBytes
+        }
+        spilled = retainedBytes > maxBytes || retainedRows > maxRows
+      }
+      if (!spilled) {
+        heaps.valuesIterator.flatMap(_.iterator)
+      } else {
+        // Sort-based fallback: (keys asc, order) through Spark's
+        // TaskMemoryManager-accounted external sorter (radix/prefix sort +
+        // disk spill — identical machinery to SortExec), then one
+        // streaming pass emitting the first k rows of each key group.
+        // Same output SET as the heap path; resources are freed by the
+        // sorter itself on iterator exhaustion / task completion.
+        val fullOrder = keyExprs.map(SortOrder(_, Ascending)) ++ sortOrder
+        val sorter = Shim.rowSorter(childOutput, fullOrder)
+        heaps.valuesIterator.foreach(_.foreach(sorter.insertRow))
+        heaps.clear()
+        while (iter.hasNext) sorter.insertRow(asUnsafe(iter.next()))
+        val sorted = sorter.sort()
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = null
+          private var curCount = 0L
+          private var pending: InternalRow = null
+          @annotation.tailrec
+          private def advance(): Unit = {
+            if (pending == null && sorted.hasNext) {
+              val row = sorted.next()
+              val key = keyGen(row)
+              if (curKey == null || key != curKey) {
+                curKey = key.copy()
+                curCount = 0L
+              }
+              curCount += 1
+              if (curCount <= kLocal) pending = row else advance()
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): InternalRow = {
+            advance()
+            val r = pending; pending = null; r
+          }
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
     }
   }
 

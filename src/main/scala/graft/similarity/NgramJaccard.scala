@@ -65,7 +65,7 @@ object NgramJaccard {
     // sides of the pair join all re-derive from it, and the explode+md5
     // upstream is the expensive part — one cache serves all four consumers
     // (the anti-join re-filter over cached rows is cheap by comparison).
-    val sh = cappedFrom(shingleKeys(documents).cache(), maxDf)
+    val sh = cappedFrom(graft.CacheRegistry.track(shingleKeys(documents).cache()), maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     candidatePairs(sh)
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")

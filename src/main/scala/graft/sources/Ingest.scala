@@ -51,7 +51,7 @@ object Ingest {
   def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
     // PERMISSIVE json requires caching before filtering on the corrupt
     // column (Spark refuses the raw-record-only query otherwise).
-    val cached = df.cache()
+    val cached = graft.CacheRegistry.track(df.cache())
     (cached.filter(col(corruptCol).isNull).drop(corruptCol),
       cached.filter(col(corruptCol).isNotNull))
   }
