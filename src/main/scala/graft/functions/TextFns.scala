@@ -58,4 +58,24 @@ object TextFns {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")).cast("binary"))
+
+  /** PII patterns, restricted to syntax valid in BOTH Java regex and RE2
+    * (character classes, bounded repetition — no lookaround), so the same
+    * pattern string runs in Spark and any RE2-based SQL engine.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "555-[0-9]+"
+
+  /** Count of non-overlapping matches of `pattern` in `text`. */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact emails and phone numbers with typed placeholder tags — the
+    * standard pre-training PII scrub. Pure `regexp_replace` (codegen'd,
+    * replaces ALL occurrences), no UDF.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailRe), lit("[EMAIL]")),
+      lit(PhoneRe), lit("[PHONE]"))
 }

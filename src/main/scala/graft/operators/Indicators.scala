@@ -138,6 +138,45 @@ object Indicators {
       .withColumn("macd_hist", round(col("macd") - col("macd_signal") + 1e-7, 4))
   }
 
+  /** Stochastic oscillator: %K = (value − min_p)/(max_p − min_p)·100 over
+    * trailing `period` rows, %D = `dPeriod`-row mean of %K. min/max are
+    * order-independent (exact cross-engine parity); %K is pinned to the
+    * 4-decimal lattice so the %D mean can run in exact DECIMAL — the same
+    * convention as [[withMacd]]'s signal line. A flat window (max = min,
+    * including every series head of length 1) pegs %K to the 50.0
+    * midpoint. Output columns `stoch_k`, `stoch_d` (lattice doubles).
+    */
+  def withStochastic(df: DataFrame, w: WindowSpec, valueCol: String,
+                     period: Int, dPeriod: Int): DataFrame = {
+    val wp = w.rowsBetween(-(period - 1), 0)
+    val lo = min(col(valueCol)).over(wp)
+    val hi = max(col(valueCol)).over(wp)
+    val k4 = round(
+      when(hi =!= lo, (col(valueCol) - lo) / (hi - lo) * 100.0).otherwise(50.0) + 1e-7, 4)
+    val wd = w.rowsBetween(-(dPeriod - 1), 0)
+    df.withColumn("stoch_k", k4)
+      .withColumn("stoch_d",
+        round(sum(col("stoch_k").cast("decimal(18,4)")).over(wd).cast("double") /
+          count(col("stoch_k")).over(wd) + 1e-7, 4))
+  }
+
+  /** On-balance volume: running sum of `volCol` signed by the direction of
+    * `valueCol` vs the previous row (+1 up, −1 down, 0 flat/head). With an
+    * integral volume the running sum is exact in any engine, and the
+    * direction is a comparison, not arithmetic — parity by construction.
+    * Output column `obv`.
+    */
+  def withObv(df: DataFrame, w: WindowSpec, valueCol: String, volCol: String): DataFrame = {
+    val prev = lag(col(valueCol), 1).over(w)
+    val dir = when(prev.isNull, 0)
+      .when(col(valueCol) > prev, 1)
+      .when(col(valueCol) < prev, -1)
+      .otherwise(0)
+    df.withColumn("obv",
+      sum((dir * col(volCol)).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** Running-peak drawdown: peak = cumulative max of the series, drawdown
     * = pct below peak (≤ 0). max() is order-independent, so parity is
     * exact by construction. Output columns `peak`, `drawdown_pct`.

@@ -736,6 +736,78 @@ object Core {
           r4(col("peak")).as("peak"), r4e(col("drawdown_pct")).as("drawdown_pct"))
     }),
 
+    "q51_vwap" -> ((s, dir) =>
+      // Volume-weighted average price per part: sum(price·qty)/sum(qty)
+      // in exact DECIMAL (2dp money × 2dp qty → 4dp products, summed
+      // exactly), only the final ratio in double. One hash aggregate over
+      // the fact table — fully map-side-combinable, no window, the
+      // cheapest possible 100 TB shape for a weighted mean.
+      li(s, dir)
+        .groupBy("l_partkey")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(dec2(col("l_quantity"))).as("qty_dec"),
+          sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity"))).as("pq_dec"))
+        .select(
+          col("l_partkey"), col("n_lines"),
+          col("qty_dec").cast("double").as("total_qty"),
+          r4e(col("pq_dec").cast("double") / col("qty_dec").cast("double")).as("vwap"))),
+
+    "q52_stochastic" -> ((s, dir) => {
+      val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+      Indicators.withStochastic(ev(s, dir), w, "value", period = 14, dPeriod = 3)
+        .select(col("user_id"), col("event_id"), r4(col("value")).as("value"),
+          col("stoch_k"), col("stoch_d"))
+    }),
+
+    "q53_obv" -> ((s, dir) => {
+      // OBV on the daily grain: direction of the day's exact average value
+      // vs the previous day, volume = the day's event count. Comparisons +
+      // an integral running sum — exact parity with zero rounding.
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Indicators.withObv(daily(s, dir), w, "v_avg", "n")
+        .select(col("user_id"), col("day"), col("n"), col("obv"))
+    }),
+
+    "q54_pair_corr" -> ((s, dir) => {
+      // Cross-key correlation matrix over a watchlist: align two keys'
+      // daily series on day (self-equi-join — never a cross join) and
+      // correlate. Pairwise correlation is inherently O(k²) in the number
+      // of keys, so the watchlist selection is explicit (here every 5th
+      // key): at scale you choose WHICH k keys to correlate, the engine
+      // shape (join on day + one hash aggregate per pair) stays fixed.
+      val nn = (c: Column) => when(isnan(c), lit(null)).otherwise(c)
+      val d = daily(s, dir).filter(col("user_id") % 5 === 0)
+        .select("user_id", "day", "v_avg")
+      d.as("a").join(d.as("b"),
+          col("a.day") === col("b.day") && col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+        .agg(count(lit(1)).as("n_days"),
+          nn(corr(col("a.v_avg"), col("b.v_avg"))).as("c_raw"))
+        .filter(col("n_days") >= 20)
+        .select(col("user_a"), col("user_b"), col("n_days"),
+          r4e(col("c_raw")).as("corr_v"))
+    }),
+
+    "q55_sharpe" -> ((s, dir) => {
+      // Annualized risk-adjusted return per key over the daily next-change
+      // series: mean/stddev of daily pct changes × √252. Group aggregates
+      // of doubles (the q41 avg_chg precedent); √252 is correctly rounded
+      // identically in both engines.
+      val nn = (c: Column) => when(isnan(c), lit(null)).otherwise(c)
+      daily(s, dir)
+        .groupBy("user_id")
+        .agg(
+          count(col("chg_next")).as("n_ret"),
+          avg(col("chg_next")).as("mu_raw"),
+          nn(stddev_samp(col("chg_next"))).as("sd_raw"))
+        .filter(col("n_ret") >= 20 && col("sd_raw").isNotNull && col("sd_raw") =!= 0.0)
+        .select(col("user_id"), col("n_ret"),
+          r4e(col("mu_raw")).as("mean_chg"),
+          r4e(col("sd_raw")).as("sd_chg"),
+          r4e(col("mu_raw") / col("sd_raw") * lit(math.sqrt(252.0))).as("sharpe_ann"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -1345,6 +1417,65 @@ object Core {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q51_vwap" ->
+      """SELECT l_partkey, count(*) AS n_lines,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                 CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |   / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) + 1e-7, 4) + 0 AS vwap
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q52_stochastic" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, ts, value,
+        |   min(value) OVER w14 AS lo, max(value) OVER w14 AS hi
+        |  FROM events
+        |  WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |k AS (
+        |  SELECT user_id, event_id, ts, value,
+        |   round(CASE WHEN hi <> lo THEN (value - lo) / (hi - lo) * 100.0
+        |              ELSE 50.0 END + 1e-7, 4) + 0 AS stoch_k
+        |  FROM a)
+        |SELECT user_id, event_id, round(value, 4) AS value, stoch_k,
+        | round(CAST(sum(CAST(stoch_k AS DECIMAL(18,4))) OVER w3 AS DOUBLE)
+        |   / count(stoch_k) OVER w3 + 1e-7, 4) + 0 AS stoch_d
+        |FROM k
+        |WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q53_obv" -> (dailySql +
+      """,
+        |o AS (
+        |  SELECT user_id, day, n,
+        |   CASE WHEN lag(v_avg) OVER w IS NULL THEN 0
+        |        WHEN v_avg > lag(v_avg) OVER w THEN 1
+        |        WHEN v_avg < lag(v_avg) OVER w THEN -1
+        |        ELSE 0 END AS dir
+        |  FROM d3 WINDOW w AS (PARTITION BY user_id ORDER BY day))
+        |SELECT user_id, day, n,
+        | CAST(sum(dir * n) OVER (PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+        |FROM o""".stripMargin),
+
+    "q54_pair_corr" -> (dailySql +
+      """
+        |SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_days,
+        | round(corr(a.v_avg, b.v_avg) + 1e-7, 4) + 0 AS corr_v
+        |FROM d3 a JOIN d3 b ON a.day = b.day AND a.user_id < b.user_id
+        |WHERE a.user_id % 5 = 0 AND b.user_id % 5 = 0
+        |GROUP BY 1, 2 HAVING count(*) >= 20""".stripMargin),
+
+    "q55_sharpe" -> (dailySql +
+      """
+        |SELECT user_id, count(chg_next) AS n_ret,
+        | round(avg(chg_next) + 1e-7, 4) + 0 AS mean_chg,
+        | round(stddev_samp(chg_next) + 1e-7, 4) + 0 AS sd_chg,
+        | round(avg(chg_next) / stddev_samp(chg_next) * sqrt(252) + 1e-7, 4) + 0 AS sharpe_ann
+        |FROM d3 GROUP BY 1
+        |HAVING count(chg_next) >= 20 AND stddev_samp(chg_next) IS NOT NULL
+        |   AND stddev_samp(chg_next) <> 0""".stripMargin),
 
     "q23_asof_join" ->
       """WITH clicks AS (

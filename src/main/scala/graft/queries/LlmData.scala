@@ -308,6 +308,65 @@ object LlmData {
           when(dr < 0.3 || coalesce(bf, lit(0.0)) > 0.1, 1).otherwise(0).as("flagged"))
     }),
 
+    "t07_pii_redact" -> ((s, dir) => {
+      // PII scrub (pre-training redaction pass). The synthetic corpus
+      // carries no PII, so each doc gets a deterministic doc_id-derived
+      // email + phone APPENDED first — the operator under test is
+      // TextFns.redactPii (pure codegen'd regexp_replace, patterns valid
+      // in both Java regex and RE2), and the oracle builds the identical
+      // input, so counts and the redacted fingerprint are hash-checked.
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call 555-"), col("doc_id").cast("string"),
+        lit(" today"))
+      val red = TextFns.redactPii(pii)
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFns.matchCount(pii, TextFns.EmailRe).as("n_emails"),
+        TextFns.matchCount(pii, TextFns.PhoneRe).as("n_phones"),
+        length(red).as("n_chars_red"),
+        md5(red.cast("binary")).as("redacted_fp"))
+    }),
+
+    "d13_stratified_sample" -> ((s, dir) => {
+      // Deterministic stratified downsampling: per-lang keep rates (the
+      // dominant 'en' stratum at 20%, the rest at 60% — the standard
+      // rebalancing move for a skewed corpus), decided by the same
+      // md5-bucket as d10 so the sample is stable under any partitioning
+      // and reproducible in SQL. A filter over a hash — no shuffle at all.
+      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") % 100).cast("int")
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") < when(col("lang") === "en", 20).otherwise(60))
+    }),
+
+    "d14_curation" -> ((s, dir) => {
+      // End-to-end corpus curation: exact-dup canonicalization (keep the
+      // lowest doc_id per normalized fingerprint — via the bounded-heap
+      // dedup operator, k=1), quality gate (t02's composite score ≥ 2),
+      // then the deterministic d10 split assignment. One composition a
+      // real pre-training pipeline runs nightly; every stage reuses a
+      // library operator.
+      val toks = TextFns.tokens(col("text"))
+      val nTok = size(toks)
+      val avgTokLen = length(translate(col("text"), " ", "")) / nTok
+      val stopRatio = TextFns.tokenCountIn(toks, TextFns.markers("en")) / nTok
+      val q = when(nTok >= 20, 1).otherwise(0) +
+        when(avgTokLen >= 3.0 && avgTokLen <= 8.0, 1).otherwise(0) +
+        when(stopRatio > 0.01, 1).otherwise(0)
+      val scored = docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        q.as("quality_score"))
+      val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") % 100).cast("int")
+      graft.operators.Cleaning.dedupLatest(scored, Seq("fp"), Seq(col("doc_id")))
+        .filter(col("quality_score") >= 2)
+        .select(col("doc_id"), col("lang"), col("quality_score"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+    }),
+
     "m01_multimodal_meta" -> ((s, dir) => BinaryColumns.extractMeta(docs(s, dir))),
 
     "m02_frame_sample" -> ((s, dir) => {
@@ -540,6 +599,54 @@ object LlmData {
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
         | count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "t07_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |   text || ' contact user' || doc_id::VARCHAR ||
+        |     '@mail.example.com or call 555-' || doc_id::VARCHAR || ' today' AS pii
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, pii,
+        |   regexp_replace(
+        |     regexp_replace(pii,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |     '555-[0-9]+', '[PHONE]', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id,
+        | len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(pii, '555-[0-9]+')) AS n_phones,
+        | length(red) AS n_chars_red,
+        | md5(red) AS redacted_fp
+        |FROM r""".stripMargin,
+
+    "d13_stratified_sample" ->
+      """SELECT doc_id, lang,
+        | CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS INT) AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+        |      < CASE WHEN lang = 'en' THEN 20 ELSE 60 END""".stripMargin,
+
+    "d14_curation" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |   len(string_split(text, ' ')) AS n_tok,
+        |   length(replace(text, ' ', '')) AS n_nonspace,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','a'))) AS stop_n
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, fp,
+        |   (CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END +
+        |    CASE WHEN n_nonspace / n_tok >= 3.0 AND n_nonspace / n_tok <= 8.0 THEN 1 ELSE 0 END +
+        |    CASE WHEN stop_n / n_tok > 0.01 THEN 1 ELSE 0 END) AS quality_score
+        |  FROM m),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM q)
+        |SELECT doc_id, lang, quality_score,
+        | CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM k WHERE doc_id = keep_id AND quality_score >= 2""".stripMargin,
 
     "t06_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -100,6 +100,32 @@ class FnsSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("redactPii replaces every email and phone occurrence, counts match") {
+    val df = Seq(
+      (1L, "mail a@b.com and c.d@e.org plus 555-123 and 555-9"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = df.select(
+        col("doc_id"),
+        TextFns.redactPii(col("text")).as("red"),
+        TextFns.matchCount(col("text"), TextFns.EmailRe).as("ne"),
+        TextFns.matchCount(col("text"), TextFns.PhoneRe).as("np"))
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "mail [EMAIL] and [EMAIL] plus [PHONE] and [PHONE]")
+    assert(out(1L)._3 == 2 && out(1L)._4 == 2)
+    assert(out(2L)._2 == "no pii here at all")
+    assert(out(2L)._3 == 0 && out(2L)._4 == 0)
+  }
+
+  test("autoPlanesPerBand grows with corpus size and clamps") {
+    import graft.similarity.LshAnn.autoPlanesPerBand
+    assert(autoPlanesPerBand(500) == 3)
+    assert(autoPlanesPerBand(5000) == 7)
+    assert(autoPlanesPerBand(5000000) == 17)
+    assert(autoPlanesPerBand(Long.MaxValue) == 24) // clamp high
+    assert(autoPlanesPerBand(1) == 3) // clamp low
+  }
+
   test("LSH bucket is deterministic and identical vectors collide") {
     val df = Seq(
       (1L, Seq.fill(8)(0.5f)),

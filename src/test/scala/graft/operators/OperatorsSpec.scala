@@ -159,6 +159,24 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(d1._6 - 1.0 / 3.0) < 1e-12)
   }
 
+  test("withStochastic %K/%D: flat-window midpoint, range math, lattice %D mean") {
+    val df = Seq((1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, 30.0), (1L, 4, 20.0), (1L, 5, 10.0))
+      .toDF("key", "seq", "v")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key").orderBy("seq")
+    val out = Indicators.withStochastic(df, w, "v", period = 3, dPeriod = 2)
+      .orderBy("seq").select("stoch_k", "stoch_d").as[(Double, Double)].collect().toSeq
+    assert(out == Seq((50.0, 50.0), (100.0, 75.0), (100.0, 100.0), (0.0, 50.0), (0.0, 0.0)))
+  }
+
+  test("withObv signs volume by direction and runs an exact cumulative sum") {
+    val df = Seq((1L, 1, 10.0, 1L), (1L, 2, 20.0, 2L), (1L, 3, 20.0, 3L), (1L, 4, 15.0, 4L))
+      .toDF("key", "seq", "v", "vol")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key").orderBy("seq")
+    val out = Indicators.withObv(df, w, "v", "vol")
+      .orderBy("seq").select("obv").as[Long].collect().toSeq
+    assert(out == Seq(0L, 2L, 2L, -2L))
+  }
+
   test("detectEvents filters by min events and intraday volatility") {
     val daily = Seq(
       (1L, "2024-01-01", 5L, 10.0, 5.0, 25.0, Some(3.0)), // iv = 200 -> kept
