@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.cosineFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // pre-CBO: runs AFTER the default optimizer batches, so it sees (and
+    // replaces) an InferWindowGroupLimit-inserted WindowGroupLimit child
+    ext.injectPreCBORule(_ => graft.plans.WindowTopKRewrite)
   }
 }
 

@@ -57,6 +57,26 @@ object Shim {
     }
   }
 
+  /** Idempotently add an optimizer rule to a live session via
+    * `experimental.extraOptimizations` (the imperative counterpart to
+    * `injectPreCBORule` at session build). Same locking rationale as
+    * [[addStrategy]]. Unlike strategies there is no planner-wide rule
+    * list to consult, so a session built with `GraftExtensions` AND
+    * registered here runs the rule twice — graft's rules are idempotent
+    * by construction, so this is only wasted matching, not wrong plans.
+    */
+  def addOptimization(
+      spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val exp = cs.experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(rule))
+        exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
+
   /** A spill-capable row sorter over `output` rows under `sortOrder` —
     * the exact construction `SortExec.createSorter` uses (radix/prefix
     * sort when the leading key supports it, `TaskMemoryManager`-accounted

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftshim.Shim
 
@@ -51,15 +51,26 @@ case class TopKPerKeyExec(
     k: Int,
     keys: Seq[Expression],
     order: Seq[SortOrder],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  // all rows of a key must co-locate; Spark's EnsureRequirements inserts
-  // the (single) hash exchange — or elides it if the child already
-  // clusters by these keys
+  // all rows of a key must co-locate for the FINAL pass; Spark's
+  // EnsureRequirements inserts the (single) hash exchange — or elides it
+  // if the child already clusters by these keys. The PARTIAL pass runs
+  // map-side before the exchange (any distribution), reducing each input
+  // partition to its local per-key top-k — the same shuffle-volume cut
+  // partial aggregation gives a hash aggregate: at most k rows per key
+  // per upstream partition cross the wire instead of every row.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil else ClusteredDistribution(keys) :: Nil
+
+  // this operator never moves rows between partitions, so advertise the
+  // child's partitioning: downstream operators that need the same
+  // clustering (the withRank window, a subsequent per-key agg) reuse the
+  // exchange below the final pass instead of inserting a second one
+  override def outputPartitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
@@ -127,6 +138,14 @@ case class TopKPerKeyExec(
       }
       if (!spilled) {
         heaps.valuesIterator.flatMap(_.iterator)
+      } else if (partial) {
+        // A partial pass is a lossy-safe combiner (any row in the global
+        // per-key top-k is also in its partition's local top-k), so when
+        // the retained state exceeds the threshold — near-unique keys,
+        // where combining cannot reduce anyway — it degrades to a
+        // passthrough: emit what the heaps hold, then the rest untouched.
+        // The final pass computes the exact answer either way.
+        heaps.valuesIterator.flatMap(_.iterator) ++ iter
       } else {
         // Sort-based fallback: (keys asc, order) through Spark's
         // TaskMemoryManager-accounted external sorter (radix/prefix sort +
@@ -171,16 +190,37 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 }
 
-/** Plans [[TopKPerKeyNode]] into [[TopKPerKeyExec]]. */
+/** Plans [[TopKPerKeyNode]] into a partial + final [[TopKPerKeyExec]]
+  * pair (map-side combine before the exchange, exact reduce after), or
+  * just the final pass when `spark.graft.topk.partial=false`.
+  */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(k, keys, order, child) =>
-      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+      val usePartial = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.partial", "true").toBoolean
+      val planned = planLater(child)
+      val pre =
+        if (usePartial) TopKPerKeyExec(k, keys, order, planned, partial = true)
+        else planned
+      TopKPerKeyExec(k, keys, order, pre) :: Nil
     case _ => Nil
   }
 }
 
 object TopKPerKey {
+
+  /** Install the [[WindowTopKRewrite]] optimizer rule (plus the planner
+    * strategy it depends on) on a live session, so the standard
+    * `row_number().over(...) <= k` window pattern plans as the
+    * bounded-heap operator — the imperative counterpart to building the
+    * session with `spark.sql.extensions=graft.GraftExtensions`.
+    */
+  def installRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Shim.addStrategy(spark, TopKPerKeyStrategy)
+    Shim.addOptimization(spark, WindowTopKRewrite)
+  }
+
   /** Top `k` rows per key under `orderBy` (first-k in that sort order;
     * use `.desc` columns for largest-first). Registers the planner
     * strategy on the session idempotently.

@@ -583,6 +583,23 @@ object Core {
         Seq(col("value").desc, col("event_id")), k = 3)
         .select(col("user_id"), col("event_id"), r4(col("value")).as("value"))),
 
+    "q58_window_rewrite" -> ((s, dir) => {
+      // The top-k idiom written the way every user writes it — window
+      // row_number + filter — with graft's WindowTopKRewrite optimizer
+      // rule installed: Catalyst plans it as the partial+final
+      // bounded-heap operator (plan spec-asserted in
+      // WindowTopKRewriteSpec), while the result stays the exact window
+      // answer the oracle checks, rank column included.
+      graft.plans.TopKPerKey.installRewrite(s)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"),
+          r4(col("value")).as("value"), col("rn"))
+    }),
+
     "q48_rolling_distinct" -> ((s, dir) => {
       // Trailing-7-day active users per day — the classic lakehouse
       // engagement metric. Neither Spark nor SQL supports
@@ -806,6 +823,110 @@ object Core {
           r4e(col("mu_raw")).as("mean_chg"),
           r4e(col("sd_raw")).as("sd_chg"),
           r4e(col("mu_raw") / col("sd_raw") * lit(math.sqrt(252.0))).as("sharpe_ann"))
+    }),
+
+    "q56_beta" -> ((s, dir) => {
+      // Market beta per key: regression slope of the key's same-day pct
+      // change on the cross-key mean change (the "index"), as
+      // covar_samp/var_samp over a day-aligned sample. Both aggregates
+      // see the IDENTICAL row set (pairs pre-filtered to non-null on
+      // both sides) — mixing null-skipping aggregates over different
+      // sets is where cross-engine beta definitions silently diverge.
+      // The per-day market mean is one row per day — broadcast onto the
+      // series, so the daily frame never reshuffles at 100 TB.
+      val nn = (c: Column) => when(isnan(c), lit(null)).otherwise(c)
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val prev = lag(col("v_avg"), 1).over(w)
+      val d = daily(s, dir)
+        .withColumn("chg",
+          when(prev.isNotNull && prev =!= 0.0,
+            (col("v_avg") - prev) / prev * 100.0))
+        .filter(col("chg").isNotNull)
+        .select("user_id", "day", "chg")
+      val mkt = d.groupBy("day").agg(avg("chg").as("mkt"))
+      d.join(broadcast(mkt), "day")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_days"),
+          nn(covar_samp(col("chg"), col("mkt"))).as("cov_raw"),
+          nn(var_samp(col("mkt"))).as("var_raw"),
+          nn(corr(col("chg"), col("mkt"))).as("corr_raw"))
+        .filter(col("n_days") >= 20)
+        .select(col("user_id"), col("n_days"),
+          r4e(when(col("var_raw") =!= 0.0, col("cov_raw") / col("var_raw")))
+            .as("beta"),
+          r4e(col("corr_raw")).as("mkt_corr"))
+    }),
+
+    "q57_atr" -> ((s, dir) => {
+      // ATR-14 on daily bars. high/low/close are lattice-exact (max/min/
+      // last raw 4dp values — close via the q42 grouped last-in-order
+      // trick), so the true range (a diff of lattice values) casts to
+      // DECIMAL(18,4) without tie risk, and the 14-day mean is the exact
+      // decimal-sum/count both engines agree on (the q44 gain/loss
+      // precedent — never a window mean of raw doubles).
+      val wd = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts"), col("event_id"))
+      val bars = ev(s, dir)
+        .withColumn("day", col("ts").cast("date"))
+        .withColumn("close_v", last("value").over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy("user_id", "day")
+        .agg(max("value").as("high"), min("value").as("low"),
+          min("close_v").as("close"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val prevClose = lag(col("close"), 1).over(w)
+      val tr = when(prevClose.isNull, col("high") - col("low"))
+        .otherwise(greatest(col("high") - col("low"),
+          abs(col("high") - prevClose), abs(col("low") - prevClose)))
+      val w14 = w.rowsBetween(-13, 0)
+      bars
+        .withColumn("tr_dec", tr.cast("decimal(18,4)"))
+        .select(col("user_id"), col("day"),
+          r4(col("high")).as("high"), r4(col("low")).as("low"),
+          r4(col("close")).as("close"),
+          col("tr_dec").cast("double").as("tr"),
+          r4e(sum(col("tr_dec")).over(w14).cast("double") /
+            count(col("tr_dec")).over(w14)).as("atr_14"))
+    }),
+
+    "q59_grouping_sets" -> ((s, dir) =>
+      // Explicit GROUPING SETS via the Dataset API (the cube slice q29's
+      // ROLLUP doesn't produce: per-status across all flags). Group keys
+      // have no real nulls, so the ALL sentinel is unambiguous. Grouping
+      // set aggregation is one Expand + hash aggregate — map-side
+      // combinable, same 100 TB shape as a plain groupBy.
+      li(s, dir)
+        .groupingSets(
+          Seq(
+            Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")),
+            Seq(col("l_linestatus")),
+            Seq.empty[Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(r2d(sum(revDec)).as("revenue"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("revenue"), col("n"))),
+
+    "q60_unpivot" -> ((s, dir) => {
+      // Wide→long reshaping via the Dataset unpivot (melt) API: per-user
+      // conditional counts unpivoted into (metric, cnt) rows. The melt is
+      // a narrow per-row explode — no shuffle beyond the aggregate's.
+      val wide = ev(s, dir)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchases"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("clicks"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("errors"))
+      wide.unpivot(
+        Array(col("user_id")),
+        Array(col("purchases"), col("clicks"), col("errors")),
+        "metric", "cnt")
     }),
 
     "q23_asof_join" -> ((s, dir) => {
@@ -1272,6 +1393,14 @@ object Core {
         |QUALIFY row_number() OVER (
         |  PARTITION BY user_id ORDER BY value DESC, event_id) <= 3""".stripMargin,
 
+    "q58_window_rewrite" ->
+      """SELECT user_id, event_id, round(value, 4) AS value,
+        | CAST(row_number() OVER (
+        |  PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rn
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY value DESC, event_id) <= 3""".stripMargin,
+
     "q48_rolling_distinct" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |days AS (SELECT DISTINCT day FROM d)
@@ -1476,6 +1605,76 @@ object Core {
         |FROM d3 GROUP BY 1
         |HAVING count(chg_next) >= 20 AND stddev_samp(chg_next) IS NOT NULL
         |   AND stddev_samp(chg_next) <> 0""".stripMargin),
+
+    "q56_beta" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v_avg
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT *, lag(v_avg) OVER (PARTITION BY user_id ORDER BY day) AS prv
+        |  FROM daily),
+        |d3 AS (
+        |  SELECT user_id, day,
+        |   CASE WHEN prv IS NOT NULL AND prv <> 0
+        |        THEN (v_avg - prv) / prv * 100 END AS chg
+        |  FROM d2),
+        |d4 AS (SELECT * FROM d3 WHERE chg IS NOT NULL),
+        |m AS (SELECT day, avg(chg) AS mkt FROM d4 GROUP BY 1),
+        |j AS (SELECT d4.user_id, d4.chg, m.mkt FROM d4 JOIN m USING (day))
+        |SELECT user_id, count(*) AS n_days,
+        | round(CASE WHEN var_samp(mkt) <> 0
+        |            THEN covar_samp(chg, mkt) / var_samp(mkt) END + 1e-7, 4) + 0 AS beta,
+        | round(corr(chg, mkt) + 1e-7, 4) + 0 AS mkt_corr
+        |FROM j GROUP BY 1 HAVING count(*) >= 20""".stripMargin,
+
+    "q57_atr" ->
+      """WITH b AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |   last_value(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, day, max(value) AS high, min(value) AS low,
+        |   min(close_v) AS close
+        |  FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, day, high, low, close,
+        |   CAST(CASE WHEN lag(close) OVER w IS NULL THEN high - low
+        |        ELSE greatest(high - low,
+        |                      abs(high - lag(close) OVER w),
+        |                      abs(low - lag(close) OVER w)) END
+        |     AS DECIMAL(18,4)) AS tr_dec
+        |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day))
+        |SELECT user_id, day, round(high, 4) AS high, round(low, 4) AS low,
+        | round(close, 4) AS close, CAST(tr_dec AS DOUBLE) AS tr,
+        | round(CAST(sum(tr_dec) OVER w14 AS DOUBLE)
+        |   / count(tr_dec) OVER w14 + 1e-7, 4) + 0 AS atr_14
+        |FROM t WINDOW w14 AS (PARTITION BY user_id ORDER BY day
+        |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q59_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q60_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, 'purchases' AS metric, purchases AS cnt FROM wide
+        |UNION ALL
+        |SELECT user_id, 'clicks' AS metric, clicks AS cnt FROM wide
+        |UNION ALL
+        |SELECT user_id, 'errors' AS metric, errors AS cnt FROM wide""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (

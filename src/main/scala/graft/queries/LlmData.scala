@@ -328,6 +328,35 @@ object LlmData {
         md5(red.cast("binary")).as("redacted_fp"))
     }),
 
+    "t08_unigram_lm" -> ((s, dir) => {
+      // Perplexity-proxy quality score from a SELF-derived unigram LM:
+      // corpus token frequencies → per-token ln p(t) (8dp-pinned, the t05
+      // idf convention) → per-doc mean log-prob. Low mean log-prob =
+      // unusual token distribution — the classic cheap LM-quality filter
+      // when no external model is available. Per-term contributions are
+      // cast to DECIMAL(18,8) so the per-doc sum is exact and
+      // order-independent (a raw double sum's order differs between
+      // engines); only the final mean is rounded.
+      val d = docs(s, dir)
+      // tf feeds both the global frequency table and the scoring join
+      val tf = CacheRegistry.track(d
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .cache())
+      val freq = tf.groupBy("term").agg(sum("c").as("cnt"))
+      val total = freq.agg(sum("cnt").cast("double").as("total_tokens"))
+      val lp = freq.crossJoin(broadcast(total))
+        .select(col("term"),
+          round(log(col("cnt").cast("double") / col("total_tokens")), 8).as("lp"))
+      tf.join(lp, "term")
+        .withColumn("contrib", (col("c") * col("lp")).cast("decimal(18,8)"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tok"), sum("contrib").as("lp_sum"),
+          count(lit(1)).as("n_terms"))
+        .select(col("doc_id"), col("n_tok"), col("n_terms"),
+          r4(col("lp_sum").cast("double") / col("n_tok")).as("avg_logprob"))
+    }),
+
     "d13_stratified_sample" -> ((s, dir) => {
       // Deterministic stratified downsampling: per-lang keep rates (the
       // dominant 'en' stratum at 20%, the rest at 60% — the standard
@@ -619,6 +648,22 @@ object LlmData {
         | length(red) AS n_chars_red,
         | md5(red) AS redacted_fp
         |FROM r""".stripMargin,
+
+    "t08_unigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |freq AS (SELECT term, sum(c) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total_tokens FROM freq),
+        |lp AS (
+        |  SELECT term, round(ln(CAST(cnt AS DOUBLE) / tot.total_tokens), 8) AS lp
+        |  FROM freq, tot),
+        |j AS (
+        |  SELECT tf.doc_id, tf.c, CAST(tf.c * lp.lp AS DECIMAL(18,8)) AS contrib
+        |  FROM tf JOIN lp USING (term))
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS n_terms,
+        | round(CAST(sum(contrib) AS DOUBLE) / sum(c) + 1e-7, 4) + 0 AS avg_logprob
+        |FROM j GROUP BY 1""".stripMargin,
 
     "d13_stratified_sample" ->
       """SELECT doc_id, lang,

@@ -1,0 +1,143 @@
+package graft.plans
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for the row_number-filter → TopKPerKey optimizer rewrite and the
+  * partial (map-side) top-k pass.
+  */
+class WindowTopKRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(7L)
+
+  private def randomDf: DataFrame =
+    Seq.fill(600)((rnd.nextInt(8).toLong, rnd.nextInt(1000), rnd.nextLong()))
+      .toDF("key", "value", "id")
+
+  /** The window-formulation query every test rewrites. */
+  private def windowTopK(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("key").orderBy(col("value").desc, col("id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Evaluate `body` with the rewrite disabled (k-threshold forced to 0),
+    * yielding the plain window plan as the expected-result reference.
+    */
+  private def withoutRewrite[A](body: => A): A = {
+    spark.conf.set("spark.graft.topk.rewriteMaxK", "0")
+    try body finally spark.conf.unset("spark.graft.topk.rewriteMaxK")
+  }
+
+  TopKPerKey.installRewrite(spark)
+
+  test("rewrite fires on the row_number <= k pattern and matches the window result") {
+    val df = randomDf
+    val q = windowTopK(df, 4)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    val expected = withoutRewrite {
+      val q0 = windowTopK(df, 4)
+      assert(!q0.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      q0.as[(Long, Int, Long, Int)].collect().toSet
+    }
+    assert(q.as[(Long, Int, Long, Int)].collect().toSet == expected)
+  }
+
+  test("rewrite preserves the rank column and extra filter conjuncts") {
+    val df = randomDf
+    val w = Window.partitionBy("key").orderBy(col("value").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("rn") > 1 && col("value") < 900)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val expected = withoutRewrite {
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5 && col("rn") > 1 && col("value") < 900)
+        .as[(Long, Int, Long, Int)].collect().toSet
+    }
+    assert(q.as[(Long, Int, Long, Int)].collect().toSet == expected)
+  }
+
+  test("rewrite fires on the rn = 1 dedup shape") {
+    val df = randomDf
+    val w = Window.partitionBy("key").orderBy(col("value").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val expected = withoutRewrite {
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .as[(Long, Int, Long, Int)].collect().toSet
+    }
+    assert(q.as[(Long, Int, Long, Int)].collect().toSet == expected)
+  }
+
+  test("no rewrite when another window function shares the Window (its groups must stay whole)") {
+    val df = randomDf
+    val w = Window.partitionBy("key").orderBy(col("value").desc, col("id"))
+    val q = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ksum", sum("value").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)))
+      .filter(col("rn") <= 3)
+    assert(!q.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      q.queryExecution.executedPlan.toString)
+    // the per-key sum must be over ALL rows of the key, not the top 3
+    val sums = q.select("key", "ksum").distinct().as[(Long, Long)].collect().toMap
+    val full = df.groupBy("key").agg(sum("value")).as[(Long, Long)].collect().toMap
+    assert(sums == full)
+  }
+
+  test("no rewrite for rank(): ties may keep more than k rows") {
+    val df = Seq((1L, 10, 1L), (1L, 10, 2L), (1L, 10, 3L), (1L, 5, 4L))
+      .toDF("key", "value", "id")
+    val w = Window.partitionBy("key").orderBy(col("value").desc)
+    val q = df.withColumn("r", rank().over(w)).filter(col("r") <= 1)
+    assert(!q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(q.count() == 3) // all three tied rows survive rank() <= 1
+  }
+
+  test("partial pass plans below the exchange and is disabled by conf") {
+    val df = randomDf
+    def occurrences(s: String, sub: String): Int = s.sliding(sub.length).count(_ == sub)
+    val plan = TopKPerKey(df, Seq(col("key")), Seq(col("value"), col("id")), k = 3)
+      .queryExecution.executedPlan.toString
+    // partial + final passes, one exchange between them
+    assert(occurrences(plan, "TopKPerKey") == 2, plan)
+    assert(occurrences(plan, "Exchange") == 1, plan)
+    spark.conf.set("spark.graft.topk.partial", "false")
+    try {
+      val single = TopKPerKey(df, Seq(col("key")), Seq(col("value"), col("id")), k = 3)
+        .queryExecution.executedPlan.toString
+      assert(occurrences(single, "TopKPerKey") == 1, single)
+    } finally spark.conf.unset("spark.graft.topk.partial")
+  }
+
+  test("partial passthrough fallback (tiny threshold) stays exact") {
+    spark.conf.set("spark.graft.topk.maxRetainedRows", "4")
+    try {
+      val df = randomDf
+      val custom = TopKPerKey(df, Seq(col("key")),
+        Seq(col("value").desc, col("id")), k = 5)
+        .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+      val w = Window.partitionBy("key").orderBy(col("value").desc, col("id"))
+      val viaWindow = withoutRewrite {
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+      }
+      assert(custom == viaWindow)
+    } finally spark.conf.unset("spark.graft.topk.maxRetainedRows")
+  }
+
+  test("withRank reuses the top-k exchange for its rank window (single shuffle)") {
+    val df = randomDf
+    def occurrences(s: String, sub: String): Int = s.sliding(sub.length).count(_ == sub)
+    val plan = TopKPerKey.withRank(df, Seq(col("key")),
+      Seq(col("value").desc, col("id")), k = 3, "rn")
+      .queryExecution.executedPlan.toString
+    assert(occurrences(plan, "Exchange") == 1, plan)
+  }
+}
