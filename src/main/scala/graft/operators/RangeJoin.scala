@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe temporal range joins.
+  *
+  * A naive point-in-interval join (`p.ts BETWEEN i.start AND i.end`) has
+  * no equi-key, so Spark plans BroadcastNestedLoopJoin — O(|points| ×
+  * |intervals|) comparisons and a broadcast of one whole side; the shape
+  * that dies first at 100 TB. This operator buckets time into
+  * `bucketSec` cells and turns the range predicate into an equi-join on
+  * the cell id: each interval EXPLODES into the cells it covers, each
+  * point maps to exactly one cell, and the residual BETWEEN filter runs
+  * only within matching cells — Generate + shuffled hash join, both
+  * sides partitioned by cell.
+  *
+  * Each qualifying (point, interval) pair emerges exactly once (the
+  * point's single cell appears once in the interval's cell sequence), so
+  * no post-join dedup is needed — unlike interval×interval overlap
+  * joins, where both sides span cells.
+  *
+  * Pick `bucketSec` ≈ the typical interval length: fan-out is
+  * `len/bucket + 1` cells per interval, while cell population (and the
+  * per-cell join cost) shrinks as buckets narrow. The same technique at
+  * the day grain backs q48_rolling_distinct.
+  */
+object RangeJoin {
+
+  private def cell(c: Column, bucketUs: Long): Column =
+    (unix_micros(c.cast("timestamp")) / lit(bucketUs)).cast("long")
+
+  /** Join `points` (timestamp `pointTsCol`) to every row of `intervals`
+    * whose `[startCol, endCol]` contains it (inclusive both ends).
+    * Output columns: all of `points` then all of `intervals`; the caller
+    * keeps the two column sets disjoint.
+    */
+  def pointInInterval(
+      points: DataFrame, pointTsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val bucketUs = bucketSec * 1000000L
+    val p = points.withColumn("__cell", cell(col(pointTsCol), bucketUs))
+    val iv = intervals.withColumn("__cell",
+      explode(sequence(cell(col(startCol), bucketUs), cell(col(endCol), bucketUs))))
+    p.join(iv, Seq("__cell"))
+      .filter(col(pointTsCol) >= col(startCol) && col(pointTsCol) <= col(endCol))
+      .drop("__cell")
+  }
+}

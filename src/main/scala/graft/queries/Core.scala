@@ -929,6 +929,26 @@ object Core {
         "metric", "cnt")
     }),
 
+    "q61_range_join" -> ((s, dir) => {
+      // Temporal range join via the bucketed equi-join operator: for each
+      // error event, count the purchases (any user) inside ±30 minutes —
+      // cross-key incident correlation. RangeJoin turns the BETWEEN
+      // predicate (which Spark would plan as BroadcastNestedLoopJoin)
+      // into explode-cells + hash join on the hour cell; the 1-hour
+      // window spans ≤ 2 cells, so interval fan-out is ≤ 2×.
+      val e = ev(s, dir)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      RangeJoin.pointInInterval(purchases, "p_ts",
+          errors, "w_start", "w_end", bucketSec = 3600)
+        .groupBy("err_id")
+        .agg(count(lit(1)).as("n_purchases"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -1675,6 +1695,18 @@ object Core {
         |SELECT user_id, 'clicks' AS metric, clicks AS cnt FROM wide
         |UNION ALL
         |SELECT user_id, 'errors' AS metric, errors AS cnt FROM wide""".stripMargin,
+
+    "q61_range_join" ->
+      """WITH err AS (
+        |  SELECT event_id AS err_id,
+        |   ts - INTERVAL 30 MINUTE AS w_start,
+        |   ts + INTERVAL 30 MINUTE AS w_end
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (SELECT event_id AS p_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT err_id, count(*) AS n_purchases
+        |FROM err JOIN p ON p.p_ts >= err.w_start AND p.p_ts <= err.w_end
+        |GROUP BY 1""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (

@@ -145,6 +145,14 @@ object LlmData {
     "d08_ann_ivf" -> ((s, dir) =>
       IvfAnn.topK(emb(s, dir), nQueries = 10, k = 5, nlist = 16, nprobe = 4)),
 
+    "d15_semdedup" -> ((s, dir) =>
+      // SemDeDup-style curation verdict: inverted-list (nearest-centroid)
+      // blocking + within-list cosine >= tau, keep-lowest-id. Rows-only
+      // (like d07/d08: the centroid argmax depends on ulp-level cosine
+      // comparisons no portable SQL reproduces); differential spec
+      // asserts verdict correctness against an in-list brute force.
+      IvfAnn.semDedup(emb(s, dir), nlist = 16, tau = 0.35)),
+
     "d11_dup_clusters" -> ((s, dir) =>
       // Transitive closure of the MinHash candidate pairs: the cluster-
       // canonicalization step a real dedup pipeline runs after pairing

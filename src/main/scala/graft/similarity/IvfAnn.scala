@@ -43,6 +43,46 @@ object IvfAnn {
       .select(col("q_id"), col("qe"), col("cent_id"))
   }
 
+  /** SemDeDup-style embedding dedup (Abbas et al. 2023 pattern): block
+    * the corpus by inverted list (nearest centroid), then within each
+    * list flag every vector that has a LOWER-id neighbor with cosine ≥
+    * `tau` — the greedy keep-lowest-id canonicalization, decided by one
+    * self-equi-join on the list id. Cost is O(Σ list_size²), bounded by
+    * the quantizer: nlist grows with the corpus so list size stays
+    * ~n/nlist (at 100 TB the centroids come from an offline k-means
+    * job, exactly like [[topK]]'s quantizer stand-in).
+    *
+    * Versus d06's banded-LSH blocking: LSH bounds candidates
+    * probabilistically per signature band; inverted-list blocking bounds
+    * them geometrically per Voronoi cell — the variant every
+    * embedding-curation pipeline ships, because the same cluster
+    * assignment is reused for diversity sampling.
+    *
+    * Output: (vec_id, cent_id, is_dup) for EVERY vector — the curation
+    * verdict, not just the pairs.
+    */
+  def semDedup(embeddings: DataFrame, nlist: Int, tau: Double): DataFrame = {
+    val centroids = embeddings
+      .filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val nrm = (v: org.apache.spark.sql.Column) => sqrt(VecFns.norm2(VecFns.asDouble(v)))
+    val lists = graft.CacheRegistry.track(
+      assign(embeddings, centroids)
+        .withColumn("nrm", nrm(col("embedding")))
+        .cache())
+    val dups = lists.as("a")
+      .join(lists.as("b"),
+        col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+      .filter(
+        VecFns.dot(VecFns.asDouble(col("a.embedding")), VecFns.asDouble(col("b.embedding"))) /
+          (col("a.nrm") * col("b.nrm")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    lists.select(col("vec_id"), col("cent_id"))
+      .join(dups.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
+
   /** IVF ANN top-k: queries = vectors with vec_id < nQueries (mirroring
     * the brute-force d05 query set). Output (q_id, c_id, rank, cos).
     *

@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.sql.Timestamp
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(11L)
+  private def ts(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  test("pointInInterval matches the naive range join on random data") {
+    val base = 1700000000L * 1000000L
+    val points = Seq.tabulate(300)(i =>
+      (i.toLong, ts(base + rnd.nextInt(7200) * 1000000L)))
+      .toDF("p_id", "p_ts")
+    val intervals = Seq.tabulate(80) { i =>
+      val s = base + rnd.nextInt(7200) * 1000000L
+      (1000L + i, ts(s), ts(s + (60 + rnd.nextInt(1800)) * 1000000L))
+    }.toDF("i_id", "w_start", "w_end")
+
+    val bucketed = RangeJoin.pointInInterval(
+      points, "p_ts", intervals, "w_start", "w_end", bucketSec = 600)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSorted
+    val naive = points.join(intervals,
+      col("p_ts") >= col("w_start") && col("p_ts") <= col("w_end"))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSorted
+    assert(bucketed == naive)
+    assert(naive.nonEmpty)
+    // exactly-once: no dedup is applied, so multiplicity must match too
+    assert(bucketed.size == bucketed.distinct.size)
+  }
+
+  test("pointInInterval plans as a hash join, not BroadcastNestedLoopJoin") {
+    val points = Seq((1L, ts(1700000000L * 1000000L))).toDF("p_id", "p_ts")
+    val intervals = Seq((2L, ts(1700000000L * 1000000L), ts(1700000300L * 1000000L)))
+      .toDF("i_id", "w_start", "w_end")
+    val plan = RangeJoin.pointInInterval(
+      points, "p_ts", intervals, "w_start", "w_end", bucketSec = 600)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Generate"), plan) // the interval cell explode
+  }
+
+  test("inclusive bounds: points exactly on start/end match") {
+    val s = 1700000000L * 1000000L
+    val points = Seq((1L, ts(s)), (2L, ts(s + 600000000L)), (3L, ts(s + 600000001L)))
+      .toDF("p_id", "p_ts")
+    val intervals = Seq((9L, ts(s), ts(s + 600000000L))).toDF("i_id", "w_start", "w_end")
+    val got = RangeJoin.pointInInterval(
+      points, "p_ts", intervals, "w_start", "w_end", bucketSec = 60)
+      .select("p_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  private implicit class SortedOps(a: Array[(Long, Long)]) {
+    def toSorted: Seq[(Long, Long)] = a.toSeq.sorted
+  }
+}

@@ -37,6 +37,35 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("semDedup verdicts agree with an in-list brute force") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    // tau below d15's 0.35: the sf0.001 spec corpus tops out at cos 0.48
+    // and the differential needs both verdicts present
+    val out = IvfAnn.semDedup(e, nlist = 16, tau = 0.3)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == e.count()) // a verdict for every vector
+    assert(out.exists(_._3) && out.exists(!_._3))
+
+    // brute-force recompute: is_dup(v) <=> exists u in same list, u < v,
+    // cos(u, v) >= tau
+    val lists = out.map(r => r._1 -> r._2).toMap
+    val vecs = e.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byList = lists.keys.groupBy(lists)
+    out.foreach { case (v, c, dup) =>
+      val expected = byList(c).exists(u => u < v && cos(vecs(u), vecs(v)) >= 0.3 - 1e-9)
+      // 1e-9 slack: spec-side cosine sums in a different order than the
+      // codegen'd dot; only exact-boundary vectors could flip, none exist
+      assert(dup == expected, s"vec $v list $c: got $dup expected $expected")
+    }
+  }
+
   test("ANN variants recall against brute-force top-5") {
     val exact = LlmData.defs("d05_cosine_topk")(spark, sfDir)
       .select("q_id", "c_id").as[(Long, Long)].collect().toSet
