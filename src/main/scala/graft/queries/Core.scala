@@ -949,6 +949,23 @@ object Core {
         .agg(count(lit(1)).as("n_purchases"))
     }),
 
+    "q62_correlated" -> ((s, dir) => {
+      // Correlated scalar subquery (the TPC-H Q2 min-per-group shape),
+      // written as SQL so Catalyst's decorrelation runs: the subquery
+      // rewrites to a per-partkey aggregate + join (never a per-row
+      // re-execution — plan shows Aggregate + Join, no nested loops).
+      // Raw 2dp money values pass through unrounded: the predicate is
+      // pure equality, no arithmetic to create parity ties.
+      li(s, dir).createOrReplaceTempView("q62_li")
+      s.sql(
+        """SELECT l_partkey, l_orderkey, l_linenumber,
+          |       l_extendedprice AS price
+          |FROM q62_li
+          |WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+          |                         FROM q62_li l2
+          |                         WHERE l2.l_partkey = q62_li.l_partkey)""".stripMargin)
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -1707,6 +1724,14 @@ object Core {
         |SELECT err_id, count(*) AS n_purchases
         |FROM err JOIN p ON p.p_ts >= err.w_start AND p.p_ts <= err.w_end
         |GROUP BY 1""".stripMargin,
+
+    "q62_correlated" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber,
+        |       l_extendedprice AS price
+        |FROM lineitem
+        |WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (

@@ -91,12 +91,23 @@ object Ingest {
     exploded.select(keep ++ elemFields.map(f => col(s"$alias.$f").as(s"${alias}_$f")): _*)
   }
 
-  /** Partitioned parquet write: directory layout `col1=v/col2=v/...`,
+  /** Partitioned columnar write: directory layout `col1=v/col2=v/...`,
     * prunable by any engine mounting the path (Hive/Trino/DuckDB/Spark).
+    * `format` is any columnar source Spark ships ("parquet" default,
+    * "orc" for ORC-native lakes); Delta would slot in the same way but
+    * its jars don't ship in this offline environment (see SURVEY §8).
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
-                       mode: String = "overwrite"): Unit =
-    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+                       mode: String = "overwrite", format: String = "parquet"): Unit =
+    df.write.mode(mode).format(format).partitionBy(partitionCols: _*).save(path)
+
+  /** Schema-enforced ORC read — the second columnar lake format next to
+    * parquet; same pruning/pushdown contract (`PushedFilters` in the
+    * scan), no corrupt-record channel (ORC is self-describing binary —
+    * unreadable stripes fail loudly rather than quarantining).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 
   /** Year/month-partitioned write of a timestamped frame — the
     * reference's standard lake layout (derives the partition columns,

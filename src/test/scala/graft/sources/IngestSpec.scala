@@ -83,6 +83,31 @@ class IngestSpec extends SparkSpec {
     assert(scan.partitionFilters.nonEmpty)
   }
 
+  test("ORC round-trip: partitioned write, schema-enforced read, pushdown intact") {
+    val dir = Files.createTempDirectory("ingest-orc").toString
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), 10.0),
+      (2L, java.sql.Timestamp.valueOf("2024-02-15 00:00:00"), 20.0),
+      (3L, java.sql.Timestamp.valueOf("2024-02-16 00:00:00"), 30.0)
+    ).toDF("id", "ts", "v")
+    Ingest.writePartitioned(
+      df.withColumn("month", org.apache.spark.sql.functions.month(col("ts"))),
+      dir, Seq("month"), format = "orc")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("month", org.apache.spark.sql.types.IntegerType)))
+    val back = Ingest.readOrc(spark, dir, schema)
+    assert(back.count() == 3)
+    assert(back.filter(col("month") === 2).count() == 2)
+    // predicate pushdown reaches the ORC scan
+    val q = back.filter(col("v") > 15.0).select("id")
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,15.0)"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("graft_dot is callable from SQL after registration") {
     GraftExtensions.register(spark)
     val out = spark.sql(
