@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSim, DotProduct}
+import graft.functions.{CosineSim, DotProduct, HeavyHitters}
 import org.apache.spark.sql.graftshim.Shim
 
 /** Session extension entry point: registers graft's native expressions as
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.cosineFunction)
+    ext.injectFunction(GraftExtensions.heavyHittersFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // pre-CBO: runs AFTER the default optimizer batches, so it sees (and
     // replaces) an InferWindowGroupLimit-inserted WindowGroupLimit child
@@ -64,11 +65,30 @@ object GraftExtensions {
     (FunctionIdentifier("graft_cosine"), cosineInfo,
       exprs => CosineSim(toDoubleArray(exprs(0)), toDoubleArray(exprs(1))))
 
+  private val hhInfo = new ExpressionInfo(
+    classOf[HeavyHitters].getName, null, "graft_heavy_hitters",
+    "graft_heavy_hitters(s, capacity, emit) - mergeable Misra-Gries " +
+      "heavy-hitters sketch over a string column", "")
+
+  private def hhBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval().asInstanceOf[Number].intValue
+    HeavyHitters(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
+  }
+
+  val heavyHittersFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression) =
+    (FunctionIdentifier("graft_heavy_hitters"), hhInfo, hhBuilder)
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     Shim.registerFunction(spark, "graft_dot", dotInfo,
       exprs => DotProduct(toDoubleArray(exprs(0)), toDoubleArray(exprs(1))))
     Shim.registerFunction(spark, "graft_cosine", cosineInfo,
       exprs => CosineSim(toDoubleArray(exprs(0)), toDoubleArray(exprs(1))))
+    Shim.registerFunction(spark, "graft_heavy_hitters", hhInfo, hhBuilder)
   }
 }

@@ -365,6 +365,19 @@ object LlmData {
           r4(col("lp_sum").cast("double") / col("n_tok")).as("avg_logprob"))
     }),
 
+    "t09_heavy_hitters" -> ((s, dir) =>
+      // Dominant corpus tokens via the custom Misra-Gries aggregate
+      // (functions/HeavyHitters): O(capacity) state per partial buffer
+      // instead of a full-vocabulary shuffle. Rows-only (estimates depend
+      // on the partition layout by construction); the spec asserts the
+      // sketch guarantees against exact counts.
+      docs(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+        .agg(graft.functions.HeavyHitters
+          .heavyHitters(col("term"), capacity = 64, emit = 20).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.term").as("term"), col("h.est").as("est"))),
+
     "d13_stratified_sample" -> ((s, dir) => {
       // Deterministic stratified downsampling: per-lang keep rates (the
       // dominant 'en' stratum at 20%, the rest at 60% — the standard
