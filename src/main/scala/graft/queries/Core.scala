@@ -966,6 +966,40 @@ object Core {
           |                         WHERE l2.l_partkey = q62_li.l_partkey)""".stripMargin)
     }),
 
+    "q63_returned_topk" -> ((s, dir) => {
+      // TPC-H Q10 shape: revenue from RETURNED items per customer, top
+      // 20. Fact-fact join shuffles on orderkey, then custkey; the limit
+      // plans as TakeOrderedAndProject (per-partition top-20 heaps, never
+      // a global sort). revenue ties broken by c_custkey so the LIMIT
+      // boundary is deterministic cross-engine.
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      li(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), revDec.as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(r2d(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    "q64_promo_share" -> ((s, dir) => {
+      // TPC-H Q14 shape: promo revenue share — two conditional exact-
+      // decimal sums over the fact table with the part dim broadcast;
+      // the share divides the ROUNDED doubles (mirrored in the oracle)
+      // so the ratio is bit-identical cross-engine.
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+      li(s, dir).select(col("l_partkey"), revDec.as("rev"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          r2d(sum(when(col("is_promo"), col("rev")))).as("promo_rev"),
+          r2d(sum(col("rev"))).as("total_rev"))
+        .select(col("promo_rev"), col("total_rev"),
+          r4e(col("promo_rev") / col("total_rev") * 100.0).as("promo_share"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -1732,6 +1766,29 @@ object Core {
         |WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
         |                         FROM lineitem l2
         |                         WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q63_returned_topk" ->
+      """SELECT c.c_custkey, c.c_name,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q64_promo_share" ->
+      """WITH a AS (
+        |  SELECT
+        |   CAST(round(sum(CASE WHEN p_type = 'PROMO'
+        |     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 2) AS DOUBLE) AS promo_rev,
+        |   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT promo_rev, total_rev,
+        | round(promo_rev / total_rev * 100 + 1e-7, 4) + 0 AS promo_share
+        |FROM a""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (
