@@ -73,9 +73,22 @@ object GraftExtensions {
   private def hhBuilder(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.expressions.Expression = {
-    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
-      e.eval().asInstanceOf[Number].intValue
-    HeavyHitters(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
+    require(exprs.length == 3,
+      "graft_heavy_hitters(s, capacity, emit) takes exactly 3 arguments")
+    // capacity/emit must be non-null integer literals: a column reference
+    // would throw an internal error from eval(), and a NULL literal an
+    // NPE — surface a readable analysis-time message instead
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+               name: String): Int = {
+      require(e.foldable,
+        s"graft_heavy_hitters: $name must be an integer literal, got ${e.sql}")
+      e.eval() match {
+        case n: Number => n.intValue
+        case other => throw new IllegalArgumentException(
+          s"graft_heavy_hitters: $name must be a non-null integer literal, got $other")
+      }
+    }
+    HeavyHitters(exprs(0), intLit(exprs(1), "capacity"), intLit(exprs(2), "emit"))
   }
 
   val heavyHittersFunction: (FunctionIdentifier, ExpressionInfo,

@@ -77,6 +77,20 @@ object Shim {
     }
   }
 
+  /** Expose what a `SparkSessionExtensions` instance would contribute to
+    * a session (the build* methods are `private[sql]`) — lets specs
+    * verify the extension-point wiring (pre-CBO rules, planner
+    * strategies) without tearing down the shared test session to build a
+    * fresh one with `spark.sql.extensions` set.
+    */
+  def extensionContributions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession):
+      (Seq[org.apache.spark.sql.catalyst.rules.Rule[
+         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]],
+       Seq[org.apache.spark.sql.execution.SparkStrategy]) =
+    (ext.buildPreCBORules(spark), ext.buildPlannerStrategies(spark))
+
   /** A spill-capable row sorter over `output` rows under `sortOrder` —
     * the exact construction `SortExec.createSorter` uses (radix/prefix
     * sort when the leading key supports it, `TaskMemoryManager`-accounted

@@ -27,8 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private def cell(c: Column, bucketUs: Long): Column =
-    (unix_micros(c.cast("timestamp")) / lit(bucketUs)).cast("long")
+  /** Exact floor-division cell id on LONG microseconds, via a temp
+    * column so the SQL `div` operator (exact integral division) applies:
+    * `us - pmod(us, b)` is the exact floor multiple (pmod is
+    * non-negative, so this floors for pre-1970 timestamps too). A
+    * double-valued `/` would round above 2^53 µs and could mis-bucket
+    * boundary-adjacent rows.
+    */
+  private def withCell(df: DataFrame, src: Column, out: String,
+                       bucketUs: Long): DataFrame = {
+    val tmp = s"${out}_us"
+    df.withColumn(tmp, unix_micros(src.cast("timestamp")))
+      .withColumn(out, expr(s"($tmp - pmod($tmp, ${bucketUs}L)) div ${bucketUs}L"))
+      .drop(tmp)
+  }
 
   /** Join `points` (timestamp `pointTsCol`) to every row of `intervals`
     * whose `[startCol, endCol]` contains it (inclusive both ends).
@@ -41,9 +53,11 @@ object RangeJoin {
       bucketSec: Long): DataFrame = {
     require(bucketSec > 0, "bucketSec must be positive")
     val bucketUs = bucketSec * 1000000L
-    val p = points.withColumn("__cell", cell(col(pointTsCol), bucketUs))
-    val iv = intervals.withColumn("__cell",
-      explode(sequence(cell(col(startCol), bucketUs), cell(col(endCol), bucketUs))))
+    val p = withCell(points, col(pointTsCol), "__cell", bucketUs)
+    val iv = withCell(withCell(intervals,
+        col(startCol), "__c0", bucketUs), col(endCol), "__c1", bucketUs)
+      .withColumn("__cell", explode(sequence(col("__c0"), col("__c1"))))
+      .drop("__c0", "__c1")
     p.join(iv, Seq("__cell"))
       .filter(col(pointTsCol) >= col(startCol) && col(pointTsCol) <= col(endCol))
       .drop("__cell")

@@ -589,7 +589,12 @@ object Core {
       // rule installed: Catalyst plans it as the partial+final
       // bounded-heap operator (plan spec-asserted in
       // WindowTopKRewriteSpec), while the result stays the exact window
-      // answer the oracle checks, rank column included.
+      // answer the oracle checks, rank column included. installRewrite is
+      // session-wide and stays on — the library's default posture
+      // (GraftExtensions injects the same rule); the rewrite is
+      // semantics-preserving, so later queries only change plan, and
+      // specs that need the PLAIN window plan as a reference disable it
+      // via spark.graft.topk.rewriteMaxK=0.
       graft.plans.TopKPerKey.installRewrite(s)
       val w = Window.partitionBy("user_id")
         .orderBy(col("value").desc, col("event_id"))
@@ -837,12 +842,16 @@ object Core {
       val nn = (c: Column) => when(isnan(c), lit(null)).otherwise(c)
       val w = Window.partitionBy("user_id").orderBy("day")
       val prev = lag(col("v_avg"), 1).over(w)
-      val d = daily(s, dir)
+      // cache: d feeds both the market aggregate and the join — without
+      // it the whole scan+agg+window pipeline evaluates twice (the t05
+      // lesson; CacheRegistry hands release to Verify/Bench)
+      val d = graft.CacheRegistry.track(daily(s, dir)
         .withColumn("chg",
           when(prev.isNotNull && prev =!= 0.0,
             (col("v_avg") - prev) / prev * 100.0))
         .filter(col("chg").isNotNull)
         .select("user_id", "day", "chg")
+        .cache())
       val mkt = d.groupBy("day").agg(avg("chg").as("mkt"))
       d.join(broadcast(mkt), "day")
         .groupBy("user_id")

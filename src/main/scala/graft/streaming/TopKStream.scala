@@ -29,8 +29,21 @@ object TopKStream {
 
   case class Ranked(user_id: Long, rank: Int, event_id: Long, value: Double)
 
-  /** value DESC, event_id ASC — mirrors q50's TopKPerKey ordering. */
-  private val ord: Ordering[Entry] = Ordering.by(e => (-e.value, e.event_id))
+  /** value DESC, event_id ASC — mirrors q50's TopKPerKey ordering with
+    * Spark SQL's double semantics: NaN sorts as the LARGEST value (rank 1
+    * under DESC) and -0.0 == +0.0 (tie falls through to event_id). A
+    * naive `Ordering.by(-value)` breaks both: -NaN is still NaN (sorts
+    * last) and -(-0.0) > -(+0.0).
+    */
+  private val ord: Ordering[Entry] = new Ordering[Entry] {
+    override def compare(a: Entry, b: Entry): Int = {
+      val va = if (a.value == 0.0) 0.0 else a.value // maps -0.0 to +0.0
+      val vb = if (b.value == 0.0) 0.0 else b.value
+      // Double.compare: NaN greater than everything, so DESC = reversed
+      val c = java.lang.Double.compare(vb, va)
+      if (c != 0) c else java.lang.Long.compare(a.event_id, b.event_id)
+    }
+  }
 
   private[streaming] def updateUser(k: Int)(
       userId: Long, events: Iterator[Event],

@@ -13,6 +13,16 @@ class TopKPerKeySpec extends SparkSpec {
 
   private val rnd = new Random(42L)
 
+  /** Evaluate a window-formulation REFERENCE with the WindowTopKRewrite
+    * disabled (k-threshold 0): another suite may have installed the
+    * rewrite on the shared session, which would otherwise turn these
+    * differentials into operator-vs-operator tautologies.
+    */
+  private def asPlainWindow[A](body: => A): A = {
+    spark.conf.set("spark.graft.topk.rewriteMaxK", "0")
+    try body finally spark.conf.unset("spark.graft.topk.rewriteMaxK")
+  }
+
   test("TopKPerKey equals the window row_number formulation on random data") {
     for (_ <- 1 to 3) {
       val df = Seq.fill(500)((rnd.nextInt(7).toLong, rnd.nextInt(1000), rnd.nextLong()))
@@ -22,9 +32,11 @@ class TopKPerKeySpec extends SparkSpec {
         Seq(col("value").desc, col("id")), k = 5)
         .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
       val w = Window.partitionBy("key").orderBy(col("value").desc, col("id"))
-      val viaWindow = df.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+      val viaWindow = asPlainWindow {
+        val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        assert(!q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        q.select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+      }
       assert(custom == viaWindow)
     }
   }
@@ -51,10 +63,12 @@ class TopKPerKeySpec extends SparkSpec {
         .select("key", "value", "id")
         .as[(Option[Long], Option[Int], Long)].collect().toSet
       val w = Window.partitionBy("key").orderBy(col("value").desc_nulls_last, col("id"))
-      val viaWindow = df.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 4)
-        .select("key", "value", "id")
-        .as[(Option[Long], Option[Int], Long)].collect().toSet
+      val viaWindow = asPlainWindow {
+        df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4)
+          .select("key", "value", "id")
+          .as[(Option[Long], Option[Int], Long)].collect().toSet
+      }
       assert(custom == viaWindow)
     }
   }
@@ -68,8 +82,10 @@ class TopKPerKeySpec extends SparkSpec {
     val custom = TopKPerKey(df, Seq(col("key")), Seq(col("value"), col("id")), k = 3)
       .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
     val w = Window.partitionBy("key").orderBy(col("value"), col("id"))
-    val viaWindow = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-      .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+    val viaWindow = asPlainWindow {
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+    }
     assert(custom == viaWindow)
   }
 
@@ -90,9 +106,11 @@ class TopKPerKeySpec extends SparkSpec {
           Seq(col("value").desc, col("id")), k = 5)
           .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
         val w = Window.partitionBy("key").orderBy(col("value").desc, col("id"))
-        val viaWindow = df.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+        val viaWindow = asPlainWindow {
+          df.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 5)
+            .select("key", "value", "id").as[(Long, Int, Long)].collect().toSet
+        }
         assert(custom == viaWindow)
       }
     }
@@ -123,10 +141,12 @@ class TopKPerKeySpec extends SparkSpec {
     // the identical latest-row-per-key answer
     val df = Seq.tabulate(2000)(i => (i.toLong / 2, i, s"p$i"))
       .toDF("key", "seq", "payload")
-    val expected = df.withColumn("rn",
-        row_number().over(Window.partitionBy("key").orderBy(col("seq").desc)))
-      .filter(col("rn") === 1).select("key", "seq", "payload")
-      .as[(Long, Int, String)].collect().toSet
+    val expected = asPlainWindow {
+      df.withColumn("rn",
+          row_number().over(Window.partitionBy("key").orderBy(col("seq").desc)))
+        .filter(col("rn") === 1).select("key", "seq", "payload")
+        .as[(Long, Int, String)].collect().toSet
+    }
     val out = withTinySpillThreshold {
       TopKPerKey(df, Seq(col("key")), Seq(col("seq").desc), k = 1)
         .select("key", "seq", "payload").as[(Long, Int, String)].collect().toSet
@@ -140,8 +160,10 @@ class TopKPerKeySpec extends SparkSpec {
       val df = Seq.tabulate(300)(i => (i.toLong % 5, i, "x" * 200))
         .toDF("key", "seq", "pad")
       val w = Window.partitionBy("key").orderBy(col("seq").desc)
-      val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select("key", "seq").as[(Long, Int)].collect().toSet
+      val expected = asPlainWindow {
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select("key", "seq").as[(Long, Int)].collect().toSet
+      }
       val out = TopKPerKey(df, Seq(col("key")), Seq(col("seq").desc), k = 3)
         .select("key", "seq").as[(Long, Int)].collect().toSet
       assert(out == expected)

@@ -100,9 +100,11 @@ class WindowTopKRewriteSpec extends SparkSpec {
     assert(q.count() == 3) // all three tied rows survive rank() <= 1
   }
 
+  private def occurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
   test("partial pass plans below the exchange and is disabled by conf") {
     val df = randomDf
-    def occurrences(s: String, sub: String): Int = s.sliding(sub.length).count(_ == sub)
     val plan = TopKPerKey(df, Seq(col("key")), Seq(col("value"), col("id")), k = 3)
       .queryExecution.executedPlan.toString
     // partial + final passes, one exchange between them
@@ -132,9 +134,20 @@ class WindowTopKRewriteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxRetainedRows")
   }
 
+  test("GraftExtensions wires the preCBO rule and planner strategy at session build") {
+    // the spark.sql.extensions path can't be exercised on the shared
+    // session (extensions apply only at session creation), so assert the
+    // contributions directly
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions()(ext)
+    val (rules, strategies) =
+      org.apache.spark.sql.graftshim.Shim.extensionContributions(ext, spark)
+    assert(rules.contains(WindowTopKRewrite), rules.map(_.ruleName))
+    assert(strategies.contains(TopKPerKeyStrategy), strategies)
+  }
+
   test("withRank reuses the top-k exchange for its rank window (single shuffle)") {
     val df = randomDf
-    def occurrences(s: String, sub: String): Int = s.sliding(sub.length).count(_ == sub)
     val plan = TopKPerKey.withRank(df, Seq(col("key")),
       Seq(col("value").desc, col("id")), k = 3, "rn")
       .queryExecution.executedPlan.toString
