@@ -1009,6 +1009,31 @@ object Core {
           r4e(col("promo_rev") / col("total_rev") * 100.0).as("promo_share"))
     }),
 
+    "q65_big_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: large-volume orders — per-order quantity
+      // aggregate cut by a HAVING filter, then joined back to the orders
+      // and customer dims. Distinct from q33 (Q17: per-group scalar
+      // joined back to the FACT rows): here the aggregate itself is the
+      // driving side and the HAVING cut runs BEFORE the dimension joins,
+      // so only the surviving sliver of orders is ever joined — at scale
+      // the expensive shuffle is the one orderkey hash-agg (map-side
+      // combinable); the post-filter join input is tiny and AQE picks
+      // broadcast for it. Top-100 plans as TakeOrderedAndProject.
+      val big = li(s, dir).groupBy("l_orderkey")
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("order_date"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -1798,6 +1823,20 @@ object Core {
         |SELECT promo_rev, total_rev,
         | round(promo_rev / total_rev * 100 + 1e-7, 4) + 0 AS promo_share
         |FROM a""".stripMargin,
+
+    "q65_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        | CAST(o.o_orderdate AS DATE) AS order_date, o.o_totalprice, b.total_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (

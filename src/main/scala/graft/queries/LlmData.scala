@@ -167,15 +167,18 @@ object LlmData {
       // doc), the standard n-gram-overlap check run before pretraining.
       // The benchmark's distinct 8-gram hashes are broadcast (eval sets
       // are tiny vs the corpus); one equi-join + count per doc — the
-      // corpus side is never self-joined.
-      // cache: the hashed 8-gram stream feeds both the benchmark-set
-      // derivation and the corpus probe side — without it the explode+md5
-      // (the expensive part) evaluates twice
-      val sh = CacheRegistry.track(HashFns.explodedNgrams(docs(s, dir), 8)
-        .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
-        .cache())
-      val bench = sh.filter(col("doc_id") % 50 === 0).select("h").distinct()
-      sh.filter(col("doc_id") % 50 =!= 0)
+      // corpus side is never self-joined. Filter-before-explode: the
+      // doc_id % 50 split pushes to the parquet scan on BOTH sides, so
+      // the benchmark derivation explodes only ~2% of docs and the
+      // corpus 8-gram stream is produced exactly once and never cached
+      // (materializing the full corpus n-gram stream is a non-starter
+      // at 100 TB; the probe side stays a streamed scan→explode→join).
+      val base = docs(s, dir)
+      def grams(df: DataFrame): DataFrame =
+        HashFns.explodedNgrams(df, 8)
+          .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+      val bench = grams(base.filter(col("doc_id") % 50 === 0)).select("h").distinct()
+      grams(base.filter(col("doc_id") % 50 =!= 0))
         .join(broadcast(bench), "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"))
