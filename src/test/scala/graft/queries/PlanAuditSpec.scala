@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape audit over the entire query surface — the scale guards
+  * from the round-3 manual audit, kept green permanently: an accidental
+  * CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside the
+  * allowlisted deliberate tiny-broadcast cross joins, fails the build.
+  *
+  * Uses the pre-AQE physical plan (`queryExecution.sparkPlan`): that is
+  * the statically declared shape — AQE can only improve on it at
+  * runtime, never introduce a new nested-loop join.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose plans deliberately broadcast a provably tiny side
+    * into a non-equi/cross join: a handful of query vectors, 16 coarse
+    * centroids, or a single anchor/total row. Each is O(tiny × n), not
+    * O(n²) — reviewed individually; everything else must plan as a
+    * hash / sort-merge / broadcast-HASH join.
+    */
+  private val nljAllowed: Set[String] = Set(
+    "d05_cosine_topk",      // broadcast query-vector set (50 rows) × corpus
+    "d08_ann_ivf",          // broadcast coarse quantizer (16 centroids)
+    "q11_weighted_recency", // broadcast 1-row max-ts anchor
+    "q24_recent_perf",      // broadcast 1-row max-day anchor
+    "q39_market_summary",   // broadcast 1-row max-day anchor
+    "q40_bullish_filter",   // broadcast 1-row max-day anchor
+    "t05_tfidf",            // broadcast 1-row n_docs scalar
+    "t08_unigram_lm")       // broadcast 1-row corpus-total scalar
+
+  private def nodeNames(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.sparkPlan.collect { case p => p.nodeName }
+  }
+
+  test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only where allowlisted") {
+    val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val nodes = nodeNames(name)
+      val cart = if (nodes.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val bnlj =
+        if (nodes.exists(_.startsWith("BroadcastNestedLoopJoin")) && !nljAllowed(name))
+          Seq(s"$name: BroadcastNestedLoopJoin (not allowlisted)")
+        else Nil
+      cart ++ bnlj
+    }
+    assert(violations.isEmpty, s"plan-shape violations:\n${violations.mkString("\n")}")
+  }
+
+  test("allowlist has no stale entries") {
+    val stale = nljAllowed.filter { name =>
+      !nodeNames(name).exists(_.startsWith("BroadcastNestedLoopJoin"))
+    }
+    assert(stale.isEmpty, s"allowlisted queries no longer plan a BNLJ: $stale")
+  }
+}
