@@ -1034,6 +1034,22 @@ object Core {
         .limit(100)
     }),
 
+    "q66_salted_agg" -> ((s, dir) => {
+      // Skew-mitigation surface, oracle-checked: two-phase salted
+      // aggregation over event_type — the canonical hot-key shape (a
+      // handful of types, millions of rows each at scale, so an unsalted
+      // shuffle sends each type to ONE reducer and the hottest straggles).
+      // Phase 1 groups by (type, salt-of-event_id) spreading every type
+      // over 32 buckets; phase 2 combines partials by type. DECIMAL
+      // values make the salted sum bit-identical to the unsalted oracle
+      // GROUP BY regardless of accumulation order (Skew scaladoc).
+      val e = ev(s, dir).select(
+        col("event_type"), dec4(col("value")).as("v"), col("event_id"))
+      Skew.saltedSumCount(e, Seq("event_type"), "v", col("event_id"), 32)
+        .select(col("event_type"),
+          col("sum_v").cast("double").as("sum_v"), col("n"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -1837,6 +1853,12 @@ object Core {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q66_salted_agg" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+        | count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (

@@ -62,17 +62,24 @@ object EventStream {
     * bounded frames (batch parity testable).
     */
   def purchaseClickJoin(events: DataFrame, within: String = "1 hour",
-                        watermark: String = "2 hours"): DataFrame = {
+                        watermark: String = "2 hours",
+                        joinType: String = "inner"): DataFrame = {
     def wm(df: DataFrame, tsCol: String): DataFrame =
       if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
     val purchases = wm(events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts")), "p_ts")
     val clicks = wm(events.filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts")), "c_ts")
+    // joinType "left_outer": unmatched purchases emit (null click) — in
+    // streaming mode only once the watermark passes the purchase's join
+    // range (the engine must be sure no matching click can still arrive),
+    // so the stream tail is withheld by contract; matched pairs emit
+    // immediately either way. Batch input degrades to a plain left join.
     purchases.join(clicks,
       col("user_id") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $within"))
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $within"),
+      joinType)
       .select(col("p_id"), col("user_id"), col("c_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }

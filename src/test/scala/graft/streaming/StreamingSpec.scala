@@ -137,6 +137,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join: matched pairs equal the inner join; watermark-released null rows agree with batch") {
+    val dir = Files.createTempDirectory("ssloj").toString
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.purchaseClickJoin(EventStream.read(spark, dir), joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssloj_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ssloj_out")
+    val batchOuter = EventStream.purchaseClickJoin(
+      Tables.events(spark, sfDir), joinType = "left_outer")
+
+    // Matched pairs emit immediately — exactly the inner join, both modes.
+    val streamedMatched = streamed.filter("c_id IS NOT NULL")
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    val batchInner = EventStream.purchaseClickJoin(Tables.events(spark, sfDir))
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(streamedMatched == batchInner)
+
+    // Null rows emit only once the watermark clears the purchase's join
+    // range, so streaming emits a (non-strict) subset of the batch null
+    // rows — and for this bounded input, a non-empty one.
+    val streamedNulls = streamed.filter("c_id IS NULL")
+      .select("p_id").as[Long].collect().toSet
+    val batchNulls = batchOuter.filter("c_id IS NULL")
+      .select("p_id").as[Long].collect().toSet
+    assert(streamedNulls.nonEmpty)
+    assert(streamedNulls.subsetOf(batchNulls))
+    // and every purchase appears in the batch outer result exactly once
+    // per matching click, plus once when unmatched
+    assert(batchOuter.count() == batchInner.size + batchNulls.size)
+  }
+
   test("batch sessionize query agrees with the stateful Sessionize operator") {
     // q32 emits every session; batch-mode Sessionize emits all but the
     // final open session per user — so counts differ by #users.
