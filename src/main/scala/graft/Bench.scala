@@ -11,6 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.setup(spark)
     // Materialize EVERY output column, not .count(): count(1) lets Catalyst
     // prune unreferenced projections/window expressions, under-measuring the
     // work the verify path actually does. queryExecution.toRdd evaluates the
@@ -21,35 +22,48 @@ object Bench {
     // Warm up the session (JIT, codegen, parquet footer reads) so the
     // first timed query doesn't absorb one-time JVM startup cost.
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    // Best-of-2 per query with the cache cleared between queries: single
-    // shots on a shared box are noisy (GC, page cache, JIT), and leaked
-    // .cache() blocks from one query must not distort the next.
+    // Per query: one untimed warmup run, then median of 3 timed runs, with
+    // caches cleared between runs. Single shots on a shared box swing 2-10x
+    // (GC, page cache, JIT recompiles); best-of-2 still mirrored that noise
+    // across rounds, median-of-3 after a warmup is stable enough for
+    // round-over-round comparison. Leaked .cache() blocks from one run must
+    // not distort the next, hence the release between every run.
+    def clear(): Unit = { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        CacheRegistry.releaseAll()
-        spark.catalog.clearCache()
+      clear()
+      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      val times = (1 to 3).map { _ =>
+        clear()
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times.sorted.apply(1)
     }
-    // One machine-readable line. Keep it SHORT (3dp per query) and flat:
-    // the consumer tails process output, so a multi-KB line risks the line
-    // start falling outside the tail window. Also persisted to
-    // BENCH_LOCAL.json since stdout can interleave with launcher logs.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val line =
+    // The sf dir name carries the scale factor; a silent 0 fallback would
+    // mislabel every downstream comparison, so unrecognized dirs fail loudly.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(
+      sys.error(s"SPARK_GRAFT_SF_DIR '$sfDir' does not contain an sf<number> component"))
+    // The per-query map makes the detailed line multi-KB; the consumer tails
+    // process output and a long line's START can fall outside the tail
+    // window, making it unparseable. So: detailed line first (and persisted
+    // to BENCH_LOCAL.json, since stdout interleaves with launcher logs),
+    // then a SHORT total-only line as the LAST stdout output — that one is
+    // what the driver must always be able to parse.
+    val detailed =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
-    println(line)
+    val short =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (detailed + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    println(detailed)
+    println(short)
     spark.stop()
   }
 }

@@ -1,8 +1,8 @@
 package graft
 
 import scala.collection.mutable
+import scala.util.control.NonFatal
 
-import org.apache.spark.SparkContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -16,30 +16,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * action(s), then call [[CacheRegistry.releaseAll]] (the Verify/Bench
   * harnesses do this between queries).
   *
-  * Entries are scoped by the owning [[SparkSession]] (for RDDs, by their
-  * [[SparkContext]]): `releaseAll(spark)` only unpersists caches created
-  * through that session, so one harness thread cannot evict blocks a
-  * concurrently running query on another session still depends on. The
-  * no-argument `releaseAll()` drops every tracked entry regardless of
-  * owner — correct only in the single-driver-thread, single-session
-  * harness shape (Verify/Bench), which is the documented assumption for
-  * that overload. Release is explicit and idempotent; re-registering
-  * after release is fine.
+  * Entries are scoped by the owning [[SparkSession]], recorded explicitly
+  * at track time and matched by `sessionUUID` — a stable identifier, so
+  * `releaseAll(spark)` works even when the caller holds a different
+  * instance of the same logical session than the one the frame was built
+  * with (e.g. `SparkSession.active` inside an operator). RDD entries
+  * carry the same explicit owner: a `SparkContext` is shared across
+  * `newSession`/`cloneSession` siblings, so context identity could not
+  * distinguish their caches. One harness thread therefore cannot evict
+  * blocks a concurrently running query on another session still depends
+  * on. The no-argument `releaseAll()` drops every tracked entry
+  * regardless of owner — correct only in the single-driver-thread,
+  * single-session harness shape (Verify/Bench), which is the documented
+  * assumption for that overload. Release is explicit and idempotent;
+  * re-registering after release is fine.
   *
   * `localCheckpoint` storage is RDD-level and invisible to
   * `spark.catalog.clearCache()`, which is why RDDs are trackable here too.
   */
 object CacheRegistry {
-  private val frames = mutable.Buffer.empty[(SparkSession, DataFrame)]
-  private val rdds = mutable.Buffer.empty[RDD[_]]
+  private val frames = mutable.Buffer.empty[(String, DataFrame)]
+  private val rdds = mutable.Buffer.empty[(String, RDD[_])]
 
-  /** Track a frame the library cached; returns it for chaining. */
+  // sessionUUID is private[sql]; reached through the graftshim bridge
+  private def uuidOf(s: SparkSession): String =
+    org.apache.spark.sql.graftshim.Shim.sessionUUID(s)
+
+  /** Track a frame the library cached; returns it for chaining. Owner is
+    * the frame's own session.
+    */
   def track(df: DataFrame): DataFrame = synchronized {
-    frames += ((df.sparkSession, df)); df
+    frames += ((uuidOf(df.sparkSession), df)); df
   }
 
-  /** Track a persisted RDD (e.g. the backing RDD of a localCheckpoint). */
-  def trackRdd(rdd: RDD[_]): Unit = synchronized { rdds += rdd }
+  /** Track a persisted RDD (e.g. the backing RDD of a localCheckpoint)
+    * with its owning session, passed explicitly because an RDD only knows
+    * its SparkContext — shared across `newSession` siblings, so not
+    * enough to attribute ownership.
+    */
+  def trackRdd(rdd: RDD[_], owner: SparkSession): Unit = synchronized {
+    rdds += ((uuidOf(owner), rdd))
+  }
+
+  // Unpersist must not abort cleanup on a flaky entry (e.g. a stopped
+  // context), but fatal errors (OOM, interrupts) must propagate.
+  private def quietly(u: => Unit): Unit =
+    try u catch { case NonFatal(_) => () }
 
   /** Unpersist everything the library cached since the last release,
     * regardless of owning session. Single-driver-thread harness use only
@@ -48,26 +70,22 @@ object CacheRegistry {
     * asynchronously, safe to continue submitting jobs.
     */
   def releaseAll(): Unit = synchronized {
-    frames.foreach { case (_, f) =>
-      try f.unpersist(false) catch { case _: Throwable => () }
-    }
+    frames.foreach { case (_, f) => quietly(f.unpersist(false)) }
     frames.clear()
-    rdds.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+    rdds.foreach { case (_, r) => quietly(r.unpersist(false)) }
     rdds.clear()
   }
 
-  /** Unpersist only the caches owned by `spark` (RDDs: owned by its
-    * SparkContext), leaving other sessions' live caches untouched.
+  /** Unpersist only the caches owned by `spark` (matched by sessionUUID),
+    * leaving other sessions' live caches untouched.
     */
   def releaseAll(spark: SparkSession): Unit = synchronized {
-    val sc: SparkContext = spark.sparkContext
-    val (mine, theirs) = frames.partition { case (s, _) => s eq spark }
-    mine.foreach { case (_, f) =>
-      try f.unpersist(false) catch { case _: Throwable => () }
-    }
+    val uuid = uuidOf(spark)
+    val (mine, theirs) = frames.partition { case (u, _) => u == uuid }
+    mine.foreach { case (_, f) => quietly(f.unpersist(false)) }
     frames.clear(); frames ++= theirs
-    val (myRdds, otherRdds) = rdds.partition(_.sparkContext eq sc)
-    myRdds.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+    val (myRdds, otherRdds) = rdds.partition { case (u, _) => u == uuid }
+    myRdds.foreach { case (_, r) => quietly(r.unpersist(false)) }
     rdds.clear(); rdds ++= otherRdds
   }
 }

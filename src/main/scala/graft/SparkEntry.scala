@@ -13,9 +13,24 @@ import graft.queries.{Core, LlmData}
   */
 object SparkEntry {
 
+  /** One-time session setup for any session that runs `queries`:
+    * registers the SQL function surface and installs the WindowTopKRewrite
+    * optimizer rule + planner strategy (the imperative counterpart to
+    * building the session with `spark.sql.extensions=graft.GraftExtensions`).
+    * Idempotent. Installing here — not inside a query def — keeps every
+    * query's plan independent of execution order: q58 and any user-written
+    * window-top-k get the bounded-heap plan deterministically.
+    */
+  def setup(spark: SparkSession): Unit = {
+    GraftExtensions.register(spark)
+    graft.plans.TopKPerKey.installRewrite(spark)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    setup(spark)
     Core.defs("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

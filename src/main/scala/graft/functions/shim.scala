@@ -14,6 +14,14 @@ object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Stable per-session identifier (`sessionUUID` is `private[sql]`):
+    * survives the caller holding a different instance of the same logical
+    * session, and distinguishes `newSession` siblings that share one
+    * SparkContext.
+    */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Register a SQL function on a live session (the imperative
     * counterpart to wiring `spark.sql.extensions` at session build).
     */

@@ -52,9 +52,23 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       bucketSec: Long): DataFrame = {
     require(bucketSec > 0, "bucketSec must be positive")
+    // The cell columns are internal plumbing added via withColumn, which
+    // silently REPLACES a same-named caller column — corrupting the join
+    // keys — so their names are reserved.
+    val pReserved = Set("__cell", "__cell_us")
+    val iReserved = Set("__cell", "__c0", "__c1", "__c0_us", "__c1_us")
+    val pClash = points.columns.filter(pReserved)
+    require(pClash.isEmpty,
+      s"points has reserved column name(s): ${pClash.mkString(", ")}")
+    val iClash = intervals.columns.filter(iReserved)
+    require(iClash.isEmpty,
+      s"intervals has reserved column name(s): ${iClash.mkString(", ")}")
     val bucketUs = bucketSec * 1000000L
     val p = withCell(points, col(pointTsCol), "__cell", bucketUs)
-    val iv = withCell(withCell(intervals,
+    // An inverted interval (end < start) contains no points, but
+    // sequence(c0, c1) with c1 < c0 would DESCEND and explode spurious
+    // cells — drop such rows before the explode.
+    val iv = withCell(withCell(intervals.filter(col(startCol) <= col(endCol)),
         col(startCol), "__c0", bucketUs), col(endCol), "__c1", bucketUs)
       .withColumn("__cell", explode(sequence(col("__c0"), col("__c1"))))
       .drop("__c0", "__c1")

@@ -72,20 +72,28 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
           partitionSpec.forall(_.deterministic) &&
           orderSpec.forall(_.deterministic) =>
-      // strip an already-inferred WindowGroupLimit: its sorted-input
-      // partial pass is strictly more work than the heap operator's
-      val realChild = wChild match {
-        case WindowGroupLimit(_, _, _, _, c) => c
-        case c => c
-      }
       val limits = splitConjunctivePredicates(cond).flatMap(limitFor(alias.exprId, _))
-      // the TopKPerKeyNode guard makes the rule idempotent under the
-      // fixed-point extraOptimizations batch (the rewritten plan matches
-      // this case again)
-      if (limits.nonEmpty && limits.min >= 1 && limits.min <= maxK &&
-          !realChild.isInstanceOf[TopKPerKeyNode]) {
-        f.copy(child = w.copy(child =
-          TopKPerKeyNode(limits.min, partitionSpec, orderSpec, realChild)))
-      } else f
+      if (limits.isEmpty || limits.min < 1 || limits.min > maxK) f
+      else {
+        val k = limits.min
+        // The TopKPerKeyNode guard makes the rule idempotent under the
+        // fixed-point extraOptimizations batch (the rewritten plan matches
+        // this case again). An already-inferred WindowGroupLimit is
+        // stripped ONLY when it is the exact shape this rule subsumes —
+        // row_number semantics keeping at least k rows per key; a stricter
+        // or rank-like group limit prunes a different row set, so any other
+        // WindowGroupLimit disables the rewrite rather than being dropped.
+        wChild match {
+          case WindowGroupLimit(_, _, _: RowNumber, limit, c)
+              if limit >= k && !c.isInstanceOf[TopKPerKeyNode] =>
+            f.copy(child = w.copy(child =
+              TopKPerKeyNode(k, partitionSpec, orderSpec, c)))
+          case _: WindowGroupLimit => f
+          case c if !c.isInstanceOf[TopKPerKeyNode] =>
+            f.copy(child = w.copy(child =
+              TopKPerKeyNode(k, partitionSpec, orderSpec, c)))
+          case _ => f
+        }
+      }
   }
 }

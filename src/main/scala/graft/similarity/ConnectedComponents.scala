@@ -76,7 +76,7 @@ object ConnectedComponents {
     // CacheRegistry once the result has been consumed)
     prevRdd.foreach(_.unpersist(false))
     org.apache.spark.sql.graftshim.Shim.checkpointedRdd(labels)
-      .foreach(graft.CacheRegistry.trackRdd)
+      .foreach(graft.CacheRegistry.trackRdd(_, labels.sparkSession))
     // Non-convergence means the returned cluster ids would be WRONG (a
     // component wider than the rounds could traverse). Silent wrong
     // answers are unacceptable in an oracle-checked pipeline, so fail

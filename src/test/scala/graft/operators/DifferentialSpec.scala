@@ -80,8 +80,33 @@ class DifferentialSpec extends SparkSpec {
       }.map(_._1).toSet
       val out = Skyline.maxMin(pts.toDF("id", "x", "y"), "x", "y")
         .select("id").as[Long].collect().toSet
+      graft.CacheRegistry.releaseAll()
       assert(out == expected)
     }
+  }
+
+  test("skyline on adversarial data (frontier = every point) survives the parallel merge") {
+    // For max-x/min-y dominance, two points are mutually non-dominating
+    // iff the higher-x one also has higher y — so y = x + 1 makes the
+    // frontier ALL n points ("anti-correlated" w.r.t. the preference
+    // directions): the adversarial shape where a single-task merge would
+    // hold the whole dataset. Duplicated frontier points (equal x, equal
+    // y, scattered across input partitions) must all be kept, and filler
+    // points sitting 2 above the frontier line (dominated by the equal-x
+    // frontier point) must all go.
+    val n = 3000
+    val frontier = Seq.tabulate(n)(i => (i.toLong, i.toDouble, (i + 1).toDouble))
+    val dupes = Seq.tabulate(50) { i =>
+      val v = i * 7 % n; (10000L + i, v.toDouble, (v + 1).toDouble)
+    }
+    val dominated = Seq.tabulate(500) { i =>
+      val v = i % n; (20000L + i, v.toDouble, (v + 3).toDouble)
+    }
+    val all = rnd.shuffle(frontier ++ dupes ++ dominated)
+    val out = Skyline.maxMin(all.toDF("id", "x", "y").repartition(16), "x", "y")
+      .select("id").as[Long].collect().toSet
+    graft.CacheRegistry.releaseAll()
+    assert(out == (frontier ++ dupes).map(_._1).toSet)
   }
 
   test("Sessionize fold equals the relational gap-split reference on random data") {

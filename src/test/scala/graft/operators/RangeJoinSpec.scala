@@ -61,6 +61,36 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("reserved internal column names are rejected up front") {
+    val s = 1700000000L * 1000000L
+    val badPoints = Seq((1L, ts(s))).toDF("__cell", "p_ts")
+    val intervals = Seq((9L, ts(s), ts(s + 1000000L))).toDF("i_id", "w_start", "w_end")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(badPoints, "p_ts", intervals, "w_start", "w_end", 60)
+    }
+    assert(e1.getMessage.contains("__cell"))
+    val points = Seq((1L, ts(s))).toDF("p_id", "p_ts")
+    val badIv = Seq((9L, ts(s), ts(s + 1000000L))).toDF("__c1", "w_start", "w_end")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, "p_ts", badIv, "w_start", "w_end", 60)
+    }
+    assert(e2.getMessage.contains("__c1"))
+  }
+
+  test("inverted intervals (end < start) match nothing instead of exploding") {
+    val s = 1700000000L * 1000000L
+    val points = Seq((1L, ts(s))).toDF("p_id", "p_ts")
+    // the inverted row spans ±1 year: unguarded, sequence(c0, c1) would
+    // descend through ~10^6 spurious minute cells before the join
+    val intervals = Seq(
+      (8L, ts(s + 86400L * 365 * 1000000L), ts(s - 86400L * 365 * 1000000L)),
+      (9L, ts(s - 1000000L), ts(s + 1000000L))).toDF("i_id", "w_start", "w_end")
+    val got = RangeJoin.pointInInterval(
+      points, "p_ts", intervals, "w_start", "w_end", bucketSec = 60)
+      .select("i_id").as[Long].collect().toSeq
+    assert(got == Seq(9L))
+  }
+
   private implicit class SortedOps(a: Array[(Long, Long)]) {
     def toSorted: Seq[(Long, Long)] = a.toSeq.sorted
   }

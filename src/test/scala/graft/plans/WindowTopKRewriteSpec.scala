@@ -146,6 +146,43 @@ class WindowTopKRewriteSpec extends SparkSpec {
     assert(strategies.contains(TopKPerKeyStrategy), strategies)
   }
 
+  test("WindowGroupLimit strip is narrowed to the row_number shape with limit >= k") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CurrentRow, Descending, LessThanOrEqual, Literal, Rank, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, WindowGroupLimit, Window => LWindow}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+
+    val key = AttributeReference("key", LongType)()
+    val value = AttributeReference("value", IntegerType)()
+    val rel = LocalRelation(key, value)
+    val order = SortOrder(value, Descending)
+    val spec = WindowSpecDefinition(Seq(key), Seq(order),
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    val rn = Alias(WindowExpression(RowNumber(), spec), "rn")()
+    def topKPlan(child: LogicalPlan, k: Int): LogicalPlan =
+      Filter(LessThanOrEqual(rn.toAttribute, Literal(k)),
+        LWindow(Seq(rn), Seq(key), Seq(order), child, None))
+    def hasTopK(p: LogicalPlan) = p.collect { case t: TopKPerKeyNode => t }.nonEmpty
+    def hasWgl(p: LogicalPlan) = p.collect { case w: WindowGroupLimit => w }.nonEmpty
+
+    // rank-like group limit under the window: NOT this rule's shape —
+    // must neither be stripped nor rewritten
+    val rankWgl = WindowGroupLimit(Seq(key), Seq(order), Rank(Seq(value)), 3, rel)
+    val p1 = WindowTopKRewrite(topKPlan(rankWgl, 3))
+    assert(!hasTopK(p1) && hasWgl(p1), p1)
+
+    // stricter row_number limit (2 < k=3) prunes a different row set:
+    // left alone
+    val strictWgl = WindowGroupLimit(Seq(key), Seq(order), RowNumber(), 2, rel)
+    val p2 = WindowTopKRewrite(topKPlan(strictWgl, 3))
+    assert(!hasTopK(p2) && hasWgl(p2), p2)
+
+    // the exact subsumed shape (row_number, limit >= k): stripped and
+    // replaced by the heap operator
+    val okWgl = WindowGroupLimit(Seq(key), Seq(order), RowNumber(), 3, rel)
+    val p3 = WindowTopKRewrite(topKPlan(okWgl, 3))
+    assert(hasTopK(p3) && !hasWgl(p3), p3)
+  }
+
   test("withRank reuses the top-k exchange for its rank window (single shuffle)") {
     val df = randomDf
     val plan = TopKPerKey.withRank(df, Seq(col("key")),
