@@ -80,6 +80,23 @@ object Core {
     sum(vDec).over(wp).cast("double") / count(vDec).over(wp)
   }
 
+  /** TPC-H Q3 in portable ANSI SQL: runnable verbatim by BOTH engines —
+    * DuckDB as q20/q67's oracle, and spark.sql over the registered views
+    * in q67_catalog_sql (same text, two engines, one hash).
+    */
+  private val tpch3Sql: String =
+    """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date, o.o_orderpriority,
+      | CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'MACHINERY'
+      |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+      |  AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) DESC, o.o_orderkey
+      |LIMIT 10""".stripMargin
+
   private def slidingAvgSql(period: Int): String =
     s"CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
       s"ROWS BETWEEN ${period - 1} PRECEDING AND CURRENT ROW) AS DOUBLE) / " +
@@ -1049,6 +1066,60 @@ object Core {
           col("sum_v").cast("double").as("sum_v"), col("n"))
     }),
 
+    "q67_catalog_sql" -> ((s, dir) => {
+      // Name-based SQL surface (reference: sql/hive_schemas.sql registers
+      // external tables + views and every downstream job queries by
+      // name): register the tables as views and run the EXACT oracle SQL
+      // text through spark.sql — proving a pure-SQL user of the catalog
+      // gets the same hash-checked answer as the DataFrame API (q20).
+      // Views are lazy plans, so the SQL's filters/pruning still reach
+      // the parquet scans.
+      graft.sources.Catalog.registerViews(s, dir)
+      s.sql(tpch3Sql)
+    }),
+
+    "q68_tpch4" -> ((s, dir) => {
+      // TPC-H Q4 shape: order-priority census of one quarter's orders
+      // having at least one line item shipped after the order date — the
+      // EXISTS-correlated-subquery join family (semi join with a non-equi
+      // residual). Orders are date-pruned BEFORE the join (partition
+      // pruning at scale); left_semi keeps each order once regardless of
+      // matching line count, with no dedup step.
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("1997-07-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-10-01").cast("date"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = li(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    "q69_tpch12" -> ((s, dir) => {
+      // TPC-H Q12 shape: two-way conditional aggregation over the
+      // orders⋈lineitem join (high- vs low-priority line counts per
+      // return flag). Both conditional sums ride ONE hash aggregate on
+      // one join — no double scan; lineitem is filtered and projected to
+      // three columns before the shuffle.
+      val l = li(s, dir)
+        .filter(col("l_returnflag").isin("R", "A") &&
+          col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).as("high_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_count"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -1289,18 +1360,32 @@ object Core {
         |FROM d3 WHERE chg_next IS NOT NULL
         |ORDER BY abs(chg_next) DESC, user_id, day LIMIT 50""".stripMargin),
 
-    "q20_tpch3" ->
-      """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date, o.o_orderpriority,
-        | CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+    "q20_tpch3" -> tpch3Sql,
+
+    // q67 runs tpch3Sql through spark.sql over registered views; the
+    // oracle is the SAME text — one SQL string, two engines, one hash
+    "q67_catalog_sql" -> tpch3Sql,
+
+    "q68_tpch4" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-07-01'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1""".stripMargin,
+
+    "q69_tpch12" ->
+      """SELECT l.l_returnflag,
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
         |FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |WHERE c.c_mktsegment = 'MACHINERY'
-        |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
-        |  AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01'
-        |GROUP BY 1, 2, 3
-        |ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) DESC, o.o_orderkey
-        |LIMIT 10""".stripMargin,
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        |WHERE l.l_returnflag IN ('R','A')
+        |  AND CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY 1""".stripMargin,
 
     "q21_tpch5" ->
       """SELECT n.n_name,

@@ -117,4 +117,53 @@ object Ingest {
     writePartitioned(
       df.withColumn("year", year(col(tsCol))).withColumn("month", month(col(tsCol))),
       path, Seq("year", "month"))
+
+  /** Serving-layer targets — the reference loads its mart tables into
+    * PostgreSQL for dashboards (`/root/reference/sql/postgresql_schemas
+    * .sql`, DAG load step); [[FileTarget]] is the lake-side equivalent
+    * for engines that mount files directly.
+    */
+  sealed trait ServingTarget
+
+  /** JDBC mart table. `maxConnections` bounds write parallelism: each
+    * writing partition opens one connection, so an unbounded fan-in from
+    * a 1000-executor job would exhaust the database's connection pool —
+    * the writer coalesces to this many partitions. `batchSize` rows ride
+    * per INSERT batch.
+    */
+  final case class JdbcTarget(url: String, table: String,
+      user: String, password: String,
+      batchSize: Int = 10000, maxConnections: Int = 8) extends ServingTarget
+
+  /** Columnar file mart (parquet/orc/csv/json — any shipped source). */
+  final case class FileTarget(path: String, format: String = "parquet")
+      extends ServingTarget
+
+  /** Writer options for a [[JdbcTarget]] — pure and unit-tested (no
+    * database ships in this offline environment, so the JDBC save itself
+    * cannot be exercised here; the FileTarget path is). `truncate=true`
+    * makes overwrite TRUNCATE the serving table instead of dropping it,
+    * preserving the DDL-managed schema, indexes and grants the reference
+    * defines in postgresql_schemas.sql.
+    */
+  private[sources] def jdbcOptions(t: JdbcTarget): Map[String, String] = Map(
+    "url" -> t.url,
+    "dbtable" -> t.table,
+    "user" -> t.user,
+    "password" -> t.password,
+    "batchsize" -> t.batchSize.toString,
+    "numPartitions" -> t.maxConnections.toString,
+    "truncate" -> "true")
+
+  /** Load a result frame into the serving layer. One entry point, target
+    * chosen by descriptor — the lakehouse "load" step behind which the
+    * actual mart technology can change without touching query code.
+    */
+  def writeServing(df: DataFrame, target: ServingTarget,
+                   mode: String = "overwrite"): Unit = target match {
+    case t: JdbcTarget =>
+      df.write.mode(mode).format("jdbc").options(jdbcOptions(t)).save()
+    case FileTarget(path, fmt) =>
+      df.write.mode(mode).format(fmt).save(path)
+  }
 }

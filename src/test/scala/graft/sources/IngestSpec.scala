@@ -108,6 +108,31 @@ class IngestSpec extends SparkSpec {
     assert(q.as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("writeServing routes to the file mart and round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-serving").toString + "/mart"
+    val df = Seq((1L, "AAPL", 190.5), (2L, "MSFT", 410.2)).toDF("id", "ticker", "close")
+    Ingest.writeServing(df, Ingest.FileTarget(dir))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("id", "ticker", "close"))
+    // overwrite mode replaces, not appends
+    Ingest.writeServing(df.limit(1), Ingest.FileTarget(dir))
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("JDBC serving target assembles the bounded-connection writer options") {
+    val t = Ingest.JdbcTarget("jdbc:postgresql://db:5432/marts", "daily_summary",
+      "svc", "secret", batchSize = 5000, maxConnections = 4)
+    val opts = Ingest.jdbcOptions(t)
+    assert(opts("url") == "jdbc:postgresql://db:5432/marts")
+    assert(opts("dbtable") == "daily_summary")
+    assert(opts("batchsize") == "5000")
+    // write parallelism is capped so a wide job can't exhaust the pool
+    assert(opts("numPartitions") == "4")
+    // overwrite must TRUNCATE, preserving DDL-managed schema/indexes
+    assert(opts("truncate") == "true")
+  }
+
   test("graft_dot is callable from SQL after registration") {
     GraftExtensions.register(spark)
     val out = spark.sql(
