@@ -1120,6 +1120,26 @@ object Core {
           sum(when(hi, 0L).otherwise(1L)).as("low_count"))
     }),
 
+    "q70_tpch19" -> ((s, dir) => {
+      // TPC-H Q19 shape: disjunctive predicate join (OR of per-branch
+      // brand/size/quantity conjunctions). Catalyst splits the
+      // disjunction: the l_quantity OR-range reaches the lineitem scan
+      // and the brand/size OR-range the part scan as pushed filters, so
+      // neither side is scanned unfiltered; part broadcasts.
+      val l = li(s, dir).select(
+        col("l_partkey"), col("l_quantity"), revDec.as("rev"))
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+      val branch1 = col("p_brand") === "Brand#4" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+      val branch2 = col("p_brand") === "Brand#2" &&
+        col("p_size").between(10, 30) && col("l_quantity").between(10, 30)
+      val branch3 = col("p_brand") === "Brand#19" &&
+        col("p_size").between(20, 50) && col("l_quantity").between(20, 40)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(branch1 || branch2 || branch3)
+        .agg(r2d(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -1375,6 +1395,16 @@ object Core {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate)
         |GROUP BY 1""".stripMargin,
+
+    "q70_tpch19" ->
+      """SELECT
+        | CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
     "q69_tpch12" ->
       """SELECT l.l_returnflag,
