@@ -91,6 +91,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Seq(9L))
   }
 
+  test("pre-1970 timestamps bucket by exact floor (negative microseconds)") {
+    // pmod-based flooring must put -1 µs in the cell BELOW zero, not cell
+    // zero: a point 1 µs before the epoch lies inside an interval ending
+    // at the epoch and outside one starting there only if both sides
+    // floor identically. (The shared ts() helper truncates toward zero,
+    // which is wrong for negative micros — floor here.)
+    def ts(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+      t
+    }
+    val points = Seq(
+      (1L, ts(-1L)), // 1969-12-31 23:59:59.999999
+      (2L, ts(0L)), // epoch
+      (3L, ts(-60000000L))) // one minute before
+      .toDF("p_id", "p_ts")
+    val intervals = Seq(
+      (10L, ts(-120000000L), ts(0L)), // [-2 min, epoch]
+      (11L, ts(0L), ts(60000000L))) // [epoch, +1 min]
+      .toDF("i_id", "w_start", "w_end")
+    val got = RangeJoin.pointInInterval(
+      points, "p_ts", intervals, "w_start", "w_end", bucketSec = 60)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSorted
+    assert(got == Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 10L)))
+  }
+
   private implicit class SortedOps(a: Array[(Long, Long)]) {
     def toSorted: Seq[(Long, Long)] = a.toSeq.sorted
   }
