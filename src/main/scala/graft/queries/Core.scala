@@ -400,16 +400,24 @@ object Core {
         .select("o_orderkey", "o_totalprice", "order_date")
     }),
 
-    "q29_rollup" -> ((s, dir) =>
+    "q29_rollup" -> ((s, dir) => {
       // Hierarchical rollup totals (flag, status) -> (flag) -> grand
       // total — the OLAP cube slice of the reference's fact tables.
-      li(s, dir)
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(r2d(sum(revDec)).as("revenue"), count(lit(1)).as("n"))
+      // Pre-aggregate at the finest grain FIRST, then rollup the tiny
+      // aggregate: a direct rollup Expands every fact row ×3 grouping
+      // sets before the partial aggregate, while this shape Expands only
+      // the ~|flag×status| partial rows. Decimal sums and count-sums
+      // re-aggregate exactly, so the result is bit-identical.
+      val base = li(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(revDec).as("rev_raw"), count(lit(1)).as("n_raw"))
+      base.rollup("l_returnflag", "l_linestatus")
+        .agg(r2d(sum(col("rev_raw"))).as("revenue"), sum(col("n_raw")).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-          col("revenue"), col("n"))),
+          col("revenue"), col("n"))
+    }),
 
     "q30_distribution" -> ((s, dir) =>
       // Exact quantiles per event type (interpolated percentile — the
@@ -915,25 +923,29 @@ object Core {
             count(col("tr_dec")).over(w14)).as("atr_14"))
     }),
 
-    "q59_grouping_sets" -> ((s, dir) =>
+    "q59_grouping_sets" -> ((s, dir) => {
       // Explicit GROUPING SETS via the Dataset API (the cube slice q29's
       // ROLLUP doesn't produce: per-status across all flags). Group keys
-      // have no real nulls, so the ALL sentinel is unambiguous. Grouping
-      // set aggregation is one Expand + hash aggregate — map-side
-      // combinable, same 100 TB shape as a plain groupBy.
-      li(s, dir)
-        .groupingSets(
+      // have no real nulls, so the ALL sentinel is unambiguous. Like q29,
+      // the ×4-set Expand runs over a finest-grain pre-aggregate (a
+      // handful of rows), not the fact table; decimal sums and
+      // count-sums re-aggregate exactly.
+      val base = li(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(revDec).as("rev_raw"), count(lit(1)).as("n_raw"))
+      base.groupingSets(
           Seq(
             Seq(col("l_returnflag"), col("l_linestatus")),
             Seq(col("l_returnflag")),
             Seq(col("l_linestatus")),
             Seq.empty[Column]),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(r2d(sum(revDec)).as("revenue"), count(lit(1)).as("n"))
+        .agg(r2d(sum(col("rev_raw"))).as("revenue"), sum(col("n_raw")).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-          col("revenue"), col("n"))),
+          col("revenue"), col("n"))
+    }),
 
     "q60_unpivot" -> ((s, dir) => {
       // Wide→long reshaping via the Dataset unpivot (melt) API: per-user
