@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.cosineFunction)
     ext.injectFunction(GraftExtensions.heavyHittersFunction)
+    ext.injectFunction(GraftExtensions.bloomAggFunction)
+    ext.injectFunction(GraftExtensions.mightContainFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // pre-CBO: runs AFTER the default optimizer batches, so it sees (and
     // replaces) an InferWindowGroupLimit-inserted WindowGroupLimit child
@@ -96,6 +98,71 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Expression) =
     (FunctionIdentifier("graft_heavy_hitters"), hhInfo, hhBuilder)
 
+  // Bloom pre-filter pair for pure-SQL users (functions/Bloom.scala has
+  // the scale story). The agg builder returns the AggregateFunction
+  // itself — the analyzer wraps it — and hashes its input with the same
+  // xxhash64 the probe side uses, so
+  //   WHERE graft_might_contain((SELECT graft_bloom_agg(k, n, p) FROM b), v)
+  // works end-to-end with the filter arriving as a scalar subquery.
+  private val bloomAggInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+    null, "graft_bloom_agg",
+    "graft_bloom_agg(key, expectedItems, fpp) - Bloom filter (binary) over xxhash64(key)", "")
+
+  private val mightContainInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+    null, "graft_might_contain",
+    "graft_might_contain(filter, value) - probe a graft_bloom_agg filter; " +
+      "false means definitely absent", "")
+
+  private def bloomAggBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 3,
+      "graft_bloom_agg(key, expectedItems, fpp) takes exactly 3 arguments")
+    def lit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            name: String): Number = {
+      require(e.foldable,
+        s"graft_bloom_agg: $name must be a numeric literal, got ${e.sql}")
+      e.eval() match {
+        case n: Number => n
+        // SQL fractional literals land as Spark Decimal (not j.l.Number)
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_agg: $name must be a non-null numeric literal, got $other")
+      }
+    }
+    val items = lit(exprs(1), "expectedItems").longValue
+    val fpp = lit(exprs(2), "fpp").doubleValue
+    require(items > 0, "graft_bloom_agg: expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, "graft_bloom_agg: fpp must be in (0, 1)")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(0)), 42L),
+      org.apache.spark.sql.catalyst.expressions.Literal(items),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp)))
+  }
+
+  private def mightContainBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2,
+      "graft_might_contain(filter, value) takes exactly 2 arguments")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprs(0),
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1)), 42L))
+  }
+
+  val bloomAggFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression) =
+    (FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, bloomAggBuilder)
+
+  val mightContainFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression) =
+    (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder)
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     Shim.registerFunction(spark, "graft_dot", dotInfo,
@@ -103,5 +170,8 @@ object GraftExtensions {
     Shim.registerFunction(spark, "graft_cosine", cosineInfo,
       exprs => CosineSim(toDoubleArray(exprs(0)), toDoubleArray(exprs(1))))
     Shim.registerFunction(spark, "graft_heavy_hitters", hhInfo, hhBuilder)
+    Shim.registerFunction(spark, "graft_bloom_agg", bloomAggInfo, bloomAggBuilder)
+    Shim.registerFunction(spark, "graft_might_contain", mightContainInfo,
+      mightContainBuilder)
   }
 }

@@ -76,4 +76,57 @@ object RangeJoin {
       .filter(col(pointTsCol) >= col(startCol) && col(pointTsCol) <= col(endCol))
       .drop("__cell")
   }
+
+  /** Interval×interval OVERLAP join: each `left` row `[lStart, lEnd]`
+    * matched to every `right` row `[rStart, rEnd]` (same `keys` values)
+    * whose interval intersects it (inclusive ends: `lStart <= rEnd &&
+    * rStart <= lEnd`).
+    *
+    * Both sides explode into the time cells they cover and equi-join on
+    * `keys :+ cell` — so unlike [[pointInInterval]] an overlapping pair
+    * meets in EVERY shared cell. Rather than a `distinct` over the join
+    * output (a second full shuffle), each pair is emitted exactly once by
+    * the standard cell-ownership rule: keep the match only in the cell
+    * containing `greatest(lStart, rStart)` — the first shared cell, which
+    * both sides' explosions are guaranteed to include. Dedup becomes a
+    * codegen'd filter inside the join stage; nothing shuffles twice.
+    *
+    * Output columns: all of `left` then all of `right` minus the join
+    * keys (kept once); the caller keeps the remaining sets disjoint.
+    */
+  def intervalOverlap(
+      left: DataFrame, lStartCol: String, lEndCol: String,
+      right: DataFrame, rStartCol: String, rEndCol: String,
+      keys: Seq[String], bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val lReserved = Set("__cell", "__l0", "__l1", "__l0_us", "__l1_us", "__ls_us")
+    val rReserved = Set("__cell", "__r0", "__r1", "__r0_us", "__r1_us", "__rs_us")
+    val lClash = left.columns.filter(lReserved)
+    require(lClash.isEmpty,
+      s"left has reserved column name(s): ${lClash.mkString(", ")}")
+    val rClash = right.columns.filter(rReserved)
+    require(rClash.isEmpty,
+      s"right has reserved column name(s): ${rClash.mkString(", ")}")
+    val bucketUs = bucketSec * 1000000L
+    // Inverted intervals (end < start) match nothing; drop them before
+    // sequence() would descend (same guard as pointInInterval).
+    val l = withCell(withCell(
+        left.filter(col(lStartCol) <= col(lEndCol))
+          .withColumn("__ls_us", unix_micros(col(lStartCol).cast("timestamp"))),
+        col(lStartCol), "__l0", bucketUs), col(lEndCol), "__l1", bucketUs)
+      .withColumn("__cell", explode(sequence(col("__l0"), col("__l1"))))
+      .drop("__l0", "__l1")
+    val r = withCell(withCell(
+        right.filter(col(rStartCol) <= col(rEndCol))
+          .withColumn("__rs_us", unix_micros(col(rStartCol).cast("timestamp"))),
+        col(rStartCol), "__r0", bucketUs), col(rEndCol), "__r1", bucketUs)
+      .withColumn("__cell", explode(sequence(col("__r0"), col("__r1"))))
+      .drop("__r0", "__r1")
+    val ownerCell = expr(
+      s"(greatest(__ls_us, __rs_us) - pmod(greatest(__ls_us, __rs_us), ${bucketUs}L)) div ${bucketUs}L")
+    l.join(r, (keys :+ "__cell").toSeq)
+      .filter(col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol))
+      .filter(col("__cell") === ownerCell)
+      .drop("__cell", "__ls_us", "__rs_us")
+  }
 }

@@ -1152,6 +1152,86 @@ object Core {
         .agg(r2d(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_lines"))
     }),
 
+    "q71_tpch21" -> ((s, dir) => {
+      // TPC-H Q21 shape: suppliers to blame — the supplier shipped a
+      // returned line in a finalized MULTI-supplier order where no OTHER
+      // supplier's line was returned. The doubly-correlated EXISTS /
+      // NOT EXISTS pair (l2.suppkey <> l1.suppkey, same order) is
+      // decorrelated into ONE per-order aggregate: n_supp (distinct
+      // suppliers) and n_ret_supp (distinct suppliers among returned
+      // lines). `EXISTS other-supplier` ⇔ n_supp > 1; `NOT EXISTS
+      // other-returned-supplier` ⇔ n_ret_supp = 1 (l1 itself is
+      // returned, so the one returned supplier is l1's). One extra
+      // shuffle of three fact columns replaces two self-joins of the
+      // fact table — the decisive rewrite at 100 TB. The tiny supplier
+      // dim broadcasts onto the result.
+      val l = li(s, dir).select("l_orderkey", "l_suppkey", "l_returnflag")
+      val perOrder = l.groupBy("l_orderkey").agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret_supp"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+      l.filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(perOrder.filter(col("n_supp") > 1 && col("n_ret_supp") === 1),
+          Seq("l_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    "q72_tpch22" -> ((s, dir) => {
+      // TPC-H Q22 shape: above-average-balance customers of selected
+      // nations who never placed an URGENT order — scalar-subquery
+      // threshold + anti join (the priority predicate keeps the result
+      // non-empty at every SF; Q22's "no orders at all" is vanishing on
+      // this data). The global average is one tiny aggregate broadcast
+      // as a single-row anchor (decimal sum / count, exact on both
+      // engines); the NOT EXISTS is a left_anti on custkey with the
+      // priority filter pushed to the orders scan. Customer is filtered
+      // to the nation set BEFORE both the aggregate and the anti join.
+      val c = Tables.customer(s, dir)
+        .filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
+        .select(col("c_custkey"), col("c_nationkey"),
+          dec2(col("c_acctbal")).as("bal"))
+      val thresh = c.filter(col("bal") > 0)
+        .agg((sum(col("bal")).cast("double") / count(lit(1))).as("avg_bal"))
+      c.join(broadcast(thresh), col("bal").cast("double") > col("avg_bal"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), r2d(sum(col("bal"))).as("total_bal"))
+        .orderBy("c_nationkey")
+    }),
+
+    "q73_interval_overlap" -> ((s, dir) => {
+      // Interval×interval overlap join (RangeJoin.intervalOverlap
+      // scaladoc has the dedup-free cell-ownership scheme): per-user
+      // 12-hour purchase windows against 6-hour click windows. Overlap
+      // length is computed on exact long microseconds; the 6-hour cell
+      // grain keeps fan-out at 2–3 cells per interval.
+      val e = ev(s, dir)
+      val p = e.filter(col("event_type") === "purchase").select(
+        col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 12 HOURS")).as("p_end"))
+      val c = e.filter(col("event_type") === "click").select(
+        col("event_id").as("c_id"), col("user_id"),
+        col("ts").as("c_start"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("c_end"))
+      RangeJoin.intervalOverlap(p, "p_start", "p_end", c, "c_start", "c_end",
+          keys = Seq("user_id"), bucketSec = 6 * 3600)
+        .select(col("user_id"), col("p_id"), col("c_id"),
+          floor((least(unix_micros(col("p_end")), unix_micros(col("c_end"))) -
+            greatest(unix_micros(col("p_start")), unix_micros(col("c_start"))))
+            / 1000000.0).cast("long").as("overlap_sec"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -1985,6 +2065,52 @@ object Core {
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
         | count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q71_tpch21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+
+    "q72_tpch22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+        |t AS (SELECT CAST(sum(bal) AS DOUBLE) / count(*) AS avg_bal
+        |      FROM c WHERE bal > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        | CAST(round(sum(bal), 2) AS DOUBLE) AS total_bal
+        |FROM c, t
+        |WHERE CAST(bal AS DOUBLE) > t.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q73_interval_overlap" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_start,
+        |         ts + INTERVAL 12 HOUR AS p_end
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id, ts AS c_start,
+        |         ts + INTERVAL 6 HOUR AS c_end
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p_id, c_id,
+        | CAST(floor((epoch_us(least(p_end, c_end)) - epoch_us(greatest(p_start, c_start))) / 1000000.0) AS BIGINT) AS overlap_sec
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND p_start <= c_end AND c_start <= p_end""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (

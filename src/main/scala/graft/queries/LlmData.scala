@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{CacheRegistry, Tables}
-import graft.functions.{HashFns, TextFns, VecFns}
+import graft.functions.{BloomFns, HashFns, TextFns, VecFns}
 import graft.plans.TopKPerKey
 import graft.similarity.{ConnectedComponents, IvfAnn, LshAnn, NgramJaccard}
 import graft.multimodal.BinaryColumns
@@ -180,6 +180,35 @@ object LlmData {
       val bench = grams(base.filter(col("doc_id") % 50 === 0)).select("h").distinct()
       grams(base.filter(col("doc_id") % 50 =!= 0))
         .join(broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+    }),
+
+    "d16_bloom_decontaminate" -> ((s, dir) => {
+      // Decontamination again (cf. d12) but through a broadcast
+      // Bloom-filter pre-filter (BloomFns scaladoc has the scale story)
+      // and a different benchmark split (doc_id % 25, 4%) so the two
+      // queries' outputs are independently checkable. The filter is
+      // built over the benchmark's distinct 8-grams — one mergeable
+      // aggregate job, only the sketch bytes reach the driver — then its
+      // codegen'd might_contain probe runs INSIDE the corpus-side
+      // scan→explode stage, so only the ~fpp false-positive fraction of
+      // non-benchmark grams ever reaches the confirm join. The exact
+      // broadcast equi-join on the gram itself kills those false
+      // positives: the final result is exact (no false negatives by
+      // construction), hence oracle-checked like d12.
+      val base = docs(s, dir)
+      def grams(df: DataFrame): DataFrame =
+        HashFns.explodedNgrams(df, 8).select(col("doc_id"), col("s"))
+      val bench = CacheRegistry.track(
+        grams(base.filter(col("doc_id") % 25 === 0)).select("s").distinct().cache())
+      // Size the filter from the real benchmark cardinality (cheap on
+      // the cached frame); floored so tiny test SFs don't degenerate.
+      val nKeys = math.max(bench.count(), 1024L)
+      val filter = BloomFns.buildFilter(bench, col("s"), nKeys, 0.01)
+      grams(base.filter(col("doc_id") % 25 =!= 0))
+        .filter(BloomFns.mightContain(filter, col("s")))
+        .join(broadcast(bench), "s")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"))
     }),
@@ -535,6 +564,20 @@ object LlmData {
         |SELECT doc_id, count(*) AS n_hits
         |FROM h JOIN bench USING (h)
         |WHERE doc_id % 50 <> 0
+        |GROUP BY 1""".stripMargin,
+
+    "d16_bloom_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |   t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) _
+        |  WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM sh JOIN bench USING (s)
+        |WHERE doc_id % 25 <> 0
         |GROUP BY 1""".stripMargin,
 
     "d04_simhash" -> simhashSql,

@@ -117,6 +117,78 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 10L)))
   }
 
+  test("intervalOverlap matches the naive overlap join, each pair exactly once") {
+    val base = 1700000000L * 1000000L
+    // long intervals vs a coarse-ish bucket: most overlapping pairs share
+    // SEVERAL cells, so the exactly-once claim is actually exercised
+    val left = Seq.tabulate(120) { i =>
+      val s = base + rnd.nextInt(7200) * 1000000L
+      (i.toLong, i.toLong % 5, ts(s), ts(s + (300 + rnd.nextInt(3600)) * 1000000L))
+    }.toDF("l_id", "k", "l_start", "l_end")
+    val right = Seq.tabulate(120) { i =>
+      val s = base + rnd.nextInt(7200) * 1000000L
+      (1000L + i, i.toLong % 5, ts(s), ts(s + (300 + rnd.nextInt(3600)) * 1000000L))
+    }.toDF("r_id", "k", "r_start", "r_end")
+
+    val bucketed = RangeJoin.intervalOverlap(
+      left, "l_start", "l_end", right, "r_start", "r_end",
+      keys = Seq("k"), bucketSec = 600)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSorted
+    val naive = left.join(right.withColumnRenamed("k", "k2"),
+      col("k") === col("k2") &&
+        col("l_start") <= col("r_end") && col("r_start") <= col("l_end"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSorted
+    assert(bucketed == naive)
+    assert(naive.nonEmpty)
+    // the cell-ownership filter must replace dedup entirely: multiplicity 1
+    assert(bucketed.size == bucketed.distinct.size)
+  }
+
+  test("intervalOverlap plans as a hash join with no post-join dedup") {
+    val s0 = 1700000000L * 1000000L
+    val left = Seq((1L, 0L, ts(s0), ts(s0 + 3600000000L))).toDF("l_id", "k", "l_start", "l_end")
+    val right = Seq((2L, 0L, ts(s0), ts(s0 + 3600000000L))).toDF("r_id", "k", "r_start", "r_end")
+    val df = RangeJoin.intervalOverlap(
+      left, "l_start", "l_end", right, "r_start", "r_end", Seq("k"), 600)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // dedup is the codegen'd owner-cell filter, not a shuffling Distinct
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Deduplicate"), plan)
+  }
+
+  test("intervalOverlap: touching endpoints overlap, disjoint intervals do not") {
+    val s0 = 1700000000L * 1000000L
+    val left = Seq((1L, 0L, ts(s0), ts(s0 + 600000000L))).toDF("l_id", "k", "l_start", "l_end")
+    val right = Seq(
+      (10L, 0L, ts(s0 + 600000000L), ts(s0 + 700000000L)), // touches l_end
+      (11L, 0L, ts(s0 + 600000001L), ts(s0 + 700000000L)), // 1 µs past: disjoint
+      (12L, 0L, ts(s0 - 700000000L), ts(s0)), // touches l_start from below
+      (13L, 1L, ts(s0), ts(s0 + 600000000L))) // wrong key
+      .toDF("r_id", "k", "r_start", "r_end")
+    val got = RangeJoin.intervalOverlap(
+      left, "l_start", "l_end", right, "r_start", "r_end", Seq("k"), 60)
+      .select("r_id").as[Long].collect().toSet
+    assert(got == Set(10L, 12L))
+  }
+
+  test("intervalOverlap rejects reserved names and drops inverted intervals") {
+    val s0 = 1700000000L * 1000000L
+    val bad = Seq((1L, 0L, ts(s0), ts(s0))).toDF("__ls_us", "k", "l_start", "l_end")
+    val right = Seq((2L, 0L, ts(s0), ts(s0))).toDF("r_id", "k", "r_start", "r_end")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(bad, "l_start", "l_end", right, "r_start", "r_end", Seq("k"), 60)
+    }
+    assert(e.getMessage.contains("__ls_us"))
+    val left = Seq(
+      (1L, 0L, ts(s0), ts(s0 + 1000000L)),
+      (2L, 0L, ts(s0 + 86400L * 365 * 1000000L), ts(s0 - 86400L * 365 * 1000000L)))
+      .toDF("l_id", "k", "l_start", "l_end")
+    val got = RangeJoin.intervalOverlap(
+      left, "l_start", "l_end", right, "r_start", "r_end", Seq("k"), 60)
+      .select("l_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
   private implicit class SortedOps(a: Array[(Long, Long)]) {
     def toSorted: Seq[(Long, Long)] = a.toSeq.sorted
   }
