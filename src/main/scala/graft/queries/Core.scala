@@ -1232,6 +1232,49 @@ object Core {
             / 1000000.0).cast("long").as("overlap_sec"))
     }),
 
+    "q74_scd2_dim" -> ((s, dir) => {
+      // Type-2 dimension maintenance (operators/Scd scaladoc): customer
+      // is the current-state dim (anchored at the order history's start,
+      // so same-day changes exercise the supersede path) and each order
+      // is a balance observation. One window pass closes each version at
+      // the day before its successor — dimension history queryable
+      // "as of" any date, the serving-layer shape the reference's
+      // current-state-only dim tables lack.
+      val cur = Tables.customer(s, dir).select(
+        col("c_custkey"), dec2(col("c_acctbal")).cast("double").as("bal"))
+      val chg = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        dec2(col("o_totalprice")).cast("double").as("bal"),
+        col("o_orderdate"), col("o_orderkey"))
+      Scd.scd2(cur, lit("1995-01-01"),
+          chg, col("o_orderdate"),
+          key = "c_custkey", attrs = Seq("bal"), tieBreak = col("o_orderkey"))
+        .select("c_custkey", "bal", "eff_from", "eff_to", "is_current")
+    }),
+
+    "q75_incremental_agg" -> ((s, dir) => {
+      // Incremental aggregate maintenance (operators/Incremental
+      // scaladoc): state = history shipped before 1998, delta = the
+      // rest, folded together with the mergeable-state algebra. The
+      // oracle aggregates the WHOLE table directly — hash-matching it
+      // proves merge(state, delta) is exactly recompute, which is the
+      // correctness contract that lets a 100 TB pipeline stop
+      // re-scanning history every day.
+      val l = li(s, dir).select(
+        col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
+      val cut = col("l_shipdate").cast("date") < lit("1998-01-01").cast("date")
+      val state = Incremental.aggState(
+        l.filter(cut), Seq("l_returnflag"), col("l_quantity"))
+      val delta = Incremental.aggState(
+        l.filter(!cut), Seq("l_returnflag"), col("l_quantity"))
+      Incremental.withAvg(Incremental.merge(state, delta, Seq("l_returnflag")))
+        .select(col("l_returnflag"), col("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v").cast("double").as("min_v"),
+          col("max_v").cast("double").as("max_v"),
+          col("avg_v"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -2111,6 +2154,39 @@ object Core {
         | CAST(floor((epoch_us(least(p_end, c_end)) - epoch_us(greatest(p_start, c_start))) / 1000000.0) AS BIGINT) AS overlap_sec
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND p_start <= c_end AND c_start <= p_end""".stripMargin,
+
+    "q74_scd2_dim" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+        |         DATE '1995-01-01' AS eff_from, 0 AS prec
+        |  FROM customer),
+        |chg AS (
+        |  SELECT c_custkey, bal, eff_from, 1 AS prec FROM (
+        |    SELECT o_custkey AS c_custkey,
+        |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+        |           CAST(o_orderdate AS DATE) AS eff_from, o_orderkey
+        |    FROM orders)
+        |  QUALIFY row_number() OVER (PARTITION BY c_custkey, eff_from
+        |                             ORDER BY o_orderkey DESC) = 1),
+        |u AS (
+        |  SELECT c_custkey, bal, eff_from
+        |  FROM (SELECT * FROM cur UNION ALL SELECT * FROM chg)
+        |  QUALIFY row_number() OVER (PARTITION BY c_custkey, eff_from
+        |                             ORDER BY prec DESC) = 1)
+        |SELECT c_custkey, bal, eff_from,
+        | lead(eff_from) OVER (PARTITION BY c_custkey ORDER BY eff_from) - 1 AS eff_to,
+        | lead(eff_from) OVER (PARTITION BY c_custkey ORDER BY eff_from) IS NULL AS is_current
+        |FROM u""".stripMargin,
+
+    "q75_incremental_agg" ->
+      """WITH q AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,4)) AS q
+        |           FROM lineitem)
+        |SELECT l_returnflag, CAST(count(q) AS BIGINT) AS n,
+        | CAST(sum(q) AS DOUBLE) AS sum_v,
+        | CAST(min(q) AS DOUBLE) AS min_v,
+        | CAST(max(q) AS DOUBLE) AS max_v,
+        | CAST(sum(q) AS DOUBLE) / count(q) AS avg_v
+        |FROM q GROUP BY 1""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (

@@ -1,0 +1,64 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(23L)
+  private val rows = Seq.tabulate(3000)(i =>
+    (s"k${rnd.nextInt(7)}", BigDecimal(rnd.nextInt(100000)) / 100))
+  private def df(s: Seq[(String, BigDecimal)]): DataFrame = s.toDF("k", "v")
+
+  private def collect(state: DataFrame) =
+    state.select("k", "n", "sum_v", "min_v", "max_v")
+      .as[(String, Long, BigDecimal, BigDecimal, BigDecimal)]
+      .collect().toSeq.sortBy(_._1)
+
+  test("folding arbitrary batches equals one-shot recompute") {
+    val (b1, rest) = rows.splitAt(1000)
+    val (b2, b3) = rest.splitAt(700)
+    val folded = Seq(b2, b3).foldLeft(
+      Incremental.aggState(df(b1), Seq("k"), col("v"))) { (st, b) =>
+      Incremental.merge(st, Incremental.aggState(df(b), Seq("k"), col("v")), Seq("k"))
+    }
+    val direct = Incremental.aggState(df(rows), Seq("k"), col("v"))
+    assert(collect(folded) == collect(direct))
+  }
+
+  test("merge is commutative and handles keys absent from either side") {
+    // split so some keys exist only in one batch
+    val left = rows.filter(_._1 < "k3")
+    val right = rows.filterNot(_._1 < "k3") ++ rows.take(50)
+    val a = Incremental.aggState(df(left), Seq("k"), col("v"))
+    val b = Incremental.aggState(df(right), Seq("k"), col("v"))
+    assert(collect(Incremental.merge(a, b, Seq("k"))) ==
+      collect(Incremental.merge(b, a, Seq("k"))))
+  }
+
+  test("empty delta is the identity") {
+    val a = Incremental.aggState(df(rows), Seq("k"), col("v"))
+    val empty = Incremental.aggState(df(Nil), Seq("k"), col("v"))
+    assert(collect(Incremental.merge(a, empty, Seq("k"))) == collect(a))
+  }
+
+  test("missing state columns fail loudly") {
+    val a = Incremental.aggState(df(rows), Seq("k"), col("v"))
+    val e = intercept[IllegalArgumentException] {
+      Incremental.merge(a, df(rows), Seq("k"))
+    }
+    assert(e.getMessage.contains("state columns"))
+  }
+
+  test("derived average equals sum over count exactly") {
+    val a = Incremental.withAvg(Incremental.aggState(df(rows), Seq("k"), col("v")))
+    val bad = a.filter(
+      col("avg_v") =!= col("sum_v").cast("double") / col("n")).count()
+    assert(bad == 0L)
+  }
+}
