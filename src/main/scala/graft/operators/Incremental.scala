@@ -63,4 +63,35 @@ object Incremental {
   def withAvg(state: DataFrame): DataFrame =
     state.withColumn("avg_v",
       col("sum_v").cast("double") / col("n"))
+
+  /** Streaming sink half of the same algebra: fold each micro-batch into
+    * the running state via `foreachBatch` (`folder.fold` is the batch
+    * handler). Because [[merge]] is commutative/associative and batches
+    * are disjoint slices of the input, the folded state after any prefix
+    * of batches EQUALS a one-shot [[aggState]] over those batches' rows
+    * — the property the spec asserts. Each fold `localCheckpoint`s the
+    * new state: without it the plan stacks one join per micro-batch and
+    * the job grows unboundedly; with it each fold starts from
+    * materialized rows (the previous checkpoint is freed, the live one
+    * is registered with CacheRegistry for release by the caller).
+    */
+  final class Folder(keys: Seq[String], value: Column) {
+    private var state: Option[DataFrame] = None
+    private var liveRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+
+    /** foreachBatch handler; also usable directly on bounded frames. */
+    def fold(batch: DataFrame, batchId: Long = 0L): Unit = synchronized {
+      val delta = aggState(batch, keys, value)
+      val next = state.fold(delta)(st => merge(st, delta, keys))
+        .localCheckpoint(true)
+      liveRdd.foreach(_.unpersist(false))
+      liveRdd = org.apache.spark.sql.graftshim.Shim.checkpointedRdd(next)
+      liveRdd.foreach(
+        graft.CacheRegistry.trackRdd(_, next.sparkSession))
+      state = Some(next)
+    }
+
+    /** The folded state so far (None before the first batch). */
+    def current: Option[DataFrame] = synchronized(state)
+  }
 }

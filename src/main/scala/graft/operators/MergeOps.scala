@@ -48,4 +48,31 @@ object MergeOps {
       d.withColumn(c, coalesce(col(c), lit(v)))
     }
   }
+
+  /** Apply a CDC change batch to a snapshot — the `MERGE INTO ... WHEN
+    * MATCHED UPDATE / DELETE, WHEN NOT MATCHED INSERT` of a table-format
+    * lakehouse, as two joins over plain frames. The latest change per
+    * key wins (`ordering` descending — ties must be broken by a unique
+    * column or the result is nondeterministic); a `D` op deletes the
+    * key, anything else upserts the change row. One shuffle for the
+    * per-key latest, one anti join, one union — no table format, no
+    * row-at-a-time driver logic.
+    *
+    * `changes` must carry every snapshot column plus `opCol` (extra
+    * columns — change timestamps, sequence numbers for `ordering` — are
+    * allowed and dropped from the output).
+    */
+  def cdcApply(snapshot: DataFrame, changes: DataFrame, keys: Seq[String],
+               ordering: Seq[Column], opCol: String,
+               deleteOp: String = "D"): DataFrame = {
+    require(changes.columns.contains(opCol),
+      s"changes is missing the op column '$opCol'")
+    val missing = snapshot.columns.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes is missing snapshot column(s): ${missing.mkString(", ")}")
+    val latest = Cleaning.dedupLatest(changes, keys, ordering)
+    snapshot.join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(latest.filter(col(opCol) =!= deleteOp)
+        .select(snapshot.columns.map(col): _*))
+  }
 }

@@ -1275,6 +1275,26 @@ object Core {
           col("avg_v"))
     }),
 
+    "q76_cdc_apply" -> ((s, dir) => {
+      // CDC MERGE INTO over plain frames (MergeOps.cdcApply scaladoc):
+      // customer is the snapshot; each customer's LATEST order is the
+      // change record — finalized ('F') deletes the key, anything else
+      // upserts the order total as the new balance. Latest-change-wins
+      // needs a total order, so the tie-break chain ends at the unique
+      // orderkey.
+      val snap = Tables.customer(s, dir).select(
+        col("c_custkey"), dec2(col("c_acctbal")).cast("double").as("bal"))
+      val chg = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        dec2(col("o_totalprice")).cast("double").as("bal"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+        col("o_orderdate"), col("o_orderkey"))
+      MergeOps.cdcApply(snap, chg,
+        keys = Seq("c_custkey"),
+        ordering = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+        opCol = "op")
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -2177,6 +2197,22 @@ object Core {
         | lead(eff_from) OVER (PARTITION BY c_custkey ORDER BY eff_from) - 1 AS eff_to,
         | lead(eff_from) OVER (PARTITION BY c_custkey ORDER BY eff_from) IS NULL AS is_current
         |FROM u""".stripMargin,
+
+    "q76_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+        |  FROM customer),
+        |chg AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+        |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+        |SELECT c_custkey, bal FROM snap
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |UNION ALL
+        |SELECT c_custkey, bal FROM chg WHERE op <> 'D'""".stripMargin,
 
     "q75_incremental_agg" ->
       """WITH q AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,4)) AS q

@@ -55,6 +55,34 @@ class IncrementalSpec extends SparkSpec {
     assert(e.getMessage.contains("state columns"))
   }
 
+  test("streaming foreachBatch fold equals one-shot recompute over all batches") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("inc-stream").toString
+    val (b1, b2) = rows.splitAt(1200)
+    def write(b: Seq[(String, BigDecimal)]): Unit =
+      df(b).coalesce(1).write.mode("append").parquet(dir)
+    write(b1)
+
+    val folder = new Incremental.Folder(Seq("k"), col("v"))
+    val schema = df(rows.take(1)).schema
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream.foreachBatch(
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          folder.fold(batch.toDF(), id))
+      .start()
+    try {
+      q.processAllAvailable()
+      write(b2)
+      q.processAllAvailable()
+      val folded = collect(folder.current.get)
+      val direct = collect(Incremental.aggState(df(rows), Seq("k"), col("v")))
+      assert(folded == direct)
+    } finally {
+      q.stop()
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
   test("derived average equals sum over count exactly") {
     val a = Incremental.withAvg(Incremental.aggState(df(rows), Seq("k"), col("v")))
     val bad = a.filter(
