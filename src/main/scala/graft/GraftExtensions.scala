@@ -136,11 +136,10 @@ object GraftExtensions {
     val fpp = lit(exprs(2), "fpp").doubleValue
     require(items > 0, "graft_bloom_agg: expectedItems must be positive")
     require(fpp > 0 && fpp < 1, "graft_bloom_agg: fpp must be in (0, 1)")
-    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(0)), 42L),
-      org.apache.spark.sql.catalyst.expressions.Literal(items),
-      org.apache.spark.sql.catalyst.expressions.Literal(
-        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp)))
+    // hash seed + bit sizing live ONLY in BloomFns (mkAgg scaladoc): a
+    // filter built here probes correctly via BloomFns.mightContain and
+    // vice versa
+    graft.functions.BloomFns.mkAgg(exprs(0), items, fpp)
   }
 
   private def mightContainBuilder(
@@ -148,9 +147,7 @@ object GraftExtensions {
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     require(exprs.length == 2,
       "graft_might_contain(filter, value) takes exactly 2 arguments")
-    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-      exprs(0),
-      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1)), 42L))
+    graft.functions.BloomFns.mkMightContain(exprs(0), exprs(1))
   }
 
   val bloomAggFunction: (FunctionIdentifier, ExpressionInfo,

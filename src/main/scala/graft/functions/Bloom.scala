@@ -25,18 +25,36 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomFns {
 
+  /** The ONE place the hash seed and bit sizing live: both the Column
+    * API below and the SQL surface (`graft_bloom_agg` /
+    * `graft_might_contain` in GraftExtensions) build through these, so
+    * a filter built on either surface probes correctly on the other —
+    * seed or sizing drift between the two would surface as false
+    * negatives, the one error class a Bloom filter must never have.
+    */
+  private[graft] def mkAgg(
+      key: org.apache.spark.sql.catalyst.expressions.Expression,
+      expectedItems: Long, fpp: Double)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    new BloomFilterAggregate(new XxHash64(Seq(key), 42L),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+  }
+
+  private[graft] def mkMightContain(
+      filter: org.apache.spark.sql.catalyst.expressions.Expression,
+      value: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    BloomFilterMightContain(filter, new XxHash64(Seq(value), 42L))
+
   /** Aggregate column building a Bloom filter (serialized binary) over
     * `xxhash64(c)`. Mergeable partials — a map-side-combinable
     * `TypedImperativeAggregate`, one small binary to the driver.
     */
-  def bloomAgg(c: Column, expectedItems: Long, fpp: Double): Column = {
-    require(expectedItems > 0, "expectedItems must be positive")
-    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
-    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
-    val child = new XxHash64(Seq(Shim.expression(c)), 42L)
-    Shim.column(new BloomFilterAggregate(
-      child, Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-  }
+  def bloomAgg(c: Column, expectedItems: Long, fpp: Double): Column =
+    Shim.column(mkAgg(Shim.expression(c), expectedItems, fpp))
 
   /** Build the serialized filter over `keys`'s `c` column. Runs one
     * aggregate job; only the sketch (≈`1.2·n·log2(1/fpp)` bits) reaches
@@ -55,8 +73,7 @@ object BloomFns {
   def mightContain(filter: Option[Array[Byte]], c: Column): Column =
     filter match {
       case Some(bytes) =>
-        Shim.column(BloomFilterMightContain(
-          Literal(bytes, BinaryType), new XxHash64(Seq(Shim.expression(c)), 42L)))
+        Shim.column(mkMightContain(Literal(bytes, BinaryType), Shim.expression(c)))
       case None => org.apache.spark.sql.functions.lit(false)
     }
 }

@@ -24,7 +24,10 @@ object Incremental {
   val stateCols: Seq[String] = Seq("n", "sum_v", "min_v", "max_v")
 
   /** Aggregate `df` into per-`keys` mergeable state over `value`
-    * (cast to decimal so sums are exact and order-independent).
+    * (cast to decimal so sums are exact and order-independent). The
+    * stored sum keeps Spark's full `sum(decimal(18,4))` result type,
+    * decimal(28,4) — 10 digits of headroom over any single value, which
+    * is what makes the state safe to keep folding for years.
     */
   def aggState(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
     val v = value.cast("decimal(18,4)")
@@ -34,6 +37,8 @@ object Incremental {
       min(v).as("min_v"),
       max(v).as("max_v"))
   }
+
+  private val sumType = "decimal(28,4)"
 
   /** Merge two state tables (same keys + stateCols). Full-outer on the
     * keys — a delta may contain brand-new keys and misses most old ones;
@@ -46,12 +51,19 @@ object Incremental {
       stateCols.forall(delta.columns.contains),
       s"both sides must carry state columns ${stateCols.mkString(", ")}")
     val d = stateCols.foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"${c}_d"))
+    val nTotal = coalesce(col("n"), lit(0L)) + coalesce(col("n_d"), lit(0L))
+    // sum must stay NULL while n = 0 (a key seen only with NULL values):
+    // coalescing it to 0 unconditionally would disagree with a direct
+    // recompute, whose sum over all-NULL input is NULL. The sum is kept
+    // at aggState's own decimal(28,4) — re-narrowing it to the input
+    // scale would overflow long-lived state that a recompute handles.
+    val sumTotal = when(nTotal === 0L, lit(null).cast(sumType)).otherwise(
+      (coalesce(col("sum_v"), lit(0).cast(sumType)) +
+        coalesce(col("sum_v_d"), lit(0).cast(sumType))).cast(sumType))
     state.join(d, keys, "full_outer").select(
       keys.map(col) ++ Seq(
-        (coalesce(col("n"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
-        (coalesce(col("sum_v"), lit(0).cast("decimal(18,4)")) +
-          coalesce(col("sum_v_d"), lit(0).cast("decimal(18,4)")))
-          .cast("decimal(18,4)").as("sum_v"),
+        nTotal.as("n"),
+        sumTotal.as("sum_v"),
         least(col("min_v"), col("min_v_d")).as("min_v"),
         greatest(col("max_v"), col("max_v_d")).as("max_v")): _*)
   }
@@ -78,20 +90,39 @@ object Incremental {
   final class Folder(keys: Seq[String], value: Column) {
     private var state: Option[DataFrame] = None
     private var liveRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    private var lastBatchId: Long = -1L
 
-    /** foreachBatch handler; also usable directly on bounded frames. */
-    def fold(batch: DataFrame, batchId: Long = 0L): Unit = synchronized {
+    /** foreachBatch handler; also usable directly on bounded frames.
+      * foreachBatch is at-least-once — after a failure between the fold
+      * and the offset commit, the restarted query RE-DELIVERS the same
+      * batchId. Folding it twice would double-count permanently, so
+      * batchIds at or below the last folded one are skipped. (Bounded
+      * callers looping `fold` directly must pass increasing ids.)
+      */
+    def fold(batch: DataFrame, batchId: Long = Long.MinValue): Unit = synchronized {
+      if (batchId != Long.MinValue && batchId <= lastBatchId) return
+      lastBatchId = math.max(lastBatchId, batchId)
       val delta = aggState(batch, keys, value)
       val next = state.fold(delta)(st => merge(st, delta, keys))
         .localCheckpoint(true)
+      // the superseded checkpoint is freed here, not handed to
+      // CacheRegistry: tracking one entry per micro-batch would grow the
+      // registry (and retain each old RDD's lineage) without bound on a
+      // long-running stream — the caller frees the LIVE checkpoint via
+      // close() when done with the folded state
       liveRdd.foreach(_.unpersist(false))
       liveRdd = org.apache.spark.sql.graftshim.Shim.checkpointedRdd(next)
-      liveRdd.foreach(
-        graft.CacheRegistry.trackRdd(_, next.sparkSession))
       state = Some(next)
     }
 
     /** The folded state so far (None before the first batch). */
     def current: Option[DataFrame] = synchronized(state)
+
+    /** Free the live checkpoint; `current` is unusable afterwards. */
+    def close(): Unit = synchronized {
+      liveRdd.foreach(_.unpersist(false))
+      liveRdd = None
+      state = None
+    }
   }
 }

@@ -99,12 +99,17 @@ object RangeJoin {
       right: DataFrame, rStartCol: String, rEndCol: String,
       keys: Seq[String], bucketSec: Long): DataFrame = {
     require(bucketSec > 0, "bucketSec must be positive")
-    val lReserved = Set("__cell", "__l0", "__l1", "__l0_us", "__l1_us", "__ls_us")
-    val rReserved = Set("__cell", "__r0", "__r1", "__r0_us", "__r1_us", "__rs_us")
-    val lClash = left.columns.filter(lReserved)
+    // ONE reserved set checked against BOTH sides: the two inputs meet in
+    // a join, so a left column named __rs_us (the right side's internal)
+    // would survive its own side's plumbing and then collide — ambiguous
+    // reference in the owner-cell expression, or a user column dropped.
+    val reserved = Set("__cell",
+      "__l0", "__l1", "__l0_us", "__l1_us", "__ls_us",
+      "__r0", "__r1", "__r0_us", "__r1_us", "__rs_us")
+    val lClash = left.columns.filter(reserved)
     require(lClash.isEmpty,
       s"left has reserved column name(s): ${lClash.mkString(", ")}")
-    val rClash = right.columns.filter(rReserved)
+    val rClash = right.columns.filter(reserved)
     require(rClash.isEmpty,
       s"right has reserved column name(s): ${rClash.mkString(", ")}")
     val bucketUs = bucketSec * 1000000L

@@ -51,8 +51,13 @@ object Layout {
       else {
         val scaled = (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0)
         // clamp: values outside the sampled range (late-arriving data)
-        // land on the grid edge instead of corrupting high bits
-        greatest(lit(0L), least(lit(65535L), floor(scaled).cast("long")))
+        // land on the grid edge instead of corrupting high bits. NULL
+        // coordinates are pinned to cell 0 BEFORE the clamp — least/
+        // greatest skip NULLs, so an unguarded NULL would ride through
+        // them as 65535 and stretch the top-corner files' bounding
+        // boxes across the whole grid.
+        val cell = coalesce(floor(scaled).cast("long"), lit(0L))
+        greatest(lit(0L), least(lit(65535L), cell))
       }
     }
     interleave16(norm(x, xRange), norm(y, yRange))

@@ -63,6 +63,16 @@ class BloomSpec extends SparkSpec {
     assert(got == (0 until 1000 by 2).map(i => s"k-$i").toSet)
   }
 
+  test("cross-surface: a SQL-built filter probes correctly via the Column API") {
+    (0 until 500).map(i => s"xk-$i").toDF("s").createOrReplaceTempView("bloom_xs")
+    val bytes = spark.sql("SELECT graft_bloom_agg(s, 500, 0.01) FROM bloom_xs")
+      .head.getAs[Array[Byte]](0)
+    // no false negatives across surfaces ⇒ seed/sizing are shared
+    val pass = (0 until 500).map(i => s"xk-$i").toDF("s")
+      .filter(BloomFns.mightContain(Some(bytes), col("s"))).count()
+    assert(pass == 500L)
+  }
+
   test("SQL surface: literal-argument validation fails loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_bloom_agg(s, 0, 0.01) FROM VALUES ('a') t(s)").collect()

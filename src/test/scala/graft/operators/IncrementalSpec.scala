@@ -79,8 +79,43 @@ class IncrementalSpec extends SparkSpec {
       assert(folded == direct)
     } finally {
       q.stop()
-      graft.CacheRegistry.releaseAll()
+      folder.close()
     }
+  }
+
+  test("a re-delivered micro-batch (same batchId) is not folded twice") {
+    val folder = new Incremental.Folder(Seq("k"), col("v"))
+    try {
+      folder.fold(df(rows.take(100)), batchId = 0L)
+      val once = collect(folder.current.get)
+      folder.fold(df(rows.take(100)), batchId = 0L) // at-least-once redelivery
+      assert(collect(folder.current.get) == once)
+      folder.fold(df(rows.slice(100, 200)), batchId = 1L) // next batch still folds
+      assert(collect(folder.current.get) ==
+        collect(Incremental.aggState(df(rows.take(200)), Seq("k"), col("v"))))
+    } finally folder.close()
+  }
+
+  test("keys observed only with NULL values merge to NULL sum, like a recompute") {
+    val withNulls = Seq(("a", Some(BigDecimal(1))), ("b", None), ("b", None))
+    def d(s: Seq[(String, Option[BigDecimal])]) = s.toDF("k", "v")
+    val merged = Incremental.merge(
+      Incremental.aggState(d(withNulls.take(2)), Seq("k"), col("v")),
+      Incremental.aggState(d(withNulls.drop(2)), Seq("k"), col("v")), Seq("k"))
+    val direct = Incremental.aggState(d(withNulls), Seq("k"), col("v"))
+    val m = merged.select("k", "n", "sum_v")
+      .as[(String, Long, Option[BigDecimal])].collect().toSeq.sortBy(_._1)
+    val r = direct.select("k", "n", "sum_v")
+      .as[(String, Long, Option[BigDecimal])].collect().toSeq.sortBy(_._1)
+    assert(m == r)
+    assert(m.find(_._1 == "b").get._3.isEmpty, "all-NULL key must keep NULL sum")
+  }
+
+  test("merged sum keeps the aggregate's decimal(28,4) headroom") {
+    val a = Incremental.aggState(df(rows), Seq("k"), col("v"))
+    val m = Incremental.merge(a, a, Seq("k"))
+    assert(m.schema("sum_v").dataType ==
+      org.apache.spark.sql.types.DecimalType(28, 4), m.schema("sum_v").dataType)
   }
 
   test("derived average equals sum over count exactly") {

@@ -171,6 +171,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(10L, 12L))
   }
 
+  test("intervalOverlap rejects the OTHER side's internals too (they meet in the join)") {
+    val s0 = 1700000000L * 1000000L
+    // left carrying the RIGHT side's internal name would survive its own
+    // side's plumbing and collide after the join
+    val left = Seq((1L, 0L, ts(s0), ts(s0))).toDF("__rs_us", "k", "l_start", "l_end")
+    val right = Seq((2L, 0L, ts(s0), ts(s0))).toDF("r_id", "k", "r_start", "r_end")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(left, "l_start", "l_end", right, "r_start", "r_end", Seq("k"), 60)
+    }
+    assert(e.getMessage.contains("__rs_us"))
+  }
+
   test("intervalOverlap rejects reserved names and drops inverted intervals") {
     val s0 = 1700000000L * 1000000L
     val bad = Seq((1L, 0L, ts(s0), ts(s0))).toDF("__ls_us", "k", "l_start", "l_end")

@@ -37,6 +37,16 @@ class LayoutSpec extends SparkSpec {
     assert((got & 0x55555555L) == 0L)
   }
 
+  test("NULL coordinates pin to cell 0, not the top grid corner") {
+    val got = Seq((Some(5.0), Some(7.0)), (None, Some(7.0)), (Some(5.0), None))
+      .toDF("x", "y")
+      .select(Layout.zValue(col("x"), (0.0, 10.0), col("y"), (0.0, 10.0)).as("z"))
+      .as[Long].collect()
+    // null x: even (x) bit positions all zero; null y: odd positions zero
+    assert((got(1) & 0x55555555L) == 0L, s"null x leaked x-bits: ${got(1)}")
+    assert((got(2) & 0xAAAAAAAAL) == 0L, s"null y leaked y-bits: ${got(2)}")
+  }
+
   test("z-ordered layout skips files for single-dimension filters; linear layout cannot") {
     // 64×64 grid; 16 files. A filter on y alone touches every file of an
     // x-sorted layout but only the files whose z-box intersects the y
