@@ -1295,6 +1295,209 @@ object Core {
         opCol = "op")
     }),
 
+    "q77_tpch6" -> ((s, dir) =>
+      // TPC-H Q6 shape: forecasting-revenue scan — single table, three
+      // pushable predicates, one agg, zero shuffles beyond the final
+      // single-row reduce. The discount band compares in decimal (the
+      // 2-dp lattice makes double BETWEEN unreliable at the edges).
+      li(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date") &&
+          dec2(col("l_discount")).between(
+            lit("0.04").cast("decimal(12,2)"), lit("0.06").cast("decimal(12,2)")) &&
+          col("l_quantity") < 24)
+        .agg(
+          r2d(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n"))),
+
+    "q78_tpch15" -> ((s, dir) => {
+      // TPC-H Q15 shape: top supplier by quarterly revenue — an
+      // aggregated view joined to its own max (scalar subquery). The
+      // max is a single-row broadcast and the equality join is an
+      // EQUI-join on the exact decimal-rounded revenue, so ties (two
+      // suppliers at the max) all surface, like the SQL.
+      val rev = li(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1997-10-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+        .groupBy(col("l_suppkey"))
+        .agg(r2d(sum(revDec)).as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.join(broadcast(top), col("total_rev") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    }),
+
+    "q79_tpch16" -> ((s, dir) => {
+      // TPC-H Q16 shape: supplier diversity census — distinct-supplier
+      // counts per part group, excluding a blocklisted supplier set
+      // (NOT IN ⇒ broadcast anti join, the set is tiny) with the part
+      // predicate broadcast onto the fact scan.
+      val p = Tables.part(s, dir)
+        .filter(col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 10 === 0).select("s_suppkey")
+      li(s, dir).select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    "q80_tpch2" -> ((s, dir) => {
+      // TPC-H Q2 shape: minimum-cost supplier per part — the correlated
+      // `cost = (SELECT min(cost) ...)` subquery decorrelated into a
+      // per-part min aggregate joined back on (part, cost) equality.
+      // The part predicate is applied BEFORE the per-(part, supplier)
+      // aggregate: at scale the filter cuts the aggregation input, not
+      // just the output. Ties (several suppliers at the min) surface.
+      val p = Tables.part(s, dir)
+        .filter(col("p_size").between(1, 15) && col("p_type") === "ECONOMY")
+        .select("p_partkey", "p_brand")
+      val cost = li(s, dir).select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(dec2(col("l_extendedprice"))).as("supp_cost"),
+          first(col("p_brand")).as("p_brand"))
+      val minCost = cost.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("supp_cost")).as("min_cost"))
+      cost.join(minCost,
+          col("l_partkey") === col("mk") && col("supp_cost") === col("min_cost"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").as("p_partkey"), col("p_brand"),
+          col("s_suppkey"), col("s_name"), col("min_cost").cast("double").as("cost"))
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(100)
+    }),
+
+    "q81_tpch11" -> ((s, dir) => {
+      // TPC-H Q11 shape: important-part value concentration — per-part
+      // value restricted to one region's suppliers, kept where it
+      // exceeds a fraction of the GLOBAL total (scalar subquery ⇒
+      // single-row broadcast anchor; the fraction multiply stays in
+      // decimal on both engines so the threshold compare is exact).
+      val regionSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_regionkey") === 2)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val value = li(s, dir).select("l_partkey", "l_suppkey",
+          "l_extendedprice", "l_quantity")
+        .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
+          .cast("decimal(28,4)").as("v"))
+      val thresh = value.agg(
+        expr("CAST(sum(v) * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(28,4))")
+          .as("cutoff"))
+      value.join(broadcast(thresh), col("v") > col("cutoff"))
+        .select(col("l_partkey"), col("v").cast("double").as("part_value"))
+    }),
+
+    "q82_tpch20" -> ((s, dir) => {
+      // TPC-H Q20 shape: dominant suppliers — suppliers providing more
+      // than half of a part's shipped quantity in a year. Nested
+      // aggregate (per part-supplier, then per part) + decimal-exact
+      // share compare; DISTINCT collapses a supplier dominating many
+      // parts to one row before the tiny dim broadcast.
+      val shipped = li(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(dec2(col("l_quantity"))).as("sq"))
+      val tot = shipped.groupBy(col("l_partkey").as("tk"))
+        .agg(sum(col("sq")).as("tq"))
+      shipped.join(tot, col("l_partkey") === col("tk"))
+        .filter(col("sq") > lit("0.5").cast("decimal(3,1)") * col("tq"))
+        .select("l_suppkey").distinct()
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+    }),
+
+    "q83_tpch7" -> ((s, dir) => {
+      // TPC-H Q7 shape: cross-region shipping volume — the fact joins
+      // BOTH dimension paths (supplier→nation and order→customer→
+      // nation), keeps the two directed region pairs, and rolls up by
+      // (supp region, cust region, ship year). All dims broadcast; the
+      // only fact-fact shuffle is lineitem⋈orders.
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_regionkey").as("supp_region"))
+      val cn = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_regionkey").as("cust_region"))
+      li(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"), revDec.as("rd"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_region") === 1 && col("cust_region") === 2) ||
+          (col("supp_region") === 2 && col("cust_region") === 1))
+        .groupBy(col("supp_region"), col("cust_region"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(r2d(sum(col("rd"))).as("volume"))
+    }),
+
+    "q84_tpch8" -> ((s, dir) => {
+      // TPC-H Q8 shape: national market share — one nation's slice of a
+      // region's order volume per year, as a conditional-sum ratio. The
+      // numerator rides the same decimal aggregate as the denominator
+      // (one pass); the ratio is tie-nudged like every cross-engine
+      // double rounding (Core scaladoc).
+      val cn = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_regionkey") === 1)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val zero = lit(0).cast("decimal(12,2)")
+      li(s, dir).select(col("l_orderkey"), col("l_suppkey"), revDec.as("rd"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+              col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(r4e(
+          sum(when(col("s_nationkey") === 7, col("rd")).otherwise(zero)).cast("double") /
+            sum(col("rd")).cast("double")).as("mkt_share"))
+    }),
+
+    "q85_tpch9" -> ((s, dir) => {
+      // TPC-H Q9 shape: product-line profit by supplier nation and
+      // year — revenue minus a deterministic retail-price-based cost
+      // share, entirely in decimal. part filters before the join;
+      // nation names come from the broadcast dim chain.
+      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select("p_partkey", "p_retailprice")
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val costShare = lit("0.05").cast("decimal(3,2)")
+      li(s, dir).select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), revDec.as("rd"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(r2d(sum(col("rd") -
+          dec2(col("p_retailprice")) * dec2(col("l_quantity")) * costShare))
+          .as("profit"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -2197,6 +2400,126 @@ object Core {
         | lead(eff_from) OVER (PARTITION BY c_custkey ORDER BY eff_from) - 1 AS eff_to,
         | lead(eff_from) OVER (PARTITION BY c_custkey ORDER BY eff_from) IS NULL AS is_current
         |FROM u""".stripMargin,
+
+    "q77_tpch6" ->
+      """SELECT
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.04 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q78_tpch15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-10-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier, rev
+        |WHERE s_suppkey = l_suppkey
+        |  AND total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+
+    "q79_tpch16" ->
+      """SELECT p_brand, p_type, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q80_tpch2" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, p_brand,
+        |         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS supp_cost
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_size BETWEEN 1 AND 15 AND p_type = 'ECONOMY'
+        |  GROUP BY 1, 2, 3),
+        |mincost AS (SELECT l_partkey AS mk, min(supp_cost) AS min_cost
+        |            FROM cost GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, p_brand, s_suppkey, s_name,
+        | CAST(min_cost AS DOUBLE) AS cost
+        |FROM cost JOIN mincost ON l_partkey = mk AND supp_cost = min_cost
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |ORDER BY p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
+
+    "q81_tpch11" ->
+      """WITH val AS (
+        |  SELECT l_partkey,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,4)) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_regionkey = 2
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+        |FROM val
+        |WHERE v > (SELECT CAST(sum(v) * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(28,4)) FROM val)""".stripMargin,
+
+    "q82_tpch20" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, sum(sq) AS tq FROM shipped GROUP BY 1)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM shipped JOIN tot USING (l_partkey)
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE sq > CAST(0.5 AS DECIMAL(3,1)) * tq""".stripMargin,
+
+    "q83_tpch7" ->
+      """SELECT sn.n_regionkey AS supp_region, cn.n_regionkey AS cust_region,
+        | CAST(year(l_shipdate) AS INT) AS l_year,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE ((sn.n_regionkey = 1 AND cn.n_regionkey = 2)
+        |    OR (sn.n_regionkey = 2 AND cn.n_regionkey = 1))
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q84_tpch8" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |   CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS rd,
+        |   s_nationkey
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                      JOIN nation ON n_nationkey = c_nationkey
+        |                      WHERE n_regionkey = 1)
+        |    AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01')
+        |SELECT o_year,
+        | round(CAST(sum(CASE WHEN s_nationkey = 7 THEN rd ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |   / CAST(sum(rd) AS DOUBLE) + 1e-7, 4) + 0 AS mkt_share
+        |FROM vol GROUP BY 1""".stripMargin,
+
+    "q85_tpch9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(round(sum(
+        |   CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |   - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.05 AS DECIMAL(3,2))), 2) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY 1, 2""".stripMargin,
 
     "q76_cdc_apply" ->
       """WITH snap AS (

@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "q39_market_summary",   // broadcast 1-row max-day anchor
     "q40_bullish_filter",   // broadcast 1-row max-day anchor
     "q72_tpch22",           // broadcast 1-row avg-balance threshold anchor
+    "q81_tpch11",           // broadcast 1-row value-fraction cutoff anchor
     "t05_tfidf",            // broadcast 1-row n_docs scalar
     "t08_unigram_lm")       // broadcast 1-row corpus-total scalar
 
