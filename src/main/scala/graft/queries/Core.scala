@@ -1317,11 +1317,15 @@ object Core {
       // max is a single-row broadcast and the equality join is an
       // EQUI-join on the exact decimal-rounded revenue, so ties (two
       // suppliers at the max) all surface, like the SQL.
-      val rev = li(s, dir)
+      // the revenue view feeds BOTH the max subquery and the final join
+      // — cached (it is |suppliers| rows) so lineitem is scanned once,
+      // not once per consumer
+      val rev = graft.CacheRegistry.track(li(s, dir)
         .filter(col("l_shipdate").cast("date") >= lit("1997-10-01").cast("date") &&
           col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
         .groupBy(col("l_suppkey"))
         .agg(r2d(sum(revDec)).as("total_rev"))
+        .cache())
       val top = rev.agg(max(col("total_rev")).as("max_rev"))
       rev.join(broadcast(top), col("total_rev") === col("max_rev"))
         .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
@@ -1357,11 +1361,15 @@ object Core {
       val p = Tables.part(s, dir)
         .filter(col("p_size").between(1, 15) && col("p_type") === "ECONOMY")
         .select("p_partkey", "p_brand")
-      val cost = li(s, dir).select("l_partkey", "l_suppkey", "l_extendedprice")
+      // cost feeds both the per-part min and the join back — cached
+      // ((part, supplier) grain, tiny vs the fact) for one lineitem scan
+      val cost = graft.CacheRegistry.track(
+        li(s, dir).select("l_partkey", "l_suppkey", "l_extendedprice")
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(dec2(col("l_extendedprice"))).as("supp_cost"),
           first(col("p_brand")).as("p_brand"))
+        .cache())
       val minCost = cost.groupBy(col("l_partkey").as("mk"))
         .agg(min(col("supp_cost")).as("min_cost"))
       cost.join(minCost,
@@ -1384,12 +1392,15 @@ object Core {
         .join(broadcast(Tables.nation(s, dir).filter(col("n_regionkey") === 2)),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
-      val value = li(s, dir).select("l_partkey", "l_suppkey",
-          "l_extendedprice", "l_quantity")
+      // per-part value feeds both the global total and the filter —
+      // cached (|parts| rows) for one lineitem scan
+      val value = graft.CacheRegistry.track(li(s, dir)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
         .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
           .cast("decimal(28,4)").as("v"))
+        .cache())
       val thresh = value.agg(
         expr("CAST(sum(v) * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(28,4))")
           .as("cutoff"))
@@ -1403,11 +1414,14 @@ object Core {
       // aggregate (per part-supplier, then per part) + decimal-exact
       // share compare; DISTINCT collapses a supplier dominating many
       // parts to one row before the tiny dim broadcast.
-      val shipped = li(s, dir)
+      // shipped feeds both the per-part total and the share filter —
+      // cached ((part, supplier) grain) for one lineitem scan
+      val shipped = graft.CacheRegistry.track(li(s, dir)
         .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
           col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(sum(dec2(col("l_quantity"))).as("sq"))
+        .cache())
       val tot = shipped.groupBy(col("l_partkey").as("tk"))
         .agg(sum(col("sq")).as("tq"))
       shipped.join(tot, col("l_partkey") === col("tk"))
