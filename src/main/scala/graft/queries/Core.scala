@@ -1401,10 +1401,16 @@ object Core {
         .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
           .cast("decimal(28,4)").as("v"))
         .cache())
+      // cutoff = 2× the mean part value: unlike a fixed fraction of the
+      // global total (TPC-H's 0.0001/SF), this stays selective-but-
+      // nonempty at EVERY scale — a fixed fraction divided by a growing
+      // part count eventually filters everything, turning the sf0.1
+      // oracle compare into a vacuous 0-vs-0 match. Exact decimal sum
+      // cast to double over the count, doubled — bit-identical on both
+      // engines (Core scaladoc average rule).
       val thresh = value.agg(
-        expr("CAST(sum(v) * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(28,4))")
-          .as("cutoff"))
-      value.join(broadcast(thresh), col("v") > col("cutoff"))
+        (sum(col("v")).cast("double") / count(col("v")) * 2).as("cutoff"))
+      value.join(broadcast(thresh), col("v").cast("double") > col("cutoff"))
         .select(col("l_partkey"), col("v").cast("double").as("part_value"))
     }),
 
@@ -1422,10 +1428,17 @@ object Core {
         .groupBy("l_partkey", "l_suppkey")
         .agg(sum(dec2(col("l_quantity"))).as("sq"))
         .cache())
+      // the share bar must discriminate: >50% of ANY part is vacuously
+      // true for every supplier on this data (each supplier majority-
+      // ships some part), which would reduce the query to SELECT * FROM
+      // supplier and drain the oracle check of information. >60% of a
+      // part contested by ≥4 suppliers keeps the output a strict,
+      // non-empty subset at every SF.
       val tot = shipped.groupBy(col("l_partkey").as("tk"))
-        .agg(sum(col("sq")).as("tq"))
+        .agg(sum(col("sq")).as("tq"), count(lit(1)).as("nsupp"))
       shipped.join(tot, col("l_partkey") === col("tk"))
-        .filter(col("sq") > lit("0.5").cast("decimal(3,1)") * col("tq"))
+        .filter(col("nsupp") >= 4 &&
+          col("sq") > lit("0.6").cast("decimal(2,1)") * col("tq"))
         .select("l_suppkey").distinct()
         .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
           col("l_suppkey") === col("s_suppkey"))
@@ -2473,7 +2486,7 @@ object Core {
         |  GROUP BY 1)
         |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
         |FROM val
-        |WHERE v > (SELECT CAST(sum(v) * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(28,4)) FROM val)""".stripMargin,
+        |WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) / count(*) * 2 FROM val)""".stripMargin,
 
     "q82_tpch20" ->
       """WITH shipped AS (
@@ -2482,11 +2495,12 @@ object Core {
         |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
         |    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
         |  GROUP BY 1, 2),
-        |tot AS (SELECT l_partkey, sum(sq) AS tq FROM shipped GROUP BY 1)
+        |tot AS (SELECT l_partkey, sum(sq) AS tq, count(*) AS nsupp
+        |        FROM shipped GROUP BY 1)
         |SELECT DISTINCT s_suppkey, s_name
         |FROM shipped JOIN tot USING (l_partkey)
         |JOIN supplier ON s_suppkey = l_suppkey
-        |WHERE sq > CAST(0.5 AS DECIMAL(3,1)) * tq""".stripMargin,
+        |WHERE nsupp >= 4 AND sq > CAST(0.6 AS DECIMAL(2,1)) * tq""".stripMargin,
 
     "q83_tpch7" ->
       """SELECT sn.n_regionkey AS supp_region, cn.n_regionkey AS cust_region,

@@ -19,6 +19,11 @@ class EntrySpec extends SparkSpec {
   test("all queries return rows on sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sfDir).count()
+      // queries that cache intermediates (q78/q80/q81/q82, d03, d16, …)
+      // must not leave blocks pinned — or their plans registered with
+      // the CacheManager — for the rest of the shared test session
+      graft.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
       if (n == 0) Some(name) else None
     }
     assert(empty.isEmpty, s"queries with 0 rows: $empty")

@@ -32,6 +32,15 @@ class PlanAuditSpec extends SparkSpec {
     "t08_unigram_lm")       // broadcast 1-row corpus-total scalar
 
   private def nodeNames(name: String): Seq[String] = {
+    // cache hygiene is part of the AUDIT's integrity, not just memory:
+    // a query's .cache() registers its plan with the CacheManager at
+    // construction time, and any LATER query matching that fragment
+    // would get an InMemoryRelation substituted — whose interior is
+    // invisible to sparkPlan.collect, silently exempting it from this
+    // sweep. Clearing before each plan build keeps every fragment
+    // visible regardless of suite execution order.
+    graft.CacheRegistry.releaseAll()
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.queryExecution.sparkPlan.collect { case p => p.nodeName }
   }
