@@ -1525,6 +1525,22 @@ object Core {
           .as("profit"))
     }),
 
+    "q86_data_quality" -> ((s, dir) =>
+      // Publish-gate quality report over the fact table (operators/
+      // Validate scaladoc): null fractions and range violations fold
+      // into ONE scan-level aggregate, uniqueness is one grouped
+      // aggregate on the (orderkey, linenumber) key, and referential
+      // integrity is one anti join against orders. Five checks, one
+      // fact scan + two key-level passes.
+      Validate.report(
+        li(s, dir),
+        scanChecks = Seq(
+          Validate.Completeness("l_quantity"),
+          Validate.Completeness("l_returnflag"),
+          Validate.InRange("l_discount", 0.0, 1.0)),
+        uniqueKey = Some(Seq("l_orderkey", "l_linenumber")),
+        foreignKey = Some(("l_orderkey", Tables.orders(s, dir), "o_orderkey")))),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -2548,6 +2564,31 @@ object Core {
         |JOIN nation ON n_nationkey = s_nationkey
         |WHERE p_type = 'PROMO'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q86_data_quality" ->
+      """SELECT "check", metric, metric <= 0.0 AS pass FROM (
+        |SELECT 'completeness_l_quantity' AS "check",
+        | CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS metric
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'completeness_l_returnflag',
+        | CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range_l_discount',
+        | CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'uniqueness_l_orderkey_l_linenumber',
+        | CAST(coalesce(sum(n), 0) AS DOUBLE)
+        |FROM (SELECT count(*) AS n FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'ri_l_orderkey',
+        | CAST(count(*) AS DOUBLE)
+        |FROM (SELECT DISTINCT l_orderkey FROM lineitem
+        |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |)""".stripMargin,
 
     "q76_cdc_apply" ->
       """WITH snap AS (
