@@ -2586,8 +2586,10 @@ object Core {
         |UNION ALL
         |SELECT 'ri_l_orderkey',
         | CAST(count(*) AS DOUBLE)
-        |FROM (SELECT DISTINCT l_orderkey FROM lineitem
-        |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |FROM (SELECT DISTINCT l_orderkey FROM lineitem l
+        |      WHERE l_orderkey IS NOT NULL
+        |        AND NOT EXISTS (SELECT 1 FROM orders o
+        |                        WHERE o.o_orderkey = l.l_orderkey))
         |)""".stripMargin,
 
     "q76_cdc_apply" ->
