@@ -31,30 +31,56 @@ object AsOf {
     * @param leftTieBreak column making (key, time, tie) a total order on the left
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
-               valueCols: Seq[String], leftTieBreak: String): DataFrame = {
+               valueCols: Seq[String], leftTieBreak: String): DataFrame =
+    joined(left, right, keyCol, timeCol, valueCols, leftTieBreak, backward = true)
+
+  /** Forward variant: attach the EARLIEST right row with the same key
+    * whose timestamp is >= the left row's (inclusive — a right row at
+    * the exact probe time matches). "Next quote after the order", the
+    * mirror of [[asofJoin]]'s "latest before". Same cost shape: one
+    * shuffle, one per-key window pass.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      timeCol: String, valueCols: Seq[String],
+                      leftTieBreak: String): DataFrame =
+    joined(left, right, keyCol, timeCol, valueCols, leftTieBreak, backward = false)
+
+  private def joined(left: DataFrame, right: DataFrame, keyCol: String,
+                     timeCol: String, valueCols: Seq[String],
+                     leftTieBreak: String, backward: Boolean): DataFrame = {
     val leftCols = left.columns
-    // Right rows sort BEFORE left rows at equal time (side 0 < 1) so an
-    // equal-timestamp right row is visible to the left row (inclusive <=).
+    // Inclusive match at equal time requires the right row to be INSIDE
+    // the left row's window: for backward ([preceding, current], carry
+    // with last) the right row must sort BEFORE the left row at equal
+    // time; for forward ([current, following], take first) it must sort
+    // AFTER. The side tag's sort position flips accordingly.
+    val (rightSide, leftSide) = if (backward) (0, 1) else (1, 0)
     val taggedRight = right
       .select((Seq(col(keyCol), col(timeCol)) ++ valueCols.map(c => col(c).as(s"asof_$c"))): _*)
-      .withColumn("__side", lit(0))
-      .withColumn("__tie", lit(Long.MinValue))
+      .withColumn("__side", lit(rightSide))
+      .withColumn("__tie", lit(if (backward) Long.MinValue else Long.MaxValue))
     val nulledValueCols = valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))
     val taggedLeft = left
       .select((leftCols.map(col) ++ nulledValueCols): _*)
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
       .withColumn("__tie", col(leftTieBreak).cast("long"))
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
-    val w = Window
+    val base = Window
       .partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("__side"), col("__tie"))
-      .rowsBetween(Window.unboundedPreceding, 0)
     val carried = valueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+      val carry =
+        if (backward)
+          last(col(s"asof_$c"), ignoreNulls = true)
+            .over(base.rowsBetween(Window.unboundedPreceding, 0))
+        else
+          first(col(s"asof_$c"), ignoreNulls = true)
+            .over(base.rowsBetween(0, Window.unboundedFollowing))
+      d.withColumn(s"asof_$c", carry)
     }
     carried
-      .filter(col("__side") === 1)
+      .filter(col("__side") === lit(leftSide))
       .drop("__side", "__tie")
   }
 }

@@ -1541,6 +1541,29 @@ object Core {
         uniqueKey = Some(Seq("l_orderkey", "l_linenumber")),
         foreignKey = Some(("l_orderkey", Tables.orders(s, dir), "o_orderkey")))),
 
+    "q87_asof_forward" -> ((s, dir) => {
+      // Forward as-of: each purchase ↔ the same user's EARLIEST click at
+      // or after it (the mirror of q23's latest-before) — "next quote
+      // after the order". Same one-shuffle union+window machinery,
+      // flipped carry direction (AsOf.asofJoinForward).
+      val events = ev(s, dir)
+      val pUs = unix_micros(col("ts").cast("timestamp"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), pUs.as("p_us"))
+      val clicks = Cleaning.dedupLatest(
+        events.filter(col("event_type") === "click"),
+        Seq("user_id", "ts"), Seq(col("event_id").desc))
+        .select(col("user_id"), col("ts"), col("event_id"), pUs.as("c_us"))
+      AsOf.asofJoinForward(purchases, clicks, "user_id", "ts",
+        valueCols = Seq("event_id", "c_us"), leftTieBreak = "event_id")
+        .select(
+          col("event_id").as("p_event_id"), col("user_id"),
+          col("asof_event_id").as("click_event_id"),
+          when(col("asof_event_id").isNotNull,
+            floor((col("asof_c_us") - col("p_us")) / 1000000.0).cast("long"))
+            .as("gap_sec"))
+    }),
+
     "q23_asof_join" -> ((s, dir) => {
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
@@ -2617,6 +2640,19 @@ object Core {
         | CAST(max(q) AS DOUBLE) AS max_v,
         | CAST(sum(q) AS DOUBLE) / count(q) AS avg_v
         |FROM q GROUP BY 1""".stripMargin,
+
+    "q87_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS p_event_id, p.user_id,
+        | c.event_id AS click_event_id,
+        | CASE WHEN c.event_id IS NOT NULL
+        |   THEN CAST(floor((epoch_us(c.ts) - epoch_us(p.ts)) / 1000000.0) AS BIGINT)
+        | END AS gap_sec
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin,
 
     "q23_asof_join" ->
       """WITH clicks AS (

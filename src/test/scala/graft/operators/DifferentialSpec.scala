@@ -45,6 +45,32 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinForward equals the brute-force next-at-or-after lookup on random data") {
+    for (_ <- 1 to 3) {
+      val nUsers = 4
+      val clicks = Seq.tabulate(60) { i =>
+        (rnd.nextInt(nUsers).toLong, new Timestamp(rnd.nextInt(1000) * 1000L), i.toLong)
+      }.groupBy(c => (c._1, c._2)).map(_._2.maxBy(_._3)).toSeq
+      val purchases = Seq.tabulate(40) { i =>
+        (rnd.nextInt(nUsers + 1).toLong, new Timestamp(rnd.nextInt(1000) * 1000L), (1000 + i).toLong)
+      }
+      // earliest click at or after the purchase (inclusive boundary)
+      val expected = purchases.map { case (u, ts, pid) =>
+        val best = clicks.filter(c => c._1 == u && !c._2.before(ts))
+          .sortBy(c => (c._2.getTime, c._3)).headOption
+        pid -> best.map(_._3)
+      }.toMap
+
+      val out = AsOf.asofJoinForward(
+        purchases.toDF("user_id", "ts", "purchase_id"),
+        clicks.toDF("user_id", "ts", "click_id"),
+        "user_id", "ts", valueCols = Seq("click_id"), leftTieBreak = "purchase_id")
+        .select("purchase_id", "asof_click_id")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(out == expected)
+    }
+  }
+
   test("connected components equal brute-force union-find on random graphs") {
     for (_ <- 1 to 3) {
       val nNodes = 40
