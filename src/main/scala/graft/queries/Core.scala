@@ -947,6 +947,27 @@ object Core {
           col("revenue"), col("n"))
     }),
 
+    "q88_cube" -> ((s, dir) => {
+      // Full 3-dimensional CUBE (flag × status × ship-year) — the OLAP
+      // lattice slice q29's ROLLUP and q59's explicit sets don't
+      // produce: all 8 grouping combinations from the `.cube()` API.
+      // Same scale discipline as q29/q59: the ×8 Expand multiplies a
+      // finest-grain PRE-AGGREGATE (tens of rows), never the fact
+      // table; decimal sums and count-sums re-aggregate exactly. Group
+      // keys have no real nulls, so ALL / -1 sentinels are unambiguous.
+      val base = li(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).cast("int").as("yr"))
+        .agg(sum(revDec).as("rev_raw"), count(lit(1)).as("n_raw"))
+      base.cube(col("l_returnflag"), col("l_linestatus"), col("yr"))
+        .agg(r2d(sum(col("rev_raw"))).as("revenue"), sum(col("n_raw")).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          coalesce(col("yr"), lit(-1)).as("yr"),
+          col("revenue"), col("n"))
+    }),
+
     "q60_unpivot" -> ((s, dir) => {
       // Wide→long reshaping via the Dataset unpivot (melt) API: per-user
       // conditional counts unpivoted into (metric, cnt) rows. The melt is
@@ -2321,6 +2342,15 @@ object Core {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q88_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | coalesce(CAST(year(l_shipdate) AS INT), -1) AS yr,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus, year(l_shipdate))""".stripMargin,
 
     "q60_unpivot" ->
       """WITH wide AS (
