@@ -49,38 +49,53 @@ object AsOf {
                      timeCol: String, valueCols: Seq[String],
                      leftTieBreak: String, backward: Boolean): DataFrame = {
     val leftCols = left.columns
-    // Inclusive match at equal time requires the right row to be INSIDE
-    // the left row's window: for backward ([preceding, current], carry
-    // with last) the right row must sort BEFORE the left row at equal
-    // time; for forward ([current, following], take first) it must sort
-    // AFTER. The side tag's sort position flips accordingly.
-    val (rightSide, leftSide) = if (backward) (0, 1) else (1, 0)
+    val reserved = Set("__asof_vals", "__side", "__tie")
+    val clash = (leftCols ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"input has reserved column name(s): ${clash.mkString(", ")}")
+    // All right-side values ride in ONE struct so the carried columns
+    // always come from the SAME right row — independent per-column
+    // last(ignoreNulls) carries would fill a genuinely-NULL value from
+    // a DIFFERENT (older) right row, fabricating a row that never
+    // existed. NULL-time right rows can't satisfy a SQL time comparison
+    // and are dropped up front.
     val taggedRight = right
-      .select((Seq(col(keyCol), col(timeCol)) ++ valueCols.map(c => col(c).as(s"asof_$c"))): _*)
-      .withColumn("__side", lit(rightSide))
-      .withColumn("__tie", lit(if (backward) Long.MinValue else Long.MaxValue))
-    val nulledValueCols = valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))
+      .filter(col(timeCol).isNotNull)
+      .select(col(keyCol), col(timeCol),
+        struct(valueCols.map(col): _*).as("__asof_vals"))
+      .withColumn("__side", lit(0))
+      .withColumn("__tie", lit(Long.MinValue))
+    val structType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val taggedLeft = left
-      .select((leftCols.map(col) ++ nulledValueCols): _*)
-      .withColumn("__side", lit(leftSide))
+      .select(leftCols.map(col) :+ lit(null).cast(structType).as("__asof_vals"): _*)
+      .withColumn("__side", lit(1))
       .withColumn("__tie", col(leftTieBreak).cast("long"))
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
-    val base = Window
-      .partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col("__side"), col("__tie"))
-    val carried = valueCols.foldLeft(unioned) { (d, c) =>
-      val carry =
-        if (backward)
-          last(col(s"asof_$c"), ignoreNulls = true)
-            .over(base.rowsBetween(Window.unboundedPreceding, 0))
-        else
-          first(col(s"asof_$c"), ignoreNulls = true)
-            .over(base.rowsBetween(0, Window.unboundedFollowing))
-      d.withColumn(s"asof_$c", carry)
-    }
+    // Both directions run the SAME incremental [unboundedPreceding,
+    // current] frame with last(ignoreNulls) — O(n) per key. The forward
+    // variant just reverses the sort axis ("earliest at-or-after" ≡
+    // "latest at-or-before" on reversed time); a [current,
+    // unboundedFollowing] frame would instead plan Spark's
+    // UnboundedFollowing window frame, which recomputes the aggregate
+    // per row — O(n²) on a hot key. In BOTH orders the right row sorts
+    // before the left row at equal time (side 0 vs 1, asc `0 < 1` /
+    // desc tag flip), so the inclusive match holds.
+    val ord =
+      if (backward) Seq(col(timeCol).asc, col("__side").asc, col("__tie").asc)
+      else Seq(col(timeCol).desc, col("__side").asc, col("__tie").desc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = unioned.withColumn("__asof_vals",
+      last(col("__asof_vals"), ignoreNulls = true).over(w))
+    // A NULL-time probe matches nothing (SQL comparison semantics) —
+    // without the guard it would sort to one end of the partition and
+    // spuriously see every right row in its frame.
+    val guarded = when(col(timeCol).isNotNull, col("__asof_vals"))
     carried
-      .filter(col("__side") === lit(leftSide))
-      .drop("__side", "__tie")
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => guarded.getField(c).as(s"asof_$c")): _*)
   }
 }

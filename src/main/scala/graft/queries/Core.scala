@@ -1562,47 +1562,44 @@ object Core {
         uniqueKey = Some(Seq("l_orderkey", "l_linenumber")),
         foreignKey = Some(("l_orderkey", Tables.orders(s, dir), "o_orderkey")))),
 
-    "q87_asof_forward" -> ((s, dir) => {
-      // Forward as-of: each purchase ↔ the same user's EARLIEST click at
-      // or after it (the mirror of q23's latest-before) — "next quote
-      // after the order". Same one-shuffle union+window machinery,
-      // flipped carry direction (AsOf.asofJoinForward).
-      val events = ev(s, dir)
-      val pUs = unix_micros(col("ts").cast("timestamp"))
-      val purchases = events.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"), pUs.as("p_us"))
-      val clicks = Cleaning.dedupLatest(
-        events.filter(col("event_type") === "click"),
-        Seq("user_id", "ts"), Seq(col("event_id").desc))
-        .select(col("user_id"), col("ts"), col("event_id"), pUs.as("c_us"))
-      AsOf.asofJoinForward(purchases, clicks, "user_id", "ts",
-        valueCols = Seq("event_id", "c_us"), leftTieBreak = "event_id")
-        .select(
-          col("event_id").as("p_event_id"), col("user_id"),
-          col("asof_event_id").as("click_event_id"),
-          when(col("asof_event_id").isNotNull,
-            floor((col("asof_c_us") - col("p_us")) / 1000000.0).cast("long"))
-            .as("gap_sec"))
-    }),
+    // Forward as-of: each purchase ↔ the same user's EARLIEST click at
+    // or after it (the mirror of q23's latest-before) — "next quote
+    // after the order". Shared body with q23 (asofPurchaseClicks);
+    // only the AsOf direction and the gap sign differ.
+    "q87_asof_forward" -> ((s, dir) => asofPurchaseClicks(s, dir, forward = true)),
 
-    "q23_asof_join" -> ((s, dir) => {
-      val events = ev(s, dir)
-      val pUs = unix_micros(col("ts").cast("timestamp"))
-      val purchases = events.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"), pUs.as("p_us"))
-      val clicks = Cleaning.dedupLatest(
-        events.filter(col("event_type") === "click"),
-        Seq("user_id", "ts"), Seq(col("event_id").desc))
-        .select(col("user_id"), col("ts"), col("event_id"), pUs.as("c_us"))
-      AsOf.asofJoin(purchases, clicks, "user_id", "ts",
-        valueCols = Seq("event_id", "c_us"), leftTieBreak = "event_id")
-        .select(
-          col("event_id").as("p_event_id"), col("user_id"),
-          col("asof_event_id").as("click_event_id"),
-          when(col("asof_event_id").isNotNull,
-            floor((col("p_us") - col("asof_c_us")) / 1000000.0).cast("long"))
-            .as("gap_sec"))
-    }))
+    "q23_asof_join" -> ((s, dir) => asofPurchaseClicks(s, dir, forward = false)))
+
+  /** Shared body of q23 (backward) / q87 (forward): purchases probed
+    * against per-(user, ts)-deduped clicks; gap is always non-negative
+    * (probe − match backward, match − probe forward).
+    */
+  private def asofPurchaseClicks(s: SparkSession, dir: String,
+                                 forward: Boolean): DataFrame = {
+    val events = ev(s, dir)
+    val pUs = unix_micros(col("ts").cast("timestamp"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), pUs.as("p_us"))
+    val clicks = Cleaning.dedupLatest(
+      events.filter(col("event_type") === "click"),
+      Seq("user_id", "ts"), Seq(col("event_id").desc))
+      .select(col("user_id"), col("ts"), col("event_id"), pUs.as("c_us"))
+    val joined =
+      if (forward)
+        AsOf.asofJoinForward(purchases, clicks, "user_id", "ts",
+          valueCols = Seq("event_id", "c_us"), leftTieBreak = "event_id")
+      else
+        AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+          valueCols = Seq("event_id", "c_us"), leftTieBreak = "event_id")
+    val gapUs =
+      if (forward) col("asof_c_us") - col("p_us")
+      else col("p_us") - col("asof_c_us")
+    joined.select(
+      col("event_id").as("p_event_id"), col("user_id"),
+      col("asof_event_id").as("click_event_id"),
+      when(col("asof_event_id").isNotNull,
+        floor(gapUs / 1000000.0).cast("long")).as("gap_sec"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->

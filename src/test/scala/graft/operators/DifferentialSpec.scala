@@ -71,6 +71,53 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("as-of NULL semantics: NULL-time probes and NULL-time right rows match nothing") {
+    val clicks = Seq(
+      (1L, Some(new Timestamp(100000L)), 10L),
+      (1L, None, 99L)) // NULL-ts right row: unmatchable under SQL comparison
+      .toDF("user_id", "ts", "click_id")
+    val purchases = Seq(
+      (1L, Some(new Timestamp(200000L)), 1000L),
+      (1L, None, 1001L)) // NULL-ts probe: matches nothing in either direction
+      .toDF("user_id", "ts", "purchase_id")
+    for (fwd <- Seq(false, true)) {
+      val fn = if (fwd) AsOf.asofJoinForward _ else AsOf.asofJoin _
+      val out = fn(purchases, clicks, "user_id", "ts", Seq("click_id"), "purchase_id")
+        .select("purchase_id", "asof_click_id")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(out(1001L).isEmpty, s"fwd=$fwd: NULL probe must not match")
+      val expected = if (fwd) None else Some(10L)
+      assert(out(1000L) == expected, s"fwd=$fwd")
+    }
+  }
+
+  test("as-of carries all value columns from ONE right row (atomic struct)") {
+    // right rows: at t1 v1 is genuinely NULL; at t2 both set. A forward
+    // probe before t1 must report (NULL, a) from the t1 row — not
+    // fabricate (x, a) by pulling v1 from the t2 row.
+    val right = Seq(
+      (1L, new Timestamp(100000L), Option.empty[Long], Some("a")),
+      (1L, new Timestamp(200000L), Some(7L), Some("b")))
+      .toDF("user_id", "ts", "v1", "v2")
+    val left = Seq((1L, new Timestamp(50000L), 1000L))
+      .toDF("user_id", "ts", "purchase_id")
+    val fwd = AsOf.asofJoinForward(left, right, "user_id", "ts",
+      Seq("v1", "v2"), "purchase_id")
+      .select("asof_v1", "asof_v2").as[(Option[Long], Option[String])].collect().head
+    assert(fwd == ((None, Some("a"))), fwd)
+    // mirror case backward: probe after t2 where v2 is NULL on the
+    // nearest row
+    val right2 = Seq(
+      (1L, new Timestamp(100000L), Some(7L), Some("b")),
+      (1L, new Timestamp(200000L), Some(9L), Option.empty[String]))
+      .toDF("user_id", "ts", "v1", "v2")
+    val bwd = AsOf.asofJoin(
+      Seq((1L, new Timestamp(300000L), 1000L)).toDF("user_id", "ts", "purchase_id"),
+      right2, "user_id", "ts", Seq("v1", "v2"), "purchase_id")
+      .select("asof_v1", "asof_v2").as[(Option[Long], Option[String])].collect().head
+    assert(bwd == ((Some(9L), None)), bwd)
+  }
+
   test("connected components equal brute-force union-find on random graphs") {
     for (_ <- 1 to 3) {
       val nNodes = 40
