@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * `/root/reference/scripts/spark_jobs/sentiment_analysis.py:55-67`).
   *
   * Implementation: union both sides tagged with a side marker, then a single
-  * window pass per key ordered by (time, side, tie-break) carrying the last
-  * non-null right-side values forward (`last(_, ignoreNulls = true)`).
+  * window pass per key ordered by (time, side) carrying the last
+  * non-null right-side value struct forward (`last(_, ignoreNulls = true)`).
   * Cost: ONE shuffle on the key + a per-key sort — no per-row lookups, no
   * broadcast of the right side, no range explosion. At 100 TB this is the
   * same shape as a sort-merge join and scales with key cardinality.
+  *
+  * NULL semantics follow SQL comparisons throughout: a NULL key or NULL
+  * time on either side never matches.
   */
 object AsOf {
 
@@ -28,11 +31,10 @@ object AsOf {
     * [[Cleaning.dedupLatest]] otherwise, or results are nondeterministic.
     *
     * @param valueCols right-side columns to carry (emitted with prefix `asof_`)
-    * @param leftTieBreak column making (key, time, tie) a total order on the left
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
-               valueCols: Seq[String], leftTieBreak: String): DataFrame =
-    joined(left, right, keyCol, timeCol, valueCols, leftTieBreak, backward = true)
+               valueCols: Seq[String]): DataFrame =
+    joined(left, right, keyCol, timeCol, valueCols, backward = true)
 
   /** Forward variant: attach the EARLIEST right row with the same key
     * whose timestamp is >= the left row's (inclusive — a right row at
@@ -41,36 +43,43 @@ object AsOf {
     * shuffle, one per-key window pass.
     */
   def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
-                      timeCol: String, valueCols: Seq[String],
-                      leftTieBreak: String): DataFrame =
-    joined(left, right, keyCol, timeCol, valueCols, leftTieBreak, backward = false)
+                      timeCol: String, valueCols: Seq[String]): DataFrame =
+    joined(left, right, keyCol, timeCol, valueCols, backward = false)
 
   private def joined(left: DataFrame, right: DataFrame, keyCol: String,
                      timeCol: String, valueCols: Seq[String],
-                     leftTieBreak: String, backward: Boolean): DataFrame = {
+                     backward: Boolean): DataFrame = {
     val leftCols = left.columns
-    val reserved = Set("__asof_vals", "__side", "__tie")
-    val clash = (leftCols ++ right.columns).filter(reserved)
+    // Spark resolves column names case-insensitively by default, so the
+    // guards compare lowercased — a left column named "__Side" would
+    // otherwise pass the check and then be silently overwritten by
+    // withColumn. The emitted asof_<col> names must also be free on the
+    // left, or the output would carry two identically-named columns.
+    val reserved = Set("__asof_vals", "__side")
+    val clash = (leftCols ++ right.columns).filter(c => reserved(c.toLowerCase))
     require(clash.isEmpty,
       s"input has reserved column name(s): ${clash.mkString(", ")}")
+    val outNames = valueCols.map(c => s"asof_$c".toLowerCase).toSet
+    val outClash = leftCols.filter(c => outNames(c.toLowerCase))
+    require(outClash.isEmpty,
+      s"left already has output column name(s): ${outClash.mkString(", ")}")
     // All right-side values ride in ONE struct so the carried columns
     // always come from the SAME right row — independent per-column
     // last(ignoreNulls) carries would fill a genuinely-NULL value from
     // a DIFFERENT (older) right row, fabricating a row that never
-    // existed. NULL-time right rows can't satisfy a SQL time comparison
-    // and are dropped up front.
+    // existed. NULL-key / NULL-time right rows can't satisfy a SQL
+    // comparison and are dropped up front (partitionBy would otherwise
+    // group NULL keys together and match them).
     val taggedRight = right
-      .filter(col(timeCol).isNotNull)
+      .filter(col(timeCol).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol), col(timeCol),
         struct(valueCols.map(col): _*).as("__asof_vals"))
       .withColumn("__side", lit(0))
-      .withColumn("__tie", lit(Long.MinValue))
     val structType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val taggedLeft = left
       .select(leftCols.map(col) :+ lit(null).cast(structType).as("__asof_vals"): _*)
       .withColumn("__side", lit(1))
-      .withColumn("__tie", col(leftTieBreak).cast("long"))
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
     // Both directions run the SAME incremental [unboundedPreceding,
@@ -80,19 +89,23 @@ object AsOf {
     // unboundedFollowing] frame would instead plan Spark's
     // UnboundedFollowing window frame, which recomputes the aggregate
     // per row — O(n²) on a hot key. In BOTH orders the right row sorts
-    // before the left row at equal time (side 0 vs 1, asc `0 < 1` /
-    // desc tag flip), so the inclusive match holds.
+    // before the left row at equal time (__side 0 < 1 ascending), so
+    // the inclusive match holds. No further tie-break is needed: left
+    // rows carry NULL structs that last(ignoreNulls) skips, so their
+    // relative order can't change any carried value, and right rows are
+    // unique per (key, time) by contract.
     val ord =
-      if (backward) Seq(col(timeCol).asc, col("__side").asc, col("__tie").asc)
-      else Seq(col(timeCol).desc, col("__side").asc, col("__tie").desc)
+      if (backward) Seq(col(timeCol).asc, col("__side").asc)
+      else Seq(col(timeCol).desc, col("__side").asc)
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = unioned.withColumn("__asof_vals",
       last(col("__asof_vals"), ignoreNulls = true).over(w))
-    // A NULL-time probe matches nothing (SQL comparison semantics) —
-    // without the guard it would sort to one end of the partition and
-    // spuriously see every right row in its frame.
-    val guarded = when(col(timeCol).isNotNull, col("__asof_vals"))
+    // A NULL-time or NULL-key probe matches nothing — without the guard
+    // a NULL time sorts to one end of the partition and spuriously sees
+    // every right row in its frame, and NULL keys co-partition.
+    val guarded = when(col(timeCol).isNotNull && col(keyCol).isNotNull,
+      col("__asof_vals"))
     carried
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++

@@ -1587,10 +1587,10 @@ object Core {
     val joined =
       if (forward)
         AsOf.asofJoinForward(purchases, clicks, "user_id", "ts",
-          valueCols = Seq("event_id", "c_us"), leftTieBreak = "event_id")
+          valueCols = Seq("event_id", "c_us"))
       else
         AsOf.asofJoin(purchases, clicks, "user_id", "ts",
-          valueCols = Seq("event_id", "c_us"), leftTieBreak = "event_id")
+          valueCols = Seq("event_id", "c_us"))
     val gapUs =
       if (forward) col("asof_c_us") - col("p_us")
       else col("p_us") - col("asof_c_us")

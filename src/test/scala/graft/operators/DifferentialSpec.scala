@@ -38,7 +38,7 @@ class DifferentialSpec extends SparkSpec {
       val out = AsOf.asofJoin(
         purchases.toDF("user_id", "ts", "purchase_id"),
         clicks.toDF("user_id", "ts", "click_id"),
-        "user_id", "ts", valueCols = Seq("click_id"), leftTieBreak = "purchase_id")
+        "user_id", "ts", valueCols = Seq("click_id"))
         .select("purchase_id", "asof_click_id")
         .as[(Long, Option[Long])].collect().toMap
       assert(out == expected)
@@ -64,31 +64,48 @@ class DifferentialSpec extends SparkSpec {
       val out = AsOf.asofJoinForward(
         purchases.toDF("user_id", "ts", "purchase_id"),
         clicks.toDF("user_id", "ts", "click_id"),
-        "user_id", "ts", valueCols = Seq("click_id"), leftTieBreak = "purchase_id")
+        "user_id", "ts", valueCols = Seq("click_id"))
         .select("purchase_id", "asof_click_id")
         .as[(Long, Option[Long])].collect().toMap
       assert(out == expected)
     }
   }
 
-  test("as-of NULL semantics: NULL-time probes and NULL-time right rows match nothing") {
+  test("as-of NULL semantics: NULL keys and NULL times match nothing on either side") {
     val clicks = Seq(
-      (1L, Some(new Timestamp(100000L)), 10L),
-      (1L, None, 99L)) // NULL-ts right row: unmatchable under SQL comparison
+      (Some(1L), Some(new Timestamp(100000L)), 10L),
+      (Some(1L), None, 99L), // NULL-ts right row: unmatchable
+      (None, Some(new Timestamp(100000L)), 98L)) // NULL-key right row: unmatchable
       .toDF("user_id", "ts", "click_id")
     val purchases = Seq(
-      (1L, Some(new Timestamp(200000L)), 1000L),
-      (1L, None, 1001L)) // NULL-ts probe: matches nothing in either direction
+      (Some(1L), Some(new Timestamp(200000L)), 1000L),
+      (Some(1L), None, 1001L), // NULL-ts probe: matches nothing
+      (None, Some(new Timestamp(200000L)), 1002L)) // NULL-key probe: matches nothing
       .toDF("user_id", "ts", "purchase_id")
     for (fwd <- Seq(false, true)) {
       val fn = if (fwd) AsOf.asofJoinForward _ else AsOf.asofJoin _
-      val out = fn(purchases, clicks, "user_id", "ts", Seq("click_id"), "purchase_id")
+      val out = fn(purchases, clicks, "user_id", "ts", Seq("click_id"))
         .select("purchase_id", "asof_click_id")
         .as[(Long, Option[Long])].collect().toMap
-      assert(out(1001L).isEmpty, s"fwd=$fwd: NULL probe must not match")
+      assert(out(1001L).isEmpty, s"fwd=$fwd: NULL-ts probe must not match")
+      assert(out(1002L).isEmpty, s"fwd=$fwd: NULL-key probe must not match")
       val expected = if (fwd) None else Some(10L)
       assert(out(1000L) == expected, s"fwd=$fwd")
     }
+  }
+
+  test("as-of rejects reserved and colliding output column names, case-insensitively") {
+    val clicks = Seq((1L, new Timestamp(1000L), 10L)).toDF("user_id", "ts", "click_id")
+    val badSide = Seq((1L, new Timestamp(1000L), 1L)).toDF("user_id", "ts", "__Side")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(badSide, clicks, "user_id", "ts", Seq("click_id"))
+    }
+    assert(e1.getMessage.contains("__Side"))
+    val badOut = Seq((1L, new Timestamp(1000L), 5L)).toDF("user_id", "ts", "asof_click_id")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(badOut, clicks, "user_id", "ts", Seq("click_id"))
+    }
+    assert(e2.getMessage.contains("asof_click_id"))
   }
 
   test("as-of carries all value columns from ONE right row (atomic struct)") {
@@ -102,7 +119,7 @@ class DifferentialSpec extends SparkSpec {
     val left = Seq((1L, new Timestamp(50000L), 1000L))
       .toDF("user_id", "ts", "purchase_id")
     val fwd = AsOf.asofJoinForward(left, right, "user_id", "ts",
-      Seq("v1", "v2"), "purchase_id")
+      Seq("v1", "v2"))
       .select("asof_v1", "asof_v2").as[(Option[Long], Option[String])].collect().head
     assert(fwd == ((None, Some("a"))), fwd)
     // mirror case backward: probe after t2 where v2 is NULL on the
@@ -113,7 +130,7 @@ class DifferentialSpec extends SparkSpec {
       .toDF("user_id", "ts", "v1", "v2")
     val bwd = AsOf.asofJoin(
       Seq((1L, new Timestamp(300000L), 1000L)).toDF("user_id", "ts", "purchase_id"),
-      right2, "user_id", "ts", Seq("v1", "v2"), "purchase_id")
+      right2, "user_id", "ts", Seq("v1", "v2"))
       .select("asof_v1", "asof_v2").as[(Option[Long], Option[String])].collect().head
     assert(bwd == ((Some(9L), None)), bwd)
   }

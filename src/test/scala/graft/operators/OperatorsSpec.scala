@@ -43,7 +43,7 @@ class OperatorsSpec extends SparkSpec {
       (3L, ts("2024-01-01 10:00:00"), 4L) // user with no clicks: null
     ).toDF("user_id", "ts", "purchase_id")
     val out = AsOf.asofJoin(purchases, clicks, "user_id", "ts",
-      valueCols = Seq("click_id"), leftTieBreak = "purchase_id")
+      valueCols = Seq("click_id"))
       .select("purchase_id", "asof_click_id")
       .as[(Long, Option[Long])].collect().toMap
     assert(out == Map(1L -> Some(100L), 2L -> Some(101L), 3L -> None, 4L -> None))
