@@ -24,6 +24,14 @@ class PushdownAuditSpec extends SparkSpec {
     assert(pushed.contains("o_orderdate"), s"o_orderdate not pushed: $pushed")
   }
 
+  test("q77's scan-heavy predicates reach the parquet scan") {
+    // Q6 is a pure scan query: if its date/quantity filters evaluate
+    // only above the scan, the whole query is a full-table read.
+    val pushed = scans("q77_tpch6").flatMap(_.dataFilters).map(_.sql).mkString(" | ")
+    assert(pushed.contains("l_shipdate"), s"l_shipdate not pushed: $pushed")
+    assert(pushed.contains("l_quantity"), s"l_quantity not pushed: $pushed")
+  }
+
   test("column pruning reaches the scan (narrow projections read narrow schemas)") {
     // q01 touches 6 of lineitem's 11 columns; the scan must not read more.
     val q01 = scans("q01_pricing_summary")
