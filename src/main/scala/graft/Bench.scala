@@ -1,6 +1,77 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Materialize EVERY output column, not .count(): count(1) lets Catalyst
+    * prune unreferenced projections/window expressions, under-measuring the
+    * work the verify path actually does. queryExecution.toRdd evaluates the
+    * optimized plan for the full output schema (each emitted UnsafeRow is
+    * fully computed), with no per-type hashing caveats.
+    */
+  private def materialize(df: DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
+  /** Per query: one untimed warmup run, then median of 3 timed runs, with
+    * caches cleared between runs. Single shots on a shared box swing 2-10x
+    * (GC, page cache, JIT recompiles); best-of-2 still mirrored that noise
+    * across rounds, median-of-3 after a warmup is stable enough for
+    * round-over-round comparison. Leaked .cache() blocks from one run must
+    * not distort the next, hence the release between every run.
+    *
+    * A query that throws is recorded in the error map (exception class
+    * name) and contributes NOTHING to the timing map or the total — a
+    * failure's wall time is not a plausible benchmark number, and silently
+    * timing the failure path masked real breakage for four rounds.
+    * Returns (median seconds per passing query, error class per failure),
+    * both in `queries` iteration order.
+    */
+  def run(spark: SparkSession, sfDir: String,
+          queries: Seq[(String, (SparkSession, String) => DataFrame)])
+      : (Seq[(String, Double)], Seq[(String, String)]) = {
+    def clear(): Unit = { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
+    val timed = Vector.newBuilder[(String, Double)]
+    val failed = Vector.newBuilder[(String, String)]
+    queries.foreach { case (name, fn) =>
+      clear()
+      val warmup: Option[String] =
+        try { materialize(fn(spark, sfDir)); None }
+        catch { case e: Throwable => Some(e.getClass.getName) }
+      warmup match {
+        case Some(errClass) => failed += name -> errClass
+        case None =>
+          // warmup passed; a throw here (flaky/nondeterministic failure)
+          // still voids the query — partial timings are not a median
+          try {
+            val times = (1 to 3).map { _ =>
+              clear()
+              val t0 = System.nanoTime()
+              materialize(fn(spark, sfDir))
+              (System.nanoTime() - t0) / 1e9
+            }
+            timed += name -> times.sorted.apply(1)
+          } catch { case e: Throwable => failed += name -> e.getClass.getName }
+      }
+    }
+    (timed.result(), failed.result())
+  }
+
+  private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** The detailed stdout/BENCH_LOCAL line: total + per-query seconds +
+    * per-query error classes. `queries` stays strictly name→number so the
+    * driver's parser never sees a mixed-type map; failures live in the
+    * separate `errors` object.
+    */
+  def detailedLine(timed: Seq[(String, Double)], failed: Seq[(String, String)],
+                   sfNum: String): String = {
+    val qs = timed.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val errs = failed.map { case (k, c) => "\"" + k + "\":\"" + c + "\"" }
+      .mkString("{", ",", "}")
+    val total = timed.map(_._2).sum
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,38 +83,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.setup(spark)
-    // Materialize EVERY output column, not .count(): count(1) lets Catalyst
-    // prune unreferenced projections/window expressions, under-measuring the
-    // work the verify path actually does. queryExecution.toRdd evaluates the
-    // optimized plan for the full output schema (each emitted UnsafeRow is
-    // fully computed), with no per-type hashing caveats.
-    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
-      df.queryExecution.toRdd.foreach(_ => ())
     // Warm up the session (JIT, codegen, parquet footer reads) so the
     // first timed query doesn't absorb one-time JVM startup cost.
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    // Per query: one untimed warmup run, then median of 3 timed runs, with
-    // caches cleared between runs. Single shots on a shared box swing 2-10x
-    // (GC, page cache, JIT recompiles); best-of-2 still mirrored that noise
-    // across rounds, median-of-3 after a warmup is stable enough for
-    // round-over-round comparison. Leaked .cache() blocks from one run must
-    // not distort the next, hence the release between every run.
-    def clear(): Unit = { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      clear()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      val times = (1 to 3).map { _ =>
-        clear()
-        val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.sorted.apply(1)
-    }
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val (timed, failed) = run(spark, sfDir, SparkEntry.queries.toSeq)
+    val total = timed.map(_._2).sum
     // The sf dir name carries the scale factor; a silent 0 fallback would
     // mislabel every downstream comparison, so unrecognized dirs fail loudly.
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(
@@ -54,8 +98,7 @@ object Bench {
     // to BENCH_LOCAL.json, since stdout interleaves with launcher logs),
     // then a SHORT total-only line as the LAST stdout output — that one is
     // what the driver must always be able to parse.
-    val detailed =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    val detailed = detailedLine(timed, failed, sfNum)
     val short =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum}"""
     try java.nio.file.Files.write(

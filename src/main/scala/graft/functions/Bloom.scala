@@ -39,6 +39,22 @@ object BloomFns {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate clamps its sizing to the session's runtime-
+    // filter caps with Math.min — SILENTLY, which would realize a worse
+    // fpp than requested exactly when the build side is large. Fail loud
+    // instead: the caller must raise the conf (or accept a larger fpp)
+    // knowingly, because exactness downstream relies only on the confirm
+    // join but the shuffle-volume win relies on the requested fpp.
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxBits = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val maxItems = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    require(numBits <= maxBits && expectedItems <= maxItems,
+      s"Bloom sizing (items=$expectedItems, bits=$numBits for fpp=$fpp) exceeds " +
+      s"the session caps (maxNumItems=$maxItems, maxNumBits=$maxBits); Spark " +
+      "would silently clamp and weaken the fpp. Raise spark.sql.optimizer." +
+      "runtime.bloomFilter.{maxNumItems,maxNumBits} or request a larger fpp.")
     new BloomFilterAggregate(new XxHash64(Seq(key), 42L),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
   }

@@ -54,9 +54,11 @@ object MergeOps {
     * lakehouse, as two joins over plain frames. The latest change per
     * key wins (`ordering` descending — ties must be broken by a unique
     * column or the result is nondeterministic); a `D` op deletes the
-    * key, anything else upserts the change row. One shuffle for the
-    * per-key latest, one anti join, one union — no table format, no
-    * row-at-a-time driver logic.
+    * key, anything else (including a NULL op) upserts the change row.
+    * NULL join keys are matched null-safely (`<=>`), so a NULL-key
+    * change replaces a NULL-key snapshot row instead of duplicating it.
+    * One shuffle for the per-key latest, one anti join, one union — no
+    * table format, no row-at-a-time driver logic.
     *
     * `changes` must carry every snapshot column plus `opCol` (extra
     * columns — change timestamps, sequence numbers for `ordering` — are
@@ -71,8 +73,17 @@ object MergeOps {
     require(missing.isEmpty,
       s"changes is missing snapshot column(s): ${missing.mkString(", ")}")
     val latest = Cleaning.dedupLatest(changes, keys, ordering)
-    snapshot.join(latest.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(latest.filter(col(opCol) =!= deleteOp)
+    // null-safe anti join: a plain equi-join never matches NULL keys,
+    // which would leave the old NULL-key row alongside the new one
+    val changedKeys = keys.foldLeft(latest.select(keys.map(col): _*)) {
+      (d, k) => d.withColumnRenamed(k, s"__chg_$k")
+    }
+    val cond = keys.map(k => snapshot(k) <=> changedKeys(s"__chg_$k"))
+      .reduce(_ && _)
+    snapshot.join(changedKeys, cond, "left_anti")
+      // null-safe delete test: a NULL op must upsert, not silently
+      // delete (`=!=` yields NULL for NULL ops and the filter drops it)
+      .unionByName(latest.filter(!(col(opCol) <=> lit(deleteOp)))
         .select(snapshot.columns.map(col): _*))
   }
 }

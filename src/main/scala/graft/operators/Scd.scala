@@ -29,8 +29,13 @@ object Scd {
   def scd2(current: DataFrame, currentFrom: Column,
            changes: DataFrame, changeDate: Column,
            key: String, attrs: Seq[String], tieBreak: Column): DataFrame = {
-    val reserved = Seq("eff_from", "eff_to", "is_current")
-    val clash = (current.columns ++ changes.columns).filter(reserved.contains(_))
+    // lowercased compare like AsOf/RangeJoin (Spark resolution is
+    // case-insensitive by default); __prec is the internal precedence
+    // column below — an input column of that name would be silently
+    // clobbered by withColumn and then dropped
+    val reserved = Set("eff_from", "eff_to", "is_current", "__prec")
+    val clash = (current.columns ++ changes.columns)
+      .filter(c => reserved.contains(c.toLowerCase))
     require(clash.isEmpty,
       s"input has reserved column name(s): ${clash.mkString(", ")}")
     val cur = current.select(

@@ -41,4 +41,21 @@ class CdcSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("v"))
   }
+
+  test("a NULL op upserts (is not a silent delete)") {
+    val chg = Seq((1L, 11.0, null: String, 1L), (4L, 40.0, null: String, 1L))
+      .toDF("k", "v", "op", "seq")
+    val got = MergeOps.cdcApply(snap, chg, Seq("k"), Seq(col("seq").desc), "op")
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 11.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+  }
+
+  test("a NULL-key change replaces a NULL-key snapshot row, not duplicates it") {
+    val snapN = Seq((Option(1L), 10.0), (Option.empty[Long], 99.0))
+      .toDF("k", "v")
+    val chg = Seq((Option.empty[Long], 7.0, "U", 1L)).toDF("k", "v", "op", "seq")
+    val got = MergeOps.cdcApply(snapN, chg, Seq("k"), Seq(col("seq").desc), "op")
+      .as[(Option[Long], Double)].collect().toSeq.sortBy(_._1.getOrElse(-1L))
+    assert(got == Seq((None, 7.0), (Some(1L), 10.0)))
+  }
 }

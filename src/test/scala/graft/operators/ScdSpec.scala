@@ -62,4 +62,21 @@ class ScdSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("eff_to"))
   }
+
+  test("internal __prec column and case-variant reserved names are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Scd.scd2(
+        Seq((1L, 1.0)).toDF("k", "__prec"), lit("2020-01-01"),
+        Seq((1L, 1.0, "2020-02-01", 1L)).toDF("k", "v", "d", "seq"), col("d"),
+        key = "k", attrs = Seq("v"), tieBreak = col("seq"))
+    }
+    assert(e.getMessage.contains("__prec"))
+    val e2 = intercept[IllegalArgumentException] {
+      Scd.scd2(
+        Seq((1L, 1.0)).toDF("k", "EFF_FROM"), lit("2020-01-01"),
+        Seq((1L, 1.0, "2020-02-01", 1L)).toDF("k", "v", "d", "seq"), col("d"),
+        key = "k", attrs = Seq("v"), tieBreak = col("seq"))
+    }
+    assert(e2.getMessage.contains("EFF_FROM"))
+  }
 }
