@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Core, LlmData}
+import graft.queries.{Core, Lakehouse, LlmData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,10 +34,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.defs ++ LlmData.defs
+    Core.defs ++ LlmData.defs ++ Lakehouse.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Core.oracles ++ LlmData.oracles
+    Core.oracles ++ LlmData.oracles ++ Lakehouse.oracles
 }

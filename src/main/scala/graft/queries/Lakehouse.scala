@@ -1,0 +1,176 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Incremental, MergeOps, Scd}
+import graft.sources.TxLog
+
+/** Lakehouse-lifecycle query surface: the maintenance operators COMPOSED
+  * end-to-end (q89) and the transactional table layer read through its
+  * snapshot/time-travel API (q90/q91), each hash-checked against a
+  * from-scratch DuckDB recompute over the raw tables.
+  *
+  * Parity rules follow queries/Core.scala: money in DECIMAL on both
+  * sides, counts BIGINT, exact decimal sums cast to double, averages
+  * derived as sum/count.
+  */
+object Lakehouse {
+
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  private def r2d(c: Column): Column = round(c, 2).cast("double")
+
+  /** Fresh single-use table root under the system tmp dir. The returned
+    * DataFrames are lazy — the table must outlive the query function, so
+    * no cleanup here (the OS owns tmp).
+    */
+  private def tmpTable(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").resolve("t").toString
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q89_lakehouse_pipeline" -> ((s, dir) => {
+      // The three maintenance operators composed as one nightly run —
+      // proving they compose, not just run side-by-side:
+      //   1. cdcApply folds the latest order per customer into the
+      //      customer snapshot (finalized orders delete the key);
+      //   2. scd2 versions the SURVIVING customers' balance history from
+      //      their orders (the dimension is built from step 1's output);
+      //   3. Incremental state+delta folds the version history into
+      //      per-(is_current, year) mergeable aggregates, split at
+      //      1997-01-01 exactly as a backfill+increment run would be.
+      // The oracle recomputes the whole chain from scratch in SQL —
+      // hash equality proves fold(state, delta) == recompute through
+      // the entire composition.
+      val snap = Tables.customer(s, dir).select(
+        col("c_custkey"), dec2(col("c_acctbal")).cast("double").as("bal"))
+      val chg = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        dec2(col("o_totalprice")).cast("double").as("bal"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+        col("o_orderdate"), col("o_orderkey"))
+      val cur = MergeOps.cdcApply(snap, chg,
+        keys = Seq("c_custkey"),
+        ordering = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+        opCol = "op")
+
+      val surviving = cur.select(col("c_custkey"), col("bal").as("cur_bal"))
+      val chg2 = Tables.orders(s, dir)
+        .join(surviving, col("o_custkey") === surviving("c_custkey"))
+        .select(surviving("c_custkey"),
+          dec2(col("o_totalprice")).cast("double").as("bal"),
+          col("o_orderdate"), col("o_orderkey"))
+      val dim = Scd.scd2(
+        surviving.select(col("c_custkey"), col("cur_bal").as("bal")),
+        lit("1995-01-01"),
+        chg2, col("o_orderdate"),
+        key = "c_custkey", attrs = Seq("bal"), tieBreak = col("o_orderkey"))
+
+      val versions = dim.select(col("is_current"),
+        year(col("eff_from")).cast("int").as("eff_year"),
+        col("bal"), col("eff_from"))
+      val cut = col("eff_from") < lit("1997-01-01").cast("date")
+      val state = Incremental.aggState(
+        versions.filter(cut), Seq("is_current", "eff_year"), col("bal"))
+      val delta = Incremental.aggState(
+        versions.filter(!cut), Seq("is_current", "eff_year"), col("bal"))
+      Incremental.withAvg(
+          Incremental.merge(state, delta, Seq("is_current", "eff_year")))
+        .select(col("is_current"), col("eff_year"), col("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v").cast("double").as("min_v"),
+          col("max_v").cast("double").as("max_v"),
+          col("avg_v"))
+    }),
+
+    "q90_tx_snapshot" -> ((s, dir) => {
+      // Transactional publish + snapshot read (sources/TxLog scaladoc):
+      // half of orders committed via overwrite, the other half appended,
+      // then read back THROUGH the manifest. Hash equality with a
+      // direct full-table aggregate proves the snapshot is exactly the
+      // committed rows — no file lost to the atomic-swap protocol, none
+      // double-counted across the two commits.
+      val t = tmpTable("tx-q90")
+      val orders = Tables.orders(s, dir)
+      TxLog.overwrite(orders.filter(col("o_orderkey") % 2 === 0), t)
+      TxLog.append(orders.filter(col("o_orderkey") % 2 =!= 0), t)
+      TxLog.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
+    "q91_tx_timetravel" -> ((s, dir) => {
+      // Time travel: version 1 holds the full table, version 2 overwrites
+      // it with a filtered subset; readAsOf(v1) must still aggregate to
+      // the FULL table. A broken time travel (reading latest) would hash
+      // the filtered table and mismatch.
+      val t = tmpTable("tx-q91")
+      val orders = Tables.orders(s, dir)
+      val v1 = TxLog.overwrite(orders, t)
+      TxLog.overwrite(
+        orders.filter(year(col("o_orderdate")) >= 1996), t)
+      TxLog.readAsOf(s, t, v1)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "q89_lakehouse_pipeline" ->
+      """WITH snap AS (
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+        |  FROM customer),
+        |chg AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+        |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+        |cur AS (
+        |  SELECT c_custkey, bal FROM snap
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |  UNION ALL
+        |  SELECT c_custkey, bal FROM chg WHERE op <> 'D'),
+        |cur2 AS (
+        |  SELECT c_custkey, bal, DATE '1995-01-01' AS eff_from, 0 AS prec FROM cur),
+        |chg2 AS (
+        |  SELECT c_custkey, bal, eff_from, 1 AS prec FROM (
+        |    SELECT o_custkey AS c_custkey,
+        |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+        |           CAST(o_orderdate AS DATE) AS eff_from, o_orderkey
+        |    FROM orders WHERE o_custkey IN (SELECT c_custkey FROM cur))
+        |  QUALIFY row_number() OVER (PARTITION BY c_custkey, eff_from
+        |                             ORDER BY o_orderkey DESC) = 1),
+        |u AS (
+        |  SELECT c_custkey, bal, eff_from
+        |  FROM (SELECT * FROM cur2 UNION ALL SELECT * FROM chg2)
+        |  QUALIFY row_number() OVER (PARTITION BY c_custkey, eff_from
+        |                             ORDER BY prec DESC) = 1),
+        |dim AS (
+        |  SELECT c_custkey, bal, eff_from,
+        |    lead(eff_from) OVER (PARTITION BY c_custkey ORDER BY eff_from) IS NULL AS is_current
+        |  FROM u)
+        |SELECT is_current, CAST(year(eff_from) AS INT) AS eff_year,
+        | CAST(count(bal) AS BIGINT) AS n,
+        | CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+        | CAST(min(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS min_v,
+        | CAST(max(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS max_v,
+        | CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) / count(bal) AS avg_v
+        |FROM dim GROUP BY 1, 2""".stripMargin,
+
+    "q90_tx_snapshot" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q91_tx_timetravel" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin)
+}

@@ -135,9 +135,19 @@ object Ingest {
       user: String, password: String,
       batchSize: Int = 10000, maxConnections: Int = 8) extends ServingTarget
 
-  /** Columnar file mart (parquet/orc/csv/json — any shipped source). */
+  /** Columnar file mart (parquet/orc/csv/json — any shipped source).
+    * NOTE: overwrite here is delete-then-write — a reader racing the
+    * rewrite can see a partial table. Use [[TxTarget]] for publishes
+    * that concurrent readers may observe.
+    */
   final case class FileTarget(path: String, format: String = "parquet")
       extends ServingTarget
+
+  /** Transactional parquet mart via [[TxLog]]: atomic snapshot publish,
+    * snapshot-isolated readers, time travel. The right target for the
+    * nightly serving-layer rewrite a dashboard reads concurrently.
+    */
+  final case class TxTarget(path: String) extends ServingTarget
 
   /** Writer options for a [[JdbcTarget]] — pure and unit-tested (no
     * database ships in this offline environment, so the JDBC save itself
@@ -165,5 +175,11 @@ object Ingest {
       df.write.mode(mode).format("jdbc").options(jdbcOptions(t)).save()
     case FileTarget(path, fmt) =>
       df.write.mode(mode).format(fmt).save(path)
+    case TxTarget(path) => mode match {
+      case "overwrite" => TxLog.overwrite(df, path)
+      case "append" => TxLog.append(df, path)
+      case other => sys.error(
+        s"TxTarget supports overwrite/append, not '$other'")
+    }
   }
 }
