@@ -11,15 +11,49 @@ import graft.functions.VecFns
   *
   * Structure of a production IVF: a small coarse quantizer (nlist
   * centroids) partitions the corpus into inverted lists; a query probes
-  * only its `nprobe` closest lists. Here the quantizer is a deterministic
-  * sample of the corpus (first `nlist` vectors by id — a stand-in for
-  * k-means training, which would be an offline job at 100 TB), broadcast
+  * only its `nprobe` closest lists. The quantizer is k-means||-trained
+  * ([[trainCentroids]], MLlib KMeans with cosine distance — the offline
+  * training job a 100 TB deployment runs on a corpus sample), broadcast
   * to assign every vector via `nlist` cosine comparisons; search is then
   * an equi-join on the centroid id — candidate count shrinks by
   * ~nprobe/nlist versus brute force, with recall < 1 by construction
-  * (rows-only check, like LSH ANN).
+  * (rows-only check, like LSH ANN). [[sampleCentroids]] keeps the
+  * cheaper deterministic-sample quantizer for comparison (the recall
+  * spec measures trained vs sample at equal nlist/nprobe).
   */
 object IvfAnn {
+
+  /** K-means||-trained coarse quantizer: `nlist` centroids over the
+    * corpus, cosine distance (matching the cosine list assignment),
+    * fixed seed. Training cost is O(maxIter · n · nlist · dim) over the
+    * TRAINING set — at 100 TB this runs on a corpus sample as an
+    * offline job and the centroids are published as a tiny dim table;
+    * here the corpus itself is small enough to train on directly.
+    * Output: (cent_id, ce array<double>) — broadcast-sized.
+    */
+  def trainCentroids(embeddings: DataFrame, nlist: Int,
+                     maxIter: Int = 10, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = embeddings.select(
+      array_to_vector(VecFns.asDouble(col("embedding"))).as("features"))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setDistanceMeasure("cosine")
+      .fit(feats)
+    val centers = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i.toLong, c.toArray.toSeq)
+    }.toSeq
+    embeddings.sparkSession.createDataFrame(centers).toDF("cent_id", "ce")
+  }
+
+  /** Deterministic-sample quantizer (first `nlist` vectors by id): the
+    * zero-training stand-in, kept for recall comparison against
+    * [[trainCentroids]].
+    */
+  def sampleCentroids(embeddings: DataFrame, nlist: Int): DataFrame =
+    embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
 
   /** Assign each vector to its nearest centroid id. */
   def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
@@ -49,8 +83,9 @@ object IvfAnn {
     * `tau` — the greedy keep-lowest-id canonicalization, decided by one
     * self-equi-join on the list id. Cost is O(Σ list_size²), bounded by
     * the quantizer: nlist grows with the corpus so list size stays
-    * ~n/nlist (at 100 TB the centroids come from an offline k-means
-    * job, exactly like [[topK]]'s quantizer stand-in).
+    * ~n/nlist (k-means-trained lists are also balanced, unlike a raw
+    * sample's Voronoi cells — at 100 TB [[trainCentroids]] runs as an
+    * offline job over a corpus sample).
     *
     * Versus d06's banded-LSH blocking: LSH bounds candidates
     * probabilistically per signature band; inverted-list blocking bounds
@@ -61,13 +96,12 @@ object IvfAnn {
     * Output: (vec_id, cent_id, is_dup) for EVERY vector — the curation
     * verdict, not just the pairs.
     */
-  def semDedup(embeddings: DataFrame, nlist: Int, tau: Double): DataFrame = {
-    val centroids = embeddings
-      .filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+  def semDedup(embeddings: DataFrame, nlist: Int, tau: Double,
+               centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(trainCentroids(embeddings, nlist))
     val nrm = (v: org.apache.spark.sql.Column) => sqrt(VecFns.norm2(VecFns.asDouble(v)))
     val lists = graft.CacheRegistry.track(
-      assign(embeddings, centroids)
+      assign(embeddings, cents)
         .withColumn("nrm", nrm(col("embedding")))
         .cache())
     val dups = lists.as("a")
@@ -93,17 +127,16 @@ object IvfAnn {
     * scores are bit-identical to the cosine formulation.
     */
   def topK(embeddings: DataFrame, nQueries: Int, k: Int,
-           nlist: Int, nprobe: Int): DataFrame = {
-    val centroids = embeddings
-      .filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+           nlist: Int, nprobe: Int,
+           centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(trainCentroids(embeddings, nlist))
     val nrm = (v: org.apache.spark.sql.Column) => sqrt(VecFns.norm2(VecFns.asDouble(v)))
-    val lists = assign(embeddings, centroids)
+    val lists = assign(embeddings, cents)
       .withColumn("c_nrm", nrm(col("embedding")))
     val qs = probes(
       embeddings.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe")),
-      centroids, nprobe)
+      cents, nprobe)
       .withColumn("q_nrm", nrm(col("qe")))
     val scored = qs
       .join(lists, Seq("cent_id"))

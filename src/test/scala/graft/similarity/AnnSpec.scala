@@ -75,4 +75,48 @@ class AnnSpec extends SparkSpec {
     // approximate by construction; just assert it finds a real fraction
     assert(recall > 0.2, s"IVF recall $recall")
   }
+
+  test("trained quantizer: recall and candidate cost vs the sample quantizer") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count().toDouble
+    val nq = 50 // 250 exact pairs — recall at 10 queries is noise-bound
+    // exact top-5 via exhaustive probing: nprobe = nlist scans every
+    // inverted list, so the quantizer cancels out of the reference
+    val exact = IvfAnn.topK(e, nQueries = nq, k = 5, nlist = 16, nprobe = 16,
+        centroids = Some(IvfAnn.sampleCentroids(e, 16)))
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // per quantizer: recall, candidates scanned (Σ over (query, probed
+    // list) of list size), and the largest inverted list
+    def stats(cents: org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+      val got = IvfAnn.topK(e, nQueries = nq, k = 5, nlist = 16, nprobe = 4,
+          centroids = Some(cents))
+        .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      val recall = (exact & got).size.toDouble / exact.size
+      val sizes = IvfAnn.assign(e, cents)
+        .groupBy("cent_id").count().select("count").as[Long].collect()
+      val qs = e.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val cands = IvfAnn.probes(qs, cents, nprobe = 4)
+        .join(IvfAnn.assign(e, cents).groupBy("cent_id").count(), Seq("cent_id"))
+        .agg(sum("count")).as[Long].head()
+      (recall, cands, sizes.max)
+    }
+    val (rT, cT, maxT) = stats(IvfAnn.trainCentroids(e, nlist = 16))
+    val (rS, cS, maxS) = stats(IvfAnn.sampleCentroids(e, nlist = 16))
+    // the id<16 sample CONTAINS the 10 query vectors — every query's own
+    // list is exactly its neighborhood, an overfit no real quantizer
+    // gets; the query-DISJOINT sample below is the honest baseline
+    val disjoint = e.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val (rD, cD, maxD) = stats(disjoint)
+    info(f"trained        : recall=$rT%.3f candidates=$cT maxList=$maxT of ${n.toLong}")
+    info(f"sample(queries): recall=$rS%.3f candidates=$cS maxList=$maxS")
+    info(f"sample(disjoint): recall=$rD%.3f candidates=$cD maxList=$maxD")
+    assert(rT > 0.2, s"trained recall $rT")
+    // trained must beat (or tie) a sample that doesn't already contain
+    // the queries — the generalizable-quantizer claim
+    assert(rT >= rD - 0.05,
+      f"trained recall $rT%.3f below query-disjoint sample $rD%.3f")
+  }
 }
