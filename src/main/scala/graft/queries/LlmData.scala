@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.{CacheRegistry, Tables}
 import graft.functions.{BloomFns, HashFns, TextFns, VecFns}
 import graft.plans.TopKPerKey
-import graft.similarity.{ConnectedComponents, IvfAnn, LshAnn, NgramJaccard}
+import graft.similarity.{ConnectedComponents, IvfAnn, LshAnn, NgramJaccard, ParagraphDedup}
 import graft.multimodal.BinaryColumns
 
 /** LLM-training-data pipeline queries (SURVEY.md §2: d01–d07, t01–t04, m01):
@@ -212,6 +212,16 @@ object LlmData {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"))
     }),
+
+    "d17_paragraph_dedup" -> ((s, dir) =>
+      // Span-grain fuzzy dedup between d01 (doc-exact) and d03
+      // (doc-fuzzy): 20-token chunks, k=4 md5-sliced MinHash signature
+      // per chunk, duplicate iff the full signature recurs in another
+      // doc (ParagraphDedup scaladoc). Output is the per-doc curation
+      // verdict: chunk counts, duplicate fraction, keep decision.
+      ParagraphDedup.verdict(docs(s, dir), paraSize = 20, keepBelow = 0.5)
+        .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+          r4(col("dup_frac")).as("dup_frac"), col("keep"))),
 
     "d09_editdist_neardup" -> ((s, dir) => {
       // Edit-distance near-dup pairs with prefix blocking (string
@@ -579,6 +589,34 @@ object LlmData {
         |FROM sh JOIN bench USING (s)
         |WHERE doc_id % 25 <> 0
         |GROUP BY 1""".stripMargin,
+
+    "d17_paragraph_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(0, (len(t) + 19) // 20)) AS para_idx, t
+        |  FROM tok),
+        |p2 AS (
+        |  SELECT doc_id, para_idx, t[(para_idx*20+1):(para_idx*20+20)] AS pt
+        |  FROM p),
+        |psh AS (
+        |  SELECT DISTINCT doc_id, para_idx,
+        |    unnest(list_transform(range(1, len(pt) - 1),
+        |           i -> pt[i] || ' ' || pt[i+1] || ' ' || pt[i+2])) AS s
+        |  FROM p2 WHERE len(pt) >= 3),
+        |sig AS (
+        |  SELECT doc_id, para_idx,
+        |    min(substr(d,1,8)) || min(substr(d,9,8)) ||
+        |    min(substr(d,17,8)) || min(substr(d,25,8)) AS sig
+        |  FROM (SELECT doc_id, para_idx, md5(s) AS d FROM psh) GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT doc_id, para_idx,
+        |    count(DISTINCT doc_id) OVER (PARTITION BY sig) >= 2 AS is_dup
+        |  FROM sig)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        | CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+        | round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*) + 1e-7, 4) + 0 AS dup_frac,
+        | (sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*)) < 0.5 AS keep
+        |FROM dup GROUP BY 1""".stripMargin,
 
     "d04_simhash" -> simhashSql,
 

@@ -1,0 +1,90 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFns, TextFns}
+
+/** Paragraph-grain fuzzy dedup — the CCNet/RefinedWeb-style pass a
+  * pretraining pipeline runs between doc-exact dedup (d01) and doc-fuzzy
+  * MinHash (d03): boilerplate and templated spans repeat across documents
+  * that are NOT near-duplicates as wholes, so the span grain catches what
+  * both doc-grain passes miss.
+  *
+  * The corpus' documents are single-line token streams (no \n\n), so the
+  * "paragraph" is a fixed token-count chunk (`paraSize`) — the span
+  * blocking CCNet applies to paragraph breaks, applied to windows.
+  * Each paragraph gets a k=4 MinHash signature (md5-sliced like
+  * HashFns.minhashSignatures, so a SQL oracle reproduces it
+  * bit-for-bit); two paragraphs are fuzzy-equal iff their FULL
+  * signatures match — near-identical chunks collide, unrelated chunks
+  * collide with probability ~2^-128.
+  *
+  * Scale shape: explode to (doc, para, shingle) → one hash-aggregate to
+  * signatures (map-side combinable) → one grouped count over signatures →
+  * one equi-join back. Nothing is all-pairs; the signature join key is
+  * 32 fixed hex chars. At 100 TB this is the same two-aggregate +
+  * equi-join pipeline as doc-grain MinHash, ~5× the row count (one row
+  * per paragraph instead of per doc).
+  */
+object ParagraphDedup {
+
+  /** Fixed-size token chunks: (doc_id, para_idx, ptoks). Chunks shorter
+    * than 3 tokens (tail of a document) carry no 3-shingle and are
+    * dropped — n_paras downstream counts signature-bearing chunks.
+    */
+  def paragraphs(documents: DataFrame, paraSize: Int): DataFrame = {
+    require(paraSize >= 3, "a paragraph must fit at least one 3-shingle")
+    val toks = TextFns.tokens(col("text"))
+    val nP = floor((size(toks) + lit(paraSize - 1)) / lit(paraSize)).cast("int")
+    documents
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nP - 1),
+          i => slice(toks, i * paraSize + 1, lit(paraSize)))))
+      .filter(size(col("col")) >= 3)
+      .select(col("doc_id"), col("pos").cast("long").as("para_idx"),
+        col("col").as("ptoks"))
+  }
+
+  /** k=4 MinHash signature per paragraph, as ONE 32-hex-char key (the
+    * four 8-char md5 slices concatenated — fixed width, so minima and
+    * equality behave identically to the tuple form but shuffle cheaper).
+    */
+  def signatures(documents: DataFrame, paraSize: Int): DataFrame = {
+    val d = md5(col("s").cast("binary"))
+    paragraphs(documents, paraSize)
+      .select(col("doc_id"), col("para_idx"),
+        explode(HashFns.shingles3(col("ptoks"))).as("s"))
+      .groupBy("doc_id", "para_idx")
+      .agg(concat(
+        min(substring(d, 1, 8)), min(substring(d, 9, 8)),
+        min(substring(d, 17, 8)), min(substring(d, 25, 8))).as("sig"))
+  }
+
+  /** Per-document verdict: paragraph count, duplicate-paragraph count
+    * (signature shared with at least one OTHER document), duplicate
+    * fraction (raw double — caller applies its rounding parity), and
+    * the keep decision (`dup_frac < keepBelow`).
+    */
+  def verdict(documents: DataFrame, paraSize: Int = 20,
+              keepBelow: Double = 0.5): DataFrame = {
+    val sigs = graft.CacheRegistry.track(
+      signatures(documents, paraSize).cache())
+    // cross-doc rule via aggregate + equi-join (Spark has no
+    // count-distinct window; the aggregate is map-side combinable and
+    // the join key is the signature — no skew, dup signatures are rare)
+    val dupSigs = sigs.groupBy("sig")
+      .agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("sig"), lit(true).as("__dup"))
+    sigs.join(dupSigs, Seq("sig"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_paras"))
+      .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+        (col("n_dup_paras").cast("double") / col("n_paras")).as("dup_frac"),
+        (col("n_dup_paras").cast("double") / col("n_paras") < keepBelow)
+          .as("keep"))
+  }
+}
