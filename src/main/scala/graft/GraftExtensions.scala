@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.heavyHittersFunction)
     ext.injectFunction(GraftExtensions.bloomAggFunction)
     ext.injectFunction(GraftExtensions.mightContainFunction)
+    ext.injectTableFunction(GraftExtensions.asofJoinTableFunction)
+    ext.injectTableFunction(GraftExtensions.pointInIntervalTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // pre-CBO: runs AFTER the default optimizer batches, so it sees (and
     // replaces) an InferWindowGroupLimit-inserted WindowGroupLimit child
@@ -160,6 +162,105 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Expression) =
     (FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder)
 
+  // ---- SQL TABLE functions: the custom whole-operator joins reachable
+  // from pure SQL (`SELECT * FROM graft_asof_join('t1','t2',...)`).
+  // Tables are named (catalog/temp-view lookup on the active session);
+  // the builder composes the SAME DataFrame implementation the Scala API
+  // uses and hands its logical plan to the analyzer, so the SQL surface
+  // can never drift from the operator semantics.
+
+  private def strLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, name: String): String = {
+    require(e.foldable, s"$fn: $name must be a string literal, got ${e.sql}")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a non-null string literal, got $other")
+    }
+  }
+
+  private def longLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, name: String): Long = {
+    require(e.foldable, s"$fn: $name must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a non-null integer literal, got $other")
+    }
+  }
+
+  private def activeSession: SparkSession =
+    SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("no active SparkSession"))
+
+  private val asofJoinInfo = new ExpressionInfo(
+    graft.operators.AsOf.getClass.getName, null, "graft_asof_join",
+    "graft_asof_join(left, right, key, time, valueCsv[, direction]) - " +
+      "as-of join two named tables/views: each left row gets the latest " +
+      "(direction 'backward', default) or earliest ('forward') right row " +
+      "at/before (after) its time; valueCsv lists right columns to carry " +
+      "(emitted as asof_<col>)", "")
+
+  private def asofJoinBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val fn = "graft_asof_join"
+    require(exprs.length == 5 || exprs.length == 6,
+      s"$fn(left, right, key, time, valueCsv[, direction]) takes 5 or 6 arguments")
+    val spark = activeSession
+    val left = spark.table(strLit(exprs(0), fn, "left"))
+    val right = spark.table(strLit(exprs(1), fn, "right"))
+    val key = strLit(exprs(2), fn, "key")
+    val time = strLit(exprs(3), fn, "time")
+    val vals = strLit(exprs(4), fn, "valueCsv")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val dir = if (exprs.length == 6) strLit(exprs(5), fn, "direction")
+      else "backward"
+    val df = dir match {
+      case "backward" => graft.operators.AsOf.asofJoin(left, right, key, time, vals)
+      case "forward" =>
+        graft.operators.AsOf.asofJoinForward(left, right, key, time, vals)
+      case other => throw new IllegalArgumentException(
+        s"$fn: direction must be 'backward' or 'forward', got '$other'")
+    }
+    df.queryExecution.logical
+  }
+
+  val asofJoinTableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_asof_join"), asofJoinInfo, asofJoinBuilder)
+
+  private val pointInIntervalInfo = new ExpressionInfo(
+    graft.operators.RangeJoin.getClass.getName, null, "graft_point_in_interval",
+    "graft_point_in_interval(points, pointTs, intervals, startCol, endCol, " +
+      "bucketSec) - join each row of the named points table to every row " +
+      "of the named intervals table whose [start, end] contains its " +
+      "timestamp (cell-bucketed equi-join, never all-pairs)", "")
+
+  private def pointInIntervalBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val fn = "graft_point_in_interval"
+    require(exprs.length == 6,
+      s"$fn(points, pointTs, intervals, startCol, endCol, bucketSec) takes 6 arguments")
+    val spark = activeSession
+    graft.operators.RangeJoin.pointInInterval(
+      spark.table(strLit(exprs(0), fn, "points")), strLit(exprs(1), fn, "pointTs"),
+      spark.table(strLit(exprs(2), fn, "intervals")),
+      strLit(exprs(3), fn, "startCol"), strLit(exprs(4), fn, "endCol"),
+      longLit(exprs(5), fn, "bucketSec"))
+      .queryExecution.logical
+  }
+
+  val pointInIntervalTableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_point_in_interval"), pointInIntervalInfo,
+      pointInIntervalBuilder)
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     Shim.registerFunction(spark, "graft_dot", dotInfo,
@@ -170,5 +271,9 @@ object GraftExtensions {
     Shim.registerFunction(spark, "graft_bloom_agg", bloomAggInfo, bloomAggBuilder)
     Shim.registerFunction(spark, "graft_might_contain", mightContainInfo,
       mightContainBuilder)
+    Shim.registerTableFunction(spark, "graft_asof_join", asofJoinInfo,
+      asofJoinBuilder)
+    Shim.registerTableFunction(spark, "graft_point_in_interval",
+      pointInIntervalInfo, pointInIntervalBuilder)
   }
 }

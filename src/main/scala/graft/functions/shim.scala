@@ -34,6 +34,22 @@ object Shim {
       .registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 
+  /** Register a SQL TABLE function on a live session (the imperative
+    * counterpart to `injectTableFunction` at session build): the builder
+    * turns the call-site argument expressions into a logical plan, which
+    * is how `SELECT * FROM graft_asof_join(...)` reaches a whole-operator
+    * implementation from pure SQL.
+    */
+  def registerTableFunction(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
   /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`) — needed to hand a custom LogicalPlan node back to
     * the user-facing API.

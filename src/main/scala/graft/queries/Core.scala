@@ -1568,7 +1568,32 @@ object Core {
     // only the AsOf direction and the gap sign differ.
     "q87_asof_forward" -> ((s, dir) => asofPurchaseClicks(s, dir, forward = true)),
 
-    "q23_asof_join" -> ((s, dir) => asofPurchaseClicks(s, dir, forward = false)))
+    "q23_asof_join" -> ((s, dir) => asofPurchaseClicks(s, dir, forward = false)),
+
+    "q92_sql_asof" -> ((s, dir) => {
+      // The SQL surface of the as-of operator: inputs registered as temp
+      // views, the query itself pure SQL through the graft_asof_join
+      // TABLE function (GraftExtensions) — the TVF builder composes the
+      // same AsOf implementation q23 uses, and the q23 oracle (DuckDB
+      // native ASOF JOIN) hash-checks the whole SQL path end-to-end.
+      val events = ev(s, dir)
+      val pUs = unix_micros(col("ts").cast("timestamp"))
+      events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), pUs.as("p_us"))
+        .createOrReplaceTempView("g_asof_purchases")
+      Cleaning.dedupLatest(
+          events.filter(col("event_type") === "click"),
+          Seq("user_id", "ts"), Seq(col("event_id").desc))
+        .select(col("user_id"), col("ts"), col("event_id"), pUs.as("c_us"))
+        .createOrReplaceTempView("g_asof_clicks")
+      s.sql("""SELECT event_id AS p_event_id, user_id,
+              |       asof_event_id AS click_event_id,
+              |       CASE WHEN asof_event_id IS NOT NULL
+              |            THEN CAST(floor((p_us - asof_c_us) / 1000000.0) AS BIGINT)
+              |       END AS gap_sec
+              |FROM graft_asof_join('g_asof_purchases', 'g_asof_clicks',
+              |                     'user_id', 'ts', 'event_id,c_us')""".stripMargin)
+    }))
 
   /** Shared body of q23 (backward) / q87 (forward): purchases probed
     * against per-(user, ts)-deduped clicks; gap is always non-negative
@@ -2682,6 +2707,21 @@ object Core {
         |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin,
 
     "q23_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS p_event_id, p.user_id,
+        | c.event_id AS click_event_id,
+        | CASE WHEN c.event_id IS NOT NULL
+        |   THEN CAST(floor((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0) AS BIGINT)
+        | END AS gap_sec
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // identical semantics to q23 — the Spark side differs only in running
+    // through the SQL table-function surface
+    "q92_sql_asof" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
         |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, RangeJoin}
+
+/** The SQL table-function surface must be EXACTLY the Scala operators:
+  * each TVF builder hands the analyzer the same composed plan, so these
+  * differentials would only break if the two surfaces drift.
+  */
+class TableFunctionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val quotes = Seq(
+    ("a", 1L, 10.0), ("a", 5L, 11.0), ("b", 3L, 20.0))
+    .toDF("k", "t", "px")
+  private val trades = Seq(
+    ("a", 2L), ("a", 7L), ("b", 1L), ("c", 4L))
+    .toDF("k", "t")
+
+  test("graft_asof_join equals AsOf.asofJoin (backward and forward)") {
+    trades.createOrReplaceTempView("tvf_trades")
+    quotes.createOrReplaceTempView("tvf_quotes")
+    for (dir <- Seq("backward", "forward")) {
+      val viaSql = spark.sql(
+        s"SELECT * FROM graft_asof_join('tvf_trades', 'tvf_quotes', 'k', 't', 'px', '$dir')")
+        .collect().toSet
+      val viaApi = (if (dir == "backward") AsOf.asofJoin(trades, quotes, "k", "t", Seq("px"))
+        else AsOf.asofJoinForward(trades, quotes, "k", "t", Seq("px")))
+        .collect().toSet
+      assert(viaSql == viaApi, s"direction=$dir")
+    }
+  }
+
+  test("graft_point_in_interval equals RangeJoin.pointInInterval") {
+    val points = Seq((1L, "2020-01-01 00:10:00"), (2L, "2020-01-02 00:00:00"))
+      .toDF("pid", "pts")
+    val ivals = Seq((10L, "2020-01-01 00:00:00", "2020-01-01 01:00:00"))
+      .toDF("iid", "s", "e")
+    points.createOrReplaceTempView("tvf_points")
+    ivals.createOrReplaceTempView("tvf_ivals")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_point_in_interval('tvf_points', 'pts', 'tvf_ivals', 's', 'e', 3600)")
+      .collect().toSet
+    val viaApi = RangeJoin.pointInInterval(points, "pts", ivals, "s", "e", 3600L)
+      .collect().toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
+  test("bad TVF arguments fail with readable messages") {
+    trades.createOrReplaceTempView("tvf_trades")
+    quotes.createOrReplaceTempView("tvf_quotes")
+    val e1 = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_asof_join('tvf_trades','tvf_quotes','k','t','px','sideways')")
+    }
+    assert(e1.getMessage.contains("direction"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof_join('only_one')")
+    }
+    assert(e2.getMessage.contains("5 or 6"), e2.getMessage)
+  }
+}
