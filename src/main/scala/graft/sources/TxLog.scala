@@ -135,7 +135,12 @@ object TxLog {
   def overwrite(df: DataFrame, table: String): Long =
     commit(df, table, "overwrite", (_, fresh) => fresh)
 
-  /** Add rows atomically; prior files stay referenced. */
+  /** Add rows atomically; prior files stay referenced. The appended
+    * frame must match the table's schema (names + types, nullability
+    * normalized): the manifest records ONE schema for the whole file
+    * list, so a drifted append would make readers silently null-fill or
+    * misread the older files.
+    */
   def append(df: DataFrame, table: String): Long =
     commit(df, table, "append", (parent, fresh) => parent ++ fresh)
 
@@ -162,9 +167,14 @@ object TxLog {
     var attempt = 0
     while (true) {
       attempt += 1
-      val parentFiles = latestVersion(spark, table)
-        .map(v => readManifest(spark, t, v).files).getOrElse(Seq.empty)
-      val version = latestVersion(spark, table).getOrElse(0L) + 1
+      val parent = latestVersion(spark, table).map(readManifest(spark, t, _))
+      val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
+      if (action == "append") parent.foreach { p =>
+        require(p.schemaJson == asNullable(df.schema).json,
+          s"append schema mismatch for $table: table has ${p.schemaJson}, " +
+            s"frame has ${asNullable(df.schema).json} — overwrite to change schema")
+      }
+      val version = parent.map(_.version).getOrElse(0L) + 1
       val m = Manifest(version, action, newFiles(parentFiles, fresh),
         asNullable(df.schema).json, System.currentTimeMillis())
       val tmp = new Path(logDir(t), s".tmp-$commitId-$attempt.json")

@@ -50,4 +50,30 @@ class PushdownAuditSpec extends SparkSpec {
     assert(docs.rdd.getNumPartitions > 1,
       s"documents read as ${docs.rdd.getNumPartitions} partition(s)")
   }
+
+  test("Ingest.writePartitioned output prunes directories on partition filters") {
+    import org.apache.spark.sql.functions.col
+    // the reference's standard lake layout: year/month directory
+    // partitioning. A time-range read over it must prune at the
+    // DIRECTORY level (PartitionFilters in the scan) — if year/month
+    // arrive only as data filters, every partition's files are still
+    // listed and opened, which at 100 TB is the difference between
+    // reading a month and reading a decade.
+    val out = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    graft.sources.Ingest.writeByMonth(
+      graft.Tables.orders(spark, sfDir), "o_orderdate", out)
+    val read = spark.read.parquet(out)
+      .filter(col("year") === 1995 && col("month") === 3)
+    val scan = read.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty)
+    val pf = scan.flatMap(_.partitionFilters).map(_.sql).mkString(" | ")
+    assert(pf.contains("year") && pf.contains("month"),
+      s"year/month are not partition filters: '$pf'")
+    // the pruned scan must list only the one matching directory
+    val selected = scan.map(_.relation.location.listFiles(
+      scan.head.partitionFilters, scan.head.dataFilters).size).sum
+    assert(selected == 1, s"expected 1 matching partition dir, got $selected")
+  }
 }

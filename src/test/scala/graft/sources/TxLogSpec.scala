@@ -100,6 +100,18 @@ class TxLogSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("k", "v"))
   }
 
+  test("append with a drifted schema is rejected") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(Seq((2L, 3.5)).toDF("k", "other"), t)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // overwrite MAY change the schema
+    TxLog.overwrite(Seq((2L, 3.5)).toDF("k", "other"), t)
+    assert(TxLog.read(spark, t).columns.toSeq == Seq("k", "other"))
+  }
+
   test("reading a never-committed table fails loudly") {
     val e = intercept[RuntimeException] { TxLog.read(spark, tmpTable()) }
     assert(e.getMessage.contains("no committed versions"))
