@@ -31,11 +31,16 @@ object Bench {
     def clear(): Unit = { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
     val timed = Vector.newBuilder[(String, Double)]
     val failed = Vector.newBuilder[(String, String)]
+    // NonFatal only: an OOM/StackOverflow leaves the JVM corrupted — every
+    // later median would be GC-thrash noise published as a plausible
+    // number — so fatal errors abort the whole bench instead of being
+    // recorded as one query's "error"
+    import scala.util.control.NonFatal
     queries.foreach { case (name, fn) =>
       clear()
       val warmup: Option[String] =
         try { materialize(fn(spark, sfDir)); None }
-        catch { case e: Throwable => Some(e.getClass.getName) }
+        catch { case NonFatal(e) => Some(e.getClass.getName) }
       warmup match {
         case Some(errClass) => failed += name -> errClass
         case None =>
@@ -49,7 +54,7 @@ object Bench {
               (System.nanoTime() - t0) / 1e9
             }
             timed += name -> times.sorted.apply(1)
-          } catch { case e: Throwable => failed += name -> e.getClass.getName }
+          } catch { case NonFatal(e) => failed += name -> e.getClass.getName }
       }
     }
     (timed.result(), failed.result())
@@ -99,8 +104,12 @@ object Bench {
     // then a SHORT total-only line as the LAST stdout output — that one is
     // what the driver must always be able to parse.
     val detailed = detailedLine(timed, failed, sfNum)
+    // the short line is the ONLY line the driver reliably parses; a
+    // failing query shrinks the total (it contributes no timing), which
+    // without a failure marker would read as a performance IMPROVEMENT —
+    // so the error count rides along
     val short =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":${failed.size},"sf":$sfNum}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (detailed + "\n").getBytes("UTF-8"))

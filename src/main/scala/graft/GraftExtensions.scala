@@ -185,7 +185,12 @@ object GraftExtensions {
       fn: String, name: String): Long = {
     require(e.foldable, s"$fn: $name must be an integer literal, got ${e.sql}")
     e.eval() match {
-      case n: Number => n.longValue
+      // reject fractional literals instead of silently truncating —
+      // 3600.9 becoming bucketSec=3600 (or 0.5 becoming 0) must not pass
+      case n: java.lang.Integer => n.longValue
+      case n: java.lang.Long => n.longValue
+      case n: java.lang.Short => n.longValue
+      case n: java.lang.Byte => n.longValue
       case other => throw new IllegalArgumentException(
         s"$fn: $name must be a non-null integer literal, got $other")
     }

@@ -56,11 +56,11 @@ object AsOf {
     // withColumn. The emitted asof_<col> names must also be free on the
     // left, or the output would carry two identically-named columns.
     val reserved = Set("__asof_vals", "__side")
-    val clash = (leftCols ++ right.columns).filter(c => reserved(c.toLowerCase))
+    val clash = (leftCols ++ right.columns).filter(c => reserved(c.toLowerCase(java.util.Locale.ROOT)))
     require(clash.isEmpty,
       s"input has reserved column name(s): ${clash.mkString(", ")}")
-    val outNames = valueCols.map(c => s"asof_$c".toLowerCase).toSet
-    val outClash = leftCols.filter(c => outNames(c.toLowerCase))
+    val outNames = valueCols.map(c => s"asof_$c".toLowerCase(java.util.Locale.ROOT)).toSet
+    val outClash = leftCols.filter(c => outNames(c.toLowerCase(java.util.Locale.ROOT)))
     require(outClash.isEmpty,
       s"left already has output column name(s): ${outClash.mkString(", ")}")
     // All right-side values ride in ONE struct so the carried columns

@@ -35,7 +35,7 @@ object Scd {
     // clobbered by withColumn and then dropped
     val reserved = Set("eff_from", "eff_to", "is_current", "__prec")
     val clash = (current.columns ++ changes.columns)
-      .filter(c => reserved.contains(c.toLowerCase))
+      .filter(c => reserved.contains(c.toLowerCase(java.util.Locale.ROOT)))
     require(clash.isEmpty,
       s"input has reserved column name(s): ${clash.mkString(", ")}")
     val cur = current.select(

@@ -1578,21 +1578,32 @@ object Core {
       // native ASOF JOIN) hash-checks the whole SQL path end-to-end.
       val events = ev(s, dir)
       val pUs = unix_micros(col("ts").cast("timestamp"))
+      // per-invocation view names: fixed names are shared mutable session
+      // state (clobber any same-named user view; race a concurrent
+      // invocation between registration and analysis). spark.sql analyzes
+      // eagerly, so the views can be dropped before returning.
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val pv = s"g_asof_purchases_$tag"
+      val cv = s"g_asof_clicks_$tag"
       events.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"), pUs.as("p_us"))
-        .createOrReplaceTempView("g_asof_purchases")
+        .createOrReplaceTempView(pv)
       Cleaning.dedupLatest(
           events.filter(col("event_type") === "click"),
           Seq("user_id", "ts"), Seq(col("event_id").desc))
         .select(col("user_id"), col("ts"), col("event_id"), pUs.as("c_us"))
-        .createOrReplaceTempView("g_asof_clicks")
-      s.sql("""SELECT event_id AS p_event_id, user_id,
-              |       asof_event_id AS click_event_id,
-              |       CASE WHEN asof_event_id IS NOT NULL
-              |            THEN CAST(floor((p_us - asof_c_us) / 1000000.0) AS BIGINT)
-              |       END AS gap_sec
-              |FROM graft_asof_join('g_asof_purchases', 'g_asof_clicks',
-              |                     'user_id', 'ts', 'event_id,c_us')""".stripMargin)
+        .createOrReplaceTempView(cv)
+      try s.sql(
+        s"""SELECT event_id AS p_event_id, user_id,
+           |       asof_event_id AS click_event_id,
+           |       CASE WHEN asof_event_id IS NOT NULL
+           |            THEN CAST(floor((p_us - asof_c_us) / 1000000.0) AS BIGINT)
+           |       END AS gap_sec
+           |FROM graft_asof_join('$pv', '$cv', 'user_id', 'ts', 'event_id,c_us')""".stripMargin)
+      finally {
+        s.catalog.dropTempView(pv)
+        s.catalog.dropTempView(cv)
+      }
     }))
 
   /** Shared body of q23 (backward) / q87 (forward): purchases probed

@@ -24,11 +24,31 @@ object Lakehouse {
   private def r2d(c: Column): Column = round(c, 2).cast("double")
 
   /** Fresh single-use table root under the system tmp dir. The returned
-    * DataFrames are lazy — the table must outlive the query function, so
-    * no cleanup here (the OS owns tmp).
+    * DataFrames are lazy — the table must outlive the query function —
+    * so cleanup happens at JVM exit, not here: every created dir is
+    * tracked and one shutdown hook deletes them all (a Bench run invokes
+    * each tx query 4×; without cleanup each run would strand several
+    * full copies of the orders table in /tmp).
     */
-  private def tmpTable(tag: String): String =
-    Files.createTempDirectory(s"graft-$tag").resolve("t").toString
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(p =>
+              try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: java.io.IOException => () })
+        } catch { case _: java.io.IOException => () }
+      }))
+  }
+
+  private def tmpTable(tag: String): String = {
+    val root = Files.createTempDirectory(s"graft-$tag")
+    tmpDirs.add(root)
+    root.resolve("t").toString
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 

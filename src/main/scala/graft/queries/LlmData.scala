@@ -142,16 +142,24 @@ object LlmData {
       LshAnn.topKBanded(e, bands = 6, planesPerBand = planes, k = 3)
     }),
 
-    "d08_ann_ivf" -> ((s, dir) =>
-      IvfAnn.topK(emb(s, dir), nQueries = 10, k = 5, nlist = 16, nprobe = 4)),
+    "d08_ann_ivf" -> ((s, dir) => {
+      // trained quantizer, memoized per data dir (IvfAnn scaladoc: the
+      // in-process stand-in for the offline training job)
+      val e = emb(s, dir)
+      IvfAnn.topK(e, nQueries = 10, k = 5, nlist = 16, nprobe = 4,
+        centroids = Some(IvfAnn.trainedCentroidsFor(e, dir, nlist = 16)))
+    }),
 
-    "d15_semdedup" -> ((s, dir) =>
+    "d15_semdedup" -> ((s, dir) => {
       // SemDeDup-style curation verdict: inverted-list (nearest-centroid)
       // blocking + within-list cosine >= tau, keep-lowest-id. Rows-only
       // (like d07/d08: the centroid argmax depends on ulp-level cosine
       // comparisons no portable SQL reproduces); differential spec
       // asserts verdict correctness against an in-list brute force.
-      IvfAnn.semDedup(emb(s, dir), nlist = 16, tau = 0.35)),
+      val e = emb(s, dir)
+      IvfAnn.semDedup(e, nlist = 16, tau = 0.35,
+        centroids = Some(IvfAnn.trainedCentroidsFor(e, dir, nlist = 16)))
+    }),
 
     "d11_dup_clusters" -> ((s, dir) =>
       // Transitive closure of the MinHash candidate pairs: the cluster-

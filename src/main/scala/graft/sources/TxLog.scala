@@ -60,12 +60,16 @@ object TxLog {
 
   /** Spark parquet scans force every field nullable regardless of the
     * supplied schema; store the schema in that normalized form so the
-    * manifest states what a read actually returns.
+    * manifest states what a read actually returns. Column metadata is
+    * stripped too — it doesn't affect what a read returns, and keeping
+    * it would make the append drift check reject semantically identical
+    * frames over metadata bytes (e.g. ML attribute annotations).
     */
   private def asNullable(dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.types.DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
-      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      f.copy(dataType = asNullable(f.dataType), nullable = true,
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
     case a: org.apache.spark.sql.types.ArrayType =>
       a.copy(elementType = asNullable(a.elementType), containsNull = true)
     case m: org.apache.spark.sql.types.MapType =>
@@ -164,19 +168,35 @@ object TxLog {
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$dataRel/$n")
     f.mkdirs(logDir(t))
     val fc = FileContext.getFileContext(t.toUri, spark.sessionState.newHadoopConf())
+    val schemaJson = asNullable(df.schema).json
+    // did OUR rename land at `version`? Identified by this commit's
+    // unique data directory appearing in the published manifest — the
+    // lost-ack disambiguator (a rename can succeed server-side while the
+    // client sees an IOException; blindly retrying such a commit would
+    // re-list `fresh` on top of a parent that already contains it and
+    // double-count every appended row).
+    def winner(version: Long): Boolean = {
+      val p = manifestPath(t, version)
+      f.exists(p) && readManifest(spark, t, version).files
+        .exists(_.startsWith(dataRel + "/"))
+    }
     var attempt = 0
     while (true) {
       attempt += 1
       val parent = latestVersion(spark, table).map(readManifest(spark, t, _))
+      // a lost-ack success would appear here as our own data dir in the
+      // parent — the commit is already published, return it
+      parent.filter(_.files.exists(_.startsWith(dataRel + "/")))
+        .foreach(p => return p.version)
       val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
       if (action == "append") parent.foreach { p =>
-        require(p.schemaJson == asNullable(df.schema).json,
+        require(p.schemaJson == schemaJson,
           s"append schema mismatch for $table: table has ${p.schemaJson}, " +
-            s"frame has ${asNullable(df.schema).json} — overwrite to change schema")
+            s"frame has $schemaJson — overwrite to change schema")
       }
       val version = parent.map(_.version).getOrElse(0L) + 1
       val m = Manifest(version, action, newFiles(parentFiles, fresh),
-        asNullable(df.schema).json, System.currentTimeMillis())
+        schemaJson, System.currentTimeMillis())
       val tmp = new Path(logDir(t), s".tmp-$commitId-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
@@ -186,9 +206,14 @@ object TxLog {
         return version
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException
-             | _: java.nio.file.FileAlreadyExistsException
-             | _: java.io.IOException if attempt < 20 =>
-          f.delete(tmp, false) // lost the race; retry against new latest
+             | _: java.nio.file.FileAlreadyExistsException if attempt < 20 =>
+          f.delete(tmp, false) // definitely lost the race; retry
+        case _: java.io.IOException if attempt < 20 =>
+          f.delete(tmp, false)
+          // ambiguous failure: the rename may have landed (lost ack) —
+          // if the target now exists with OUR data dir, we won
+          if (winner(version)) return version
+          // else: someone else owns `version` (or nothing landed); retry
       }
     }
     sys.error("unreachable")

@@ -59,5 +59,15 @@ class TableFunctionSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_asof_join('only_one')")
     }
     assert(e2.getMessage.contains("5 or 6"), e2.getMessage)
+    // fractional bucketSec must be rejected, not silently truncated
+    Seq((1L, "2020-01-01 00:10:00")).toDF("pid", "pts")
+      .createOrReplaceTempView("tvf_points_frac")
+    Seq((10L, "2020-01-01 00:00:00", "2020-01-01 01:00:00"))
+      .toDF("iid", "s", "e").createOrReplaceTempView("tvf_ivals_frac")
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_point_in_interval(" +
+        "'tvf_points_frac', 'pts', 'tvf_ivals_frac', 's', 'e', 3600.9)")
+    }
+    assert(e3.getMessage.contains("integer literal"), e3.getMessage)
   }
 }
