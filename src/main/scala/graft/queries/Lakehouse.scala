@@ -137,6 +137,64 @@ object Lakehouse {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
+    "q93_tx_merge" -> ((s, dir) => {
+      // Transactional MERGE INTO (TxLog.merge scaladoc): q76's CDC batch
+      // folded into a published customer snapshot under the optimistic
+      // CAS commit, then read back THROUGH the log. Hash equality with
+      // the q76-style from-scratch recompute proves the transactional
+      // path changes nothing about merge semantics — the log adds
+      // atomicity, not arithmetic.
+      val t = tmpTable("tx-q93")
+      val snap = Tables.customer(s, dir).select(
+        col("c_custkey"), dec2(col("c_acctbal")).cast("double").as("bal"))
+      TxLog.overwrite(snap, t)
+      val chg = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        dec2(col("o_totalprice")).cast("double").as("bal"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+        col("o_orderdate"), col("o_orderkey"))
+      TxLog.merge(s, t, chg,
+        keys = Seq("c_custkey"),
+        ordering = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+        opCol = "op")
+      TxLog.read(s, t).select(col("c_custkey"), col("bal"))
+    }),
+
+    "q94_tx_skipping" -> ((s, dir) => {
+      // File-level data skipping (TxLog.readBetween scaladoc): orders
+      // range-partitioned on o_orderdate at write time → tight per-file
+      // date ranges in the manifest stats → the 1996 read plans only the
+      // files whose range intersects the year. The exact filter on top
+      // makes skipping a pure file-count optimization, so the oracle is
+      // the plain WHERE — hash equality proves no qualifying row lived
+      // in a skipped file. (TxLogSpec asserts the pruned file count;
+      // here the gate is correctness of the pruned read.)
+      val t = tmpTable("tx-q94")
+      TxLog.overwrite(
+        Tables.orders(s, dir).repartitionByRange(8, col("o_orderdate")), t)
+      TxLog.readBetween(s, t, "o_orderdate",
+          lo = Some("1996-01-01 00:00:00"), hi = Some("1996-12-31 23:59:59.999"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
+    "q95_tx_compact" -> ((s, dir) => {
+      // Compaction (TxLog.compact scaladoc): the table is published as 16
+      // small shards (a streaming-append tail's file debt), bin-packed
+      // into target-size files, and read back post-compaction. Hash
+      // equality with the full-table aggregate proves packing moved
+      // every row exactly once — none lost with the replaced files, none
+      // doubled by the rewrite.
+      val t = tmpTable("tx-q95")
+      TxLog.overwrite(Tables.orders(s, dir).repartition(16), t)
+      TxLog.compact(s, t)
+      TxLog.read(s, t)
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -191,6 +249,36 @@ object Lakehouse {
 
     "q91_tx_timetravel" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q93_tx_merge" ->
+      """WITH snap AS (
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+        |  FROM customer),
+        |chg AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+        |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+        |SELECT c_custkey, bal FROM snap
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |UNION ALL
+        |SELECT c_custkey, bal FROM chg WHERE op <> 'D'""".stripMargin,
+
+    "q94_tx_skipping" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59.999'
+        |GROUP BY 1""".stripMargin,
+
+    "q95_tx_compact" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin)
 }

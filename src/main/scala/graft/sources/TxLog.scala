@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum, when}
+import org.apache.spark.sql.types._
 import org.json4s.NoTypeHints
 import org.json4s.jackson.Serialization
 
@@ -24,13 +25,14 @@ import org.json4s.jackson.Serialization
   *  1. Write the new data files under a fresh `data/<uuid>/` directory.
   *     Readers never list directories — only manifest-referenced files
   *     are visible, so uncommitted data is invisible by construction.
-  *  2. Compose a manifest (file list + schema) for the next version and
-  *     publish it with an ATOMIC RENAME into `_txlog/` that fails if the
-  *     version already exists (`FileContext.rename(…, Rename.NONE)`,
-  *     rename-if-absent — HDFS-atomic, the same primitive Delta's
-  *     HDFSLogStore uses). A losing concurrent committer retries against
-  *     the new latest version; a crash before the rename leaves only an
-  *     orphaned data directory, never a torn table.
+  *  2. Compose a manifest (file list + schema + per-file column stats +
+  *     streaming-txn watermarks) for the next version and publish it with
+  *     an ATOMIC RENAME into `_txlog/` that fails if the version already
+  *     exists (`FileContext.rename(…, Rename.NONE)`, rename-if-absent —
+  *     HDFS-atomic, the same primitive Delta's HDFSLogStore uses). A
+  *     losing concurrent committer retries against the new latest
+  *     version; a crash before the rename leaves only an orphaned data
+  *     directory, never a torn table.
   *
   * Guarantees:
   *  - '''Atomic publish''': a reader sees version N fully or not at all —
@@ -41,19 +43,57 @@ import org.json4s.jackson.Serialization
   *    returning version N's rows even while N+1 is being committed.
   *  - '''Time travel''': every manifest is retained until [[vacuum]], so
   *    `readAsOf(version)` reconstructs any historical snapshot.
+  *  - '''Write-write conflicts''': [[merge]] re-derives its result when
+  *    the snapshot it read from is no longer the latest (CAS on the
+  *    parent version); [[compact]] aborts if a concurrent commit removed
+  *    a file it planned to rewrite.
+  *  - '''Exactly-once streaming''': [[idempotentAppend]] records an
+  *    (appId → batchId) watermark in the manifest and skips batches at
+  *    or below it — a restarted `foreachBatch` sink that replays its
+  *    last batch commits nothing twice (the public Delta
+  *    txnAppId/txnVersion recipe).
   *
-  * Scale notes: the manifest holds relative file paths + the schema JSON —
-  * a few KB per thousand files; commit cost is one small-file write + one
-  * metadata rename, independent of table size. Reads plan from the
-  * explicit file list (no directory listing — at 100 TB an object-store
-  * LIST of a million files is the slow path the manifest exists to skip)
-  * with the stored schema (no footer-sampling inference pass).
+  * Scale notes: the manifest holds relative file paths, the schema JSON
+  * and per-file min/max stats — O(files), KBs per thousand files; commit
+  * cost is one small-file write + one metadata rename, independent of
+  * table size. Reads plan from the explicit file list (no directory
+  * listing — at 100 TB an object-store LIST of a million files is the
+  * slow path the manifest exists to skip) with the stored schema (no
+  * footer-sampling inference pass). [[readBetween]] prunes that file
+  * list against the stored stats BEFORE Spark plans the scan — the
+  * Delta data-skipping move that turns a point/range query on a sorted
+  * or range-partitioned 100 TB table into a few-file read.
   */
 object TxLog {
 
-  /** One committed version. `files` are table-root-relative. */
+  /** Per-column, per-file statistics. Values are the column value cast
+    * to string by Spark (numerics round-trip exactly; dates/timestamps
+    * render ISO, whose lexicographic order IS chronological order).
+    * `min`/`max` are None iff the column is all-NULL in the file.
+    */
+  final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+
+  /** One data file's row count and column stats (stats cover the first
+    * [[maxStatsCols]] skippable top-level columns, cf. Delta's
+    * dataSkippingNumIndexedCols=32 default).
+    */
+  final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats])
+
+  /** One committed version. `files` are table-root-relative and are the
+    * single source of truth for reads; `stats` is advisory (skipping
+    * only — a file without an entry is simply never skipped); `txn` is
+    * the per-writer-app streaming watermark map for [[idempotentAppend]].
+    */
   final case class Manifest(version: Long, action: String,
-      files: Seq[String], schemaJson: String, tsMillis: Long)
+      files: Seq[String], schemaJson: String, tsMillis: Long,
+      stats: Option[Seq[FileEntry]] = None,
+      txn: Option[Map[String, Long]] = None)
+
+  /** Stats are collected for at most this many leading skippable
+    * columns: min/max strings for a 1000-column table would bloat every
+    * manifest for columns nobody ranges on.
+    */
+  val maxStatsCols = 32
 
   private implicit val jsonFormats: org.json4s.Formats =
     Serialization.formats(NoTypeHints)
@@ -65,15 +105,12 @@ object TxLog {
     * it would make the append drift check reject semantically identical
     * frames over metadata bytes (e.g. ML attribute annotations).
     */
-  private def asNullable(dt: org.apache.spark.sql.types.DataType)
-      : org.apache.spark.sql.types.DataType = dt match {
+  private def asNullable(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       f.copy(dataType = asNullable(f.dataType), nullable = true,
-        metadata = org.apache.spark.sql.types.Metadata.empty)))
-    case a: org.apache.spark.sql.types.ArrayType =>
-      a.copy(elementType = asNullable(a.elementType), containsNull = true)
-    case m: org.apache.spark.sql.types.MapType =>
-      m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+        metadata = Metadata.empty)))
+    case a: ArrayType => a.copy(elementType = asNullable(a.elementType), containsNull = true)
+    case m: MapType => m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
     case other => other
   }
 
@@ -112,32 +149,167 @@ object TxLog {
     finally in.close()
   }
 
-  private def toDf(spark: SparkSession, table: Path, m: Manifest): DataFrame = {
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    if (m.files.isEmpty) spark.createDataFrame(
+  /** Latest committed manifest — the metadata a catalog surface would
+    * show (`DESCRIBE HISTORY`-grade info lives in the full [[versions]]
+    * walk; this is the planning snapshot).
+    */
+  def manifest(spark: SparkSession, table: String): Manifest = {
+    val latest = latestVersion(spark, table).getOrElse(
+      sys.error(s"table $table has no committed versions"))
+    readManifest(spark, new Path(table), latest)
+  }
+
+  private def toDf(spark: SparkSession, table: Path, schemaJson: String,
+      files: Seq[String]): DataFrame = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    if (files.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema)
-      .parquet(m.files.map(new Path(table, _).toString): _*)
+      .parquet(files.map(new Path(table, _).toString): _*)
   }
 
   /** Latest committed snapshot. Planning reads ONLY the manifest-listed
     * files with the stored schema — no directory listing, no inference.
     */
   def read(spark: SparkSession, table: String): DataFrame = {
-    val latest = latestVersion(spark, table).getOrElse(
-      sys.error(s"table $table has no committed versions"))
-    readAsOf(spark, table, latest)
+    val m = manifest(spark, table)
+    toDf(spark, new Path(table), m.schemaJson, m.files)
   }
 
   /** Time travel: the table exactly as committed at `version`. */
   def readAsOf(spark: SparkSession, table: String, version: Long): DataFrame = {
     val t = new Path(table)
-    toDf(spark, t, readManifest(spark, t, version))
+    val m = readManifest(spark, t, version)
+    toDf(spark, t, m.schemaJson, m.files)
   }
 
+  // ---------------------------------------------------------------------
+  // Data skipping
+  // ---------------------------------------------------------------------
+
+  private def isSkippable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType
+         | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Stats-domain comparison: numerics compare numerically (the string
+    * form round-trips exactly through BigDecimal), everything else
+    * compares lexicographically — correct for strings by definition and
+    * for ISO-rendered dates/timestamps by construction. An unparseable
+    * numeric (NaN/Infinity renders) returns None = "don't know", and the
+    * caller must keep the file.
+    */
+  private def cmp(dt: DataType, a: String, b: String): Option[Int] = dt match {
+    case _: NumericType =>
+      try Some(BigDecimal(a).compare(BigDecimal(b)))
+      catch { case _: NumberFormatException => None }
+    case _ => Some(a.compareTo(b))
+  }
+
+  /** Could a file with `st` hold a row with `column` in [lo, hi]?
+    * Missing evidence always keeps the file — skipping is an
+    * optimization and must never be a correctness bet.
+    */
+  private def mayMatch(st: ColStats, dt: DataType,
+      lo: Option[String], hi: Option[String]): Boolean =
+    (st.min, st.max) match {
+      case (None, None) => false // all-NULL file; range predicates are null-rejecting
+      case (Some(mn), Some(mx)) =>
+        lo.forall(l => cmp(dt, mx, l).forall(_ >= 0)) &&
+          hi.forall(h => cmp(dt, mn, h).forall(_ <= 0))
+      case _ => true // half-written stats: treat as unknown
+    }
+
+  /** Range read with file-level data skipping: plans ONLY the files
+    * whose [min,max] for `column` intersects [lo,hi] (both bounds
+    * inclusive and optional), then applies the exact filter on top — the
+    * stored stats choose which files to read, never which rows qualify,
+    * so a missing or stale stats entry degrades to a full read, not a
+    * wrong answer. Bounds are given in the column's own domain (numbers
+    * for numeric columns, ISO strings for dates/timestamps).
+    *
+    * At 100 TB this is the difference between "scan the table" and
+    * "read the handful of files a sorted/range-partitioned write put the
+    * qualifying keys in" — pair with `repartitionByRange().sortWithinPartitions()`
+    * (or [[Layout]] z-order) at write time to make the per-file ranges
+    * tight.
+    */
+  def readBetween(spark: SparkSession, table: String, column: String,
+      lo: Option[Any], hi: Option[Any]): DataFrame = {
+    val m = manifest(spark, table)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(column),
+      s"table $table has no column '$column' (schema: ${schema.fieldNames.mkString(", ")})")
+    val field = schema(column)
+    require(isSkippable(field.dataType),
+      s"column '$column' (${field.dataType.simpleString}) is not range-comparable")
+    val loS = lo.map(_.toString)
+    val hiS = hi.map(_.toString)
+    val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    val kept = m.files.filter { p =>
+      byPath.get(p).flatMap(_.stats.get(column)) match {
+        case Some(st) => mayMatch(st, field.dataType, loS, hiS)
+        case None => true // no stats for this file/column: cannot skip
+      }
+    }
+    val c = col(quoted(column))
+    val exact = (lo.map(v => c >= lit(v).cast(field.dataType)) ++
+      hi.map(v => c <= lit(v).cast(field.dataType)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    toDf(spark, new Path(table), m.schemaJson, kept).filter(exact)
+  }
+
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** Per-file stats for the freshly written files under `dataDir`: ONE
+    * column-pruned aggregate pass grouped by file. Parquet is columnar,
+    * so this reads only the ≤[[maxStatsCols]] skippable columns'
+    * chunks, not the data — the write-side cost that buys read-side
+    * skipping. (A footer-only collector would be cheaper still; the
+    * parquet footers already hold these min/maxes. The aggregate keeps
+    * this engine on public DataFrame API and one code path for every
+    * filesystem.)
+    */
+  private def collectStats(spark: SparkSession, dataDir: Path,
+      schema: StructType, dataRel: String): Seq[FileEntry] = {
+    val skippable = schema.fields.filter(f => isSkippable(f.dataType)).take(maxStatsCols)
+    if (skippable.isEmpty) return Seq.empty
+    val aggs = skippable.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(quoted(f.name))
+      Seq(min(c).cast("string").as(s"__mn_$i"),
+        max(c).cast("string").as(s"__mx_$i"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nc_$i"))
+    }
+    spark.read.schema(schema).parquet(dataDir.toString)
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .collect()
+      .toSeq
+      .map { r =>
+        val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+        val stats = skippable.zipWithIndex.map { case (f, i) =>
+          f.name -> ColStats(
+            Option(r.getAs[String](s"__mn_$i")),
+            Option(r.getAs[String](s"__mx_$i")),
+            r.getAs[Long](s"__nc_$i"))
+        }.toMap
+        FileEntry(s"$dataRel/$name", r.getAs[Long]("__rows"), stats)
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // Commits
+  // ---------------------------------------------------------------------
+
   /** Replace the table contents atomically. Returns the new version. */
-  def overwrite(df: DataFrame, table: String): Long =
-    commit(df, table, "overwrite", (_, fresh) => fresh)
+  def overwrite(df: DataFrame, table: String): Long = {
+    val w = writeData(df, table)
+    publish(df.sparkSession, table, w, parent =>
+      Some(Attempt("overwrite", w.fresh, w.stats,
+        parent.flatMap(_.txn).getOrElse(Map.empty)))).get
+  }
 
   /** Add rows atomically; prior files stay referenced. The appended
     * frame must match the table's schema (names + types, nullability
@@ -145,20 +317,160 @@ object TxLog {
     * list, so a drifted append would make readers silently null-fill or
     * misread the older files.
     */
-  def append(df: DataFrame, table: String): Long =
-    commit(df, table, "append", (parent, fresh) => parent ++ fresh)
+  def append(df: DataFrame, table: String): Long = {
+    val w = writeData(df, table)
+    publish(df.sparkSession, table, w, parent =>
+      Some(appendAttempt(table, parent, w, Map.empty))).get
+  }
 
-  /** Write data files, then publish the manifest via rename-if-absent.
-    * Optimistic concurrency: a lost race re-reads the (new) parent
-    * snapshot and retries with the SAME already-written data files —
-    * only the metadata attempt repeats, never the data write.
+  /** Exactly-once streaming append — the `foreachBatch` sink body:
+    * {{{
+    *   query.writeStream.foreachBatch { (batch, id) =>
+    *     TxLog.idempotentAppend(batch, table, appId = "loader", batchId = id)
+    *   }
+    * }}}
+    * Commits record max(batchId) per `appId` in the manifest; a batch at
+    * or below the recorded watermark returns None and commits NOTHING —
+    * so the replayed last batch of a restarted streaming query (the
+    * at-least-once delivery Structured Streaming guarantees into a
+    * non-transactional sink) lands exactly once in the table. The
+    * watermark check re-runs inside the optimistic-commit loop against
+    * the CURRENT parent, so two racing writers with the same appId
+    * cannot both land the same batch.
     */
-  private def commit(df: DataFrame, table: String, action: String,
-      newFiles: (Seq[String], Seq[String]) => Seq[String]): Long = {
+  def idempotentAppend(df: DataFrame, table: String, appId: String,
+      batchId: Long): Option[Long] = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    val spark = df.sparkSession
+    // fast path: already committed — skip without writing data files
+    val done = latestVersion(spark, table)
+      .map(readManifest(spark, new Path(table), _))
+      .flatMap(_.txn.getOrElse(Map.empty).get(appId)).exists(_ >= batchId)
+    if (done) return None
+    val w = writeData(df, table)
+    publish(spark, table, w, parent => {
+      val seen = parent.flatMap(_.txn).getOrElse(Map.empty)
+      if (seen.get(appId).exists(_ >= batchId)) None // lost a same-app race
+      else Some(appendAttempt(table, parent, w, Map(appId -> batchId)))
+    })
+  }
+
+  private def appendAttempt(table: String, parent: Option[Manifest],
+      w: Written, txnDelta: Map[String, Long]): Attempt = {
+    parent.foreach { p =>
+      require(p.schemaJson == w.schemaJson,
+        s"append schema mismatch for $table: table has ${p.schemaJson}, " +
+          s"frame has ${w.schemaJson} — overwrite to change schema")
+    }
+    val parentStats = parent.flatMap(_.stats).getOrElse(Seq.empty)
+    Attempt("append",
+      parent.map(_.files).getOrElse(Seq.empty) ++ w.fresh,
+      parentStats ++ w.stats,
+      parent.flatMap(_.txn).getOrElse(Map.empty) ++ txnDelta)
+  }
+
+  /** Transactional MERGE INTO: fold a CDC change batch
+    * ([[graft.operators.MergeOps.cdcApply]] semantics — latest change
+    * per key wins, `deleteOp` deletes, anything else upserts) into the
+    * table under snapshot isolation. Optimistic CAS loop: the merge is
+    * computed against the latest snapshot and publishes ONLY if that
+    * snapshot is still the latest at commit time; a concurrent commit
+    * in the gap makes the loop re-derive the merge against the new
+    * snapshot (the stale result, however plausible, would silently drop
+    * the concurrent writer's rows — lost update). Data is rewritten per
+    * retry; retries are as rare as real write-write races.
+    */
+  def merge(spark: SparkSession, table: String, changes: DataFrame,
+      keys: Seq[String], ordering: Seq[Column], opCol: String,
+      deleteOp: String = "D", maxAttempts: Int = 10): Long = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    (1 to maxAttempts).foreach { _ =>
+      val base = latestVersion(spark, table).getOrElse(
+        sys.error(s"table $table has no committed versions to merge into"))
+      val merged = graft.operators.MergeOps.cdcApply(
+        readAsOf(spark, table, base), changes, keys, ordering, opCol, deleteOp)
+      val w = writeData(merged, table)
+      val committed = publish(spark, table, w, parent =>
+        if (parent.map(_.version).contains(base))
+          Some(Attempt("merge", w.fresh, w.stats,
+            parent.flatMap(_.txn).getOrElse(Map.empty)))
+        else None) // snapshot went stale: recompute from the new latest
+      committed.foreach(v => return v)
+    }
+    sys.error(s"merge into $table lost the commit race $maxAttempts times " +
+      "(pathological write contention); re-run or serialize writers")
+  }
+
+  /** Compaction (the public OPTIMIZE bin-packing recipe): rewrite the
+    * referenced files smaller than `smallFileBytes` into
+    * ~`targetFileBytes` files and commit a version with identical rows.
+    * Large files are never rewritten or even read — at 100 TB the
+    * maintenance cost is proportional to the small-file debt (the
+    * streaming-append tail), not the table. Readers are untouched
+    * mid-compaction (snapshot isolation); time travel to pre-compaction
+    * versions still resolves the old files until [[vacuum]].
+    *
+    * Concurrency: a concurrent append composes fine (its files are
+    * simply retained); a concurrent overwrite/compaction that removed
+    * one of the planned-for-rewrite files aborts this compaction with
+    * `ConcurrentModificationException` — rewriting rows whose source
+    * files a racing commit dropped would resurrect deleted data.
+    *
+    * Returns the committed version, or the current version unchanged if
+    * fewer than two files qualify (nothing to pack).
+    */
+  def compact(spark: SparkSession, table: String,
+      smallFileBytes: Long = 128L << 20,
+      targetFileBytes: Long = 128L << 20): Long = {
+    require(smallFileBytes > 0 && targetFileBytes > 0, "thresholds must be positive")
+    val t = new Path(table)
+    val f = fs(spark, t)
+    val m = manifest(spark, table)
+    val sized = m.files.map(rel => rel -> f.getFileStatus(new Path(t, rel)).getLen)
+    val small = sized.filter(_._2 < smallFileBytes)
+    if (small.size < 2) return m.version
+    val smallSet = small.map(_._1).toSet
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val packed = spark.read.schema(schema)
+      .parquet(small.map(p => new Path(t, p._1).toString): _*)
+      // coalesce, not repartition: packing must not shuffle the data it
+      // rewrites — narrow concatenation of the small files' partitions
+      .coalesce(((small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes)
+        .toInt.max(1))
+    val w = writeData(packed, table)
+    publish(spark, table, w, parent => {
+      val pf = parent.map(_.files).getOrElse(Seq.empty)
+      if (!smallSet.subsetOf(pf.toSet))
+        throw new java.util.ConcurrentModificationException(
+          s"compaction of $table aborted: a concurrent commit removed " +
+            "file(s) planned for rewrite")
+      parent.foreach { p =>
+        require(p.schemaJson == w.schemaJson,
+          s"compaction schema drift for $table (concurrent overwrite?)")
+      }
+      val parentStats = parent.flatMap(_.stats).getOrElse(Seq.empty)
+      Some(Attempt("compact",
+        pf.filterNot(smallSet) ++ w.fresh,
+        parentStats.filterNot(e => smallSet(e.path)) ++ w.stats,
+        parent.flatMap(_.txn).getOrElse(Map.empty)))
+    }).get
+  }
+
+  /** The data files + stats of one not-yet-published commit attempt. */
+  private final case class Written(dataRel: String, fresh: Seq[String],
+      stats: Seq[FileEntry], schemaJson: String)
+
+  /** What a commit wants to publish, composed against the current parent. */
+  private final case class Attempt(action: String, files: Seq[String],
+      stats: Seq[FileEntry], txn: Map[String, Long])
+
+  /** Write the frame's data files under a fresh `data/<uuid>/` dir and
+    * collect their stats. Nothing is visible until [[publish]] lands a
+    * manifest referencing them.
+    */
+  private def writeData(df: DataFrame, table: String): Written = {
     val spark = df.sparkSession
     val f = fs(spark, new Path(table))
-    // qualified (scheme-carrying) path: FileContext resolves its
-    // AbstractFileSystem from the URI scheme
     val t = f.makeQualified(new Path(table))
     val commitId = java.util.UUID.randomUUID().toString
     val dataRel = s"data/$commitId"
@@ -166,19 +478,40 @@ object TxLog {
     df.write.parquet(dataDir.toString)
     val fresh = f.listStatus(dataDir).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$dataRel/$n")
+    val schema = asNullable(df.schema).asInstanceOf[StructType]
+    val stats =
+      if (fresh.isEmpty) Seq.empty
+      else collectStats(spark, dataDir, schema, dataRel)
+    Written(dataRel, fresh, stats, schema.json)
+  }
+
+  /** Publish `w` via rename-if-absent. Optimistic concurrency: a lost
+    * race re-reads the (new) parent snapshot, re-composes the attempt,
+    * and retries with the SAME already-written data files — only the
+    * metadata attempt repeats, never the data write. `compose` returning
+    * None abandons the commit (CAS failure / idempotent skip): the
+    * orphaned data directory is deleted and None is returned.
+    */
+  private def publish(spark: SparkSession, table: String, w: Written,
+      compose: Option[Manifest] => Option[Attempt]): Option[Long] = {
+    val f = fs(spark, new Path(table))
+    val t = f.makeQualified(new Path(table))
     f.mkdirs(logDir(t))
     val fc = FileContext.getFileContext(t.toUri, spark.sessionState.newHadoopConf())
-    val schemaJson = asNullable(df.schema).json
     // did OUR rename land at `version`? Identified by this commit's
     // unique data directory appearing in the published manifest — the
     // lost-ack disambiguator (a rename can succeed server-side while the
     // client sees an IOException; blindly retrying such a commit would
-    // re-list `fresh` on top of a parent that already contains it and
+    // re-compose on top of a parent that already contains it and
     // double-count every appended row).
     def winner(version: Long): Boolean = {
       val p = manifestPath(t, version)
       f.exists(p) && readManifest(spark, t, version).files
-        .exists(_.startsWith(dataRel + "/"))
+        .exists(_.startsWith(w.dataRel + "/"))
+    }
+    def abandon(): Option[Long] = {
+      f.delete(new Path(t, w.dataRel), true)
+      None
     }
     var attempt = 0
     while (true) {
@@ -186,24 +519,24 @@ object TxLog {
       val parent = latestVersion(spark, table).map(readManifest(spark, t, _))
       // a lost-ack success would appear here as our own data dir in the
       // parent — the commit is already published, return it
-      parent.filter(_.files.exists(_.startsWith(dataRel + "/")))
-        .foreach(p => return p.version)
-      val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
-      if (action == "append") parent.foreach { p =>
-        require(p.schemaJson == schemaJson,
-          s"append schema mismatch for $table: table has ${p.schemaJson}, " +
-            s"frame has $schemaJson — overwrite to change schema")
+      parent.filter(_.files.exists(_.startsWith(w.dataRel + "/")))
+        .foreach(p => return Some(p.version))
+      val att = compose(parent) match {
+        case Some(a) => a
+        case None => return abandon()
       }
       val version = parent.map(_.version).getOrElse(0L) + 1
-      val m = Manifest(version, action, newFiles(parentFiles, fresh),
-        schemaJson, System.currentTimeMillis())
-      val tmp = new Path(logDir(t), s".tmp-$commitId-$attempt.json")
+      val m = Manifest(version, att.action, att.files, w.schemaJson,
+        System.currentTimeMillis(),
+        stats = Some(att.stats).filter(_.nonEmpty),
+        txn = Some(att.txn).filter(_.nonEmpty))
+      val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
       try {
         // rename-if-absent: the ONE atomic, mutual-exclusion step
         fc.rename(tmp, manifestPath(t, version), Options.Rename.NONE)
-        return version
+        return Some(version)
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException
              | _: java.nio.file.FileAlreadyExistsException if attempt < 20 =>
@@ -212,7 +545,7 @@ object TxLog {
           f.delete(tmp, false)
           // ambiguous failure: the rename may have landed (lost ack) —
           // if the target now exists with OUR data dir, we won
-          if (winner(version)) return version
+          if (winner(version)) return Some(version)
           // else: someone else owns `version` (or nothing landed); retry
       }
     }

@@ -116,4 +116,252 @@ class TxLogSpec extends SparkSpec {
     val e = intercept[RuntimeException] { TxLog.read(spark, tmpTable()) }
     assert(e.getMessage.contains("no committed versions"))
   }
+
+  // -------------------------------------------------------------------
+  // File stats + data skipping
+  // -------------------------------------------------------------------
+
+  /** 40 rows of k=0..39 range-partitioned into 4 files → per-file k
+    * ranges are disjoint decades.
+    */
+  private def rangedTable(): String = {
+    val t = tmpTable()
+    import org.apache.spark.sql.functions.col
+    val df = (0 until 40).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    TxLog.overwrite(df, t)
+    t
+  }
+
+  test("commits record per-file row counts and min/max stats") {
+    val t = rangedTable()
+    val m = TxLog.manifest(spark, t)
+    val entries = m.stats.getOrElse(fail("no stats in manifest"))
+    assert(entries.map(_.path).toSet == m.files.toSet)
+    assert(entries.map(_.rows).sum == 40L)
+    // each file's [min,max] over k is a tight disjoint range
+    val ranges = entries.map(e => (BigDecimal(e.stats("k").min.get),
+      BigDecimal(e.stats("k").max.get))).sortBy(_._1)
+    assert(ranges.size == 4)
+    ranges.sliding(2).foreach { case Seq((_, aMax), (bMin, _)) =>
+      assert(aMax < bMin, "file ranges overlap")
+    }
+    // string column stats exist too; nulls counted
+    assert(entries.forall(_.stats("v").nulls == 0L))
+  }
+
+  test("readBetween prunes files by stats and still answers exactly") {
+    val t = rangedTable()
+    val pruned = TxLog.readBetween(spark, t, "k", Some(12L), Some(17L))
+    // only the decade file holding 10..19 qualifies
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 planned file, got ${pruned.inputFiles.length}")
+    assert(pruned.select("k").as[Long].collect().sorted.toSeq == (12L to 17L))
+    // unbounded sides
+    assert(TxLog.readBetween(spark, t, "k", None, Some(5L)).inputFiles.length == 1)
+    assert(TxLog.readBetween(spark, t, "k", Some(35L), None).inputFiles.length == 1)
+    // a no-hit range plans zero files and returns zero rows
+    val none = TxLog.readBetween(spark, t, "k", Some(100L), Some(200L))
+    assert(none.inputFiles.isEmpty && none.count() == 0)
+  }
+
+  test("readBetween skips all-NULL files (range predicates reject NULL)") {
+    val t = tmpTable()
+    val withNulls = Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "v")
+    TxLog.overwrite(withNulls, t)
+    TxLog.append(Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"))
+      .toDF("k", "v").coalesce(1), t)
+    val got = TxLog.readBetween(spark, t, "k", Some(0L), Some(10L))
+    assert(got.select("v").as[String].collect().toSet == Set("a", "b"))
+    assert(got.inputFiles.length < TxLog.read(spark, t).inputFiles.length)
+  }
+
+  test("readBetween rejects unknown and non-comparable columns") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, Array[Byte](1))).toDF("k", "blob"), t)
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.readBetween(spark, t, "nope", Some(1), None)
+    }
+    assert(e1.getMessage.contains("no column"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.readBetween(spark, t, "blob", Some(1), None)
+    }
+    assert(e2.getMessage.contains("not range-comparable"))
+  }
+
+  test("stats survive append and date columns skip chronologically") {
+    val t = tmpTable()
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    def days(from: String, n: Int) =
+      spark.range(n).select(
+        to_date(date_add(lit(from).cast("date"), col("id").cast("int"))).as("d"))
+    TxLog.overwrite(days("2024-01-01", 10).coalesce(1), t)
+    TxLog.append(days("2024-06-01", 10).coalesce(1), t)
+    val jan = TxLog.readBetween(spark, t, "d", Some("2024-01-03"), Some("2024-01-05"))
+    assert(jan.inputFiles.length == 1)
+    assert(jan.count() == 3)
+  }
+
+  // -------------------------------------------------------------------
+  // Compaction
+  // -------------------------------------------------------------------
+
+  test("compact bin-packs small files, preserves rows, keeps time travel") {
+    val t = tmpTable()
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    TxLog.overwrite(df.repartition(10), t) // 10 shards
+    val before = TxLog.read(spark, t)
+    assert(before.inputFiles.length == 10)
+    val v = TxLog.compact(spark, t, smallFileBytes = 1L << 20,
+      targetFileBytes = 1L << 20)
+    assert(v == 2L)
+    val after = TxLog.read(spark, t)
+    assert(after.inputFiles.length < 10)
+    assert(after.as[(Long, String)].collect().toSet ==
+      df.as[(Long, String)].collect().toSet)
+    // pre-compaction snapshot still resolves (old files retained)
+    assert(TxLog.readAsOf(spark, t, 1L).count() == 100)
+    // vacuum now drops the 10 replaced shards but none of the packed files
+    val deleted = TxLog.vacuum(spark, t, keepVersions = 1)
+    assert(deleted.size == 10)
+    assert(TxLog.read(spark, t).count() == 100)
+  }
+
+  test("compact leaves large files alone and no-ops when nothing qualifies") {
+    val t = tmpTable()
+    TxLog.overwrite((0 until 50).map(i => (i.toLong, i.toString)).toDF("k", "v")
+      .coalesce(1), t)
+    // the one file is "large" under a 1-byte threshold: nothing to pack
+    assert(TxLog.compact(spark, t, smallFileBytes = 1L) == 1L)
+    assert(TxLog.versions(spark, t) == Seq(1L))
+    // with a generous threshold but a single file, still a no-op (< 2)
+    assert(TxLog.compact(spark, t) == 1L)
+  }
+
+  test("compact retains stats for untouched files and recomputes packed ones") {
+    val t = rangedTable() // 4 ranged files
+    // make one extra file that stays untouched under a tiny threshold is
+    // impossible deterministically, so pack EVERYTHING and check stats
+    TxLog.append((100 until 200).map(i => (i.toLong, s"w$i")).toDF("k", "v")
+      .coalesce(1), t)
+    TxLog.compact(spark, t, smallFileBytes = 1L << 30, targetFileBytes = 1L << 30)
+    val m = TxLog.manifest(spark, t)
+    assert(m.action == "compact")
+    val entries = m.stats.getOrElse(fail("stats lost by compaction"))
+    assert(entries.map(_.path).toSet == m.files.toSet)
+    assert(entries.map(_.rows).sum == 140L)
+    // skipping still works through the packed layout
+    assert(TxLog.readBetween(spark, t, "k", Some(150L), Some(160L))
+      .count() == 11)
+  }
+
+  // -------------------------------------------------------------------
+  // Transactional merge
+  // -------------------------------------------------------------------
+
+  test("merge applies CDC semantics through the log") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "bal"), t)
+    val changes = Seq(
+      (2L, 99.0, "U", 1), // update key 2
+      (3L, 0.0, "D", 1), // delete key 3
+      (4L, 40.0, "I", 1) // insert key 4
+    ).toDF("k", "bal", "op", "seq")
+    val v = TxLog.merge(spark, t, changes, keys = Seq("k"),
+      ordering = Seq(col("seq").desc), opCol = "op")
+    assert(v == 2L)
+    assert(TxLog.read(spark, t).select("k", "bal").as[(Long, Double)]
+      .collect().toSet == Set((1L, 10.0), (2L, 99.0), (4L, 40.0)))
+    // the pre-merge snapshot is still readable (snapshot isolation)
+    assert(TxLog.readAsOf(spark, t, 1L).count() == 3)
+  }
+
+  test("merge into a never-committed table fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val e = intercept[RuntimeException] {
+      TxLog.merge(spark, tmpTable(), Seq((1L, 1.0, "U")).toDF("k", "bal", "op"),
+        Seq("k"), Seq(col("bal").desc), "op")
+    }
+    assert(e.getMessage.contains("no committed versions"))
+  }
+
+  // -------------------------------------------------------------------
+  // Idempotent (exactly-once) streaming append
+  // -------------------------------------------------------------------
+
+  test("idempotentAppend commits a batch once and skips its replay") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((0L, "seed")).toDF("k", "v"), t)
+    assert(TxLog.idempotentAppend(Seq((1L, "b0")).toDF("k", "v"), t,
+      appId = "loader", batchId = 0L).contains(2L))
+    // replayed batch (restart semantics): same appId+batchId → no commit
+    assert(TxLog.idempotentAppend(Seq((1L, "b0-replay")).toDF("k", "v"), t,
+      appId = "loader", batchId = 0L).isEmpty)
+    assert(TxLog.versions(spark, t) == Seq(1L, 2L))
+    assert(TxLog.read(spark, t).count() == 2)
+    // next batch commits; a DIFFERENT app's batch 0 also commits
+    assert(TxLog.idempotentAppend(Seq((2L, "b1")).toDF("k", "v"), t,
+      appId = "loader", batchId = 1L).contains(3L))
+    assert(TxLog.idempotentAppend(Seq((9L, "other")).toDF("k", "v"), t,
+      appId = "backfill", batchId = 0L).contains(4L))
+    assert(TxLog.read(spark, t).count() == 4)
+  }
+
+  test("txn watermarks survive unrelated commits and skip stale batches") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((0L, "seed")).toDF("k", "v"), t)
+    TxLog.idempotentAppend(Seq((1L, "b5")).toDF("k", "v"), t, "loader", 5L)
+    // an unrelated overwrite must carry the watermark forward, or a
+    // later replay of batch <=5 would double-append
+    TxLog.overwrite(Seq((7L, "rewrite")).toDF("k", "v"), t)
+    assert(TxLog.idempotentAppend(Seq((1L, "b4-late")).toDF("k", "v"), t,
+      "loader", 4L).isEmpty)
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((7L, "rewrite")))
+  }
+
+  test("a skipped idempotent batch leaves no orphan data files") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((0L, "seed")).toDF("k", "v"), t)
+    TxLog.idempotentAppend(Seq((1L, "b0")).toDF("k", "v"), t, "app", 0L)
+    def dataDirs(): Set[String] = {
+      val d = new java.io.File(t, "data")
+      Option(d.list()).map(_.toSet).getOrElse(Set.empty)
+    }
+    val before = dataDirs()
+    TxLog.idempotentAppend(Seq((1L, "replay")).toDF("k", "v"), t, "app", 0L)
+    assert(dataDirs() == before, "skip left an orphaned data directory")
+  }
+
+  test("exactly-once through a real foreachBatch sink under batch replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = tmpTable()
+    TxLog.overwrite(Seq((-1L, -1L)).toDF("value", "doubled"), t)
+    val srcDir = Files.createTempDirectory("txlog-stream-src").toString
+    spark.range(1, 3).toDF("value").write.mode("overwrite").parquet(srcDir)
+    // no checkpoint: each run restarts batch ids at 0 and re-delivers
+    // everything — exactly the at-least-once replay a crashed-and-
+    // restarted query produces, absorbed by the txn watermark
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("value LONG")
+        .parquet(srcDir)
+        .selectExpr("value", "value * 2 AS doubled")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          TxLog.idempotentAppend(batch, t, appId = "stream-spec", batchId = id)
+          ()
+        }
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    runOnce()
+    runOnce()
+    val rows = TxLog.read(spark, t).as[(Long, Long)].collect().toSet
+    assert(rows == Set((-1L, -1L), (1L, 2L), (2L, 4L)),
+      s"replayed batch must not double-append: $rows")
+  }
 }
