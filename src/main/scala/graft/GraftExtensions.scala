@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.mightContainFunction)
     ext.injectTableFunction(GraftExtensions.asofJoinTableFunction)
     ext.injectTableFunction(GraftExtensions.pointInIntervalTableFunction)
+    ext.injectTableFunction(GraftExtensions.txReadTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // pre-CBO: runs AFTER the default optimizer batches, so it sees (and
     // replaces) an InferWindowGroupLimit-inserted WindowGroupLimit child
@@ -266,6 +267,32 @@ object GraftExtensions {
     (FunctionIdentifier("graft_point_in_interval"), pointInIntervalInfo,
       pointInIntervalBuilder)
 
+  private val txReadInfo = new ExpressionInfo(
+    graft.sources.TxLog.getClass.getName, null, "graft_tx_read",
+    "graft_tx_read(path[, version]) - read a graft transactional table: " +
+      "the latest committed snapshot, or (with version) a time-travel " +
+      "snapshot exactly as committed at that version", "")
+
+  private def txReadBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val fn = "graft_tx_read"
+    require(exprs.length == 1 || exprs.length == 2,
+      s"$fn(path[, version]) takes 1 or 2 arguments")
+    val spark = activeSession
+    val path = strLit(exprs(0), fn, "path")
+    val df =
+      if (exprs.length == 2)
+        graft.sources.TxLog.readAsOf(spark, path, longLit(exprs(1), fn, "version"))
+      else graft.sources.TxLog.read(spark, path)
+    df.queryExecution.logical
+  }
+
+  val txReadTableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_tx_read"), txReadInfo, txReadBuilder)
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     Shim.registerFunction(spark, "graft_dot", dotInfo,
@@ -280,5 +307,7 @@ object GraftExtensions {
       asofJoinBuilder)
     Shim.registerTableFunction(spark, "graft_point_in_interval",
       pointInIntervalInfo, pointInIntervalBuilder)
+    Shim.registerTableFunction(spark, "graft_tx_read", txReadInfo,
+      txReadBuilder)
   }
 }

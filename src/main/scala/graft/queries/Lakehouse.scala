@@ -195,6 +195,75 @@ object Lakehouse {
         .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
         .agg(count(lit(1)).as("n"),
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
+    "q96_tx_delete" -> ((s, dir) => {
+      // Copy-on-write retention DELETE (TxLog.delete scaladoc): orders
+      // range-partitioned on o_orderdate, then everything before 1995
+      // deleted — pre-cutoff files drop from the manifest by row count
+      // alone (tier 2, metadata-only), the one boundary file is
+      // rewritten, post-cutoff files are never read. Hash equality with
+      // the plain WHERE oracle proves all three tiers delete exactly
+      // the matching rows and nothing else.
+      val t = tmpTable("tx-q96")
+      TxLog.overwrite(
+        Tables.orders(s, dir).repartitionByRange(8, col("o_orderdate")), t)
+      TxLog.delete(s, t,
+        col("o_orderdate") < lit("1995-01-01 00:00:00").cast("timestamp"))
+      TxLog.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
+    "q97_tx_update" -> ((s, dir) => {
+      // Copy-on-write UPDATE (TxLog.update scaladoc): finalized orders
+      // reclassified in place. Date-range partitioning correlates with
+      // status, so files with no 'F' rows are never rewritten; the
+      // CASE-expression oracle hash-checks that assignments applied to
+      // exactly the matching rows and every other value survived the
+      // rewrite byte-identical.
+      val t = tmpTable("tx-q97")
+      TxLog.overwrite(
+        Tables.orders(s, dir).repartitionByRange(8, col("o_orderdate")), t)
+      TxLog.update(s, t, col("o_orderstatus") === "F",
+        Seq("o_orderpriority" -> lit("0-RECLASSIFIED")))
+      TxLog.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
+    "q98_tx_changefeed" -> ((s, dir) => {
+      // Append-only change feed (TxLog.readAppendsSince scaladoc): a
+      // base publish followed by two append commits; the feed from the
+      // base version returns exactly the appended rows, read from only
+      // the appended files. The oracle reconstructs the same rows by
+      // filter — hash equality proves the file-set diff IS the row diff.
+      val t = tmpTable("tx-q98")
+      val o = Tables.orders(s, dir)
+      val base = TxLog.overwrite(o.filter(year(col("o_orderdate")) < 1996), t)
+      TxLog.append(o.filter(year(col("o_orderdate")) === 1996), t)
+      TxLog.append(o.filter(year(col("o_orderdate")) >= 1997), t)
+      TxLog.readAppendsSince(s, t, base)
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
+    "q99_sql_tx" -> ((s, dir) => {
+      // The transactional layer reached from PURE SQL: graft_tx_read
+      // (GraftExtensions TVF) hands the analyzer the same manifest-read
+      // plan TxLog.read composes, so a SQL-only user gets snapshot
+      // isolation and time travel without touching the Scala API. The
+      // full-table oracle hash-checks the SQL path end-to-end.
+      val t = tmpTable("tx-q99")
+      TxLog.overwrite(Tables.orders(s, dir), t)
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+           |FROM graft_tx_read('$t')
+           |GROUP BY o_orderstatus""".stripMargin)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -279,6 +348,33 @@ object Lakehouse {
     "q95_tx_compact" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         | CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q96_tx_delete" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE NOT (o_orderdate < TIMESTAMP '1995-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
+
+    "q97_tx_update" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' THEN '0-RECLASSIFIED'
+        |            ELSE o_orderpriority END AS o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q98_tx_changefeed" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE year(o_orderdate) >= 1996
+        |GROUP BY 1""".stripMargin,
+
+    "q99_sql_tx" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin)
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, max, min, sum, when}
 import org.apache.spark.sql.types._
 import org.json4s.NoTypeHints
 import org.json4s.jackson.Serialization
@@ -456,9 +456,177 @@ object TxLog {
     }).get
   }
 
+  /** One touched file from the copy-on-write find scan. */
+  private final case class Touched(rel: String, matches: Long)
+
+  /** Which manifest-listed files contain a row where `cond` is TRUE —
+    * ONE scan that reads only the columns `cond` references (everything
+    * else is pruned away by the `input_file_name`-only projection) with
+    * `cond` pushed into the parquet reader, so row-group stats prune
+    * non-matching files' IO before a row is ever materialized. Returns
+    * each hit file's match count (the full-file-delete fast path needs
+    * it). The per-file collect is O(files), a metadata-sized result.
+    */
+  private def findTouched(spark: SparkSession, t: Path, m: Manifest,
+      cond: Column): Seq[Touched] = {
+    if (m.files.isEmpty) return Seq.empty
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val hits = spark.read.schema(schema)
+      .parquet(m.files.map(new Path(t, _).toString): _*)
+      .filter(cond)
+      .groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+    // map absolute scan paths back to table-relative manifest paths by
+    // suffix — the rel path embeds the commit uuid dir, so it cannot
+    // collide across data directories
+    hits.toSeq.map { r =>
+      val abs = r.getString(0)
+      val rel = m.files.find(f => abs.endsWith("/" + f)).getOrElse(
+        sys.error(s"scan returned unlisted file $abs"))
+      Touched(rel, r.getAs[Long]("__n"))
+    }
+  }
+
+  /** Copy-on-write DELETE (SQL `DELETE WHERE cond` semantics: a row is
+    * removed iff `cond` is TRUE; NULL keeps the row). Three-tier cost,
+    * the public Delta DELETE shape:
+    *   1. files with no matching row are NOT rewritten (and the find
+    *      scan reads only `cond`'s columns, with `cond` pushed to the
+    *      parquet row-group stats);
+    *   2. files where EVERY row matches are dropped from the manifest
+    *      without being read again (match count == the manifest's
+    *      stored per-file row count);
+    *   3. only boundary files — some rows match, some don't — are
+    *      rewritten without the matching rows.
+    * At 100 TB a retention delete on a date-partitioned table is tier 2
+    * for almost every touched file: metadata-only. Optimistic CAS like
+    * [[merge]]: a concurrent commit in the find→publish gap triggers a
+    * full re-derive against the new snapshot. Returns the committed
+    * version (unchanged if nothing matched).
+    */
+  def delete(spark: SparkSession, table: String, cond: Column,
+      maxAttempts: Int = 10): Long = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    val t = new Path(table)
+    (1 to maxAttempts).foreach { _ =>
+      val m = manifest(spark, table)
+      val touched = findTouched(spark, t, m, cond)
+      if (touched.isEmpty) return m.version
+      val rowsOf = m.stats.getOrElse(Seq.empty).map(e => e.path -> e.rows).toMap
+      val (drop, rewrite) = touched.partition(h => rowsOf.get(h.rel).contains(h.matches))
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val w =
+        if (rewrite.isEmpty) writeNothing(spark, table, m.schemaJson)
+        else writeData(
+          spark.read.schema(schema)
+            .parquet(rewrite.map(h => new Path(t, h.rel).toString): _*)
+            .filter(!coalesce(cond, lit(false))),
+          table)
+      val gone = touched.map(_.rel).toSet
+      val committed = publish(spark, table, w, parent =>
+        if (parent.map(_.version).contains(m.version))
+          Some(Attempt("delete",
+            m.files.filterNot(gone) ++ w.fresh,
+            m.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
+            m.txn.getOrElse(Map.empty)))
+        else None) // snapshot went stale: re-find against the new latest
+      committed.foreach(v => return v)
+    }
+    sys.error(s"delete from $table lost the commit race $maxAttempts times " +
+      "(pathological write contention); re-run or serialize writers")
+  }
+
+  /** Copy-on-write UPDATE (SQL `UPDATE SET col = expr WHERE cond`
+    * semantics: assignments apply iff `cond` is TRUE). Files with no
+    * matching row are never rewritten — same find-scan economics as
+    * [[delete]] — and each assignment is cast back to the column's
+    * declared type, so an UPDATE can never drift the table schema out
+    * from under the older files. Optimistic CAS like [[merge]].
+    */
+  def update(spark: SparkSession, table: String, cond: Column,
+      set: Seq[(String, Column)], maxAttempts: Int = 10): Long = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    require(set.nonEmpty, "update needs at least one assignment")
+    val t = new Path(table)
+    (1 to maxAttempts).foreach { _ =>
+      val m = manifest(spark, table)
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      set.foreach { case (name, _) =>
+        require(schema.fieldNames.contains(name),
+          s"table $table has no column '$name' " +
+            s"(schema: ${schema.fieldNames.mkString(", ")})")
+      }
+      val touched = findTouched(spark, t, m, cond)
+      if (touched.isEmpty) return m.version
+      val hit = coalesce(cond, lit(false))
+      val rewritten = set.foldLeft(
+        spark.read.schema(schema)
+          .parquet(touched.map(h => new Path(t, h.rel).toString): _*)) {
+        case (df, (name, expr)) =>
+          df.withColumn(name,
+            when(hit, expr.cast(schema(name).dataType)).otherwise(col(quoted(name))))
+      }
+      val w = writeData(rewritten, table)
+      val gone = touched.map(_.rel).toSet
+      val committed = publish(spark, table, w, parent =>
+        if (parent.map(_.version).contains(m.version))
+          Some(Attempt("update",
+            m.files.filterNot(gone) ++ w.fresh,
+            m.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
+            m.txn.getOrElse(Map.empty)))
+        else None)
+      committed.foreach(v => return v)
+    }
+    sys.error(s"update of $table lost the commit race $maxAttempts times " +
+      "(pathological write contention); re-run or serialize writers")
+  }
+
+  /** Change feed over an append-only stretch of history: every row
+    * committed AFTER `sinceVersion`, read straight from the files those
+    * commits added (appends never remove files, so the file-set diff IS
+    * the row diff — no row-level comparison, no full-table read; an
+    * incremental consumer's cost is proportional to the new data).
+    * Throws if any commit after `sinceVersion` is not an append
+    * (overwrite/delete/compact rewrite files — a file-set diff would
+    * misreport rewritten rows as new), or if `sinceVersion` predates
+    * the retained history ([[vacuum]]).
+    */
+  def readAppendsSince(spark: SparkSession, table: String,
+      sinceVersion: Long): DataFrame = {
+    val t = new Path(table)
+    val from = readManifest(spark, t, sinceVersion)
+    val later = versions(spark, table).filter(_ > sinceVersion)
+      .map(readManifest(spark, t, _))
+    later.filterNot(_.action == "append").foreach(m =>
+      sys.error(s"readAppendsSince($sinceVersion): version ${m.version} is " +
+        s"'${m.action}', not an append — the file-set diff is only a row " +
+        "diff across append-only history; re-baseline from a snapshot read"))
+    later.lastOption match {
+      case None => toDf(spark, t, from.schemaJson, Seq.empty)
+      case Some(to) =>
+        val base = from.files.toSet
+        toDf(spark, t, to.schemaJson, to.files.filterNot(base))
+    }
+  }
+
   /** The data files + stats of one not-yet-published commit attempt. */
   private final case class Written(dataRel: String, fresh: Seq[String],
       stats: Seq[FileEntry], schemaJson: String)
+
+  /** A commit attempt that adds NO data files (e.g. a delete whose every
+    * touched file was dropped whole). Nothing is written; the unused
+    * dataRel keeps [[publish]]'s bookkeeping uniform (abandoning it
+    * deletes a directory that never existed — a no-op). Note the
+    * lost-ack disambiguator cannot recognize a zero-file commit by its
+    * data dir; that is safe exactly because the only zero-file commits
+    * are full-file deletes, which are idempotent — a retried publish
+    * re-derives against the new snapshot and finds nothing left to do.
+    */
+  private def writeNothing(spark: SparkSession, table: String,
+      schemaJson: String): Written =
+    Written(s"data/${java.util.UUID.randomUUID()}", Seq.empty, Seq.empty,
+      schemaJson)
 
   /** What a commit wants to publish, composed against the current parent. */
   private final case class Attempt(action: String, files: Seq[String],

@@ -70,4 +70,22 @@ class TableFunctionSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("integer literal"), e3.getMessage)
   }
+
+  test("graft_tx_read equals TxLog.read / readAsOf (snapshot + time travel)") {
+    import graft.sources.TxLog
+    val t = java.nio.file.Files.createTempDirectory("graft-tvf-tx")
+      .resolve("t").toString
+    TxLog.overwrite(Seq((1L, "old")).toDF("k", "v"), t)
+    TxLog.overwrite(Seq((2L, "new"), (3L, "also")).toDF("k", "v"), t)
+    assert(spark.sql(s"SELECT * FROM graft_tx_read('$t')").collect().toSet ==
+      TxLog.read(spark, t).collect().toSet)
+    assert(spark.sql(s"SELECT * FROM graft_tx_read('$t', 1)").collect().toSet ==
+      TxLog.readAsOf(spark, t, 1L).collect().toSet)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_tx_read('$t', 1)")
+      .as[Long].head() == 1L)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_tx_read('$t', 1, 2, 3)")
+    }
+    assert(e.getMessage.contains("1 or 2"), e.getMessage)
+  }
 }

@@ -364,4 +364,126 @@ class TxLogSpec extends SparkSpec {
     assert(rows == Set((-1L, -1L), (1L, 2L), (2L, 4L)),
       s"replayed batch must not double-append: $rows")
   }
+
+  // -------------------------------------------------------------------
+  // Copy-on-write DELETE / UPDATE
+  // -------------------------------------------------------------------
+
+  test("delete drops whole files by row count and rewrites only the boundary") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = rangedTable() // k 0..39 in 4 disjoint decade files
+    val before = TxLog.manifest(spark, t).files
+    val v = TxLog.delete(spark, t, col("k") < lit(15L))
+    assert(v == 2L)
+    val m = TxLog.manifest(spark, t)
+    assert(m.action == "delete")
+    // decade 0-9: dropped whole (no rewrite); 10-19: rewritten; 20-39 files
+    // untouched — their manifest paths are literally the old ones
+    val untouched = m.files.toSet.intersect(before.toSet)
+    assert(untouched.size == 2, s"expected 2 untouched files, got $untouched")
+    assert(m.files.size == 3)
+    assert(TxLog.read(spark, t).select("k").as[Long].collect().sorted.toSeq ==
+      (15L to 39L))
+    // stats follow the rewrite; skipping still works
+    assert(m.stats.get.map(_.rows).sum == 25L)
+    assert(TxLog.readBetween(spark, t, "k", Some(0L), Some(14L)).count() == 0)
+    // pre-delete snapshot is intact (snapshot isolation + time travel)
+    assert(TxLog.readAsOf(spark, t, 1L).count() == 40)
+  }
+
+  test("delete keeps rows where the predicate is NULL and no-ops on no match") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = tmpTable()
+    TxLog.overwrite(Seq((Some(1L), "a"), (None, "nul"), (Some(9L), "z"))
+      .toDF("k", "v"), t)
+    TxLog.delete(spark, t, col("k") > lit(5L))
+    assert(TxLog.read(spark, t).select("v").as[String].collect().toSet ==
+      Set("a", "nul"), "NULL predicate must keep the row (SQL DELETE semantics)")
+    // nothing matches → same version back, no new commit
+    val v = TxLog.latestVersion(spark, t).get
+    assert(TxLog.delete(spark, t, col("k") > lit(100L)) == v)
+    assert(TxLog.versions(spark, t).last == v)
+  }
+
+  test("delete of every row leaves an empty table with its schema") {
+    import org.apache.spark.sql.functions.lit
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    TxLog.delete(spark, t, lit(true))
+    val got = TxLog.read(spark, t)
+    assert(got.count() == 0 && got.columns.toSeq == Seq("k", "v"))
+    assert(TxLog.manifest(spark, t).files.isEmpty)
+  }
+
+  test("update rewrites only files containing matches and casts to the column type") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val t = rangedTable()
+    val before = TxLog.manifest(spark, t).files
+    val v = TxLog.update(spark, t, col("k") >= 20L,
+      Seq("v" -> concat(lit("u"), col("k"))))
+    assert(v == 2L)
+    val m = TxLog.manifest(spark, t)
+    assert(m.action == "update")
+    // decades 0-9 and 10-19 have no match: files untouched by path
+    assert(m.files.toSet.intersect(before.toSet).size == 2)
+    val got = TxLog.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got(5L) == "v5" && got(19L) == "v19")
+    assert(got(20L) == "u20" && got(39L) == "u39")
+    // an int assignment is cast to the declared string type, not drifted
+    TxLog.update(spark, t, col("k") === 0L, Seq("v" -> lit(123)))
+    val m2 = TxLog.manifest(spark, t)
+    assert(m2.schemaJson == m.schemaJson, "update must not drift the schema")
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toMap.apply(0L) == "123")
+  }
+
+  test("update validates assignments and leaves NULL-predicate rows unchanged") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = tmpTable()
+    TxLog.overwrite(Seq((Some(1L), "a"), (None, "nul")).toDF("k", "v"), t)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.update(spark, t, lit(true), Seq("nope" -> lit("x")))
+    }
+    assert(e.getMessage.contains("no column"))
+    TxLog.update(spark, t, col("k") >= 0L, Seq("v" -> lit("hit")))
+    assert(TxLog.read(spark, t).select("v").as[String].collect().toSet ==
+      Set("hit", "nul"), "NULL predicate must leave the row unchanged")
+  }
+
+  // -------------------------------------------------------------------
+  // Append-only change feed
+  // -------------------------------------------------------------------
+
+  test("readAppendsSince returns exactly the appended rows from only new files") {
+    val t = tmpTable()
+    val base = TxLog.overwrite(Seq((1L, "base")).toDF("k", "v"), t)
+    TxLog.append(Seq((2L, "b1")).toDF("k", "v"), t)
+    val mid = TxLog.latestVersion(spark, t).get
+    TxLog.append(Seq((3L, "b2")).toDF("k", "v"), t)
+    val feed = TxLog.readAppendsSince(spark, t, base)
+    assert(feed.as[(Long, String)].collect().toSet ==
+      Set((2L, "b1"), (3L, "b2")))
+    // the feed plans only the appended files, not the base files
+    assert(feed.inputFiles.length ==
+      TxLog.read(spark, t).inputFiles.length -
+        TxLog.readAsOf(spark, t, base).inputFiles.length)
+    // from a mid version: only the later batch
+    assert(TxLog.readAppendsSince(spark, t, mid).as[(Long, String)]
+      .collect().toSet == Set((3L, "b2")))
+    // from the latest version: empty, schema intact
+    val empty = TxLog.readAppendsSince(spark, t, mid + 1)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("readAppendsSince refuses non-append history") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable()
+    val base = TxLog.overwrite(Seq((1L, "base")).toDF("k", "v"), t)
+    TxLog.append(Seq((2L, "b1")).toDF("k", "v"), t)
+    // a delete rewrote history: the file-set diff is no longer a row diff
+    TxLog.delete(spark, t, col("k") === 1L)
+    val e = intercept[RuntimeException] {
+      TxLog.readAppendsSince(spark, t, base)
+    }
+    assert(e.getMessage.contains("not an append"), e.getMessage)
+  }
 }
