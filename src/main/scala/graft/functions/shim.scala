@@ -153,6 +153,20 @@ object Shim {
       schema, ordering, prefixComparator, prefixComputer, pageSize, canUseRadixSort)
   }
 
+  /** Re-wrap a batch DataFrame as a STREAMING one
+    * (`internalCreateDataFrame(..., isStreaming = true)` is
+    * `private[sql]`): what a v1 `Source.getBatch` must return — the
+    * engine asserts `isStreaming` on the frame it gets back. The frame's
+    * plan is already optimized (pushdown, pruning) when `toRdd`
+    * materializes it; the streaming wrapper only changes the plan's
+    * streaming flag, not its execution.
+    */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** The RDD a `localCheckpoint(eager = true)` Dataset actually persisted
     * (its analyzed plan is a `LogicalRDD` over that RDD). Needed to free
     * checkpoint storage explicitly: `Dataset.queryExecution.toRdd` builds

@@ -264,6 +264,28 @@ object Lakehouse {
            |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
            |FROM graft_tx_read('$t')
            |GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    "q100_tx_evolve" -> ((s, dir) => {
+      // Schema evolution (TxLog.append(mergeSchema) scaladoc): the base
+      // publish has no o_orderstatus; a later append ADDS the column
+      // without rewriting a single old file — the manifest schema
+      // becomes the union and pre-evolution files null-fill it on read.
+      // The CASE oracle reconstructs exactly that null-fill, so hash
+      // equality proves evolution changed the schema and nothing else.
+      val t = tmpTable("tx-q100")
+      val o = Tables.orders(s, dir)
+      TxLog.overwrite(
+        o.filter(year(col("o_orderdate")) < 1996)
+          .select(col("o_orderkey"), col("o_totalprice")), t)
+      TxLog.append(
+        o.filter(year(col("o_orderdate")) >= 1996)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+        t, mergeSchema = true)
+      TxLog.read(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -375,6 +397,13 @@ object Lakehouse {
 
     "q99_sql_tx" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q100_tx_evolve" ->
+      """SELECT CASE WHEN year(o_orderdate) >= 1996 THEN o_orderstatus END
+        |   AS o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin)
 }

@@ -149,9 +149,24 @@ object TxLog {
     finally in.close()
   }
 
+  /** `DESCRIBE HISTORY`: one row per committed version — version,
+    * action, commit timestamp, referenced file count, total rows (None
+    * for pre-stats manifests). Metadata-only: O(versions) manifest
+    * reads, no data file is touched.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val t = new Path(table)
+    versions(spark, table).map { v =>
+      val m = readManifest(spark, t, v)
+      (m.version, m.action, new java.sql.Timestamp(m.tsMillis),
+        m.files.size.toLong, m.stats.map(_.map(_.rows).sum))
+    }.toDF("version", "action", "ts", "num_files", "rows")
+  }
+
   /** Latest committed manifest — the metadata a catalog surface would
-    * show (`DESCRIBE HISTORY`-grade info lives in the full [[versions]]
-    * walk; this is the planning snapshot).
+    * show ([[history]] has the `DESCRIBE HISTORY` walk; this is the
+    * planning snapshot).
     */
   def manifest(spark: SparkSession, table: String): Manifest = {
     val latest = latestVersion(spark, table).getOrElse(
@@ -182,6 +197,24 @@ object TxLog {
     val m = readManifest(spark, t, version)
     toDf(spark, t, m.schemaJson, m.files)
   }
+
+  /** The manifest exactly as committed at `version` (metadata-only). */
+  def manifestAt(spark: SparkSession, table: String, version: Long): Manifest =
+    readManifest(spark, new Path(table), version)
+
+  /** `version`'s table-relative file list (metadata-only). */
+  def filesAt(spark: SparkSession, table: String, version: Long): Seq[String] =
+    manifestAt(spark, table, version).files
+
+  /** Plan a read over an explicit subset of the table's files with the
+    * latest manifest schema (files predating an evolved column
+    * null-fill it). The incremental-consumer primitive: a change feed
+    * or streaming source hands this exactly the files new commits
+    * added.
+    */
+  def readFiles(spark: SparkSession, table: String,
+      files: Seq[String]): DataFrame =
+    toDf(spark, new Path(table), manifest(spark, table).schemaJson, files)
 
   // ---------------------------------------------------------------------
   // Data skipping
@@ -311,16 +344,23 @@ object TxLog {
         parent.flatMap(_.txn).getOrElse(Map.empty)))).get
   }
 
-  /** Add rows atomically; prior files stay referenced. The appended
-    * frame must match the table's schema (names + types, nullability
-    * normalized): the manifest records ONE schema for the whole file
-    * list, so a drifted append would make readers silently null-fill or
-    * misread the older files.
+  /** Add rows atomically; prior files stay referenced. By default the
+    * appended frame must match the table's schema (names + types,
+    * nullability normalized): the manifest records ONE schema for the
+    * whole file list, so a silently drifted append would make readers
+    * null-fill or misread the older files. With `mergeSchema = true`
+    * (the public Delta schema-evolution switch) an append may ADD
+    * columns: the manifest schema becomes the union, and every file
+    * null-fills the columns it lacks — old files the new columns, new
+    * files any old columns the frame omitted — because reads always
+    * plan with the stored schema over parquet's by-name resolution.
+    * Same-name columns must agree on type exactly; evolution never
+    * rewrites a data file.
     */
-  def append(df: DataFrame, table: String): Long = {
+  def append(df: DataFrame, table: String, mergeSchema: Boolean = false): Long = {
     val w = writeData(df, table)
     publish(df.sparkSession, table, w, parent =>
-      Some(appendAttempt(table, parent, w, Map.empty))).get
+      Some(appendAttempt(table, parent, w, Map.empty, mergeSchema))).get
   }
 
   /** Exactly-once streaming append — the `foreachBatch` sink body:
@@ -356,17 +396,46 @@ object TxLog {
   }
 
   private def appendAttempt(table: String, parent: Option[Manifest],
-      w: Written, txnDelta: Map[String, Long]): Attempt = {
-    parent.foreach { p =>
-      require(p.schemaJson == w.schemaJson,
-        s"append schema mismatch for $table: table has ${p.schemaJson}, " +
-          s"frame has ${w.schemaJson} — overwrite to change schema")
+      w: Written, txnDelta: Map[String, Long],
+      mergeSchema: Boolean = false): Attempt = {
+    val merged = parent.map { p =>
+      if (p.schemaJson == w.schemaJson) p.schemaJson
+      else {
+        require(mergeSchema,
+          s"append schema mismatch for $table: table has ${p.schemaJson}, " +
+            s"frame has ${w.schemaJson} — overwrite to change the schema, " +
+            "or append(mergeSchema = true) to evolve it")
+        mergeSchemas(table,
+          DataType.fromJson(p.schemaJson).asInstanceOf[StructType],
+          DataType.fromJson(w.schemaJson).asInstanceOf[StructType]).json
+      }
     }
     val parentStats = parent.flatMap(_.stats).getOrElse(Seq.empty)
     Attempt("append",
       parent.map(_.files).getOrElse(Seq.empty) ++ w.fresh,
       parentStats ++ w.stats,
-      parent.flatMap(_.txn).getOrElse(Map.empty) ++ txnDelta)
+      parent.flatMap(_.txn).getOrElse(Map.empty) ++ txnDelta,
+      schemaJson = merged)
+  }
+
+  /** Union of the table's and the incoming frame's fields: table columns
+    * keep their position, genuinely new columns go last; a same-name
+    * column must match the table's type EXACTLY — silent widening would
+    * misread the already-committed files that carry the old type.
+    */
+  private def mergeSchemas(table: String, existing: StructType,
+      incoming: StructType): StructType = {
+    val byName = existing.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      byName.get(f.name).foreach { tf =>
+        require(tf.dataType == f.dataType,
+          s"append(mergeSchema) to $table: column '${f.name}' type conflict " +
+            s"- table has ${tf.dataType.simpleString}, frame has " +
+            s"${f.dataType.simpleString}; evolution only ADDS columns")
+      }
+    }
+    StructType(existing.fields ++
+      incoming.fields.filterNot(f => byName.contains(f.name)))
   }
 
   /** Transactional MERGE INTO: fold a CDC change batch
@@ -628,9 +697,13 @@ object TxLog {
     Written(s"data/${java.util.UUID.randomUUID()}", Seq.empty, Seq.empty,
       schemaJson)
 
-  /** What a commit wants to publish, composed against the current parent. */
+  /** What a commit wants to publish, composed against the current parent.
+    * `schemaJson` overrides the written frame's schema as the manifest
+    * schema — only a schema-evolving append sets it (to the merged one).
+    */
   private final case class Attempt(action: String, files: Seq[String],
-      stats: Seq[FileEntry], txn: Map[String, Long])
+      stats: Seq[FileEntry], txn: Map[String, Long],
+      schemaJson: Option[String] = None)
 
   /** Write the frame's data files under a fresh `data/<uuid>/` dir and
     * collect their stats. Nothing is visible until [[publish]] lands a
@@ -694,7 +767,8 @@ object TxLog {
         case None => return abandon()
       }
       val version = parent.map(_.version).getOrElse(0L) + 1
-      val m = Manifest(version, att.action, att.files, w.schemaJson,
+      val m = Manifest(version, att.action, att.files,
+        att.schemaJson.getOrElse(w.schemaJson),
         System.currentTimeMillis(),
         stats = Some(att.stats).filter(_.nonEmpty),
         txn = Some(att.txn).filter(_.nonEmpty))

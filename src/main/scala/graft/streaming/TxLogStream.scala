@@ -1,0 +1,158 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.TxLog
+
+/** Structured Streaming SOURCE over a [[graft.sources.TxLog]] table —
+  * the public Delta streaming-source recipe: offsets are commit-log
+  * versions, so the stream needs no directory listing, no file
+  * modification times, and no "new file" heuristics. The engine's
+  * checkpointed offset is just a version number; everything between two
+  * versions is read straight from the files those commits added.
+  *
+  * {{{
+  *   spark.readStream.format("graft-txlog")
+  *     .option("path", table).load()
+  * }}}
+  *
+  * Batch semantics:
+  *  - the FIRST batch is the full snapshot at the stream's start
+  *    version (every manifest-listed file — a reprocessing-friendly
+  *    initial load, like Delta's default);
+  *  - every later batch is the rows of the append commits in
+  *    `(lastOffset, newOffset]`, read from ONLY the files those appends
+  *    added (cost ∝ new data, never table size);
+  *  - a non-append commit (overwrite/delete/update/compact) mid-stream
+  *    FAILS the stream loudly — its file rewrites would be re-emitted
+  *    as phantom inserts. `.option("ignoreChanges", "true")` instead
+  *    skips non-append commits entirely (their file changes produce no
+  *    batch rows), the documented Delta escape hatch.
+  *
+  * Pairs with [[graft.sources.TxLog.idempotentAppend]] in a
+  * `foreachBatch` sink for an exactly-once table-to-table pipe: this
+  * source replays a batch after a crash with the SAME version range,
+  * and the sink's (appId, batchId) watermark commits it once.
+  *
+  * Restart correctness: the engine hands back checkpointed offsets as
+  * opaque `SerializedOffset`s; [[TxLogSourceOffset.versionOf]] parses
+  * by json value, never by class, so resumed and live offsets compare
+  * equal. Vacuuming versions newer than the checkpoint is safe;
+  * vacuuming PAST it fails the restart loudly (manifest gone).
+  */
+class TxLogStream extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-txlog"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-txlog source needs .option(\"path\", <table root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = pathOf(parameters)
+    val inferred = schema.orElse {
+      TxLog.latestVersion(sqlContext.sparkSession, path).map { _ =>
+        TxLog.read(sqlContext.sparkSession, path).schema
+      }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"graft-txlog: table $path has no committed versions yet - " +
+        "pass an explicit .schema(...) to stream a not-yet-created table"))
+    (shortName(), inferred)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    val fixed = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    new TxLogSource(sqlContext.sparkSession, path, fixed,
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+  }
+}
+
+/** Version-number offset. The engine round-trips offsets through their
+  * json form across restarts, so equality must be value-based.
+  */
+private[streaming] case class TxLogSourceOffset(version: Long) extends Offset {
+  override def json: String = version.toString
+}
+
+private[streaming] object TxLogSourceOffset {
+  /** Engine offsets arrive either as live [[TxLogSourceOffset]]s or as
+    * checkpoint-recovered `SerializedOffset`s; the json value is the
+    * one representation both share.
+    */
+  def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case TxLogSourceOffset(v) => v
+      case other => other.json.trim.toLong
+    }
+}
+
+private[streaming] class TxLogSource(spark: SparkSession, table: String,
+    override val schema: StructType, ignoreChanges: Boolean) extends Source {
+
+  override def getOffset: Option[Offset] =
+    TxLog.latestVersion(spark, table).map(TxLogSourceOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = TxLogSourceOffset.versionOf(end)
+    start.map(TxLogSourceOffset.versionOf) match {
+      case None =>
+        // initial load: the full snapshot as committed at the start
+        // version, planned from its manifest file list
+        withSchema(TxLog.readAsOf(spark, table, endV))
+      case Some(startV) =>
+        val newFiles = appendedFiles(startV, endV)
+        withSchema(TxLog.readFiles(spark, table, newFiles))
+    }
+  }
+
+  /** Files added by the append commits in `(startV, endV]`. Walks the
+    * per-version manifests so each file is attributed to the commit
+    * that introduced it — a plain endpoints diff could not tell an
+    * appended file from a compaction rewrite.
+    */
+  private def appendedFiles(startV: Long, endV: Long): Seq[String] = {
+    var prev = TxLog.filesAt(spark, table, startV).toSet
+    val out = Seq.newBuilder[String]
+    ((startV + 1) to endV).foreach { v =>
+      val m = TxLog.manifestAt(spark, table, v)
+      val cur = m.files.toSet
+      if (m.action == "append") out ++= m.files.filterNot(prev)
+      else if (!ignoreChanges) sys.error(
+        s"graft-txlog stream on $table: version $v is '${m.action}', not an " +
+          "append - its rewrites would re-emit old rows as phantom inserts; " +
+          "restart from a fresh checkpoint to re-snapshot, or set " +
+          ".option(\"ignoreChanges\", \"true\") to skip non-append commits")
+      prev = cur
+    }
+    out.result()
+  }
+
+  /** The stream's schema is fixed at start; an evolved table's new
+    * columns are projected away (and files predating a column
+    * null-fill it) by re-selecting through the fixed schema. The result
+    * is re-wrapped with `isStreaming = true` — the engine asserts it on
+    * every frame `getBatch` returns.
+    */
+  private def withSchema(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    org.apache.spark.sql.graftshim.Shim.asStreaming(
+      df.select(schema.fields.toSeq.map { f =>
+        if (have.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*))
+  }
+
+  override def commit(end: Offset): Unit = () // retention is vacuum's job
+
+  override def stop(): Unit = ()
+}

@@ -474,6 +474,66 @@ class TxLogSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "v"))
   }
 
+  // -------------------------------------------------------------------
+  // Schema evolution + history
+  // -------------------------------------------------------------------
+
+  test("append(mergeSchema) adds columns; every file null-fills what it lacks") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    // new column `score`: old files must read back NULL for it
+    TxLog.append(Seq((2L, "b", 0.5)).toDF("k", "v", "score"), t,
+      mergeSchema = true)
+    val got = TxLog.read(spark, t)
+    assert(got.columns.toSeq == Seq("k", "v", "score"))
+    assert(got.as[(Long, String, Option[Double])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(0.5))))
+    // an evolved append may also OMIT an old column: it null-fills
+    TxLog.append(Seq((3L, 0.9)).toDF("k", "score"), t, mergeSchema = true)
+    assert(TxLog.read(spark, t).as[(Long, Option[String], Option[Double])]
+      .collect().toSet ==
+      Set((1L, Some("a"), None), (2L, Some("b"), Some(0.5)),
+        (3L, None, Some(0.9))))
+    // time travel still plans v1 with v1's schema
+    assert(TxLog.readAsOf(spark, t, 1L).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("append(mergeSchema) rejects a same-name type conflict") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(Seq((2L, 3.5)).toDF("k", "v"), t, mergeSchema = true)
+    }
+    assert(e.getMessage.contains("type conflict"), e.getMessage)
+  }
+
+  test("skipping works on an evolved column for files that carry it") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
+    TxLog.append(Seq((2L, "b", 10L), (3L, "c", 20L)).toDF("k", "v", "score")
+      .coalesce(1), t, mergeSchema = true)
+    // the pre-evolution file has no score stats and no score values:
+    // an all-NULL... actually it lacks the column entirely, so it has
+    // no stats entry and must be KEPT (no evidence), then filtered out
+    val got = TxLog.readBetween(spark, t, "score", Some(15L), None)
+    assert(got.select(col("k")).as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("history lists one metadata row per version") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+    TxLog.delete(spark, t, col("k") === 1L)
+    val h = TxLog.history(spark, t)
+      .select("version", "action", "rows").as[(Long, String, Option[Long])]
+      .collect().toSeq
+    assert(h.map(x => (x._1, x._2)) ==
+      Seq((1L, "overwrite"), (2L, "append"), (3L, "delete")))
+    assert(h.map(_._3) == Seq(Some(2L), Some(3L), Some(2L)))
+  }
+
   test("readAppendsSince refuses non-append history") {
     import org.apache.spark.sql.functions.col
     val t = tmpTable()

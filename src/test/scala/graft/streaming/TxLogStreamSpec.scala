@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.TxLog
+
+/** The commit-log streaming source: offsets are TxLog versions, the
+  * initial batch is the start snapshot, later batches are exactly the
+  * appended files' rows, and restarts resume from the checkpointed
+  * version.
+  */
+class TxLogStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").resolve("t").toString
+
+  /** Drain the source with AvailableNow into a collector; returns the
+    * (batchId, rows) pairs this RUN produced.
+    */
+  private def drain(table: String, checkpoint: String,
+      ignoreChanges: Boolean = false): Seq[(Long, Set[(Long, String)])] = {
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, String)])]
+    val reader = spark.readStream.format("graft-txlog").option("path", table)
+    val q = (if (ignoreChanges) reader.option("ignoreChanges", "true") else reader)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = batch.select("k", "v").as[(Long, String)].collect().toSet
+        got.synchronized { got += ((id, rows)) }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    got.toSeq
+  }
+
+  test("initial snapshot, then only appended rows, resuming across restarts") {
+    val t = tmp("txstream")
+    val cp = Files.createTempDirectory("txstream-cp").toString
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+
+    // run 1: the full snapshot arrives as one batch
+    val run1 = drain(t, cp)
+    assert(run1.map(_._2).reduce(_ ++ _) == Set((1L, "a"), (2L, "b")))
+
+    // no new commits -> an immediate re-run emits nothing
+    assert(drain(t, cp).flatMap(_._2).isEmpty)
+
+    // two appends, one re-run from the same checkpoint: ONLY the new rows
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+    TxLog.append(Seq((4L, "d")).toDF("k", "v"), t)
+    val run3 = drain(t, cp)
+    assert(run3.map(_._2).reduce(_ ++ _) == Set((3L, "c"), (4L, "d")),
+      s"expected only appended rows, got $run3")
+  }
+
+  test("the incremental batch plans only the appended files") {
+    val t = tmp("txstream-files")
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    val base = TxLog.latestVersion(spark, t).get
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+    // the same file set the source's appendedFiles walk would produce
+    val feed = TxLog.readAppendsSince(spark, t, base)
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.length < TxLog.read(spark, t).inputFiles.length)
+  }
+
+  test("a non-append commit fails the stream; ignoreChanges skips it") {
+    import org.apache.spark.sql.functions.col
+    val t = tmp("txstream-rewrite")
+    val cp = Files.createTempDirectory("txstream-rw-cp").toString
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    drain(t, cp) // consume the snapshot
+
+    TxLog.delete(spark, t, col("k") === 1L) // history is no longer append-only
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(t, cp)
+    }
+    assert(e.getMessage.contains("not an append") ||
+      Option(e.getCause).exists(_.getMessage.contains("not an append")),
+      s"unexpected failure: ${e.getMessage}")
+
+    // the escape hatch: the delete's rewrites produce no rows, the
+    // append after it still arrives
+    val got = drain(t, cp, ignoreChanges = true)
+    assert(got.map(_._2).fold(Set.empty[(Long, String)])(_ ++ _) ==
+      Set((3L, "c")), s"got $got")
+  }
+
+  test("exactly-once table-to-table pipe survives a checkpoint wipe") {
+    val src = tmp("txpipe-src")
+    val dst = tmp("txpipe-dst")
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), src)
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v").limit(0), dst)
+
+    def pipe(checkpoint: String): Unit = {
+      val q = spark.readStream.format("graft-txlog").option("path", src).load()
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          TxLog.idempotentAppend(batch, dst, appId = "txpipe", batchId = id)
+          ()
+        }
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+
+    pipe(Files.createTempDirectory("txpipe-cp1").toString)
+    // a WIPED checkpoint restarts batch ids at 0 and re-delivers the
+    // snapshot — the classic at-least-once replay; the sink-side
+    // (appId, batchId) watermark must absorb it
+    pipe(Files.createTempDirectory("txpipe-cp2").toString)
+    assert(TxLog.read(spark, dst).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")), "replayed snapshot must not double-append")
+  }
+}
