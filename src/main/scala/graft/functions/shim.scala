@@ -167,6 +167,19 @@ object Shim {
       isStreaming = true)
   }
 
+  /** The inverse of [[asStreaming]]: the micro-batch frame a v1
+    * `Sink.addBatch` receives carries `isStreaming = true`, which
+    * blocks every batch write API; re-wrapping its (incremental)
+    * execution as a plain batch frame is the standard sink-side move —
+    * the plan still runs exactly once, through whatever writer the
+    * sink hands it to.
+    */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   /** The RDD a `localCheckpoint(eager = true)` Dataset actually persisted
     * (its analyzed plan is a `LogicalRDD` over that RDD). Needed to free
     * checkpoint storage explicitly: `Dataset.queryExecution.toRdd` builds

@@ -63,14 +63,18 @@ object Layout {
     interleave16(norm(x, xRange), norm(y, yRange))
   }
 
-  /** Rewrite `df` as `numFiles` parquet files z-ordered on (`xCol`,
+  /** `df` re-clustered into `numFiles` partitions z-ordered on (`xCol`,
     * `yCol`): one aggregate for the ranges, one range exchange on the
-    * z-value, an in-partition sort (tight row-group stats inside each
-    * file), then the write. Returns the (min, max) ranges used so the
-    * caller can derive file-box expectations in specs.
+    * z-value, an in-partition sort (tight row-group AND file stats —
+    * each partition becomes a small Morton-curve box in (x, y) space).
+    * Composes with any writer; in particular
+    * `TxLog.overwrite(Layout.zOrdered(df, x, y, n), table)` gives
+    * [[graft.sources.TxLog.readWhere]] two tight per-file ranges to
+    * prune on. Returns the frame plus the (min, max) ranges used so
+    * callers can derive file-box expectations in specs.
     */
-  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
-                    numFiles: Int, path: String): ((Double, Double), (Double, Double)) = {
+  def zOrdered(df: DataFrame, xCol: String, yCol: String, numFiles: Int)
+      : (DataFrame, ((Double, Double), (Double, Double))) = {
     require(numFiles > 0, "numFiles must be positive")
     require(!df.columns.contains("__z"),
       "df has reserved column name: __z")
@@ -79,11 +83,22 @@ object Layout {
       min(col(yCol).cast("double")), max(col(yCol).cast("double")))
       .head.toSeq.map { case null => 0.0; case v => v.asInstanceOf[Double] }.toArray
     val xR = (xLo, xHi); val yR = (yLo, yHi)
-    df.withColumn("__z", zValue(col(xCol), xR, col(yCol), yR))
+    val clustered = df
+      .withColumn("__z", zValue(col(xCol), xR, col(yCol), yR))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
-    (xR, yR)
+    (clustered, (xR, yR))
+  }
+
+  /** Rewrite `df` as `numFiles` parquet files z-ordered on (`xCol`,
+    * `yCol`) — [[zOrdered]] followed by the write. Returns the (min,
+    * max) ranges used.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    numFiles: Int, path: String): ((Double, Double), (Double, Double)) = {
+    val (clustered, ranges) = zOrdered(df, xCol, yCol, numFiles)
+    clustered.write.mode("overwrite").parquet(path)
+    ranges
   }
 }

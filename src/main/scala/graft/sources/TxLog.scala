@@ -269,27 +269,43 @@ object TxLog {
     * tight.
     */
   def readBetween(spark: SparkSession, table: String, column: String,
-      lo: Option[Any], hi: Option[Any]): DataFrame = {
+      lo: Option[Any], hi: Option[Any]): DataFrame =
+    readWhere(spark, table, Seq((column, lo, hi)))
+
+  /** Multi-column range read with file-level skipping: a file survives
+    * only if EVERY `(column, lo, hi)` bound's [min,max] intersects it —
+    * the conjunctive pruning that pays off on a z-ordered layout, where
+    * each file is a tight box in two dimensions and a small query box
+    * excludes almost every file on one axis or the other. Same safety
+    * contract as [[readBetween]]: stats choose files, the exact filter
+    * on top chooses rows, missing evidence always keeps the file.
+    */
+  def readWhere(spark: SparkSession, table: String,
+      bounds: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
+    require(bounds.nonEmpty, "readWhere needs at least one column bound")
     val m = manifest(spark, table)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    require(schema.fieldNames.contains(column),
-      s"table $table has no column '$column' (schema: ${schema.fieldNames.mkString(", ")})")
-    val field = schema(column)
-    require(isSkippable(field.dataType),
-      s"column '$column' (${field.dataType.simpleString}) is not range-comparable")
-    val loS = lo.map(_.toString)
-    val hiS = hi.map(_.toString)
+    val checks = bounds.map { case (column, lo, hi) =>
+      require(schema.fieldNames.contains(column),
+        s"table $table has no column '$column' (schema: ${schema.fieldNames.mkString(", ")})")
+      val field = schema(column)
+      require(isSkippable(field.dataType),
+        s"column '$column' (${field.dataType.simpleString}) is not range-comparable")
+      (column, field.dataType, lo, hi)
+    }
     val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e).toMap
     val kept = m.files.filter { p =>
-      byPath.get(p).flatMap(_.stats.get(column)) match {
-        case Some(st) => mayMatch(st, field.dataType, loS, hiS)
-        case None => true // no stats for this file/column: cannot skip
+      checks.forall { case (column, dt, lo, hi) =>
+        byPath.get(p).flatMap(_.stats.get(column)) match {
+          case Some(st) => mayMatch(st, dt, lo.map(_.toString), hi.map(_.toString))
+          case None => true // no stats for this file/column: cannot skip
+        }
       }
     }
-    val c = col(quoted(column))
-    val exact = (lo.map(v => c >= lit(v).cast(field.dataType)) ++
-      hi.map(v => c <= lit(v).cast(field.dataType)))
-      .reduceOption(_ && _).getOrElse(lit(true))
+    val exact = checks.flatMap { case (column, dt, lo, hi) =>
+      val c = col(quoted(column))
+      lo.map(v => c >= lit(v).cast(dt)) ++ hi.map(v => c <= lit(v).cast(dt))
+    }.reduceOption(_ && _).getOrElse(lit(true))
     toDf(spark, new Path(table), m.schemaJson, kept).filter(exact)
   }
 

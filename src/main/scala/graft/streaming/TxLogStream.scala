@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.TxLog
@@ -43,7 +44,8 @@ import graft.sources.TxLog
   * equal. Vacuuming versions newer than the checkpoint is safe;
   * vacuuming PAST it fails the restart loudly (manifest gone).
   */
-class TxLogStream extends StreamSourceProvider with DataSourceRegister {
+class TxLogStream extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-txlog"
 
@@ -74,6 +76,61 @@ class TxLogStream extends StreamSourceProvider with DataSourceRegister {
     new TxLogSource(sqlContext.sparkSession, path, fixed,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
   }
+
+  /** Transactional streaming SINK:
+    * {{{
+    *   df.writeStream.format("graft-txlog")
+    *     .option("path", table).option("txnAppId", "loader")
+    *     .option("checkpointLocation", cp).start()
+    * }}}
+    * Append mode commits each micro-batch through
+    * [[graft.sources.TxLog.idempotentAppend]] under `txnAppId` — a
+    * replayed batch (crash between sink commit and checkpoint write,
+    * or a wiped checkpoint restarting batch ids) lands exactly once.
+    * `txnAppId` defaults to the checkpoint location, which survives a
+    * normal restart; set it explicitly if the checkpoint itself may be
+    * rebuilt, or the replayed ids would arrive under a fresh app
+    * identity and double-append. Complete mode atomically OVERWRITES
+    * the table with each batch (the snapshot-publish pattern for
+    * aggregate serving tables). First Append into a missing table
+    * creates it.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val path = pathOf(parameters)
+    require(partitionColumns.isEmpty,
+      "graft-txlog sink does not support partitionBy - z-order or " +
+        "range-partition the frame instead (stats skipping replaces " +
+        "directory partitioning)")
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-txlog sink needs .option(\"txnAppId\", ...) (or a " +
+          "checkpointLocation to default the transaction identity from)"))
+    new TxLogSink(path, appId, outputMode)
+  }
+}
+
+private[streaming] class TxLogSink(table: String, appId: String,
+    mode: OutputMode) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the engine's micro-batch frame is isStreaming (blocks df.write);
+    // re-wrap it as a batch frame — its plan still executes exactly once
+    val batch = org.apache.spark.sql.graftshim.Shim.asBatch(data)
+    if (mode == OutputMode.Complete()) {
+      TxLog.overwrite(batch, table)
+      ()
+    } else {
+      if (TxLog.latestVersion(batch.sparkSession, table).isEmpty)
+        TxLog.overwrite(batch.limit(0), table) // create empty at the schema
+      TxLog.idempotentAppend(batch, table, appId, batchId)
+      ()
+    }
+  }
+
+  override def toString: String = s"TxLogSink[$table]"
 }
 
 /** Version-number offset. The engine round-trips offsets through their

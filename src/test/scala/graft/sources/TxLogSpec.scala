@@ -475,6 +475,74 @@ class TxLogSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // Multi-column skipping over a z-ordered layout
+  // -------------------------------------------------------------------
+
+  test("readWhere prunes on two dimensions of a z-ordered table") {
+    val t = tmpTable()
+    val grid = for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong, y.toLong, s"$x/$y")
+    val (clustered, _) = Layout.zOrdered(grid.toDF("x", "y", "v"), "x", "y", 16)
+    TxLog.overwrite(clustered, t)
+    val all = TxLog.read(spark, t).inputFiles.length
+    assert(all == 16)
+    // a 4x4 query box on a 32x32 grid: single-dim pruning keeps most
+    // files (every x-stripe spans many y), the CONJUNCTION over the
+    // z-ordered boxes keeps only the curve cells the box touches
+    val box = TxLog.readWhere(spark, t,
+      Seq(("x", Some(3L), Some(6L)), ("y", Some(3L), Some(6L))))
+    assert(box.inputFiles.length <= 4,
+      s"expected <=4 of $all files for a 4x4 box, planned ${box.inputFiles.length}")
+    assert(box.count() == 16)
+    assert(box.select("x").as[Long].collect().forall(x => x >= 3 && x <= 6))
+  }
+
+  // -------------------------------------------------------------------
+  // Concurrent writers (the optimistic-commit claims, exercised)
+  // -------------------------------------------------------------------
+
+  test("racing appends from many threads all land exactly once, versions contiguous") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val t = tmpTable()
+    TxLog.overwrite(Seq((0L, "seed")).toDF("k", "v"), t)
+    val writers = (1 to 8).map { w =>
+      Future {
+        (1 to 4).foreach { i =>
+          TxLog.append(Seq((w * 100L + i, s"w$w-$i")).toDF("k", "v"), t)
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 300.seconds)
+    // 1 overwrite + 32 appends, every commit a distinct version
+    assert(TxLog.versions(spark, t) == (1L to 33L))
+    val rows = TxLog.read(spark, t).as[(Long, String)].collect()
+    assert(rows.length == 33, "a lost commit race dropped rows")
+    assert(rows.map(_._1).distinct.length == 33, "a double-publish duplicated rows")
+  }
+
+  test("racing merges on disjoint keys both apply (CAS recompute, no lost update)") {
+    import org.apache.spark.sql.functions.col
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, 0.0), (2L, 0.0)).toDF("k", "bal"), t)
+    def mergeOne(k: Long, bal: Double) = Future {
+      TxLog.merge(spark, t,
+        Seq((k, bal, "U", 1)).toDF("k", "bal", "op", "seq"),
+        keys = Seq("k"), ordering = Seq(col("seq").desc), opCol = "op")
+    }
+    Await.result(Future.sequence(Seq(mergeOne(1L, 11.0), mergeOne(2L, 22.0))),
+      300.seconds)
+    // had the loser published its stale snapshot, the winner's update
+    // would have been silently reverted
+    assert(TxLog.read(spark, t).as[(Long, Double)].collect().toSet ==
+      Set((1L, 11.0), (2L, 22.0)))
+  }
+
+  // -------------------------------------------------------------------
   // Schema evolution + history
   // -------------------------------------------------------------------
 

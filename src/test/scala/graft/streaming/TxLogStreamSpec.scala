@@ -95,6 +95,39 @@ class TxLogStreamSpec extends SparkSpec {
       Set((3L, "c")), s"got $got")
   }
 
+  test("format(graft-txlog) sink appends exactly once and Complete overwrites") {
+    val src = tmp("txsink-src")
+    val dst = tmp("txsink-dst")
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), src)
+
+    def run(checkpoint: String): Unit = {
+      val q = spark.readStream.format("graft-txlog").option("path", src).load()
+        .writeStream.format("graft-txlog")
+        .option("path", dst)
+        .option("txnAppId", "sink-spec") // stable across checkpoint wipes
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+
+    val cp = Files.createTempDirectory("txsink-cp1").toString
+    run(cp)
+    assert(TxLog.read(spark, dst).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // wiped checkpoint: batch 0 replays under the same txnAppId -> no dupes
+    run(Files.createTempDirectory("txsink-cp2").toString)
+    assert(TxLog.read(spark, dst).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")), "replay must not double-append")
+    // normal restart on the original checkpoint: the appended row
+    // arrives as the NEXT batch id and lands once
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), src)
+    run(cp)
+    assert(TxLog.read(spark, dst).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("exactly-once table-to-table pipe survives a checkpoint wipe") {
     val src = tmp("txpipe-src")
     val dst = tmp("txpipe-dst")
