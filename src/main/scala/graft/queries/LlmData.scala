@@ -231,6 +231,28 @@ object LlmData {
         .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
           r4(col("dup_frac")).as("dup_frac"), col("keep"))),
 
+    "d18_sequence_pack" -> ((s, dir) => {
+      // Sequence packing (pretraining batch prep): documents packed in
+      // doc_id order into fixed token-budget training sequences via an
+      // EXCLUSIVE running token sum — seq = floor(prior_tokens/budget).
+      // Deliberately shard-local: the global prefix sum a naive pack
+      // wants is a single-partition window (the 100 TB scale-killer);
+      // md5-sharding first (same determinism story as d10) lets every
+      // worker pack its shard independently, which is exactly how real
+      // pipelines parallelize packing. Output is per-sequence occupancy.
+      val shard = (conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 8).cast("int")
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), shard.as("shard"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("prior", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .groupBy(col("shard"),
+          floor(col("prior") / lit(512.0)).cast("long").as("seq"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+    }),
+
     "d09_editdist_neardup" -> ((s, dir) => {
       // Edit-distance near-dup pairs with prefix blocking (string
       // similarity join pattern, cf. ICDE 2022 compressed-index joins in
@@ -625,6 +647,21 @@ object LlmData {
         | round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*) + 1e-7, 4) + 0 AS dup_frac,
         | (sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*)) < 0.5 AS keep
         |FROM dup GROUP BY 1""".stripMargin,
+
+    "d18_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS INT) AS shard,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT shard, CAST(floor(prior / 512.0) AS BIGINT) AS seq,
+        | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "d04_simhash" -> simhashSql,
 

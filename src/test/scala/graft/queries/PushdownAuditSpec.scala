@@ -76,4 +76,26 @@ class PushdownAuditSpec extends SparkSpec {
       scan.head.partitionFilters, scan.head.dataFilters).size).sum
     assert(selected == 1, s"expected 1 matching partition dir, got $selected")
   }
+
+  test("TxLog reads keep pushdown and pruning through the manifest-listed scan") {
+    import spark.implicits._
+    // file-level skipping (manifest stats) stacks ON TOP of parquet
+    // row-group pushdown, it must not replace it: the exact range
+    // filter readBetween adds has to reach the scan as a data filter,
+    // and a narrow projection has to narrow the read schema — the
+    // transactional layer must not cost the 100 TB reader either lever.
+    val t = java.nio.file.Files.createTempDirectory("graft-tx-pushdown")
+      .resolve("t").toString
+    graft.sources.TxLog.overwrite(
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t)
+    val ranged = graft.sources.TxLog.readBetween(spark, t, "k", Some(10L), Some(20L))
+    val rs = ranged.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(rs.nonEmpty)
+    val pushed = rs.flatMap(_.dataFilters).map(_.sql).mkString(" | ")
+    assert(pushed.contains("k"), s"readBetween's filter not pushed: '$pushed'")
+    val narrow = graft.sources.TxLog.read(spark, t).select("v")
+    val ns = narrow.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(ns.nonEmpty && ns.forall(_.requiredSchema.fieldNames.toSeq == Seq("v")),
+      s"schemas: ${ns.map(_.requiredSchema.fieldNames.mkString(","))}")
+  }
 }
