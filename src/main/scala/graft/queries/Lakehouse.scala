@@ -286,6 +286,31 @@ object Lakehouse {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
+    "q101_tx_cdf" -> ((s, dir) => {
+      // Row-level change data feed (TxLog.readChangeFeed scaladoc): an
+      // append, a CDF delete, and a CDF update after a base publish; the
+      // feed aggregates per change type. The oracle reconstructs each
+      // change set from the raw table — inserts are the appended slice,
+      // deletes the pre-images of the matched rows, update pre/post the
+      // matched rows before and after the assignment — so hash equality
+      // proves the recorded changes are exactly the rows each commit
+      // touched, with cost ∝ change volume, never table size.
+      val t = tmpTable("tx-q101")
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).cast("double").as("price"),
+        col("o_orderdate"))
+      val base = TxLog.overwrite(o.filter(year(col("o_orderdate")) < 1997), t)
+      TxLog.append(o.filter(year(col("o_orderdate")) >= 1997), t)
+      TxLog.delete(s, t, col("o_orderstatus") === "F", changeFeed = true)
+      TxLog.update(s, t, col("o_orderstatus") === "P",
+        Seq("price" -> (col("price") * 2)), changeFeed = true)
+      TxLog.readChangeFeed(s, t, base)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("price")))).as("total"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -405,5 +430,24 @@ object Lakehouse {
         |   AS o_orderstatus,
         | CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
-        |FROM orders GROUP BY 1""".stripMargin)
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q101_tx_cdf" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |    o_orderdate
+        |  FROM orders),
+        |f AS (
+        |  SELECT 'insert' AS _change_type, price FROM o
+        |  WHERE year(o_orderdate) >= 1997
+        |  UNION ALL
+        |  SELECT 'delete', price FROM o WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'update_preimage', price FROM o WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT 'update_postimage', price * 2 FROM o WHERE o_orderstatus = 'P')
+        |SELECT _change_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(price AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM f GROUP BY 1""".stripMargin)
 }

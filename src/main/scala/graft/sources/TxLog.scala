@@ -82,12 +82,16 @@ object TxLog {
   /** One committed version. `files` are table-root-relative and are the
     * single source of truth for reads; `stats` is advisory (skipping
     * only — a file without an entry is simply never skipped); `txn` is
-    * the per-writer-app streaming watermark map for [[idempotentAppend]].
+    * the per-writer-app streaming watermark map for [[idempotentAppend]];
+    * `cdf` lists THIS commit's change-data files (row-level pre/post
+    * images carrying a `_change_type` column), present only when the
+    * commit was made with `changeFeed = true`.
     */
   final case class Manifest(version: Long, action: String,
       files: Seq[String], schemaJson: String, tsMillis: Long,
       stats: Option[Seq[FileEntry]] = None,
-      txn: Option[Map[String, Long]] = None)
+      txn: Option[Map[String, Long]] = None,
+      cdf: Option[Seq[String]] = None)
 
   /** Stats are collected for at most this many leading skippable
     * columns: min/max strings for a 1000-column table would bloat every
@@ -591,7 +595,7 @@ object TxLog {
     * version (unchanged if nothing matched).
     */
   def delete(spark: SparkSession, table: String, cond: Column,
-      maxAttempts: Int = 10): Long = {
+      maxAttempts: Int = 10, changeFeed: Boolean = false): Long = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     val t = new Path(table)
     (1 to maxAttempts).foreach { _ =>
@@ -608,13 +612,25 @@ object TxLog {
             .parquet(rewrite.map(h => new Path(t, h.rel).toString): _*)
             .filter(!coalesce(cond, lit(false))),
           table)
+      // CDF: the deleted rows' pre-images. Opt-in because tier-2 files
+      // are otherwise never read — recording their pre-images turns the
+      // metadata-only drop into a read of exactly the dropped files
+      // (still never a rewrite).
+      val cdfFiles =
+        if (!changeFeed) Seq.empty
+        else writeCdf(spark, table, w,
+          spark.read.schema(schema)
+            .parquet(touched.map(h => new Path(t, h.rel).toString): _*)
+            .filter(coalesce(cond, lit(false)))
+            .withColumn("_change_type", lit("delete")))
       val gone = touched.map(_.rel).toSet
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(m.version))
           Some(Attempt("delete",
             m.files.filterNot(gone) ++ w.fresh,
             m.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
-            m.txn.getOrElse(Map.empty)))
+            m.txn.getOrElse(Map.empty),
+            cdf = cdfFiles))
         else None) // snapshot went stale: re-find against the new latest
       committed.foreach(v => return v)
     }
@@ -630,7 +646,8 @@ object TxLog {
     * from under the older files. Optimistic CAS like [[merge]].
     */
   def update(spark: SparkSession, table: String, cond: Column,
-      set: Seq[(String, Column)], maxAttempts: Int = 10): Long = {
+      set: Seq[(String, Column)], maxAttempts: Int = 10,
+      changeFeed: Boolean = false): Long = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     require(set.nonEmpty, "update needs at least one assignment")
     val t = new Path(table)
@@ -645,21 +662,34 @@ object TxLog {
       val touched = findTouched(spark, t, m, cond)
       if (touched.isEmpty) return m.version
       val hit = coalesce(cond, lit(false))
-      val rewritten = set.foldLeft(
-        spark.read.schema(schema)
-          .parquet(touched.map(h => new Path(t, h.rel).toString): _*)) {
-        case (df, (name, expr)) =>
-          df.withColumn(name,
+      def applySet(df: DataFrame): DataFrame = set.foldLeft(df) {
+        case (acc, (name, expr)) =>
+          acc.withColumn(name,
             when(hit, expr.cast(schema(name).dataType)).otherwise(col(quoted(name))))
       }
-      val w = writeData(rewritten, table)
+      val touchedDf = spark.read.schema(schema)
+        .parquet(touched.map(h => new Path(t, h.rel).toString): _*)
+      val w = writeData(applySet(touchedDf), table)
+      // CDF: matched rows' pre-images and post-images (the Delta
+      // update_preimage/update_postimage pair), derived from the same
+      // snapshot files the rewrite read.
+      val cdfFiles =
+        if (!changeFeed) Seq.empty
+        else {
+          val matched = touchedDf.filter(hit)
+          writeCdf(spark, table, w,
+            matched.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(applySet(matched)
+                .withColumn("_change_type", lit("update_postimage"))))
+        }
       val gone = touched.map(_.rel).toSet
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(m.version))
           Some(Attempt("update",
             m.files.filterNot(gone) ++ w.fresh,
             m.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
-            m.txn.getOrElse(Map.empty)))
+            m.txn.getOrElse(Map.empty),
+            cdf = cdfFiles))
         else None)
       committed.foreach(v => return v)
     }
@@ -695,6 +725,58 @@ object TxLog {
     }
   }
 
+  /** Row-level change data feed (the public Delta CDF shape): every
+    * change committed in `(sinceVersion, untilVersion]`, as table rows
+    * plus `_change_type` (`insert` / `delete` / `update_preimage` /
+    * `update_postimage`) and `_commit_version`. Appends need no
+    * recorded changes — their added files ARE the inserts; deletes and
+    * updates must have been committed with `changeFeed = true`, and any
+    * other rewrite in the range (overwrite/compact/merge, or DML
+    * without recorded changes) fails loudly — silently misreporting a
+    * rewrite as row changes is the one thing a CDF must never do.
+    * Cost ∝ the change volume, never table size. Downstream, this is
+    * what keeps an incremental materialization exact across DML: fold
+    * inserts and update_postimages in, retract deletes and
+    * update_preimages.
+    */
+  def readChangeFeed(spark: SparkSession, table: String, sinceVersion: Long,
+      untilVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val t = new Path(table)
+    val until = untilVersion.orElse(latestVersion(spark, table)).getOrElse(
+      sys.error(s"table $table has no committed versions"))
+    require(until >= sinceVersion,
+      s"readChangeFeed: until ($until) precedes since ($sinceVersion)")
+    var prevFiles = readManifest(spark, t, sinceVersion).files.toSet
+    val parts = ((sinceVersion + 1) to until).flatMap { v =>
+      val m = readManifest(spark, t, v)
+      val piece: Option[DataFrame] = (m.action, m.cdf) match {
+        case ("append", _) =>
+          Some(toDf(spark, t, m.schemaJson, m.files.filterNot(prevFiles))
+            .withColumn("_change_type", lit("insert")))
+        case (_, Some(cdfFiles)) =>
+          val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+            .add("_change_type", StringType)
+          Some(spark.read.schema(schema)
+            .parquet(cdfFiles.map(new Path(t, _).toString): _*))
+        case (other, None) => sys.error(
+          s"readChangeFeed: version $v is '$other' with no recorded change " +
+            "data — commit DML with changeFeed = true (rewrites like " +
+            "overwrite/compact/merge never record one); re-baseline from a " +
+            "snapshot read instead")
+      }
+      prevFiles = m.files.toSet
+      piece.map(_.withColumn("_commit_version", lit(v)))
+    }
+    parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        val m = readManifest(spark, t, until)
+        toDf(spark, t, m.schemaJson, Seq.empty)
+          .withColumn("_change_type", lit(null).cast("string"))
+          .withColumn("_commit_version", lit(null).cast("long"))
+      }
+  }
+
   /** The data files + stats of one not-yet-published commit attempt. */
   private final case class Written(dataRel: String, fresh: Seq[String],
       stats: Seq[FileEntry], schemaJson: String)
@@ -716,10 +798,30 @@ object TxLog {
   /** What a commit wants to publish, composed against the current parent.
     * `schemaJson` overrides the written frame's schema as the manifest
     * schema — only a schema-evolving append sets it (to the merged one).
+    * `cdf` lists this commit's change-data files (delete/update with
+    * `changeFeed = true`).
     */
   private final case class Attempt(action: String, files: Seq[String],
       stats: Seq[FileEntry], txn: Map[String, Long],
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      cdf: Seq[String] = Seq.empty)
+
+  /** Write a change-data frame under the commit's own data directory
+    * (`<dataRel>/_cdf/`): invisible to snapshot readers (only
+    * manifest-LISTED files are ever planned), cleaned up with the data
+    * dir if the commit is abandoned, and referenced by the manifest's
+    * `cdf` field when it publishes.
+    */
+  private def writeCdf(spark: SparkSession, table: String, w: Written,
+      changes: DataFrame): Seq[String] = {
+    val f = fs(spark, new Path(table))
+    val t = f.makeQualified(new Path(table))
+    val rel = s"${w.dataRel}/_cdf"
+    val dir = new Path(t, rel)
+    changes.write.parquet(dir.toString)
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n")
+  }
 
   /** Write the frame's data files under a fresh `data/<uuid>/` dir and
     * collect their stats. Nothing is visible until [[publish]] lands a
@@ -787,7 +889,8 @@ object TxLog {
         att.schemaJson.getOrElse(w.schemaJson),
         System.currentTimeMillis(),
         stats = Some(att.stats).filter(_.nonEmpty),
-        txn = Some(att.txn).filter(_.nonEmpty))
+        txn = Some(att.txn).filter(_.nonEmpty),
+        cdf = Some(att.cdf).filter(_.nonEmpty))
       val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
@@ -821,8 +924,11 @@ object TxLog {
     val f = fs(spark, t)
     val all = versions(spark, table)
     val (drop, keep) = all.splitAt((all.size - keepVersions).max(0))
-    val keptFiles = keep.flatMap(v => readManifest(spark, t, v).files).toSet
-    val doomed = drop.flatMap(v => readManifest(spark, t, v).files)
+    // a version owns its data files AND its change-data files; CDF files
+    // are only ever referenced by the one committing manifest
+    def owned(m: Manifest): Seq[String] = m.files ++ m.cdf.getOrElse(Seq.empty)
+    val keptFiles = keep.flatMap(v => owned(readManifest(spark, t, v))).toSet
+    val doomed = drop.flatMap(v => owned(readManifest(spark, t, v)))
       .distinct.filterNot(keptFiles)
     doomed.foreach(rel => f.delete(new Path(t, rel), false))
     drop.foreach(v => f.delete(manifestPath(t, v), false))

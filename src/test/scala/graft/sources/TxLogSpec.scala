@@ -543,6 +543,77 @@ class TxLogSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // Row-level change data feed
+  // -------------------------------------------------------------------
+
+  test("readChangeFeed emits inserts, delete pre-images, and update pre/post pairs") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val t = tmpTable()
+    val v0 = TxLog.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    TxLog.append(Seq((4L, "d")).toDF("k", "v"), t)
+    TxLog.delete(spark, t, col("k") === 2L, changeFeed = true)
+    TxLog.update(spark, t, col("k") === 3L,
+      Seq("v" -> concat(col("v"), lit("!"))), changeFeed = true)
+    val feed = TxLog.readChangeFeed(spark, t, v0)
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed == Set(
+      (4L, "d", "insert", 2L),
+      (2L, "b", "delete", 3L),
+      (3L, "c", "update_preimage", 4L),
+      (3L, "c!", "update_postimage", 4L)))
+    // folding the feed into the v0 snapshot reproduces the live table:
+    // the exactness property an incremental materialization relies on
+    val folded = TxLog.readAsOf(spark, t, v0).as[(Long, String)].collect().toSet ++
+      feed.collect { case (k, v, "insert" | "update_postimage", _) => (k, v) } --
+      feed.collect { case (k, v, "delete" | "update_preimage", _) => (k, v) }
+    assert(folded == TxLog.read(spark, t).as[(Long, String)].collect().toSet)
+  }
+
+  test("delete pre-images cover tier-2 whole-file drops, not just rewrites") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = rangedTable() // 4 disjoint decade files, k 0..39
+    TxLog.delete(spark, t, col("k") < lit(15L), changeFeed = true)
+    // 0..9 dropped whole (never rewritten) + 10..14 from the boundary
+    // rewrite: ALL 15 pre-images must be in the feed regardless of tier
+    val feed = TxLog.readChangeFeed(spark, t, 1L)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq == (0L to 14L))
+  }
+
+  test("readChangeFeed refuses rewrites and DML without recorded changes") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable()
+    val v0 = TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    TxLog.delete(spark, t, col("k") === 1L) // changeFeed not requested
+    val e1 = intercept[RuntimeException] { TxLog.readChangeFeed(spark, t, v0) }
+    assert(e1.getMessage.contains("no recorded change data"), e1.getMessage)
+    TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), t)
+    val e2 = intercept[RuntimeException] { TxLog.readChangeFeed(spark, t, v0) }
+    assert(e2.getMessage.contains("no recorded change data"), e2.getMessage)
+    // an empty range returns an empty, correctly-typed frame
+    val latest = TxLog.latestVersion(spark, t).get
+    val empty = TxLog.readChangeFeed(spark, t, latest)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("k", "v", "_change_type", "_commit_version"))
+  }
+
+  test("vacuum reaps dropped versions' change-data files too") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    TxLog.delete(spark, t, col("k") === 1L, changeFeed = true)
+    val cdfRel = TxLog.manifest(spark, t).cdf.get
+    TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), t)
+    val deleted = TxLog.vacuum(spark, t, keepVersions = 1)
+    val root = new java.io.File(t)
+    cdfRel.foreach { rel =>
+      assert(deleted.contains(rel), s"cdf file $rel not vacuumed")
+      assert(!new java.io.File(root, rel).exists(), rel)
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Schema evolution + history
   // -------------------------------------------------------------------
 
