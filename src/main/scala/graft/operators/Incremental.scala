@@ -76,6 +76,70 @@ object Incremental {
     state.withColumn("avg_v",
       col("sum_v").cast("double") / col("n"))
 
+  // ---------------------------------------------------------------------
+  // Change-feed (retractable) maintenance
+  // ---------------------------------------------------------------------
+
+  /** Retractable per-key state over `value`: count + exact decimal sum
+    * ONLY. These are the self-maintainable aggregates — a delete can be
+    * absorbed as a negative contribution. min/max deliberately have no
+    * place here: retracting the current minimum requires re-scanning the
+    * key's surviving rows (the classic incremental-view-maintenance
+    * bound), so a view that needs them under deletes must recompute.
+    */
+  def aggRetractState(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    val v = value.cast("decimal(18,4)")
+    // `rows` counts every row, `n` only non-NULL values: a key whose
+    // values are all NULL exists in a recompute (n = 0, sum NULL), so
+    // presence must be decided by rows, not n
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("rows"),
+      count(v).as("n"),
+      sum(v).as("sum_v"))
+  }
+
+  /** Turn a row-level change feed (`_change_type` rows as produced by
+    * `TxLog.readChangeFeed`) into a SIGNED delta in [[aggRetractState]]
+    * shape: inserts and update post-images contribute +1/+value, deletes
+    * and update pre-images −1/−value — fold it with [[mergeRetract]] and
+    * the maintained view stays EXACTLY equal to a from-scratch
+    * recompute of the live table, at a cost ∝ the change volume. An
+    * unknown change type fails loudly at the first row — silently
+    * skipping one would corrupt the view forever.
+    */
+  def cdfDelta(feed: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    val v = value.cast("decimal(18,4)")
+    val w = when(col("_change_type").isin("insert", "update_postimage"), lit(1))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1))
+      .otherwise(raise_error(concat(
+        lit("cdfDelta: unknown _change_type '"), col("_change_type"), lit("'"))))
+      .cast("int")
+    feed.withColumn("__w", w)
+      .groupBy(keys.map(col): _*).agg(
+        sum(col("__w")).cast("long").as("rows"),
+        sum(when(v.isNotNull, col("__w")).otherwise(0)).cast("long").as("n"),
+        sum(v * col("__w")).as("sum_v"))
+  }
+
+  /** Merge a signed delta into retractable state. Full-outer like
+    * [[merge]]; a key whose count returns to zero DISAPPEARS from the
+    * view (its residual sum is definitionally zero), exactly as a
+    * recompute would drop it.
+    */
+  def mergeRetract(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val d = Seq("rows", "n", "sum_v").foldLeft(delta)((df, c) =>
+      df.withColumnRenamed(c, s"${c}_d"))
+    val rowsTotal = coalesce(col("rows"), lit(0L)) + coalesce(col("rows_d"), lit(0L))
+    val nTotal = coalesce(col("n"), lit(0L)) + coalesce(col("n_d"), lit(0L))
+    val sumTotal = when(nTotal === 0L, lit(null).cast(sumType)).otherwise(
+      (coalesce(col("sum_v"), lit(0).cast(sumType)) +
+        coalesce(col("sum_v_d"), lit(0).cast(sumType))).cast(sumType))
+    state.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(rowsTotal.as("rows"),
+        nTotal.as("n"), sumTotal.as("sum_v")): _*)
+      .filter(col("rows") =!= 0L)
+  }
+
   /** Streaming sink half of the same algebra: fold each micro-batch into
     * the running state via `foreachBatch` (`folder.fold` is the batch
     * handler). Because [[merge]] is commutative/associative and batches

@@ -311,6 +311,64 @@ object Lakehouse {
         .groupBy(col("_change_type"))
         .agg(count(lit(1)).as("n"),
           r2d(sum(dec2(col("price")))).as("total"))
+    }),
+
+    "q102_tx_restore" -> ((s, dir) => {
+      // RESTORE (TxLog.restore scaladoc): a good publish (v1 + v2
+      // append), a bad overwrite (v3), then a metadata-only roll-back to
+      // v2 — the read must see exactly the pre-1997 state, with the bad
+      // version still auditable via time travel (asserted by reading v3
+      // back and folding its row count into the result, so the oracle
+      // also proves history survived the restore). A CHECK constraint
+      // added before the bad publish rides along through the restore.
+      val t = tmpTable("tx-q102")
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).cast("double").as("price"),
+        col("o_orderdate"))
+      TxLog.overwrite(o.filter(year(col("o_orderdate")) < 1996), t)
+      val good = TxLog.append(o.filter(year(col("o_orderdate")) === 1996), t)
+      TxLog.addConstraint(s, t, "price_pos", "price > 0")
+      TxLog.overwrite(o.filter(year(col("o_orderdate")) >= 1997), t) // bad
+      TxLog.restore(s, t, good)
+      val badRows = TxLog.readAsOf(s, t, good + 2)
+        .groupBy(lit(1).as("__one")).agg(count(lit(1)).as("bad_rows"))
+      TxLog.read(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("price")))).as("total"))
+        .crossJoin(broadcast(badRows.select(col("bad_rows"))))
+    }),
+
+    "q103_tx_ivm" -> ((s, dir) => {
+      // Incremental view maintenance driven by the change feed
+      // (Incremental.cdfDelta scaladoc): materialize per-status
+      // count+sum from the base snapshot, run an append, a CDF delete
+      // and a CDF update, then fold ONE pass over the feed into the
+      // state — never re-reading the base data. Hash equality with the
+      // oracle's from-scratch recompute of the final table proves
+      // fold(state, cdfDelta(feed)) == recompute through inserts,
+      // retractions, and pre/post update pairs (the F key disappears:
+      // full retraction). Maintenance cost ∝ change volume — the
+      // reason a 100 TB nightly rollup consumes the feed instead of
+      // rescanning the table.
+      val t = tmpTable("tx-q103")
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).cast("double").as("price"),
+        col("o_orderdate"))
+      val base = TxLog.overwrite(o.filter(year(col("o_orderdate")) < 1996), t)
+      val state = Incremental.aggRetractState(
+        TxLog.readAsOf(s, t, base), Seq("o_orderstatus"), col("price"))
+      TxLog.append(o.filter(year(col("o_orderdate")) === 1996), t)
+      TxLog.delete(s, t, col("o_orderstatus") === "F", changeFeed = true)
+      TxLog.update(s, t, col("o_orderstatus") === "P",
+        Seq("price" -> (col("price") * 2)), changeFeed = true)
+      val delta = Incremental.cdfDelta(
+        TxLog.readChangeFeed(s, t, base), Seq("o_orderstatus"), col("price"))
+      Incremental.mergeRetract(state, delta, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n"),
+          r2d(col("sum_v")).as("total"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -448,6 +506,31 @@ object Lakehouse {
         |  UNION ALL
         |  SELECT 'update_postimage', price * 2 FROM o WHERE o_orderstatus = 'P')
         |SELECT _change_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(price AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM f GROUP BY 1""".stripMargin,
+
+    "q102_tx_restore" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |    o_orderdate
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(price AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+        | (SELECT CAST(count(*) AS BIGINT) FROM o
+        |  WHERE year(o_orderdate) >= 1997) AS bad_rows
+        |FROM o WHERE year(o_orderdate) < 1997 GROUP BY 1""".stripMargin,
+
+    "q103_tx_ivm" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |  FROM orders WHERE year(o_orderdate) <= 1996),
+        |f AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'P' THEN price * 2 ELSE price END AS price
+        |  FROM o WHERE o_orderstatus <> 'F')
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(price AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM f GROUP BY 1""".stripMargin)
 }

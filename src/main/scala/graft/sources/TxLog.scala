@@ -85,13 +85,16 @@ object TxLog {
     * the per-writer-app streaming watermark map for [[idempotentAppend]];
     * `cdf` lists THIS commit's change-data files (row-level pre/post
     * images carrying a `_change_type` column), present only when the
-    * commit was made with `changeFeed = true`.
+    * commit was made with `changeFeed = true`; `constraints` are the
+    * table's CHECK invariants (name → SQL boolean expression), enforced
+    * on every row-adding write until dropped.
     */
   final case class Manifest(version: Long, action: String,
       files: Seq[String], schemaJson: String, tsMillis: Long,
       stats: Option[Seq[FileEntry]] = None,
       txn: Option[Map[String, Long]] = None,
-      cdf: Option[Seq[String]] = None)
+      cdf: Option[Seq[String]] = None,
+      constraints: Option[Map[String, String]] = None)
 
   /** Stats are collected for at most this many leading skippable
     * columns: min/max strings for a 1000-column table would bloat every
@@ -219,6 +222,98 @@ object TxLog {
   def readFiles(spark: SparkSession, table: String,
       files: Seq[String]): DataFrame =
     toDf(spark, new Path(table), manifest(spark, table).schemaJson, files)
+
+  // ---------------------------------------------------------------------
+  // CHECK constraints (the public Delta invariants surface)
+  // ---------------------------------------------------------------------
+
+  /** The table's CHECK constraints (name → SQL boolean expression);
+    * empty for a table with none (or none committed yet).
+    */
+  def constraintsOf(spark: SparkSession, table: String): Map[String, String] =
+    latestVersion(spark, table)
+      .map(readManifest(spark, new Path(table), _))
+      .flatMap(_.constraints).getOrElse(Map.empty)
+
+  /** Wrap `df` so that materializing it (the commit's data write) throws
+    * on the FIRST row violating any constraint — enforcement rides the
+    * write pass itself as one codegen'd predicate per row, never a
+    * second scan. A row violates when the expression is FALSE or NULL
+    * (the strict Delta invariant contract, stricter than SQL CHECK's
+    * null-passes — a constraint that silently ignores NULLs is how bad
+    * rows sneak into a lakehouse).
+    */
+  private def enforcing(df: DataFrame, cons: Map[String, String]): DataFrame =
+    cons.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+      d.filter(org.apache.spark.sql.functions.assert_true(
+        coalesce(org.apache.spark.sql.functions.expr(sql), lit(false)),
+        lit(s"CHECK constraint '$name' violated: ($sql) is not true")).isNull)
+    }
+
+  /** Composer-side guard: the rows being committed were enforced under
+    * `enforcedCons`; if the parent manifest meanwhile gained a
+    * constraint those rows never saw, the commit must fail loudly
+    * rather than land unvalidated data (the metadata-conflict rule of
+    * optimistic concurrency). Returns the parent's map — metadata flows
+    * through the log, so a concurrently DROPPED constraint wins too.
+    */
+  private def guardedCons(table: String, parent: Option[Manifest],
+      enforcedCons: Map[String, String]): Map[String, String] = {
+    val pc = parent.flatMap(_.constraints).getOrElse(Map.empty)
+    if (!pc.toSet.subsetOf(enforcedCons.toSet)) sys.error(
+      s"commit to $table raced a constraint change: table now requires " +
+        s"${pc.keySet.diff(enforcedCons.keySet).mkString(", ")} which the " +
+        "written rows were not validated against; re-run the write")
+    pc
+  }
+
+  /** `ALTER TABLE ADD CONSTRAINT name CHECK (exprSql)`: validates the
+    * CURRENT snapshot in one scan (re-validated on a CAS retry against
+    * whatever snapshot is then latest), then commits a metadata-only
+    * version carrying the new constraint. Every subsequent row-adding
+    * write (overwrite/append/merge/update assignments) enforces it
+    * in-pass and fails loudly on the first violating row.
+    */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      exprSql: String): Long = {
+    require(name.nonEmpty, "constraint name must be non-empty")
+    val t = new Path(table)
+    // parse eagerly: an unparseable expression must fail HERE, not at
+    // the next unsuspecting append
+    org.apache.spark.sql.functions.expr(exprSql)
+    val w = writeNothing(spark, table, manifest(spark, table).schemaJson)
+    publish(spark, table, w, parent => {
+      val m = parent.getOrElse(sys.error(
+        s"table $table has no committed versions to constrain"))
+      val cons = m.constraints.getOrElse(Map.empty)
+      require(!cons.contains(name),
+        s"constraint '$name' already exists on $table (drop it first)")
+      val violations = toDf(spark, t, m.schemaJson, m.files)
+        .filter(!coalesce(org.apache.spark.sql.functions.expr(exprSql), lit(false)))
+        .limit(1).count()
+      require(violations == 0,
+        s"cannot add constraint '$name' to $table: existing rows violate " +
+          s"CHECK ($exprSql)")
+      Some(Attempt("addConstraint", m.files, m.stats.getOrElse(Seq.empty),
+        m.txn.getOrElse(Map.empty), schemaJson = Some(m.schemaJson),
+        cdf = Seq.empty, constraints = cons + (name -> exprSql)))
+    }).get
+  }
+
+  /** `ALTER TABLE DROP CONSTRAINT name` — metadata-only commit. */
+  def dropConstraint(spark: SparkSession, table: String, name: String): Long = {
+    val w = writeNothing(spark, table, manifest(spark, table).schemaJson)
+    publish(spark, table, w, parent => {
+      val m = parent.getOrElse(sys.error(
+        s"table $table has no committed versions"))
+      val cons = m.constraints.getOrElse(Map.empty)
+      require(cons.contains(name),
+        s"no constraint '$name' on $table (has: ${cons.keySet.mkString(", ")})")
+      Some(Attempt("dropConstraint", m.files, m.stats.getOrElse(Seq.empty),
+        m.txn.getOrElse(Map.empty), schemaJson = Some(m.schemaJson),
+        cdf = Seq.empty, constraints = cons - name))
+    }).get
+  }
 
   // ---------------------------------------------------------------------
   // Data skipping
@@ -356,12 +451,19 @@ object TxLog {
   // Commits
   // ---------------------------------------------------------------------
 
-  /** Replace the table contents atomically. Returns the new version. */
+  /** Replace the table contents atomically. Returns the new version.
+    * CHECK constraints survive an overwrite (replacing the DATA does not
+    * drop the table's invariants) and are enforced on the new rows; an
+    * overwrite whose schema no longer binds a constraint's expression
+    * fails loudly — drop the constraint first.
+    */
   def overwrite(df: DataFrame, table: String): Long = {
-    val w = writeData(df, table)
+    val cons = constraintsOf(df.sparkSession, table)
+    val w = writeData(enforcing(df, cons), table)
     publish(df.sparkSession, table, w, parent =>
       Some(Attempt("overwrite", w.fresh, w.stats,
-        parent.flatMap(_.txn).getOrElse(Map.empty)))).get
+        parent.flatMap(_.txn).getOrElse(Map.empty),
+        constraints = guardedCons(table, parent, cons)))).get
   }
 
   /** Add rows atomically; prior files stay referenced. By default the
@@ -378,9 +480,10 @@ object TxLog {
     * rewrites a data file.
     */
   def append(df: DataFrame, table: String, mergeSchema: Boolean = false): Long = {
-    val w = writeData(df, table)
+    val cons = constraintsOf(df.sparkSession, table)
+    val w = writeData(enforcing(df, cons), table)
     publish(df.sparkSession, table, w, parent =>
-      Some(appendAttempt(table, parent, w, Map.empty, mergeSchema))).get
+      Some(appendAttempt(table, parent, w, Map.empty, cons, mergeSchema))).get
   }
 
   /** Exactly-once streaming append — the `foreachBatch` sink body:
@@ -407,16 +510,18 @@ object TxLog {
       .map(readManifest(spark, new Path(table), _))
       .flatMap(_.txn.getOrElse(Map.empty).get(appId)).exists(_ >= batchId)
     if (done) return None
-    val w = writeData(df, table)
+    val cons = constraintsOf(spark, table)
+    val w = writeData(enforcing(df, cons), table)
     publish(spark, table, w, parent => {
       val seen = parent.flatMap(_.txn).getOrElse(Map.empty)
       if (seen.get(appId).exists(_ >= batchId)) None // lost a same-app race
-      else Some(appendAttempt(table, parent, w, Map(appId -> batchId)))
+      else Some(appendAttempt(table, parent, w, Map(appId -> batchId), cons))
     })
   }
 
   private def appendAttempt(table: String, parent: Option[Manifest],
       w: Written, txnDelta: Map[String, Long],
+      enforcedCons: Map[String, String],
       mergeSchema: Boolean = false): Attempt = {
     val merged = parent.map { p =>
       if (p.schemaJson == w.schemaJson) p.schemaJson
@@ -435,7 +540,8 @@ object TxLog {
       parent.map(_.files).getOrElse(Seq.empty) ++ w.fresh,
       parentStats ++ w.stats,
       parent.flatMap(_.txn).getOrElse(Map.empty) ++ txnDelta,
-      schemaJson = merged)
+      schemaJson = merged,
+      constraints = guardedCons(table, parent, enforcedCons))
   }
 
   /** Union of the table's and the incoming frame's fields: table columns
@@ -478,11 +584,13 @@ object TxLog {
         sys.error(s"table $table has no committed versions to merge into"))
       val merged = graft.operators.MergeOps.cdcApply(
         readAsOf(spark, table, base), changes, keys, ordering, opCol, deleteOp)
-      val w = writeData(merged, table)
+      val cons = constraintsOf(spark, table)
+      val w = writeData(enforcing(merged, cons), table)
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(base))
           Some(Attempt("merge", w.fresh, w.stats,
-            parent.flatMap(_.txn).getOrElse(Map.empty)))
+            parent.flatMap(_.txn).getOrElse(Map.empty),
+            constraints = guardedCons(table, parent, cons)))
         else None) // snapshot went stale: recompute from the new latest
       committed.foreach(v => return v)
     }
@@ -538,10 +646,13 @@ object TxLog {
           s"compaction schema drift for $table (concurrent overwrite?)")
       }
       val parentStats = parent.flatMap(_.stats).getOrElse(Seq.empty)
+      // row-preserving: constraints flow through unguarded (a rewrite of
+      // already-validated rows cannot introduce a violation)
       Some(Attempt("compact",
         pf.filterNot(smallSet) ++ w.fresh,
         parentStats.filterNot(e => smallSet(e.path)) ++ w.stats,
-        parent.flatMap(_.txn).getOrElse(Map.empty)))
+        parent.flatMap(_.txn).getOrElse(Map.empty),
+        constraints = parent.flatMap(_.constraints).getOrElse(Map.empty)))
     }).get
   }
 
@@ -626,11 +737,13 @@ object TxLog {
       val gone = touched.map(_.rel).toSet
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(m.version))
+          // row-removing: constraints flow through unguarded
           Some(Attempt("delete",
             m.files.filterNot(gone) ++ w.fresh,
             m.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
             m.txn.getOrElse(Map.empty),
-            cdf = cdfFiles))
+            cdf = cdfFiles,
+            constraints = m.constraints.getOrElse(Map.empty)))
         else None) // snapshot went stale: re-find against the new latest
       committed.foreach(v => return v)
     }
@@ -669,7 +782,10 @@ object TxLog {
       }
       val touchedDf = spark.read.schema(schema)
         .parquet(touched.map(h => new Path(t, h.rel).toString): _*)
-      val w = writeData(applySet(touchedDf), table)
+      // assignments can violate a CHECK constraint — enforce on the
+      // rewritten rows like any other row-changing write
+      val cons = m.constraints.getOrElse(Map.empty)
+      val w = writeData(enforcing(applySet(touchedDf), cons), table)
       // CDF: matched rows' pre-images and post-images (the Delta
       // update_preimage/update_postimage pair), derived from the same
       // snapshot files the rewrite read.
@@ -689,7 +805,8 @@ object TxLog {
             m.files.filterNot(gone) ++ w.fresh,
             m.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
             m.txn.getOrElse(Map.empty),
-            cdf = cdfFiles))
+            cdf = cdfFiles,
+            constraints = guardedCons(table, parent, cons)))
         else None)
       committed.foreach(v => return v)
     }
@@ -725,6 +842,36 @@ object TxLog {
     }
   }
 
+  /** `RESTORE TABLE ... TO VERSION AS OF toVersion` (the public Delta
+    * RESTORE shape): roll the table back by committing a NEW version
+    * whose state — file list, stats, schema, and CHECK constraints — is
+    * exactly `toVersion`'s. Rolling FORWARD through history is
+    * preserved: the bad versions stay readable via [[readAsOf]] until
+    * [[vacuum]], and the restore itself is an ordinary commit (an
+    * auditable `restore` row in [[history]], not a log rewrite). No
+    * data file is copied or rewritten — the commit re-references
+    * `toVersion`'s immutable files, so restoring a 100 TB table is a
+    * metadata-only operation, and vacuum keeps those files alive for as
+    * long as the restore version survives.
+    *
+    * The parent's `txn` watermarks are KEPT (not restored): regressing
+    * them would let a restarted streaming writer double-land batches it
+    * already committed — the one piece of state that must only move
+    * forward. Like all zero-data-file commits, a lost-ack retry can
+    * land a second, content-identical restore version (idempotent).
+    */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val t = new Path(table)
+    val target = readManifest(spark, t, toVersion) // loud if vacuumed/missing
+    val w = writeNothing(spark, table, target.schemaJson)
+    publish(spark, table, w, parent =>
+      Some(Attempt("restore", target.files,
+        target.stats.getOrElse(Seq.empty),
+        parent.flatMap(_.txn).getOrElse(Map.empty),
+        schemaJson = Some(target.schemaJson),
+        constraints = target.constraints.getOrElse(Map.empty)))).get
+  }
+
   /** Row-level change data feed (the public Delta CDF shape): every
     * change committed in `(sinceVersion, untilVersion]`, as table rows
     * plus `_change_type` (`insert` / `delete` / `update_preimage` /
@@ -737,10 +884,14 @@ object TxLog {
     * Cost ∝ the change volume, never table size. Downstream, this is
     * what keeps an incremental materialization exact across DML: fold
     * inserts and update_postimages in, retract deletes and
-    * update_preimages.
+    * update_preimages. `skipUnrecorded = true` (the streaming
+    * `ignoreChanges` escape hatch) silently SKIPS change-less rewrite
+    * versions instead of failing — the caller is declaring the feed may
+    * be incomplete.
     */
   def readChangeFeed(spark: SparkSession, table: String, sinceVersion: Long,
-      untilVersion: Option[Long] = None): DataFrame = {
+      untilVersion: Option[Long] = None,
+      skipUnrecorded: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.StringType
     val t = new Path(table)
     val until = untilVersion.orElse(latestVersion(spark, table)).getOrElse(
@@ -759,6 +910,12 @@ object TxLog {
             .add("_change_type", StringType)
           Some(spark.read.schema(schema)
             .parquet(cdfFiles.map(new Path(t, _).toString): _*))
+        // row-preserving commits (OPTIMIZE bin-packing, constraint
+        // add/drop) have a provably EMPTY change set — the feed skips
+        // them without needing anything recorded (Delta's
+        // dataChange=false files)
+        case ("compact" | "addConstraint" | "dropConstraint", None) => None
+        case (_, None) if skipUnrecorded => None
         case (other, None) => sys.error(
           s"readChangeFeed: version $v is '$other' with no recorded change " +
             "data — commit DML with changeFeed = true (rewrites like " +
@@ -799,12 +956,15 @@ object TxLog {
     * `schemaJson` overrides the written frame's schema as the manifest
     * schema — only a schema-evolving append sets it (to the merged one).
     * `cdf` lists this commit's change-data files (delete/update with
-    * `changeFeed = true`).
+    * `changeFeed = true`); `constraints` is the FULL constraint map the
+    * committed manifest carries (composers thread the parent's through,
+    * [[addConstraint]]/[[dropConstraint]] edit it).
     */
   private final case class Attempt(action: String, files: Seq[String],
       stats: Seq[FileEntry], txn: Map[String, Long],
       schemaJson: Option[String] = None,
-      cdf: Seq[String] = Seq.empty)
+      cdf: Seq[String] = Seq.empty,
+      constraints: Map[String, String] = Map.empty)
 
   /** Write a change-data frame under the commit's own data directory
     * (`<dataRel>/_cdf/`): invisible to snapshot readers (only
@@ -890,7 +1050,8 @@ object TxLog {
         System.currentTimeMillis(),
         stats = Some(att.stats).filter(_.nonEmpty),
         txn = Some(att.txn).filter(_.nonEmpty),
-        cdf = Some(att.cdf).filter(_.nonEmpty))
+        cdf = Some(att.cdf).filter(_.nonEmpty),
+        constraints = Some(att.constraints).filter(_.nonEmpty))
       val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()

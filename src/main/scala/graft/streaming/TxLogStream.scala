@@ -65,8 +65,17 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
     }.getOrElse(throw new IllegalArgumentException(
       s"graft-txlog: table $path has no committed versions yet - " +
         "pass an explicit .schema(...) to stream a not-yet-created table"))
-    (shortName(), inferred)
+    val out =
+      if (!cdfOf(parameters)) inferred
+      else StructType(inferred.fields.filterNot(f =>
+          f.name == "_change_type" || f.name == "_commit_version"))
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType)
+    (shortName(), out)
   }
+
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -74,7 +83,8 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
     val path = pathOf(parameters)
     val fixed = sourceSchema(sqlContext, schema, providerName, parameters)._2
     new TxLogSource(sqlContext.sparkSession, path, fixed,
-      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      changeFeed = cdfOf(parameters))
   }
 
   /** Transactional streaming SINK:
@@ -152,19 +162,37 @@ private[streaming] object TxLogSourceOffset {
     }
 }
 
+/** `changeFeed = true` is the Delta CDF-streaming recipe: the initial
+  * batch is the start snapshot AS inserts (`_change_type = "insert"`,
+  * `_commit_version` = the snapshot version), every later batch is
+  * [[graft.sources.TxLog.readChangeFeed]] over `(lastOffset, newOffset]`
+  * — appends arrive as inserts from only their added files, recorded
+  * DML as pre/post images, row-preserving maintenance commits
+  * (compact, constraint changes) as nothing. A rewrite with no
+  * recorded changes fails the stream loudly unless `ignoreChanges`.
+  */
 private[streaming] class TxLogSource(spark: SparkSession, table: String,
-    override val schema: StructType, ignoreChanges: Boolean) extends Source {
+    override val schema: StructType, ignoreChanges: Boolean,
+    changeFeed: Boolean = false) extends Source {
 
   override def getOffset: Option[Offset] =
     TxLog.latestVersion(spark, table).map(TxLogSourceOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val endV = TxLogSourceOffset.versionOf(end)
     start.map(TxLogSourceOffset.versionOf) match {
+      case None if changeFeed =>
+        withSchema(TxLog.readAsOf(spark, table, endV)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(endV)))
       case None =>
         // initial load: the full snapshot as committed at the start
         // version, planned from its manifest file list
         withSchema(TxLog.readAsOf(spark, table, endV))
+      case Some(startV) if changeFeed =>
+        withSchema(TxLog.readChangeFeed(spark, table, startV, Some(endV),
+          skipUnrecorded = ignoreChanges))
       case Some(startV) =>
         val newFiles = appendedFiles(startV, endV)
         withSchema(TxLog.readFiles(spark, table, newFiles))

@@ -47,6 +47,52 @@ class IncrementalSpec extends SparkSpec {
     assert(collect(Incremental.merge(a, empty, Seq("k"))) == collect(a))
   }
 
+  test("cdfDelta + mergeRetract equals recompute through inserts, deletes, updates") {
+    val base = rows.take(1500)
+    val inserts = rows.slice(1500, 2000)
+    val deletes = base.take(300)
+    val updates = base.slice(300, 600)
+    val feed = (inserts.map { case (k, v) => (k, v, "insert") } ++
+      deletes.map { case (k, v) => (k, v, "delete") } ++
+      updates.flatMap { case (k, v) =>
+        Seq((k, v, "update_preimage"), (k, v * 2, "update_postimage")) })
+      .toDF("k", "v", "_change_type")
+    val folded = Incremental.mergeRetract(
+      Incremental.aggRetractState(df(base), Seq("k"), col("v")),
+      Incremental.cdfDelta(feed, Seq("k"), col("v")), Seq("k"))
+    val finalRows = base.drop(600) ++ updates.map { case (k, v) => (k, v * 2) } ++ inserts
+    val direct = Incremental.aggRetractState(df(finalRows), Seq("k"), col("v"))
+    def snap(s: DataFrame) = s.select("k", "rows", "n", "sum_v")
+      .as[(String, Long, Long, BigDecimal)].collect().toSeq.sortBy(_._1)
+    assert(snap(folded) == snap(direct))
+  }
+
+  test("full retraction drops the key; all-NULL keys survive with NULL sum") {
+    val state = Incremental.aggRetractState(
+      Seq(("a", Some(BigDecimal(1))), ("b", None)).toDF("k", "v"),
+      Seq("k"), col("v"))
+    val feed = Seq(
+      ("a", Some(BigDecimal(1)), "delete"),
+      ("c", Option.empty[BigDecimal], "insert")).toDF("k", "v", "_change_type")
+    val folded = Incremental.mergeRetract(state,
+      Incremental.cdfDelta(feed, Seq("k"), col("v")), Seq("k"))
+    val got = folded.select("k", "rows", "n")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // "a" fully retracted -> gone; "b"/"c" exist with zero non-NULL values
+    assert(got == Seq(("b", 1L, 0L), ("c", 1L, 0L)))
+    assert(folded.filter(col("sum_v").isNotNull).count() == 0)
+  }
+
+  test("an unknown change type fails the fold loudly") {
+    val feed = Seq(("a", BigDecimal(1), "upsert")).toDF("k", "v", "_change_type")
+    val e = intercept[Exception] {
+      Incremental.cdfDelta(feed, Seq("k"), col("v")).collect()
+    }
+    assert(e.getMessage.contains("unknown _change_type") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown _change_type")),
+      e.getMessage)
+  }
+
   test("missing state columns fail loudly") {
     val a = Incremental.aggState(df(rows), Seq("k"), col("v"))
     val e = intercept[IllegalArgumentException] {

@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkSpec {
     "q40_bullish_filter",   // broadcast 1-row max-day anchor
     "q72_tpch22",           // broadcast 1-row avg-balance threshold anchor
     "q81_tpch11",           // broadcast 1-row value-fraction cutoff anchor
+    "q102_tx_restore",      // broadcast 1-row bad-version row count
     "t05_tfidf",            // broadcast 1-row n_docs scalar
     "t08_unigram_lm")       // broadcast 1-row corpus-total scalar
 

@@ -614,6 +614,155 @@ class TxLogSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // RESTORE
+  // -------------------------------------------------------------------
+
+  test("restore rolls the table back as a new commit; history keeps the bad versions") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t) // v1
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)               // v2
+    TxLog.overwrite(Seq((9L, "bad")).toDF("k", "v"), t)          // v3
+    val v4 = TxLog.restore(spark, t, 2L)
+    assert(v4 == 4L)
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the bad version is still auditable, not rewritten away
+    assert(TxLog.readAsOf(spark, t, 3L).as[(Long, String)].collect().toSeq ==
+      Seq((9L, "bad")))
+    assert(TxLog.history(spark, t).select("version", "action")
+      .as[(Long, String)].collect().toMap.apply(4L) == "restore")
+    // restore re-references v2's files: zero new data files were written
+    assert(TxLog.filesAt(spark, t, 4L).toSet ==
+      TxLog.filesAt(spark, t, 2L).toSet)
+    // life goes on: a further append builds on the restored state
+    TxLog.append(Seq((4L, "d")).toDF("k", "v"), t)
+    assert(TxLog.read(spark, t).count() == 4)
+  }
+
+  test("vacuum keeps files a restore version re-references") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "keep")).toDF("k", "v"), t) // v1
+    TxLog.overwrite(Seq((9L, "bad")).toDF("k", "v"), t)  // v2
+    TxLog.restore(spark, t, 1L)                          // v3 -> v1's files
+    // dropping v1 and v2 must NOT delete v1's files: v3 references them
+    TxLog.vacuum(spark, t, keepVersions = 1)
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "keep")))
+    val e = intercept[IllegalArgumentException] { TxLog.readAsOf(spark, t, 2L) }
+    assert(e.getMessage.contains("no version 2"))
+  }
+
+  test("restore keeps txn watermarks: a replayed batch cannot double-land") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)                 // v1
+    TxLog.idempotentAppend(Seq((2L, "b")).toDF("k", "v"), t, "app", 7) // v2
+    TxLog.restore(spark, t, 1L)                                        // v3
+    // the restored TABLE predates batch 7, but the watermark must not:
+    // replaying it after the restore would otherwise land it twice
+    assert(TxLog.idempotentAppend(Seq((2L, "b")).toDF("k", "v"), t, "app", 7).isEmpty)
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")))
+  }
+
+  // -------------------------------------------------------------------
+  // CHECK constraints
+  // -------------------------------------------------------------------
+
+  test("addConstraint validates existing rows and rejects violating tables") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, 10.0), (2L, -5.0)).toDF("k", "x"), t)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, t, "x_pos", "x > 0")
+    }
+    assert(e.getMessage.contains("existing rows violate"), e.getMessage)
+    assert(TxLog.constraintsOf(spark, t).isEmpty)
+    TxLog.delete(spark, t, col("x") <= 0)
+    TxLog.addConstraint(spark, t, "x_pos", "x > 0")
+    assert(TxLog.constraintsOf(spark, t) == Map("x_pos" -> "x > 0"))
+    // duplicate names and unparseable expressions fail loudly
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, t, "x_pos", "x > 1")
+    }
+    intercept[Exception] {
+      TxLog.addConstraint(spark, t, "broken", "not ) sql (")
+    }
+  }
+
+  test("append/overwrite enforce constraints in-pass; NULL violates") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, 10.0)).toDF("k", "x"), t)
+    TxLog.addConstraint(spark, t, "x_pos", "x > 0")
+    TxLog.append(Seq((2L, 3.5)).toDF("k", "x"), t) // valid rows pass
+    val e = intercept[Exception] {
+      TxLog.append(Seq((3L, -1.0)).toDF("k", "x"), t)
+    }
+    assert(e.getMessage.contains("x_pos"), e.getMessage)
+    // NULL is a violation (strict invariant, not SQL CHECK's null-passes)
+    val eNull = intercept[Exception] {
+      TxLog.append(Seq((4L, Option.empty[Double])).toDF("k", "x"), t)
+    }
+    assert(eNull.getMessage.contains("x_pos"), eNull.getMessage)
+    // the failed appends left no partial state behind
+    assert(TxLog.read(spark, t).as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 3.5)))
+    // overwrite keeps the constraint and enforces it on the new rows
+    intercept[Exception] {
+      TxLog.overwrite(Seq((9L, -9.0)).toDF("k", "x"), t)
+    }
+    assert(TxLog.constraintsOf(spark, t) == Map("x_pos" -> "x > 0"))
+  }
+
+  test("update enforces constraints on assignments; delete needs no check") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"), t)
+    TxLog.addConstraint(spark, t, "x_pos", "x > 0")
+    val e = intercept[Exception] {
+      TxLog.update(spark, t, col("k") === 1L, Seq("x" -> lit(-1.0)))
+    }
+    assert(e.getMessage.contains("x_pos"), e.getMessage)
+    TxLog.update(spark, t, col("k") === 1L, Seq("x" -> lit(5.0)))
+    TxLog.delete(spark, t, col("k") === 2L)
+    assert(TxLog.read(spark, t).as[(Long, Double)].collect().toSet ==
+      Set((1L, 5.0)))
+  }
+
+  test("merge enforces constraints on the merged result") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, 10.0)).toDF("k", "x"), t)
+    TxLog.addConstraint(spark, t, "x_pos", "x > 0")
+    val bad = Seq((1L, -4.0, "U", 1L)).toDF("k", "x", "op", "seq")
+    intercept[Exception] {
+      TxLog.merge(spark, t, bad, keys = Seq("k"),
+        ordering = Seq(col("seq")), opCol = "op")
+    }
+    val good = Seq((1L, 4.0, "U", 1L)).toDF("k", "x", "op", "seq")
+    TxLog.merge(spark, t, good, keys = Seq("k"),
+      ordering = Seq(col("seq")), opCol = "op")
+    assert(TxLog.read(spark, t).as[(Long, Double)].collect().toSet ==
+      Set((1L, 4.0)))
+  }
+
+  test("dropConstraint re-allows; constraints travel with restore") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, 10.0)).toDF("k", "x"), t) // v1: no constraint
+    TxLog.addConstraint(spark, t, "x_pos", "x > 0")    // v2
+    TxLog.dropConstraint(spark, t, "x_pos")            // v3
+    TxLog.append(Seq((2L, -1.0)).toDF("k", "x"), t)    // v4: allowed again
+    intercept[IllegalArgumentException] {
+      TxLog.dropConstraint(spark, t, "never_was")
+    }
+    // restore to v2 restores the constraint WITH the data
+    TxLog.restore(spark, t, 2L)
+    assert(TxLog.constraintsOf(spark, t) == Map("x_pos" -> "x > 0"))
+    intercept[Exception] {
+      TxLog.append(Seq((3L, -2.0)).toDF("k", "x"), t)
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Schema evolution + history
   // -------------------------------------------------------------------
 

@@ -95,6 +95,69 @@ class TxLogStreamSpec extends SparkSpec {
       Set((3L, "c")), s"got $got")
   }
 
+  /** Drain the CDF stream with AvailableNow; returns all
+    * (k, v, _change_type, _commit_version) rows this run produced.
+    */
+  private def drainCdf(table: String, checkpoint: String,
+      ignoreChanges: Boolean = false): Set[(Long, String, String, Long)] = {
+    val got = scala.collection.mutable.Set.empty[(Long, String, String, Long)]
+    val reader = spark.readStream.format("graft-txlog").option("path", table)
+      .option("readChangeFeed", "true")
+    val q = (if (ignoreChanges) reader.option("ignoreChanges", "true") else reader)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select("k", "v", "_change_type", "_commit_version")
+          .as[(Long, String, String, Long)].collect()
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    got.toSet
+  }
+
+  test("readChangeFeed streams row-level changes; maintenance commits emit nothing") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val t = tmp("txcdf")
+    val cp = Files.createTempDirectory("txcdf-cp").toString
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t) // v1
+
+    // the initial batch is the snapshot AS inserts at its version
+    assert(drainCdf(t, cp) ==
+      Set((1L, "a", "insert", 1L), (2L, "b", "insert", 1L)))
+
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)                // v2
+    TxLog.compact(spark, t)                                       // v3: row-preserving
+    TxLog.delete(spark, t, col("k") === 1L, changeFeed = true)    // v4
+    TxLog.update(spark, t, col("k") === 3L,
+      Seq("v" -> concat(col("v"), lit("!"))), changeFeed = true)  // v5
+
+    // appends arrive as inserts from only their files, the compaction
+    // contributes NOTHING (its rewrite preserves every row), recorded
+    // DML arrives as pre/post images — all tagged with their commit
+    assert(drainCdf(t, cp) == Set(
+      (3L, "c", "insert", 2L),
+      (1L, "a", "delete", 4L),
+      (3L, "c", "update_preimage", 5L),
+      (3L, "c!", "update_postimage", 5L)))
+
+    // an unrecorded rewrite fails the stream loudly ...
+    TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), t)             // v6
+    TxLog.append(Seq((4L, "d")).toDF("k", "v"), t)                // v7
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainCdf(t, cp)
+    }
+    assert(e.getMessage.contains("no recorded change data") ||
+      Option(e.getCause).exists(_.getMessage.contains("no recorded change data")),
+      s"unexpected failure: ${e.getMessage}")
+    // ... and ignoreChanges skips it while later commits still arrive
+    assert(drainCdf(t, cp, ignoreChanges = true) ==
+      Set((4L, "d", "insert", 7L)))
+  }
+
   test("format(graft-txlog) sink appends exactly once and Complete overwrites") {
     val src = tmp("txsink-src")
     val dst = tmp("txsink-dst")
