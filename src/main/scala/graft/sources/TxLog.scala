@@ -1004,6 +1004,40 @@ object TxLog {
     Written(dataRel, fresh, stats, schema.json)
   }
 
+  // one lock object per local table log dir — see renameIfAbsent
+  private val localLogLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  /** The commit primitive, scheme-sensitive like the public Delta
+    * LogStore split: on HDFS-like filesystems `rename(…, Rename.NONE)`
+    * is checked server-side under the namespace lock — genuinely
+    * atomic rename-if-absent. On the LOCAL filesystem that same call
+    * is check-THEN-rename over a POSIX rename that silently
+    * OVERWRITES, so two racing committers can both observe "absent"
+    * and both return success — the second clobbers the first's
+    * manifest (losing its commit!) and ChecksumFs then leaves a stale
+    * `.crc` that fails every subsequent read of the version. So local
+    * commits serialize on an in-process per-log-dir lock (the Delta
+    * LocalLogStore stance: local FS is a test/single-process surface;
+    * multi-PROCESS local-FS writers are out of scope and documented
+    * so, while any real deployment is on HDFS/object storage where
+    * the primitive is atomic without the lock).
+    */
+  private def renameIfAbsent(fc: FileContext, f: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, target: Path): Unit = {
+    val scheme = Option(target.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val lock = localLogLocks.computeIfAbsent(
+        target.getParent.toString, _ => new Object)
+      lock.synchronized {
+        if (f.exists(target))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            target.toString)
+        fc.rename(tmp, target, Options.Rename.NONE)
+      }
+    } else fc.rename(tmp, target, Options.Rename.NONE)
+  }
+
   /** Publish `w` via rename-if-absent. Optimistic concurrency: a lost
     * race re-reads the (new) parent snapshot, re-composes the attempt,
     * and retries with the SAME already-written data files — only the
@@ -1057,7 +1091,7 @@ object TxLog {
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
       try {
         // rename-if-absent: the ONE atomic, mutual-exclusion step
-        fc.rename(tmp, manifestPath(t, version), Options.Rename.NONE)
+        renameIfAbsent(fc, f, tmp, manifestPath(t, version))
         return Some(version)
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException
