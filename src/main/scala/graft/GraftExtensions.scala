@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.asofJoinTableFunction)
     ext.injectTableFunction(GraftExtensions.pointInIntervalTableFunction)
     ext.injectTableFunction(GraftExtensions.txReadTableFunction)
+    ext.injectTableFunction(GraftExtensions.txCdfTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // pre-CBO: runs AFTER the default optimizer batches, so it sees (and
     // replaces) an InferWindowGroupLimit-inserted WindowGroupLimit child
@@ -293,6 +294,33 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
     (FunctionIdentifier("graft_tx_read"), txReadInfo, txReadBuilder)
 
+  private val txCdfInfo = new ExpressionInfo(
+    graft.sources.TxLog.getClass.getName, null, "graft_tx_cdf",
+    "graft_tx_cdf(path, since[, until]) - the row-level change feed of " +
+      "a graft transactional table over (since, until] (until defaults " +
+      "to the latest version): table columns plus _change_type " +
+      "(insert/delete/update_preimage/update_postimage) and " +
+      "_commit_version; fails on rewrites without recorded changes", "")
+
+  private def txCdfBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val fn = "graft_tx_cdf"
+    require(exprs.length == 2 || exprs.length == 3,
+      s"$fn(path, since[, until]) takes 2 or 3 arguments")
+    val spark = activeSession
+    val until =
+      if (exprs.length == 3) Some(longLit(exprs(2), fn, "until")) else None
+    graft.sources.TxLog.readChangeFeed(spark,
+        strLit(exprs(0), fn, "path"), longLit(exprs(1), fn, "since"), until)
+      .queryExecution.logical
+  }
+
+  val txCdfTableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_tx_cdf"), txCdfInfo, txCdfBuilder)
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     Shim.registerFunction(spark, "graft_dot", dotInfo,
@@ -309,5 +337,7 @@ object GraftExtensions {
       pointInIntervalInfo, pointInIntervalBuilder)
     Shim.registerTableFunction(spark, "graft_tx_read", txReadInfo,
       txReadBuilder)
+    Shim.registerTableFunction(spark, "graft_tx_cdf", txCdfInfo,
+      txCdfBuilder)
   }
 }

@@ -266,6 +266,38 @@ object Lakehouse {
            |GROUP BY o_orderstatus""".stripMargin)
     }),
 
+    "q104_format_rw" -> ((s, dir) => {
+      // The batch DataFrameReader/Writer + SQL DDL surface over TxLog
+      // (sources/TxLogRelation via streaming/TxLogStream createRelation):
+      // even-key orders land through the WRITER API (one overwrite
+      // commit), the odd half arrives through SQL `INSERT INTO` a
+      // `CREATE TABLE ... USING graft-txlog` table (one append commit,
+      // through the same optimistic protocol), and the result is read
+      // back through `spark.read.format("graft-txlog")`. Hash equality
+      // with the plain full-orders aggregate proves the relation
+      // surface reads exactly the committed snapshot — no row lost or
+      // doubled across the two commit paths, SQL and Scala writers
+      // interleaving on one log.
+      val t = tmpTable("tx-q104")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec2(col("o_totalprice")).as("price"))
+        .filter(col("o_orderkey") % 2 === 0)
+        .write.format("graft-txlog").mode("overwrite").save(t)
+      s.sql("DROP TABLE IF EXISTS q104_orders_tx")
+      s.sql(s"CREATE TABLE q104_orders_tx USING `graft-txlog` " +
+        s"OPTIONS (path '$t')")
+      s.sql(
+        s"""INSERT INTO q104_orders_tx
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(o_totalprice AS DECIMAL(12,2))
+           |FROM parquet.`$dir/orders.parquet`
+           |WHERE o_orderkey % 2 <> 0""".stripMargin)
+      s.read.format("graft-txlog").load(t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), r2d(sum(col("price"))).as("total"))
+    }),
+
     "q100_tx_evolve" -> ((s, dir) => {
       // Schema evolution (TxLog.append(mergeSchema) scaladoc): the base
       // publish has no o_orderstatus; a later append ADDS the column
@@ -479,6 +511,11 @@ object Lakehouse {
         |GROUP BY 1""".stripMargin,
 
     "q99_sql_tx" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q104_format_rw" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,

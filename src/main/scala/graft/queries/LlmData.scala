@@ -253,6 +253,50 @@ object LlmData {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
     }),
 
+    "d19_domain_mix" -> ((s, dir) => {
+      // Token-BUDGETED training mixture (operators/Mixture scaladoc):
+      // four curated domains get 60% of their tokens, the rest 25%,
+      // filled exact-greedily in md5 order. The running sum is the
+      // two-phase hash-sliced prefix scan — never one task per domain —
+      // and the kept set plus cum_tok hash-match DuckDB's plain global
+      // window, proving the distributed scan equals the single-window
+      // semantics exactly.
+      val pct = when(col("source").isin("src0", "src1", "src2", "src3"), 60)
+        .otherwise(25)
+      val hash = md5(col("doc_id").cast("string").cast("binary"))
+      graft.operators.Mixture.budgetFill(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n_tok")),
+          "source", hash, col("doc_id"), col("n_tok"), pct)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("__cum").as("cum_tok"))
+    }),
+
+    "d20_epoch_mix" -> ((s, dir) => {
+      // Epoch-based mixture materialization (the counterpart of d19's
+      // budget TRUNCATION): a mix spec also UPSAMPLES — "2.5 epochs of
+      // curated, 0.8 of web". Fractional epochs are deterministic, not
+      // sampled: every doc repeats floor(epochs) times, and the same
+      // md5 %100 bucket d10/d13 split on decides which docs carry the
+      // fractional extra epoch — reproducible under any partitioning,
+      // and each output row carries its epoch index (downstream
+      // shuffling/packing treats copies as distinct rows). explode of a
+      // per-row sequence is flatMap-shaped: no shuffle, no join, output
+      // ∝ Σ copies — the 100 TB cost is the data you asked for, never
+      // an all-pairs blowup.
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100).cast("int")
+      val pctEpochs = when(col("source").isin("src0", "src1", "src2", "src3"),
+        250).otherwise(80) // percent: 250 = 2.5 epochs, 80 = 0.8
+      val copies = (floor(pctEpochs / 100) +
+        when(bucket < pctEpochs % 100, 1).otherwise(0)).cast("int")
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), copies.as("copies"))
+        .filter(col("copies") > 0)
+        .select(col("doc_id"), col("source"), col("copies"),
+          explode(sequence(lit(1), col("copies"))).as("epoch"))
+    }),
+
     "d09_editdist_neardup" -> ((s, dir) => {
       // Edit-distance near-dup pairs with prefix blocking (string
       // similarity join pattern, cf. ICDE 2022 compressed-index joins in
@@ -662,6 +706,38 @@ object LlmData {
         |SELECT shard, CAST(floor(prior / 512.0) AS BIGINT) AS seq,
         | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "d19_domain_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5(doc_id::VARCHAR) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source) AS BIGINT) AS tot
+        |  FROM t)
+        |SELECT doc_id, source, n_tok, cum_tok
+        |FROM c
+        |WHERE cum_tok * 100 <=
+        |  (CASE WHEN source IN ('src0','src1','src2','src3') THEN 60 ELSE 25 END) * tot""".stripMargin,
+
+    "d20_epoch_mix" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CAST(
+        |      (CASE WHEN source IN ('src0','src1','src2','src3')
+        |            THEN 250 ELSE 80 END) // 100
+        |      + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+        |             < (CASE WHEN source IN ('src0','src1','src2','src3')
+        |                     THEN 250 ELSE 80 END) % 100
+        |             THEN 1 ELSE 0 END AS INT) AS copies
+        |  FROM documents)
+        |SELECT doc_id, source, copies, e AS epoch
+        |FROM c, (VALUES (1), (2), (3)) v(e)
+        |WHERE e <= copies""".stripMargin,
 
     "d04_simhash" -> simhashSql,
 

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -45,9 +45,47 @@ import graft.sources.TxLog
   * vacuuming PAST it fails the restart loudly (manifest gone).
   */
 class TxLogStream extends StreamSourceProvider with StreamSinkProvider
+    with RelationProvider with CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-txlog"
+
+  /** Batch READ (`spark.read.format("graft-txlog")`, SQL
+    * `CREATE TABLE ... USING` + SELECT/INSERT): see
+    * [[graft.sources.TxLogRelation]]. `versionAsOf` time-travels.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new graft.sources.TxLogRelation(sqlContext.sparkSession,
+      pathOf(parameters), parameters.get("versionAsOf").map(_.toLong))
+
+  /** Batch WRITE (`df.write.format("graft-txlog").mode(...).save(path)`,
+    * SQL `CREATE TABLE ... USING ... AS SELECT`): every mode lands as
+    * ONE atomic commit — Overwrite is the snapshot replace, Append the
+    * optimistic append (creating the table on first write), and
+    * ErrorIfExists/Ignore gate on whether the log has any version.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    require(!parameters.contains("versionAsOf"),
+      "graft-txlog: versionAsOf is a read option - writes always commit " +
+        "a new version on top of the latest")
+    val spark = sqlContext.sparkSession
+    val exists = TxLog.latestVersion(spark, path).isDefined
+    mode match {
+      case SaveMode.Overwrite => TxLog.overwrite(data, path)
+      case SaveMode.Append =>
+        if (exists) TxLog.append(data, path) else TxLog.overwrite(data, path)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft-txlog: $path already has committed versions " +
+            "(mode=ErrorIfExists)")
+        else TxLog.overwrite(data, path)
+      case SaveMode.Ignore => if (!exists) TxLog.overwrite(data, path)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",

@@ -88,4 +88,30 @@ class TableFunctionSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("1 or 2"), e.getMessage)
   }
+
+  test("graft_tx_cdf equals TxLog.readChangeFeed") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sources.TxLog
+    val t = java.nio.file.Files.createTempDirectory("graft-tvf-cdf")
+      .resolve("t").toString
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t) // v1
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)               // v2
+    TxLog.delete(spark, t, col("k") === 1L, changeFeed = true)   // v3
+    TxLog.update(spark, t, col("k") === 3L, Seq("v" -> lit("z")),
+      changeFeed = true)                                         // v4
+    assert(spark.sql(s"SELECT * FROM graft_tx_cdf('$t', 1)").collect().toSet ==
+      TxLog.readChangeFeed(spark, t, 1L).collect().toSet)
+    // bounded range: only the delete's changes
+    assert(spark.sql(s"SELECT * FROM graft_tx_cdf('$t', 2, 3)").collect().toSet ==
+      TxLog.readChangeFeed(spark, t, 2L, Some(3L)).collect().toSet)
+    assert(spark.sql(
+        s"SELECT _change_type, count(*) AS n FROM graft_tx_cdf('$t', 1) GROUP BY 1")
+      .as[(String, Long)].collect().toMap ==
+      Map("insert" -> 1L, "delete" -> 1L,
+        "update_preimage" -> 1L, "update_postimage" -> 1L))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_tx_cdf('$t')")
+    }
+    assert(e.getMessage.contains("2 or 3"), e.getMessage)
+  }
 }
