@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.{CacheRegistry, Tables}
 import graft.functions.{BloomFns, HashFns, TextFns, VecFns}
 import graft.plans.TopKPerKey
-import graft.similarity.{ConnectedComponents, IvfAnn, LshAnn, NgramJaccard, ParagraphDedup}
+import graft.similarity.{ConnectedComponents, IvfAnn, LshAnn, NgramJaccard, ParagraphDedup, PqAnn, SubstringDedup}
 import graft.multimodal.BinaryColumns
 
 /** LLM-training-data pipeline queries (SURVEY.md §2: d01–d07, t01–t04, m01):
@@ -231,6 +231,17 @@ object LlmData {
         .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
           r4(col("dup_frac")).as("dup_frac"), col("keep"))),
 
+    "d21_substring_dedup" -> ((s, dir) =>
+      // Exact-substring pass (windowed ExactSubstr, SubstringDedup
+      // scaladoc): overlapping 15-token windows, duplicate iff the
+      // exact window recurs in another doc; consecutive duplicated
+      // positions merge into spans. Catches cross-doc repeats d17's
+      // chunk grid misses when they straddle a chunk boundary.
+      SubstringDedup.verdict(docs(s, dir), w = 15, keepBelow = 0.5)
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          col("n_spans"), col("max_span_tokens"),
+          r4(col("dup_frac")).as("dup_frac"), col("keep"))),
+
     "d18_sequence_pack" -> ((s, dir) => {
       // Sequence packing (pretraining batch prep): documents packed in
       // doc_id order into fixed token-budget training sequences via an
@@ -295,6 +306,23 @@ object LlmData {
         .filter(col("copies") > 0)
         .select(col("doc_id"), col("source"), col("copies"),
           explode(sequence(lit(1), col("copies"))).as("epoch"))
+    }),
+
+    "d22_ann_pq" -> ((s, dir) => {
+      // Product-quantization ANN (PqAnn scaladoc): 64-dim vectors → 8
+      // subspaces × 16-entry trained codebooks (8 B/vector, 64× smaller
+      // than the raw corpus — the memory scale path, vs d07's hash
+      // blocking and d08's inverted lists); search = broadcast
+      // query-LUT + equi-join + one sum aggregate. Approximate by
+      // construction → rows-only; PqAnnSpec measures recall vs exact.
+      val e = emb(s, dir)
+      val cb = PqAnn.codebooksFor(e, dir, dim = 64, m = 8, ksub = 16)
+      val codes = PqAnn.encode(e, cb, dim = 64, m = 8)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      PqAnn.search(q, cb, codes, dim = 64, m = 8, k = 5)
+        .select(col("q_id"), col("c_id"), col("rank"),
+          r4(col("approx_cos")).as("approx_cos"))
     }),
 
     "d09_editdist_neardup" -> ((s, dir) => {
@@ -479,6 +507,47 @@ object LlmData {
           count(lit(1)).as("n_terms"))
         .select(col("doc_id"), col("n_tok"), col("n_terms"),
           r4(col("lp_sum").cast("double") / col("n_tok")).as("avg_logprob"))
+    }),
+
+    "t10_bm25" -> ((s, dir) => {
+      // BM25 retrieval (k1=1.2, b=0.75, Lucene-style idf): the ranked
+      // lexical-search pass a curation/eval pipeline runs next to the
+      // embedding paths (d05/d07/d08). The "query" is data-derived for
+      // determinism: the corpus' top-3 document-frequency terms. Shape:
+      // two hash aggregates (tf, df) + broadcast of the 3-term query +
+      // one equi-join — the per-term posting scan of a 100 TB search,
+      // never a vocabulary-wide shuffle. Cross-engine double parity:
+      // idf rounded to 8dp (t05 recipe), per-term contributions pivoted
+      // to fixed columns so the 3-term sum associates left-to-right
+      // identically in both engines.
+      val d = docs(s, dir)
+      val dl = d.select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("dl"))
+      val tf = CacheRegistry.track(d
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .cache())
+      val stats = dl.agg(sum("dl").cast("double").as("sumdl"),
+        count(lit(1)).cast("double").as("n"))
+      val qterms = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(3)
+        .withColumn("qrank", row_number().over(
+          Window.orderBy(col("df").desc, col("term"))))
+      val contrib = tf.join(broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 8))
+        .withColumn("contrib", col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("sumdl") / col("n")))))
+      val scored = contrib.groupBy("doc_id").agg(
+        coalesce(max(when(col("qrank") === 1, col("contrib"))), lit(0.0)).as("c1"),
+        coalesce(max(when(col("qrank") === 2, col("contrib"))), lit(0.0)).as("c2"),
+        coalesce(max(when(col("qrank") === 3, col("contrib"))), lit(0.0)).as("c3"))
+        .withColumn("score", col("c1") + col("c2") + col("c3"))
+      scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"), r4(col("score")).as("bm25"))
     }),
 
     "t09_heavy_hitters" -> ((s, dir) =>
@@ -692,6 +761,36 @@ object LlmData {
         | (sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*)) < 0.5 AS keep
         |FROM dup GROUP BY 1""".stripMargin,
 
+    "d21_substring_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+14], ' ')) AS h
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 13)) AS i) _
+        |  WHERE len(t) >= 15),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |    count(DISTINCT doc_id) OVER (PARTITION BY h) >= 2 AS is_dup
+        |  FROM w),
+        |totals AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+        |  FROM marked GROUP BY 1),
+        |runs AS (
+        |  SELECT doc_id,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM marked WHERE is_dup),
+        |spans AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(max(run) + 14 AS BIGINT) AS max_span_tokens
+        |  FROM (SELECT doc_id, g, count(*) AS run FROM runs GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT t.doc_id, t.n_windows, t.n_dup_windows,
+        | coalesce(s.n_spans, 0) AS n_spans,
+        | coalesce(s.max_span_tokens, 0) AS max_span_tokens,
+        | round(t.n_dup_windows::DOUBLE / t.n_windows + 1e-7, 4) + 0 AS dup_frac,
+        | (t.n_dup_windows::DOUBLE / t.n_windows) < 0.5 AS keep
+        |FROM totals t LEFT JOIN spans s ON t.doc_id = s.doc_id""".stripMargin,
+
     "d18_sequence_pack" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -890,6 +989,36 @@ object LlmData {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS n_terms,
         | round(CAST(sum(contrib) AS DOUBLE) / sum(c) + 1e-7, 4) + 0 AS avg_logprob
         |FROM j GROUP BY 1""".stripMargin,
+
+    "t10_bm25" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM tok) GROUP BY 1, 2),
+        |stats AS (SELECT sum(dl)::DOUBLE AS sumdl, count(*)::DOUBLE AS n FROM dl),
+        |qterms AS (
+        |  SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS qrank
+        |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |  ORDER BY df DESC, term LIMIT 3),
+        |contrib AS (
+        |  SELECT tf.doc_id, q.qrank,
+        |    round(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0), 8) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (s.sumdl / s.n))) AS contrib
+        |  FROM tf JOIN qterms q USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id, stats s),
+        |scored AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN qrank = 1 THEN contrib END), 0.0) +
+        |    coalesce(max(CASE WHEN qrank = 2 THEN contrib END), 0.0) +
+        |    coalesce(max(CASE WHEN qrank = 3 THEN contrib END), 0.0) AS score
+        |  FROM contrib GROUP BY 1)
+        |SELECT doc_id, CAST(rnk AS INT) AS rank, round(score + 1e-7, 4) + 0 AS bm25
+        |FROM (SELECT doc_id, score,
+        |        row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 20""".stripMargin,
 
     "d13_stratified_sample" ->
       """SELECT doc_id, lang,
