@@ -45,7 +45,7 @@ object PqAnn {
     df.select(col(idCol), normalize(col(vecCol)).as("__nv"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("__nv"), s * dsub + 1, dsub))))
+          s => slice(col("__nv"), s * dsub + 1, lit(dsub)))))
       .select(col(idCol), col("pos").cast("int").as("sub_id"), col("col").as("sv"))
 
   // per-(corpusTag, m, ksub, maxIter, seed) codebook memo — same shape
@@ -53,7 +53,7 @@ object PqAnn {
   // tiny (m × ksub × dsub doubles), the offline-job + published-dim-table
   // pattern of a real deployment.
   private val codebookMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Long),
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int, Long),
       Seq[(Int, Int, Seq[Double])]]
 
   /** Train per-subspace codebooks: (sub_id, code, ce). `m` subspaces of
@@ -86,7 +86,7 @@ object PqAnn {
   def codebooksFor(embeddings: DataFrame, corpusTag: String, dim: Int, m: Int,
                    ksub: Int, maxIter: Int = 10, seed: Long = 42L): DataFrame = {
     val rows = codebookMemo.computeIfAbsent(
-      (corpusTag, m, ksub, maxIter, seed),
+      (corpusTag, dim, m, ksub, maxIter, seed),
       _ => trainCodebooks(embeddings, dim, m, ksub, maxIter, seed)
         .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))))
     embeddings.sparkSession.createDataFrame(rows).toDF("sub_id", "code", "ce")
@@ -127,7 +127,7 @@ object PqAnn {
     val scored = codes
       .join(broadcast(lut), Seq("sub_id", "code"))
       .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", col("vec_id").as("c_id"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
       .agg(sum("pdot").as("approx_cos"))
     TopKPerKey.withRank(scored, Seq(col("q_id")),
         Seq(col("approx_cos").desc, col("c_id")), k = k, rankCol = "rank")

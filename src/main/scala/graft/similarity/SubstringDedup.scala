@@ -46,7 +46,7 @@ object SubstringDedup {
       .filter(size(col("t")) >= w)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("t")) - (w - 1)),
-          i => md5(concat_ws(" ", slice(col("t"), i, w)).cast("binary")))))
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(w))).cast("binary")))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("h"))
   }
