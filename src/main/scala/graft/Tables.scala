@@ -25,16 +25,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** The events table carries parquet TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects. Read it as raw long nanos (legacy conf)
-    * and convert to a microsecond timestamp — lossless here (the
-    * generator emits microsecond-granular values) and bit-identical to
+  /** The events table's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (read as raw long nanos via the
+    * legacy conf, Spark's vectorized reader rejects nanos), TIMESTAMP
+    * (µs, surfaced as TIMESTAMP_NTZ under parquet NTZ inference), or a
+    * session-zoned timestamp. Normalize all of them to a session TIMESTAMP
+    * holding the same microsecond instant: the session zone is UTC
+    * everywhere in graft, so each branch is lossless and bit-identical to
     * DuckDB's `epoch_us(ts)` on the same file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long generation
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType => // µs wall-clock
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   /** documents/embeddings ship as one small parquet file = ONE scan
     * partition, so every downstream per-row computation (shingle

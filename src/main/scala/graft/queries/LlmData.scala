@@ -309,18 +309,22 @@ object LlmData {
     }),
 
     "d22_ann_pq" -> ((s, dir) => {
-      // Product-quantization ANN (PqAnn scaladoc): 64-dim vectors → 8
-      // subspaces × 16-entry trained codebooks (8 B/vector, 64× smaller
+      // Product-quantization ANN (PqAnn scaladoc): 64-dim vectors → 16
+      // subspaces × 32-entry trained codebooks (16 B/vector, 16× smaller
       // than the raw corpus — the memory scale path, vs d07's hash
       // blocking and d08's inverted lists); search = broadcast
-      // query-LUT + equi-join + one sum aggregate. Approximate by
-      // construction → rows-only; PqAnnSpec measures recall vs exact.
+      // query-LUT + equi-join + one sum aggregate. m/ksub picked by a
+      // measured recall sweep on this corpus (8×16 → 0.16 recall@5,
+      // 16×32 → 0.42 — the synthetic embeddings are near-isotropic, the
+      // hard case for PQ, so the code budget errs fine-grained).
+      // Approximate by construction → rows-only; PqAnnSpec measures
+      // recall vs exact.
       val e = emb(s, dir)
-      val cb = PqAnn.codebooksFor(e, dir, dim = 64, m = 8, ksub = 16)
-      val codes = PqAnn.encode(e, cb, dim = 64, m = 8)
+      val cb = PqAnn.codebooksFor(e, dir, dim = 64, m = 16, ksub = 32)
+      val codes = PqAnn.encode(e, cb, dim = 64, m = 16)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      PqAnn.search(q, cb, codes, dim = 64, m = 8, k = 5)
+      PqAnn.search(q, cb, codes, dim = 64, m = 16, k = 5)
         .select(col("q_id"), col("c_id"), col("rank"),
           r4(col("approx_cos")).as("approx_cos"))
     }),

@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "q81_tpch11",           // broadcast 1-row value-fraction cutoff anchor
     "q102_tx_restore",      // broadcast 1-row bad-version row count
     "t05_tfidf",            // broadcast 1-row n_docs scalar
-    "t08_unigram_lm")       // broadcast 1-row corpus-total scalar
+    "t08_unigram_lm",       // broadcast 1-row corpus-total scalar
+    "t10_bm25")             // broadcast 1-row (sumdl, n) corpus stats
 
   private def nodeNames(name: String): Seq[String] = {
     // cache hygiene is part of the AUDIT's integrity, not just memory:
