@@ -372,6 +372,30 @@ object Lakehouse {
         .crossJoin(broadcast(badRows.select(col("bad_rows"))))
     }),
 
+    "q105_tx_stats" -> ((s, dir) => {
+      // Metadata-only aggregate (TxLog.statsAggregate scaladoc): count,
+      // min/max and null-count answered from the manifest alone — the
+      // query plans ZERO data-file reads (TxLogSpec proves it by wiping
+      // the data directory first). Hash equality with DuckDB's full-scan
+      // aggregate over the same rows proves the folded per-file stats
+      // equal the scan answer — the guarantee that lets a 100 TB
+      // dashboard count come from one KB-sized manifest read.
+      val t = tmpTable("tx-q105")
+      TxLog.overwrite(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), dec2(col("o_totalprice")).as("price"),
+            col("o_orderdate"))
+          .repartitionByRange(8, col("o_orderdate")), t)
+      TxLog.statsAggregate(s, t, Seq("o_orderkey", "price", "o_orderdate"))
+        .select(col("n_rows"),
+          col("o_orderkey_min"), col("o_orderkey_max"),
+          col("price_min").cast("double").as("price_min"),
+          col("price_max").cast("double").as("price_max"),
+          col("price_nulls"),
+          date_format(col("o_orderdate_min"), "yyyy-MM-dd").as("date_min"),
+          date_format(col("o_orderdate_max"), "yyyy-MM-dd").as("date_max"))
+    }),
+
     "q103_tx_ivm" -> ((s, dir) => {
       // Incremental view maintenance driven by the change feed
       // (Incremental.cdfDelta scaladoc): materialize per-status
@@ -557,6 +581,17 @@ object Lakehouse {
         | (SELECT CAST(count(*) AS BIGINT) FROM o
         |  WHERE year(o_orderdate) >= 1997) AS bad_rows
         |FROM o WHERE year(o_orderdate) < 1997 GROUP BY 1""".stripMargin,
+
+    "q105_tx_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | min(o_orderkey) AS o_orderkey_min,
+        | max(o_orderkey) AS o_orderkey_max,
+        | CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_min,
+        | CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_max,
+        | CAST(count(*) - count(o_totalprice) AS BIGINT) AS price_nulls,
+        | strftime(min(o_orderdate), '%Y-%m-%d') AS date_min,
+        | strftime(max(o_orderdate), '%Y-%m-%d') AS date_max
+        |FROM orders""".stripMargin,
 
     "q103_tx_ivm" ->
       """WITH o AS (

@@ -313,20 +313,22 @@ object LlmData {
       // subspaces × 32-entry trained codebooks (16 B/vector, 16× smaller
       // than the raw corpus — the memory scale path, vs d07's hash
       // blocking and d08's inverted lists); search = broadcast
-      // query-LUT + equi-join + one sum aggregate. m/ksub picked by a
-      // measured recall sweep on this corpus (8×16 → 0.16 recall@5,
-      // 16×32 → 0.42 — the synthetic embeddings are near-isotropic, the
-      // hard case for PQ, so the code budget errs fine-grained).
-      // Approximate by construction → rows-only; PqAnnSpec measures
-      // recall vs exact.
+      // query-LUT + equi-join + one sum aggregate, then an exact
+      // re-rank of the ADC top-(8·k) shortlist (searchRefined — the
+      // Faiss refine stage). m/ksub picked by a measured recall sweep
+      // (ADC-only: 8×16 → 0.16 recall@5, 16×32 → 0.42 — the synthetic
+      // embeddings are near-isotropic, the hard case for PQ); the
+      // refine stage lifts final recall@5 to ADC's recall@40 at a cost
+      // of nq × 40 exact dot products. Approximate by construction →
+      // rows-only; PqAnnSpec measures recall vs exact.
       val e = emb(s, dir)
       val cb = PqAnn.codebooksFor(e, dir, dim = 64, m = 16, ksub = 32)
       val codes = PqAnn.encode(e, cb, dim = 64, m = 16)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      PqAnn.search(q, cb, codes, dim = 64, m = 16, k = 5)
+      PqAnn.searchRefined(q, cb, codes, e, dim = 64, m = 16, k = 5)
         .select(col("q_id"), col("c_id"), col("rank"),
-          r4(col("approx_cos")).as("approx_cos"))
+          r4(col("cos")).as("cos"))
     }),
 
     "d09_editdist_neardup" -> ((s, dir) => {

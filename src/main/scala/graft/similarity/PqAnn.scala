@@ -133,4 +133,33 @@ object PqAnn {
         Seq(col("approx_cos").desc, col("c_id")), k = k, rankCol = "rank")
       .select(col("q_id"), col("c_id"), col("rank"), col("approx_cos"))
   }
+
+  /** ADC shortlist + exact re-rank (the Faiss `IndexRefineFlat` recipe):
+    * [[search]] retrieves `refine × k` candidates per query from the
+    * codes table, then ONLY those candidates' raw embeddings are fetched
+    * and scored with the exact cosine, and the exact score picks the
+    * final top-k. Recall@k becomes ADC's recall@(refine·k) — the cheap
+    * quantized scan does the winnowing, the expensive exact math runs on
+    * `nq × refine × k` rows total. The candidate fetch broadcasts the
+    * (q_id, c_id) shortlist — metadata-sized for any sane query batch —
+    * against the corpus scan, so the raw-vector table is read once,
+    * never shuffled. Output: (q_id, c_id, rank, cos) with `cos` exact.
+    */
+  def searchRefined(queries: DataFrame, codebooks: DataFrame, codes: DataFrame,
+                    corpus: DataFrame, dim: Int, m: Int, k: Int,
+                    refine: Int = 8): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1, got $refine")
+    val shortlist = search(queries, codebooks, codes, dim, m, k * refine)
+      .select(col("q_id"), col("c_id"))
+    val cand = corpus
+      .select(col("vec_id").as("c_id"), normalize(col("embedding")).as("cv"))
+      .join(broadcast(shortlist), Seq("c_id"))
+    val exact = cand
+      .join(broadcast(queries.select(col("q_id"), normalize(col("qe")).as("qv"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("c_id"), VecFns.dot(col("cv"), col("qv")).as("cos"))
+    TopKPerKey.withRank(exact, Seq(col("q_id")),
+        Seq(col("cos").desc, col("c_id")), k = k, rankCol = "rank")
+      .select(col("q_id"), col("c_id"), col("rank"), col("cos"))
+  }
 }

@@ -411,6 +411,72 @@ object TxLog {
   private def quoted(name: String): String =
     "`" + name.replace("`", "``") + "`"
 
+  /** Metadata-only aggregate (the Delta/Iceberg `SELECT count(*)`
+    * fast-path class): total row count plus per-column min / max /
+    * null-count for `columns`, answered ENTIRELY from the manifest —
+    * zero data files are opened. count(*) is the sum of the per-file
+    * row counts the commit protocol recorded; min/max/nulls fold the
+    * per-file stats, which [[collectStats]] computed EXACTLY (a real
+    * aggregate at write time, not a truncating footer read), so the
+    * folded answer equals the full-scan answer. Fails loudly if any
+    * live file lacks stats for a requested column — data skipping may
+    * silently degrade to reading, but an ANSWER from metadata must
+    * never be a guess; compute from the data instead.
+    *
+    * Output: one row — `n_rows`, then `<c>_min`, `<c>_max`,
+    * `<c>_nulls` per requested column, min/max cast back to the
+    * column's own type (the stats string form round-trips: numerics
+    * through BigDecimal exactly, dates/timestamps through their ISO
+    * render in the session timezone).
+    *
+    * At 100 TB this is the difference between a full-table scan and
+    * one KB-sized manifest read for the most common dashboard
+    * queries — the same reason Delta answers count(*) from its log.
+    */
+  def statsAggregate(spark: SparkSession, table: String,
+      columns: Seq[String] = Seq.empty): DataFrame = {
+    val m = manifest(spark, table)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val cols = columns.map { c =>
+      require(schema.fieldNames.contains(c),
+        s"table $table has no column '$c' (schema: ${schema.fieldNames.mkString(", ")})")
+      val f = schema(c)
+      require(isSkippable(f.dataType),
+        s"column '$c' (${f.dataType.simpleString}) has no stats domain")
+      c -> f.dataType
+    }
+    val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    val perFile = m.files.map { p =>
+      val e = byPath.getOrElse(p, sys.error(
+        s"file $p of $table carries no stats — metadata-only aggregate " +
+          "unavailable; aggregate over read() instead"))
+      val vals: Seq[Any] = e.rows +: cols.flatMap { case (c, _) =>
+        if (e.rows == 0L) Seq(null, null, 0L) // 0-row file: nothing to fold
+        else {
+          val st = e.stats.getOrElse(c, sys.error(
+            s"file $p of $table has no stats for column '$c' — metadata-only " +
+              "aggregate unavailable; aggregate over read() instead"))
+          Seq(st.min.orNull, st.max.orNull, st.nulls)
+        }
+      }
+      org.apache.spark.sql.Row(vals: _*)
+    }
+    val statSchema = StructType(
+      StructField("__rows", LongType, nullable = false) +:
+        cols.flatMap { case (c, _) => Seq(
+          StructField(s"__mn_$c", StringType, nullable = true),
+          StructField(s"__mx_$c", StringType, nullable = true),
+          StructField(s"__nc_$c", LongType, nullable = false)) })
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(perFile.asJava, statSchema)
+    val aggs = cols.flatMap { case (c, dt) => Seq(
+      min(col(quoted(s"__mn_$c")).cast(dt)).as(s"${c}_min"),
+      max(col(quoted(s"__mx_$c")).cast(dt)).as(s"${c}_max"),
+      coalesce(sum(col(quoted(s"__nc_$c"))), lit(0L)).as(s"${c}_nulls")) }
+    df.groupBy()
+      .agg(coalesce(sum(col("__rows")), lit(0L)).as("n_rows"), aggs: _*)
+  }
+
   /** Per-file stats for the freshly written files under `dataDir`: ONE
     * column-pruned aggregate pass grouped by file. Parquet is columnar,
     * so this reads only the ≤[[maxStatsCols]] skippable columns'
@@ -423,7 +489,10 @@ object TxLog {
   private def collectStats(spark: SparkSession, dataDir: Path,
       schema: StructType, dataRel: String): Seq[FileEntry] = {
     val skippable = schema.fields.filter(f => isSkippable(f.dataType)).take(maxStatsCols)
-    if (skippable.isEmpty) return Seq.empty
+    // zero skippable columns still yields per-file ROW COUNTS (a
+    // no-data-column parquet count is a footer-metadata scan): row
+    // counts must be complete for every table — delete's tier-2 and
+    // statsAggregate's count(*) both answer from them
     val aggs = skippable.zipWithIndex.flatMap { case (f, i) =>
       val c = col(quoted(f.name))
       Seq(min(c).cast("string").as(s"__mn_$i"),
@@ -1001,7 +1070,13 @@ object TxLog {
     val stats =
       if (fresh.isEmpty) Seq.empty
       else collectStats(spark, dataDir, schema, dataRel)
-    Written(dataRel, fresh, stats, schema.json)
+    // a 0-row part file never surfaces in collectStats' grouped
+    // aggregate (no rows, no group) — record it explicitly so the
+    // manifest's per-file row counts are COMPLETE, which is what lets
+    // statsAggregate answer count(*) from metadata alone
+    val seen = stats.map(_.path).toSet
+    val all = stats ++ fresh.filterNot(seen).map(FileEntry(_, 0L, Map.empty))
+    Written(dataRel, fresh, all.sortBy(_.path), schema.json)
   }
 
   // one lock object per local table log dir — see renameIfAbsent

@@ -834,4 +834,48 @@ class TxLogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not an append"), e.getMessage)
   }
+
+  test("statsAggregate answers count/min/max/nulls from the manifest alone") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq(
+      (Some(10L), "a"), (Some(3L), "b"), (None, "c")).toDF("k", "v")
+      .repartition(2), t)
+    TxLog.append(Seq((Some(42L), "d")).toDF("k", "v"), t)
+    val got = TxLog.statsAggregate(spark, t, Seq("k", "v"))
+      .as[(Long, Option[Long], Option[Long], Long, Option[String], Option[String], Long)]
+      .head()
+    assert(got == ((4L, Some(3L), Some(42L), 1L, Some("a"), Some("d"), 0L)))
+    // THE metadata-only proof: physically delete every data file — the
+    // aggregate still answers, because it never plans a scan
+    val dataDir = java.nio.file.Paths.get(t, "data")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dataDir).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists)
+    val after = TxLog.statsAggregate(spark, t, Seq("k"))
+      .as[(Long, Option[Long], Option[Long], Long)].head()
+    assert(after == ((4L, Some(3L), Some(42L), 1L)))
+  }
+
+  test("statsAggregate: empty table, bare count, and loud failures") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v").filter("k < 0"), t)
+    assert(TxLog.statsAggregate(spark, t).as[Long].head() == 0L)
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    assert(TxLog.statsAggregate(spark, t).as[Long].head() == 2L)
+    // unknown column and a column outside the stats domain fail loudly
+    assertThrows[IllegalArgumentException] {
+      TxLog.statsAggregate(spark, t, Seq("nope"))
+    }
+    val tb = tmpTable()
+    TxLog.overwrite(Seq((1L, Array[Byte](1))).toDF("k", "b"), tb)
+    assertThrows[IllegalArgumentException] {
+      TxLog.statsAggregate(spark, tb, Seq("b"))
+    }
+    // a table with NO skippable columns still counts from metadata —
+    // collectStats records row counts even with an empty stats domain
+    val tb2 = tmpTable()
+    TxLog.overwrite(Seq(Tuple1(Array[Byte](1, 2)), Tuple1(Array[Byte](3)))
+      .toDF("b"), tb2)
+    assert(TxLog.statsAggregate(spark, tb2).as[Long].head() == 2L)
+  }
 }
