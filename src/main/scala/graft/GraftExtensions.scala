@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.txReadTableFunction)
     ext.injectTableFunction(GraftExtensions.txCdfTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // COUNT(*) over a graft-txlog relation answers from the manifest
+    ext.injectOptimizerRule(_ => graft.plans.TxMetadataCount)
     // pre-CBO: runs AFTER the default optimizer batches, so it sees (and
     // replaces) an InferWindowGroupLimit-inserted WindowGroupLimit child
     ext.injectPreCBORule(_ => graft.plans.WindowTopKRewrite)

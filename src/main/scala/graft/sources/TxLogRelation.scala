@@ -55,10 +55,26 @@ class TxLogRelation(spark: SparkSession, table: String,
   // every scan of this instance read the same committed version
   private var pinnedVersion: Option[Long] = versionAsOf
 
-  private def snapshot: DataFrame = synchronized {
-    val v = pinnedVersion.getOrElse { val l = latestOrFail
+  private def pin(): Long = synchronized {
+    pinnedVersion.getOrElse { val l = latestOrFail
       pinnedVersion = Some(l); l }
-    TxLog.readAsOf(spark, table, v)
+  }
+
+  private def snapshot: DataFrame = TxLog.readAsOf(spark, table, pin())
+
+  /** Row count for the metadata-only COUNT(*) rewrite
+    * ([[graft.plans.TxMetadataCount]]): the sum of the manifest's
+    * per-file row counts, `None` when any live file lacks a recorded
+    * count (the rule then leaves the scan alone — a metadata answer is
+    * never a guess). Pins the snapshot version exactly like a scan
+    * would, so a count and a later scan of the same relation instance
+    * agree on the version they describe.
+    */
+  private[graft] def metadataCount: Option[Long] = {
+    val m = TxLog.manifestAt(spark, table, pin())
+    val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e.rows).toMap
+    val counts = m.files.map(byPath.get)
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
   override val schema: StructType = {
