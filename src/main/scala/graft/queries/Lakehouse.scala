@@ -44,7 +44,7 @@ object Lakehouse {
       }))
   }
 
-  private def tmpTable(tag: String): String = {
+  private[queries] def tmpTable(tag: String): String = {
     val root = Files.createTempDirectory(s"graft-$tag")
     tmpDirs.add(root)
     root.resolve("t").toString

@@ -331,6 +331,46 @@ object LlmData {
           r4(col("cos")).as("cos"))
     }),
 
+    "d23_incremental_dedup" -> ((s, dir) => {
+      // Dedup-on-ingest — the nightly shape of a GROWING pretraining
+      // corpus: the already-ingested 75% of documents has its MinHash
+      // signatures INDEXED in a transactional table; the new 25% batch
+      // deduplicates by probing that index, so the base corpus text is
+      // never re-read, re-hashed, or self-joined — per-ingest cost is
+      // ∝ batch size plus one index probe, not corpus size. A batch
+      // doc is a CROSS dup if its full 8-hash signature matches an
+      // index entry, a WITHIN dup if a lower-doc_id batch doc shares
+      // its signature; survivors' signatures are appended to the index
+      // in the same run (one atomic TxLog commit), and idx_rows —
+      // answered metadata-only by statsAggregate — proves the index is
+      // ready for the next batch. The probe broadcasts the BATCH
+      // signature set against the streamed index scan (batch ≪ index
+      // at scale): the index is read once, never shuffled.
+      val d = docs(s, dir)
+      val isNew = col("doc_id") % 4 === 0
+      def sigs(df: DataFrame): DataFrame =
+        HashFns.minhashSignatures(df, minhashK)
+          .select(col("doc_id"),
+            concat_ws("|", (0 until minhashK).map(i => col(s"h$i")): _*).as("sig"))
+      val t = Lakehouse.tmpTable("d23-idx")
+      graft.sources.TxLog.overwrite(sigs(d.filter(!isNew)), t)
+      val batch = CacheRegistry.track(sigs(d.filter(isNew)).cache())
+      val hits = graft.sources.TxLog.read(s, t)
+        .join(broadcast(batch.select("sig").distinct()), Seq("sig"))
+        .select("sig").distinct()
+      val flagged = batch
+        .join(broadcast(hits.withColumn("__hit", lit(true))), Seq("sig"), "left")
+        .withColumn("dup_cross", coalesce(col("__hit"), lit(false)))
+        .withColumn("dup_within",
+          row_number().over(Window.partitionBy("sig").orderBy("doc_id")) > 1)
+        .withColumn("keep", !(col("dup_cross") || col("dup_within")))
+      graft.sources.TxLog.append(
+        flagged.filter(col("keep")).select("doc_id", "sig"), t)
+      flagged.select("doc_id", "dup_cross", "dup_within", "keep")
+        .crossJoin(broadcast(graft.sources.TxLog.statsAggregate(s, t)
+          .select(col("n_rows").as("idx_rows"))))
+    }),
+
     "d09_editdist_neardup" -> ((s, dir) => {
       // Edit-distance near-dup pairs with prefix blocking (string
       // similarity join pattern, cf. ICDE 2022 compressed-index joins in
@@ -694,6 +734,25 @@ object LlmData {
         |WHERE common / (x.sz + y.sz - common) >= 0.6""".stripMargin),
 
     "d03_minhash" -> (minhashPairCtes + "\nSELECT doc_a, doc_b FROM mpairs"),
+
+    "d23_incremental_dedup" -> (minhashSigSql + {
+      val cat = (0 until minhashK).map(i => s"h$i").mkString(" || '|' || ")
+      s""",
+         |sigc AS (SELECT doc_id, $cat AS sig FROM sig),
+         |base AS (SELECT sig FROM sigc WHERE doc_id % 4 <> 0),
+         |batch AS (SELECT doc_id, sig FROM sigc WHERE doc_id % 4 = 0),
+         |flags AS (
+         |  SELECT doc_id, sig,
+         |    sig IN (SELECT sig FROM base) AS dup_cross,
+         |    row_number() OVER (PARTITION BY sig ORDER BY doc_id) > 1 AS dup_within
+         |  FROM batch)
+         |SELECT doc_id, dup_cross, dup_within,
+         |  NOT (dup_cross OR dup_within) AS keep,
+         |  CAST((SELECT count(*) FROM base) +
+         |       (SELECT count(*) FROM flags
+         |        WHERE NOT (dup_cross OR dup_within)) AS BIGINT) AS idx_rows
+         |FROM flags""".stripMargin
+    }),
 
     "d11_dup_clusters" -> (minhashPairCtes.replaceFirst("WITH tok", "WITH RECURSIVE tok") +
       """,

@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "q72_tpch22",           // broadcast 1-row avg-balance threshold anchor
     "q81_tpch11",           // broadcast 1-row value-fraction cutoff anchor
     "q102_tx_restore",      // broadcast 1-row bad-version row count
+    "d23_incremental_dedup", // broadcast 1-row metadata index count
     "t05_tfidf",            // broadcast 1-row n_docs scalar
     "t08_unigram_lm",       // broadcast 1-row corpus-total scalar
     "t10_bm25")             // broadcast 1-row (sumdl, n) corpus stats
