@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.{CacheRegistry, Tables}
 import graft.functions.{BloomFns, HashFns, TextFns, VecFns}
 import graft.plans.TopKPerKey
-import graft.similarity.{ConnectedComponents, IvfAnn, LshAnn, NgramJaccard, ParagraphDedup, PqAnn, SubstringDedup}
+import graft.similarity.{ConnectedComponents, IvfAnn, IvfPqAnn, LshAnn, NgramJaccard, ParagraphDedup, PqAnn, SubstringDedup}
 import graft.multimodal.BinaryColumns
 
 /** LLM-training-data pipeline queries (SURVEY.md §2: d01–d07, t01–t04, m01):
@@ -327,6 +327,21 @@ object LlmData {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       PqAnn.searchRefined(q, cb, codes, e, dim = 64, m = 16, k = 5)
+        .select(col("q_id"), col("c_id"), col("rank"),
+          r4(col("cos")).as("cos"))
+    }),
+
+    "d24_ann_ivfpq" -> ((s, dir) => {
+      // IVF routing × PQ scanning × exact re-rank composed (IvfPqAnn
+      // scaladoc) — the production billion-vector configuration: probe
+      // 4 of 16 inverted lists (d08's winnowing), ADC-score only those
+      // lists' 16-byte codes (d22's representation), re-rank the
+      // shortlist exactly. Same nlist/nprobe as d08 and the same m/ksub
+      // as d22, so the recall spec isolates what each composition stage
+      // costs. Approximate by construction → rows-only; AnnSpec
+      // measures recall vs exhaustive probing.
+      IvfPqAnn.topK(emb(s, dir), dir, nQueries = 10, k = 5,
+          nlist = 16, nprobe = 4, dim = 64, m = 16, ksub = 32)
         .select(col("q_id"), col("c_id"), col("rank"),
           r4(col("cos")).as("cos"))
     }),

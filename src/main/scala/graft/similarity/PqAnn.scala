@@ -134,23 +134,37 @@ object PqAnn {
       .select(col("q_id"), col("c_id"), col("rank"), col("approx_cos"))
   }
 
-  /** ADC shortlist + exact re-rank (the Faiss `IndexRefineFlat` recipe):
-    * [[search]] retrieves `refine × k` candidates per query from the
-    * codes table, then ONLY those candidates' raw embeddings are fetched
-    * and scored with the exact cosine, and the exact score picks the
-    * final top-k. Recall@k becomes ADC's recall@(refine·k) — the cheap
-    * quantized scan does the winnowing, the expensive exact math runs on
-    * `nq × refine × k` rows total. The candidate fetch broadcasts the
-    * (q_id, c_id) shortlist — metadata-sized for any sane query batch —
-    * against the corpus scan, so the raw-vector table is read once,
-    * never shuffled. Output: (q_id, c_id, rank, cos) with `cos` exact.
+  /** ADC restricted to an explicit candidate set (`(q_id, vec_id)`
+    * pairs): the scoring join runs over ONLY the candidates' codes —
+    * `|candidates| × m` lookup-table additions — instead of the whole
+    * codes table. This is the scan [[IvfPqAnn]] pays after IVF probing
+    * winnows the corpus to nprobe lists per query.
     */
-  def searchRefined(queries: DataFrame, codebooks: DataFrame, codes: DataFrame,
-                    corpus: DataFrame, dim: Int, m: Int, k: Int,
-                    refine: Int = 8): DataFrame = {
-    require(refine >= 1, s"refine factor must be >= 1, got $refine")
-    val shortlist = search(queries, codebooks, codes, dim, m, k * refine)
-      .select(col("q_id"), col("c_id"))
+  def searchCandidates(queries: DataFrame, codebooks: DataFrame,
+                       codes: DataFrame, candidates: DataFrame,
+                       dim: Int, m: Int, k: Int): DataFrame = {
+    val dsub = dim / m
+    val lut = subvectors(queries, "q_id", "qe", m, dsub)
+      .join(broadcast(codebooks), Seq("sub_id"))
+      .select(col("q_id"), col("sub_id"), col("code"),
+        VecFns.dot(col("sv"), col("ce")).as("pdot"))
+    val scored = candidates
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "sub_id", "code"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(sum("pdot").as("approx_cos"))
+    TopKPerKey.withRank(scored, Seq(col("q_id")),
+        Seq(col("approx_cos").desc, col("c_id")), k = k, rankCol = "rank")
+      .select(col("q_id"), col("c_id"), col("rank"), col("approx_cos"))
+  }
+
+  /** Exact-cosine re-rank of a `(q_id, c_id)` shortlist: fetch ONLY the
+    * shortlisted candidates' raw embeddings (shortlist broadcast against
+    * the corpus scan — the raw-vector table is read once, never
+    * shuffled) and let the exact score pick the final top-k.
+    */
+  private[similarity] def rerank(queries: DataFrame, corpus: DataFrame,
+                                 shortlist: DataFrame, k: Int): DataFrame = {
     val cand = corpus
       .select(col("vec_id").as("c_id"), normalize(col("embedding")).as("cv"))
       .join(broadcast(shortlist), Seq("c_id"))
@@ -161,5 +175,22 @@ object PqAnn {
     TopKPerKey.withRank(exact, Seq(col("q_id")),
         Seq(col("cos").desc, col("c_id")), k = k, rankCol = "rank")
       .select(col("q_id"), col("c_id"), col("rank"), col("cos"))
+  }
+
+  /** ADC shortlist + exact re-rank (the Faiss `IndexRefineFlat` recipe):
+    * [[search]] retrieves `refine × k` candidates per query from the
+    * codes table, then [[rerank]] scores ONLY those with the exact
+    * cosine. Recall@k becomes ADC's recall@(refine·k) — the cheap
+    * quantized scan does the winnowing, the expensive exact math runs on
+    * `nq × refine × k` rows total. Output: (q_id, c_id, rank, cos)
+    * with `cos` exact.
+    */
+  def searchRefined(queries: DataFrame, codebooks: DataFrame, codes: DataFrame,
+                    corpus: DataFrame, dim: Int, m: Int, k: Int,
+                    refine: Int = 8): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1, got $refine")
+    val shortlist = search(queries, codebooks, codes, dim, m, k * refine)
+      .select(col("q_id"), col("c_id"))
+    rerank(queries, corpus, shortlist, k)
   }
 }

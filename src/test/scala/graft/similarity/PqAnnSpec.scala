@@ -53,6 +53,36 @@ class PqAnnSpec extends SparkSpec {
     }
   }
 
+  test("IVFPQ composition: recall within the probed-list ceiling, contract shape") {
+    val exact = LlmData.defs("d05_cosine_topk")(spark, sfDir)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivfpq = LlmData.defs("d24_ann_ivfpq")(spark, sfDir)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect()
+    val got = ivfpq.map(r => (r._1, r._2)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"IVFPQ recall@5 vs exact: $recall%.3f (${(exact & got).size}/${exact.size})")
+    // the PQ stage may only SHRINK the IVF candidate set: every IVFPQ
+    // hit must be reachable under the same probes, so d08 (same
+    // nlist/nprobe, full-precision scoring) is the recall CEILING —
+    // and the 40-candidate ADC shortlist + exact re-rank should give
+    // back nearly everything probing admits
+    val ivf = LlmData.defs("d08_ann_ivf")(spark, sfDir)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF-only recall@5 at equal nlist/nprobe: $ivfRecall%.3f")
+    assert(recall <= ivfRecall + 1e-9,
+      s"IVFPQ recall $recall exceeds its probing ceiling $ivfRecall")
+    assert(recall >= ivfRecall - 0.15,
+      s"IVFPQ recall $recall lost more than 0.15 to its ceiling $ivfRecall")
+    assert(recall >= 0.4, s"IVFPQ recall $recall")
+    // contract shape: <= k rows per query, dense ranks, self excluded
+    ivfpq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.forall(_._2 != q))
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("quantized cosine tracks the exact cosine") {
     // ADC's approx_cos should correlate with the true cosine on the
     // pairs it returns — a sanity bound on quantization error
