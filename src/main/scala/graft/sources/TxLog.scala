@@ -570,6 +570,24 @@ object TxLog {
     * the CURRENT parent, so two racing writers with the same appId
     * cannot both land the same batch.
     */
+  /** The version whose commit first recorded `appId`'s watermark at or
+    * past `batchId` — i.e. where that idempotent batch (or a later
+    * same-app one) landed; `None` if it never has. Lets a replayed
+    * consumer reconstruct the table state its original run saw
+    * (`readAsOf(v - 1)`) so a re-derivation is byte-identical — the
+    * replay-determinism half of the exactly-once recipe (the watermark
+    * skip in [[idempotentAppend]] is the no-double-land half). Walks
+    * the manifest list (ascending versions), O(versions) metadata
+    * reads, no data access.
+    */
+  def txnCommitVersion(spark: SparkSession, table: String, appId: String,
+      batchId: Long): Option[Long] = {
+    val t = new Path(table)
+    versions(spark, table).find(v =>
+      readManifest(spark, t, v).txn.getOrElse(Map.empty)
+        .get(appId).exists(_ >= batchId))
+  }
+
   def idempotentAppend(df: DataFrame, table: String, appId: String,
       batchId: Long): Option[Long] = {
     require(appId.nonEmpty, "appId must be non-empty")
