@@ -32,8 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.txReadTableFunction)
     ext.injectTableFunction(GraftExtensions.txCdfTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
-    // COUNT(*) over a graft-txlog relation answers from the manifest
-    ext.injectOptimizerRule(_ => graft.plans.TxMetadataCount)
+    // count/min/max over a graft-txlog relation answer from the manifest
+    ext.injectOptimizerRule(_ => graft.plans.TxMetadataAgg)
     // pre-CBO: runs AFTER the default optimizer batches, so it sees (and
     // replaces) an InferWindowGroupLimit-inserted WindowGroupLimit child
     ext.injectPreCBORule(_ => graft.plans.WindowTopKRewrite)

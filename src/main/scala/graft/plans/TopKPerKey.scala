@@ -219,7 +219,7 @@ object TopKPerKey {
   def installRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
     Shim.addStrategy(spark, TopKPerKeyStrategy)
     Shim.addOptimization(spark, WindowTopKRewrite)
-    Shim.addOptimization(spark, TxMetadataCount)
+    Shim.addOptimization(spark, TxMetadataAgg)
   }
 
   /** Top `k` rows per key under `orderBy` (first-k in that sort order;

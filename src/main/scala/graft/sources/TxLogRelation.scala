@@ -62,20 +62,24 @@ class TxLogRelation(spark: SparkSession, table: String,
 
   private def snapshot: DataFrame = TxLog.readAsOf(spark, table, pin())
 
-  /** Row count for the metadata-only COUNT(*) rewrite
-    * ([[graft.plans.TxMetadataCount]]): the sum of the manifest's
-    * per-file row counts, `None` when any live file lacks a recorded
-    * count (the rule then leaves the scan alone — a metadata answer is
-    * never a guess). Pins the snapshot version exactly like a scan
-    * would, so a count and a later scan of the same relation instance
-    * agree on the version they describe.
+  /** Per-file stats for the metadata-only aggregate rewrite
+    * ([[graft.plans.TxMetadataAgg]]): the pinned snapshot's FileEntry
+    * per live file, `None` when any file lacks its manifest entry (the
+    * rule then leaves the scan alone — a metadata answer is never a
+    * guess). Pins the snapshot version exactly like a scan would, so a
+    * metadata-answered aggregate and a later scan of the same relation
+    * instance agree on the version they describe.
     */
-  private[graft] def metadataCount: Option[Long] = {
+  private[graft] def pinnedStats: Option[Seq[TxLog.FileEntry]] = {
     val m = TxLog.manifestAt(spark, table, pin())
-    val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e.rows).toMap
-    val counts = m.files.map(byPath.get)
-    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    val entries = m.files.map(byPath.get)
+    if (entries.forall(_.isDefined)) Some(entries.flatten) else None
   }
+
+  /** Row count from [[pinnedStats]] — `None` when stats are incomplete. */
+  private[graft] def metadataCount: Option[Long] =
+    pinnedStats.map(_.map(_.rows).sum)
 
   override val schema: StructType = {
     import org.apache.spark.sql.types.DataType
