@@ -396,6 +396,28 @@ object Lakehouse {
           date_format(col("o_orderdate_max"), "yyyy-MM-dd").as("date_max"))
     }),
 
+    "q106_tx_metaagg" -> ((s, dir) => {
+      // The TxMetadataAgg OPTIMIZER RULE under the correctness gate:
+      // this aggregate's plan folds a per-file-stats LocalRelation —
+      // no data file is scanned (TxMetadataAggSpec proves the plan
+      // shape; this query proves the VALUES) — and hash equality with
+      // DuckDB's full-scan aggregate over the same rows is the
+      // guarantee that lets the rule fire safely in production: the
+      // metadata answer IS the scan answer.
+      val t = tmpTable("tx-q106")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), dec2(col("o_totalprice")).as("price"),
+          col("o_orderdate"))
+        .write.format("graft-txlog").mode("overwrite").save(t)
+      s.read.format("graft-txlog").load(t)
+        .selectExpr("count(*) AS n_rows", "count(price) AS n_price",
+          "min(o_orderkey) AS key_min", "max(o_orderkey) AS key_max",
+          "CAST(min(price) AS DOUBLE) AS price_min",
+          "CAST(max(price) AS DOUBLE) AS price_max",
+          "date_format(min(o_orderdate), 'yyyy-MM-dd') AS date_min",
+          "date_format(max(o_orderdate), 'yyyy-MM-dd') AS date_max")
+    }),
+
     "q103_tx_ivm" -> ((s, dir) => {
       // Incremental view maintenance driven by the change feed
       // (Incremental.cdfDelta scaladoc): materialize per-status
@@ -589,6 +611,17 @@ object Lakehouse {
         | CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_min,
         | CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_max,
         | CAST(count(*) - count(o_totalprice) AS BIGINT) AS price_nulls,
+        | strftime(min(o_orderdate), '%Y-%m-%d') AS date_min,
+        | strftime(max(o_orderdate), '%Y-%m-%d') AS date_max
+        |FROM orders""".stripMargin,
+
+    "q106_tx_metaagg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(o_totalprice) AS BIGINT) AS n_price,
+        | min(o_orderkey) AS key_min,
+        | max(o_orderkey) AS key_max,
+        | CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_min,
+        | CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_max,
         | strftime(min(o_orderdate), '%Y-%m-%d') AS date_min,
         | strftime(max(o_orderdate), '%Y-%m-%d') AS date_max
         |FROM orders""".stripMargin,
