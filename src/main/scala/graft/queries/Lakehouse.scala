@@ -418,6 +418,34 @@ object Lakehouse {
           "date_format(max(o_orderdate), 'yyyy-MM-dd') AS date_max")
     }),
 
+    "q107_tx_partitioned" -> ((s, dir) => {
+      // Partitioned transactional table lifecycle (TxLog partition ops):
+      //   v1: orders published Hive-partitioned by order year — partition
+      //       columns stay inside the files, per-file partition values in
+      //       the manifest;
+      //   v2: DYNAMIC PARTITION OVERWRITE replaces ONLY year 1995 with its
+      //       URGENT orders (the nightly re-publish shape: other years'
+      //       files are never read, rewritten, or even listed);
+      //   v3: dropPartitions(1998) — metadata-only retention delete.
+      // The final state is read back through the manifest and aggregated
+      // per year; the oracle recomputes that state from scratch in SQL,
+      // so hash equality proves the partition targeting was EXACT — a
+      // dynamic overwrite that missed a file, or a drop that matched too
+      // much, shifts a year's count/total and mismatches.
+      val t = tmpTable("tx-q107")
+      val orders = Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      TxLog.overwrite(orders, t, partitionBy = Some(Seq("o_year")))
+      TxLog.overwritePartitions(
+        orders.filter(col("o_year") === 1995 &&
+          col("o_orderpriority") === "1-URGENT"), t)
+      TxLog.dropPartitions(s, t, Map("o_year" -> 1998))
+      TxLog.read(s, t)
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q103_tx_ivm" -> ((s, dir) => {
       // Incremental view maintenance driven by the change feed
       // (Incremental.cdfDelta scaladoc): materialize per-status
@@ -625,6 +653,18 @@ object Lakehouse {
         | strftime(min(o_orderdate), '%Y-%m-%d') AS date_min,
         | strftime(max(o_orderdate), '%Y-%m-%d') AS date_max
         |FROM orders""".stripMargin,
+
+    "q107_tx_partitioned" ->
+      """WITH base AS (
+        |  SELECT *, CAST(year(o_orderdate) AS INT) AS o_year FROM orders),
+        |final AS (
+        |  SELECT * FROM base WHERE o_year NOT IN (1995, 1998)
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE o_year = 1995 AND o_orderpriority = '1-URGENT')
+        |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM final GROUP BY 1""".stripMargin,
 
     "q103_tx_ivm" ->
       """WITH o AS (

@@ -75,9 +75,13 @@ object TxLog {
 
   /** One data file's row count and column stats (stats cover the first
     * [[maxStatsCols]] skippable top-level columns, cf. Delta's
-    * dataSkippingNumIndexedCols=32 default).
+    * dataSkippingNumIndexedCols=32 default). `parts` are the file's
+    * partition values (column → dir-rendered string, NULL as
+    * [[nullPartition]]) when the file was written under a partitioned
+    * layout — the Delta per-file partitionValues field.
     */
-  final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats])
+  final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats],
+      parts: Option[Map[String, String]] = None)
 
   /** One committed version. `files` are table-root-relative and are the
     * single source of truth for reads; `stats` is advisory (skipping
@@ -94,7 +98,8 @@ object TxLog {
       stats: Option[Seq[FileEntry]] = None,
       txn: Option[Map[String, Long]] = None,
       cdf: Option[Seq[String]] = None,
-      constraints: Option[Map[String, String]] = None)
+      constraints: Option[Map[String, String]] = None,
+      partitionBy: Option[Seq[String]] = None)
 
   /** Stats are collected for at most this many leading skippable
     * columns: min/max strings for a 1000-column table would bloat every
@@ -397,7 +402,16 @@ object TxLog {
       checks.forall { case (column, dt, lo, hi) =>
         byPath.get(p).flatMap(_.stats.get(column)) match {
           case Some(st) => mayMatch(st, dt, lo.map(_.toString), hi.map(_.toString))
-          case None => true // no stats for this file/column: cannot skip
+          case None =>
+            // beyond-the-stats-cap partition column: the file's exact
+            // partition value is min=max evidence of the same strength
+            byPath.get(p).flatMap(_.parts).flatMap(_.get(column)) match {
+              case Some(v) if v != nullPartition =>
+                mayMatch(ColStats(Some(v), Some(v), 0), dt,
+                  lo.map(_.toString), hi.map(_.toString))
+              case Some(_) => false // all-NULL partition; range preds null-reject
+              case None => true // no evidence at all: cannot skip
+            }
         }
       }
     }
@@ -486,8 +500,8 @@ object TxLog {
     * this engine on public DataFrame API and one code path for every
     * filesystem.)
     */
-  private def collectStats(spark: SparkSession, dataDir: Path,
-      schema: StructType, dataRel: String): Seq[FileEntry] = {
+  private def collectStats(spark: SparkSession, table: Path,
+      schema: StructType, relFiles: Seq[String]): Seq[FileEntry] = {
     val skippable = schema.fields.filter(f => isSkippable(f.dataType)).take(maxStatsCols)
     // zero skippable columns still yields per-file ROW COUNTS (a
     // no-data-column parquet count is a footer-metadata scan): row
@@ -499,20 +513,36 @@ object TxLog {
         max(c).cast("string").as(s"__mx_$i"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nc_$i"))
     }
-    spark.read.schema(schema).parquet(dataDir.toString)
+    // map each scanned absolute path back to its table-relative path by
+    // its `data/<uuid>/…` suffix — the commit-uuid dir makes it unique,
+    // and (unlike the bare file name) it stays unique under partition
+    // subdirectories, where one task writes SAME-NAMED part files into
+    // several partition dirs
+    val byRel = relFiles.map(r => r -> r).toMap
+    val dataRel = relFiles.head.split('/').take(2).mkString("/")
+    def relOf(abs: String): String = {
+      val idx = abs.indexOf("/" + dataRel + "/")
+      require(idx >= 0, s"stats scan returned unlisted file $abs")
+      val raw = abs.substring(idx + 1)
+      byRel.getOrElse(raw,
+        byRel.getOrElse(java.net.URLDecoder.decode(raw, "UTF-8"),
+          sys.error(s"stats scan returned unlisted file $abs")))
+    }
+    spark.read.schema(schema)
+      .parquet(relFiles.map(new Path(table, _).toString): _*)
       .groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .collect()
       .toSeq
       .map { r =>
-        val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+        val rel = relOf(r.getString(0))
         val stats = skippable.zipWithIndex.map { case (f, i) =>
           f.name -> ColStats(
             Option(r.getAs[String](s"__mn_$i")),
             Option(r.getAs[String](s"__mx_$i")),
             r.getAs[Long](s"__nc_$i"))
         }.toMap
-        FileEntry(s"$dataRel/$name", r.getAs[Long]("__rows"), stats)
+        FileEntry(rel, r.getAs[Long]("__rows"), stats, partValuesOf(rel))
       }
   }
 
@@ -526,14 +556,35 @@ object TxLog {
     * overwrite whose schema no longer binds a constraint's expression
     * fails loudly — drop the constraint first.
     */
-  def overwrite(df: DataFrame, table: String): Long = {
-    val cons = constraintsOf(df.sparkSession, table)
-    val w = writeData(enforcing(df, cons), table)
-    publish(df.sparkSession, table, w, parent =>
+  def overwrite(df: DataFrame, table: String): Long =
+    overwrite(df, table, partitionBy = None)
+
+  /** [[overwrite]] with explicit partition-layout control: `None`
+    * keeps the table's current layout (so a nightly re-publish of a
+    * partitioned table stays partitioned without restating the
+    * columns), `Some(cols)` (re)partitions the table Hive-style on
+    * `cols`, `Some(Seq.empty)` explicitly flattens it. The layout is a
+    * table property recorded in the manifest; appends and rewrites
+    * inherit it.
+    */
+  def overwrite(df: DataFrame, table: String,
+      partitionBy: Option[Seq[String]]): Long = {
+    val spark = df.sparkSession
+    val effective = partitionBy.getOrElse(tablePartitionBy(spark, table))
+    val cons = constraintsOf(spark, table)
+    val w = writeData(enforcing(df, cons), table, effective)
+    publish(spark, table, w, parent =>
       Some(Attempt("overwrite", w.fresh, w.stats,
         parent.flatMap(_.txn).getOrElse(Map.empty),
-        constraints = guardedCons(table, parent, cons)))).get
+        constraints = guardedCons(table, parent, cons),
+        partitionBy = Some(effective)))).get
   }
+
+  /** The table's partition columns (empty for a flat/absent table). */
+  def tablePartitionBy(spark: SparkSession, table: String): Seq[String] =
+    latestVersion(spark, table)
+      .map(readManifest(spark, new Path(table), _))
+      .flatMap(_.partitionBy).getOrElse(Seq.empty)
 
   /** Add rows atomically; prior files stay referenced. By default the
     * appended frame must match the table's schema (names + types,
@@ -549,9 +600,10 @@ object TxLog {
     * rewrites a data file.
     */
   def append(df: DataFrame, table: String, mergeSchema: Boolean = false): Long = {
-    val cons = constraintsOf(df.sparkSession, table)
-    val w = writeData(enforcing(df, cons), table)
-    publish(df.sparkSession, table, w, parent =>
+    val spark = df.sparkSession
+    val cons = constraintsOf(spark, table)
+    val w = writeData(enforcing(df, cons), table, tablePartitionBy(spark, table))
+    publish(spark, table, w, parent =>
       Some(appendAttempt(table, parent, w, Map.empty, cons, mergeSchema))).get
   }
 
@@ -598,7 +650,7 @@ object TxLog {
       .flatMap(_.txn.getOrElse(Map.empty).get(appId)).exists(_ >= batchId)
     if (done) return None
     val cons = constraintsOf(spark, table)
-    val w = writeData(enforcing(df, cons), table)
+    val w = writeData(enforcing(df, cons), table, tablePartitionBy(spark, table))
     publish(spark, table, w, parent => {
       val seen = parent.flatMap(_.txn).getOrElse(Map.empty)
       if (seen.get(appId).exists(_ >= batchId)) None // lost a same-app race
@@ -621,6 +673,13 @@ object TxLog {
           DataType.fromJson(p.schemaJson).asInstanceOf[StructType],
           DataType.fromJson(w.schemaJson).asInstanceOf[StructType]).json
       }
+    }
+    parent.foreach { p =>
+      val ppb = p.partitionBy.getOrElse(Seq.empty)
+      require(ppb == w.partitionBy,
+        s"append partition-layout drift for $table: table is partitioned by " +
+          s"[${ppb.mkString(", ")}] but the write used " +
+          s"[${w.partitionBy.mkString(", ")}] (concurrent layout change?); re-run")
     }
     val parentStats = parent.flatMap(_.stats).getOrElse(Seq.empty)
     Attempt("append",
@@ -672,7 +731,8 @@ object TxLog {
       val merged = graft.operators.MergeOps.cdcApply(
         readAsOf(spark, table, base), changes, keys, ordering, opCol, deleteOp)
       val cons = constraintsOf(spark, table)
-      val w = writeData(enforcing(merged, cons), table)
+      val w = writeData(enforcing(merged, cons), table,
+        manifestAt(spark, table, base).partitionBy.getOrElse(Seq.empty))
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(base))
           Some(Attempt("merge", w.fresh, w.stats,
@@ -721,7 +781,12 @@ object TxLog {
       // rewrites — narrow concatenation of the small files' partitions
       .coalesce(((small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes)
         .toInt.max(1))
-    val w = writeData(packed, table)
+    // a partitioned table's rewrite re-partitions on the same columns
+    // (they are ordinary data columns in the small files), so rewritten
+    // files keep exact per-file partition metadata; a coalesced task
+    // holding k partitions' rows emits k files — packing quality is
+    // per-task, the manifest semantics are exact either way
+    val w = writeData(packed, table, m.partitionBy.getOrElse(Seq.empty))
     publish(spark, table, w, parent => {
       val pf = parent.map(_.files).getOrElse(Seq.empty)
       if (!smallSet.subsetOf(pf.toSet))
@@ -741,6 +806,168 @@ object TxLog {
         parent.flatMap(_.txn).getOrElse(Map.empty),
         constraints = parent.flatMap(_.constraints).getOrElse(Map.empty)))
     }).get
+  }
+
+  // ---------------------------------------------------------------------
+  // Partition operations (the Hive/Delta partitioned-table surface over
+  // the per-file `parts` metadata [[writeData]] records)
+  // ---------------------------------------------------------------------
+
+  /** Require every live file of `m` to carry partition metadata and
+    * return path → entry. Exact partition operations plan from `parts`
+    * alone; a file without it (written before the table was partitioned,
+    * or by a drifted writer) would make "replace partition X" silently
+    * miss rows — fail loudly instead.
+    */
+  private def partedEntries(table: String, m: Manifest): Map[String, FileEntry] = {
+    val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    m.files.foreach(p => require(byPath.get(p).exists(_.parts.isDefined),
+      s"file $p of $table has no partition metadata — exact partition " +
+        "operations need every live file written under the partitioned layout"))
+    byPath
+  }
+
+  /** Does `e` fall in the partition(s) selected by `values` (column →
+    * wanted value, null selects the NULL partition)? Values compare in
+    * the column's own domain ([[cmp]]): numerics numerically, so
+    * `7 == "07"`, everything else by the dir-rendered string.
+    */
+  private def partMatches(schema: StructType, e: FileEntry,
+      values: Map[String, Any]): Boolean = {
+    val parts = e.parts.getOrElse(sys.error(s"file ${e.path} has no partition metadata"))
+    values.forall { case (k, v) =>
+      val stored = parts.getOrElse(k,
+        sys.error(s"file ${e.path} has no partition value for '$k'"))
+      if (v == null) stored == nullPartition
+      else stored != nullPartition &&
+        cmp(schema(k).dataType, stored, v.toString).contains(0)
+    }
+  }
+
+  private def partitionedManifest(table: String, m: Manifest): Seq[String] =
+    m.partitionBy.getOrElse(sys.error(
+      s"table $table is not partitioned — overwrite(partitionBy = Some(cols)) first"))
+
+  /** `SHOW PARTITIONS`: one row per live partition with its file count
+    * and row count — answered entirely from the manifest (metadata-only,
+    * O(files) driver work, no data access). Partition values come back
+    * in their dir-rendered string form (the same domain [[readPartition]]
+    * and [[dropPartitions]] accept), NULL partitions as SQL NULL.
+    */
+  def partitions(spark: SparkSession, table: String): DataFrame = {
+    val m = manifest(spark, table)
+    val pcols = partitionedManifest(table, m)
+    val byPath = partedEntries(table, m)
+    val rows = m.files.map(byPath).groupBy(_.parts.get).toSeq.map {
+      case (parts, es) =>
+        org.apache.spark.sql.Row.fromSeq(
+          pcols.map(c => parts.get(c).filterNot(_ == nullPartition).orNull) ++
+            Seq(es.size.toLong, es.map(_.rows).sum))
+    }
+    val schema = StructType(
+      pcols.map(StructField(_, StringType)) ++
+        Seq(StructField("num_files", LongType), StructField("rows", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Read exactly the partition(s) matching `values` (a subset of the
+    * partition columns; null selects the NULL partition): plans ONLY the
+    * matching files — exact manifest-time partition pruning, not a
+    * may-match stats bet — then applies the equality predicate on top
+    * (partition columns are ordinary data columns in every file, so the
+    * frame needs no reconstruction). At 100 TB this is the
+    * one-partition read a date-keyed consumer does nightly: file list
+    * ∝ the partition, never the table.
+    */
+  def readPartition(spark: SparkSession, table: String,
+      values: Map[String, Any]): DataFrame = {
+    require(values.nonEmpty, "readPartition needs at least one partition value")
+    val m = manifest(spark, table)
+    val pcols = partitionedManifest(table, m)
+    values.keys.foreach(k => require(pcols.contains(k),
+      s"'$k' is not a partition column of $table (has: ${pcols.mkString(", ")})"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val byPath = partedEntries(table, m)
+    val kept = m.files.filter(p => partMatches(schema, byPath(p), values))
+    val exact = values.map { case (k, v) =>
+      val c = col(quoted(k))
+      if (v == null) c.isNull else c === lit(v).cast(schema(k).dataType)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    toDf(spark, new Path(table), m.schemaJson, kept).filter(exact)
+  }
+
+  /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=dynamic`
+    * / Delta `replaceWhere` by partition): atomically replace EXACTLY the
+    * partitions present in `df`, leaving every other partition's files
+    * untouched and still referenced — the nightly-publish primitive for a
+    * date-partitioned table, where the job rewrites the day(s) it
+    * computed and must not touch (or even read) the other 3 000 days.
+    * The new files are written once; a lost CAS race recomputes only the
+    * metadata composition. Fails loudly if the frame's schema drifts
+    * from the table's or a concurrent commit changed the layout.
+    */
+  def overwritePartitions(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val m0 = manifest(spark, table)
+    val pcols = partitionedManifest(table, m0)
+    val cons = constraintsOf(spark, table)
+    val w = writeData(enforcing(df, cons), table, pcols)
+    require(w.schemaJson == m0.schemaJson,
+      s"overwritePartitions schema drift for $table: table has " +
+        s"${m0.schemaJson}, frame has ${w.schemaJson}")
+    val newParts = w.stats.flatMap(_.parts).toSet
+    publish(spark, table, w, parent => {
+      val p = parent.getOrElse(sys.error(
+        s"table $table lost all versions mid-commit"))
+      require(p.schemaJson == w.schemaJson,
+        s"overwritePartitions raced a schema change on $table; re-run")
+      require(p.partitionBy.getOrElse(Seq.empty) == pcols,
+        s"overwritePartitions raced a layout change on $table; re-run")
+      val byPath = partedEntries(table, p)
+      val gone = p.files.filter(f => byPath(f).parts.exists(newParts)).toSet
+      Some(Attempt("overwritePartitions",
+        p.files.filterNot(gone) ++ w.fresh,
+        p.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
+        p.txn.getOrElse(Map.empty),
+        constraints = guardedCons(table, parent, cons)))
+    }).get
+  }
+
+  /** `ALTER TABLE DROP PARTITION` — drop every file in the partition(s)
+    * matching `values`, METADATA-ONLY: no data file is read or written;
+    * the commit just de-references them (vacuum reaps later). This is
+    * the retention fast path a date-partitioned 100 TB table runs
+    * nightly — constant-cost regardless of how many terabytes the
+    * dropped partitions held. Returns the committed version (unchanged
+    * if nothing matched).
+    */
+  def dropPartitions(spark: SparkSession, table: String,
+      values: Map[String, Any], maxAttempts: Int = 10): Long = {
+    require(values.nonEmpty, "dropPartitions needs at least one partition value")
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    (1 to maxAttempts).foreach { _ =>
+      val m = manifest(spark, table)
+      val pcols = partitionedManifest(table, m)
+      values.keys.foreach(k => require(pcols.contains(k),
+        s"'$k' is not a partition column of $table (has: ${pcols.mkString(", ")})"))
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val byPath = partedEntries(table, m)
+      val gone = m.files.filter(p => partMatches(schema, byPath(p), values)).toSet
+      if (gone.isEmpty) return m.version
+      val w = writeNothing(spark, table, m.schemaJson)
+      val committed = publish(spark, table, w, parent =>
+        if (parent.map(_.version).contains(m.version))
+          Some(Attempt("dropPartitions",
+            m.files.filterNot(gone),
+            m.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)),
+            m.txn.getOrElse(Map.empty),
+            constraints = m.constraints.getOrElse(Map.empty)))
+        else None) // snapshot went stale: re-match against the new latest
+      committed.foreach(v => return v)
+    }
+    sys.error(s"dropPartitions on $table lost the commit race $maxAttempts " +
+      "times (pathological write contention); re-run or serialize writers")
   }
 
   /** One touched file from the copy-on-write find scan. */
@@ -809,7 +1036,7 @@ object TxLog {
           spark.read.schema(schema)
             .parquet(rewrite.map(h => new Path(t, h.rel).toString): _*)
             .filter(!coalesce(cond, lit(false))),
-          table)
+          table, m.partitionBy.getOrElse(Seq.empty))
       // CDF: the deleted rows' pre-images. Opt-in because tier-2 files
       // are otherwise never read — recording their pre-images turns the
       // metadata-only drop into a read of exactly the dropped files
@@ -872,7 +1099,8 @@ object TxLog {
       // assignments can violate a CHECK constraint — enforce on the
       // rewritten rows like any other row-changing write
       val cons = m.constraints.getOrElse(Map.empty)
-      val w = writeData(enforcing(applySet(touchedDf), cons), table)
+      val w = writeData(enforcing(applySet(touchedDf), cons), table,
+        m.partitionBy.getOrElse(Seq.empty))
       // CDF: matched rows' pre-images and post-images (the Delta
       // update_preimage/update_postimage pair), derived from the same
       // snapshot files the rewrite read.
@@ -956,7 +1184,10 @@ object TxLog {
         target.stats.getOrElse(Seq.empty),
         parent.flatMap(_.txn).getOrElse(Map.empty),
         schemaJson = Some(target.schemaJson),
-        constraints = target.constraints.getOrElse(Map.empty)))).get
+        constraints = target.constraints.getOrElse(Map.empty),
+        // explicit: restoring to a pre-partitioning (or differently
+        // partitioned) version restores THAT layout, not the parent's
+        partitionBy = Some(target.partitionBy.getOrElse(Seq.empty))))).get
   }
 
   /** Row-level change data feed (the public Delta CDF shape): every
@@ -1023,7 +1254,8 @@ object TxLog {
 
   /** The data files + stats of one not-yet-published commit attempt. */
   private final case class Written(dataRel: String, fresh: Seq[String],
-      stats: Seq[FileEntry], schemaJson: String)
+      stats: Seq[FileEntry], schemaJson: String,
+      partitionBy: Seq[String] = Seq.empty)
 
   /** A commit attempt that adds NO data files (e.g. a delete whose every
     * touched file was dropped whole). Nothing is written; the unused
@@ -1051,7 +1283,8 @@ object TxLog {
       stats: Seq[FileEntry], txn: Map[String, Long],
       schemaJson: Option[String] = None,
       cdf: Seq[String] = Seq.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      partitionBy: Option[Seq[String]] = None)
 
   /** Write a change-data frame under the commit's own data directory
     * (`<dataRel>/_cdf/`): invisible to snapshot readers (only
@@ -1070,31 +1303,109 @@ object TxLog {
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n")
   }
 
+  /** Dir-name sentinel Spark's writer uses for a NULL (or empty-string)
+    * partition value.
+    */
+  val nullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  private val gpPrefix = "__gp_"
+
+  /** Undo the writer's `%XX` dir-name escaping (Hive path escaping —
+    * the inverse of what `partitionBy` applies to special characters
+    * in partition values).
+    */
+  private def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hi = Character.digit(s.charAt(i + 1), 16)
+        val lo = Character.digit(s.charAt(i + 2), 16)
+        if (hi >= 0 && lo >= 0) { sb.append(((hi << 4) | lo).toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse a table-relative file path's partition values from its
+    * `__gp_<col>=<value>` directory segments (between `data/<uuid>/` and
+    * the file name); None for a flat (unpartitioned) path.
+    */
+  private def partValuesOf(rel: String): Option[Map[String, String]] = {
+    val segs = rel.split('/')
+    val kvs = segs.drop(2).dropRight(1)
+    if (kvs.isEmpty) None
+    else Some(kvs.map { seg =>
+      val eq = seg.indexOf('=')
+      require(eq > gpPrefix.length && seg.startsWith(gpPrefix),
+        s"unexpected partition directory segment '$seg' in $rel")
+      seg.substring(gpPrefix.length, eq) -> unescapePath(seg.substring(eq + 1))
+    }.toMap)
+  }
+
   /** Write the frame's data files under a fresh `data/<uuid>/` dir and
     * collect their stats. Nothing is visible until [[publish]] lands a
     * manifest referencing them.
+    *
+    * With `partitionBy` non-empty the write lays files out Hive-style —
+    * but each partition column is DUPLICATED under a `__gp_` name and
+    * the write partitions on the duplicates: the writer consumes those
+    * into the directory layout while the ORIGINALS stay inside every
+    * file. Reads therefore remain one flat parquet scan over the
+    * manifest's file list (no partition discovery, no per-partition
+    * unions, no basePath coupling), per-file stats give min=max=value
+    * on the partition columns for free (stats skipping IS partition
+    * pruning), and the directory names only feed the manifest's
+    * per-file `parts` metadata — which the exact partition operations
+    * ([[overwritePartitions]], [[dropPartitions]], [[readPartition]])
+    * plan from without touching data.
     */
-  private def writeData(df: DataFrame, table: String): Written = {
+  private def writeData(df: DataFrame, table: String,
+      partitionBy: Seq[String] = Seq.empty): Written = {
     val spark = df.sparkSession
     val f = fs(spark, new Path(table))
     val t = f.makeQualified(new Path(table))
     val commitId = java.util.UUID.randomUUID().toString
     val dataRel = s"data/$commitId"
     val dataDir = new Path(t, dataRel)
-    df.write.parquet(dataDir.toString)
-    val fresh = f.listStatus(dataDir).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).sorted.map(n => s"$dataRel/$n")
     val schema = asNullable(df.schema).asInstanceOf[StructType]
+    if (partitionBy.isEmpty) df.write.parquet(dataDir.toString)
+    else {
+      partitionBy.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"partition column '$c' not in schema (${schema.fieldNames.mkString(", ")})")
+        require(isSkippable(schema(c).dataType) || schema(c).dataType == BooleanType,
+          s"partition column '$c' (${schema(c).dataType.simpleString}) is not an " +
+            "atomic partitionable type")
+      }
+      val dup = partitionBy.foldLeft(df)((acc, c) =>
+        acc.withColumn(gpPrefix + c, col(quoted(c))))
+      dup.write.partitionBy(partitionBy.map(gpPrefix + _): _*)
+        .parquet(dataDir.toString)
+    }
+    val it = f.listFiles(dataDir, true)
+    val freshBuf = scala.collection.mutable.ArrayBuffer[String]()
+    val dataDirStr = f.makeQualified(dataDir).toString
+    while (it.hasNext) {
+      val p = it.next().getPath.toString
+      if (p.endsWith(".parquet") && p.startsWith(dataDirStr + "/"))
+        freshBuf += dataRel + "/" + p.stripPrefix(dataDirStr + "/")
+    }
+    val fresh = freshBuf.toSeq.sorted
     val stats =
       if (fresh.isEmpty) Seq.empty
-      else collectStats(spark, dataDir, schema, dataRel)
+      else collectStats(spark, t, schema, fresh)
     // a 0-row part file never surfaces in collectStats' grouped
     // aggregate (no rows, no group) — record it explicitly so the
     // manifest's per-file row counts are COMPLETE, which is what lets
     // statsAggregate answer count(*) from metadata alone
     val seen = stats.map(_.path).toSet
-    val all = stats ++ fresh.filterNot(seen).map(FileEntry(_, 0L, Map.empty))
-    Written(dataRel, fresh, all.sortBy(_.path), schema.json)
+    val all = stats ++ fresh.filterNot(seen)
+      .map(p => FileEntry(p, 0L, Map.empty, partValuesOf(p)))
+    Written(dataRel, fresh, all.sortBy(_.path), schema.json, partitionBy)
   }
 
   // one lock object per local table log dir — see renameIfAbsent
@@ -1178,7 +1489,11 @@ object TxLog {
         stats = Some(att.stats).filter(_.nonEmpty),
         txn = Some(att.txn).filter(_.nonEmpty),
         cdf = Some(att.cdf).filter(_.nonEmpty),
-        constraints = Some(att.constraints).filter(_.nonEmpty))
+        constraints = Some(att.constraints).filter(_.nonEmpty),
+        // partition layout is a table property: only an explicit
+        // overwrite/restore changes it, every other commit inherits
+        partitionBy = att.partitionBy
+          .orElse(parent.flatMap(_.partitionBy)).filter(_.nonEmpty))
       val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()

@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Partitioned graft-txlog tables: Hive-style layout with partition
+  * columns kept INSIDE the data files, per-file partition values in the
+  * manifest, dynamic partition overwrite, metadata-only partition drop,
+  * and exact manifest-time partition pruning.
+  */
+class TxPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-txpart").resolve("t").toString
+
+  private def sample = Seq(
+    (1L, "2024", "a", 10.0), (2L, "2024", "b", 20.0),
+    (3L, "2025", "a", 30.0), (4L, "2025", "b", 40.0),
+    (5L, "2026", "a", 50.0)
+  ).toDF("id", "yr", "grp", "v")
+
+  test("partitioned overwrite: files land per partition, parts metadata complete") {
+    val t = tmpTable()
+    TxLog.overwrite(sample, t, partitionBy = Some(Seq("yr")))
+    val m = TxLog.manifest(spark, t)
+    assert(m.partitionBy.contains(Seq("yr")))
+    val entries = m.stats.get
+    assert(entries.size == m.files.size)
+    assert(entries.forall(_.parts.isDefined))
+    assert(entries.flatMap(_.parts.get.get("yr")).toSet == Set("2024", "2025", "2026"))
+    // every file path routes through its partition directory
+    assert(m.files.forall(_.contains("__gp_yr=")))
+    // read is one flat scan: full content back, partition col a data col
+    assert(TxLog.read(spark, t).as[(Long, String, String, Double)]
+      .collect().toSet == sample.as[(Long, String, String, Double)].collect().toSet)
+  }
+
+  test("append inherits the table's partition layout") {
+    val t = tmpTable()
+    TxLog.overwrite(sample, t, partitionBy = Some(Seq("yr")))
+    TxLog.append(Seq((6L, "2026", "b", 60.0)).toDF("id", "yr", "grp", "v"), t)
+    val m = TxLog.manifest(spark, t)
+    assert(m.partitionBy.contains(Seq("yr")))
+    assert(m.stats.get.forall(_.parts.isDefined))
+    assert(TxLog.read(spark, t).count() == 6)
+  }
+
+  test("partitions() lists each live partition with file and row counts, metadata-only") {
+    val t = tmpTable()
+    TxLog.overwrite(sample, t, partitionBy = Some(Seq("yr")))
+    val p = TxLog.partitions(spark, t).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(p == Map("2024" -> 2L, "2025" -> 2L, "2026" -> 1L))
+  }
+
+  test("overwritePartitions replaces exactly the incoming partitions") {
+    val t = tmpTable()
+    TxLog.overwrite(sample, t, partitionBy = Some(Seq("yr")))
+    val before = TxLog.manifest(spark, t)
+    val untouched = before.files.filterNot(_.contains("__gp_yr=2024")).toSet
+    TxLog.overwritePartitions(
+      Seq((9L, "2024", "z", 99.0)).toDF("id", "yr", "grp", "v"), t)
+    val after = TxLog.manifest(spark, t)
+    // 2025/2026 files are the SAME paths (never rewritten, never read)
+    assert(untouched.subsetOf(after.files.toSet))
+    assert(!after.files.exists(f => before.files.contains(f) && f.contains("__gp_yr=2024")))
+    val got = TxLog.read(spark, t).as[(Long, String, String, Double)].collect().toSet
+    assert(got == Set((9L, "2024", "z", 99.0), (3L, "2025", "a", 30.0),
+      (4L, "2025", "b", 40.0), (5L, "2026", "a", 50.0)))
+  }
+
+  test("dropPartitions is metadata-only and exact") {
+    val t = tmpTable()
+    TxLog.overwrite(sample, t, partitionBy = Some(Seq("yr")))
+    val before = TxLog.manifest(spark, t)
+    val v = TxLog.dropPartitions(spark, t, Map("yr" -> "2024"))
+    val after = TxLog.manifest(spark, t)
+    assert(after.version == v)
+    // no new data files were written — the commit only DE-references
+    assert(after.files.toSet.subsetOf(before.files.toSet))
+    assert(after.files.forall(!_.contains("__gp_yr=2024")))
+    assert(TxLog.read(spark, t).select("yr").distinct().as[String]
+      .collect().toSet == Set("2025", "2026"))
+    // nothing matched: version unchanged
+    assert(TxLog.dropPartitions(spark, t, Map("yr" -> "1999")) == v)
+    // numeric-domain match: int-typed partition values compare numerically
+    val t2 = tmpTable()
+    TxLog.overwrite(Seq((1L, 7), (2L, 8)).toDF("id", "k"), t2,
+      partitionBy = Some(Seq("k")))
+    TxLog.dropPartitions(spark, t2, Map("k" -> 7))
+    assert(TxLog.read(spark, t2).select("k").as[Int].collect().toSeq == Seq(8))
+  }
+
+  test("readPartition plans only the matching files") {
+    val t = tmpTable()
+    TxLog.overwrite(sample, t, partitionBy = Some(Seq("yr", "grp")))
+    val one = TxLog.readPartition(spark, t, Map("yr" -> "2025", "grp" -> "a"))
+    assert(one.inputFiles.length == 1)
+    assert(one.as[(Long, String, String, Double)].collect().toSeq ==
+      Seq((3L, "2025", "a", 30.0)))
+    // subset of partition columns selects the whole slice
+    val slice = TxLog.readPartition(spark, t, Map("yr" -> "2025"))
+    assert(slice.inputFiles.length == 2)
+    assert(slice.count() == 2)
+  }
+
+  test("readWhere prunes on a partition column via its min=max stats") {
+    val t = tmpTable()
+    TxLog.overwrite(sample, t, partitionBy = Some(Seq("yr")))
+    val pruned = TxLog.readBetween(spark, t, "yr", Some("2025"), Some("2025"))
+    assert(pruned.inputFiles.length == 2)
+    assert(pruned.count() == 2)
+  }
+
+  test("NULL partition values round-trip through the hive sentinel") {
+    val t = tmpTable()
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("id", "k")
+    TxLog.overwrite(df, t, partitionBy = Some(Seq("k")))
+    val m = TxLog.manifest(spark, t)
+    assert(m.stats.get.flatMap(_.parts.get.get("k")).toSet ==
+      Set("x", "y", TxLog.nullPartition))
+    // partitions() renders the sentinel as SQL NULL
+    val shown = TxLog.partitions(spark, t).collect().map(_.isNullAt(0))
+    assert(shown.count(identity) == 1)
+    // null selects the NULL partition; read round-trips the null rows
+    assert(TxLog.readPartition(spark, t, Map("k" -> null))
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    TxLog.dropPartitions(spark, t, Map("k" -> null))
+    assert(TxLog.read(spark, t).filter(col("k").isNull).count() == 0)
+    assert(TxLog.read(spark, t).count() == 2)
+  }
+
+  test("delete and update rewrites keep partition metadata exact") {
+    val t = tmpTable()
+    TxLog.overwrite(sample, t, partitionBy = Some(Seq("yr")))
+    // boundary delete inside 2024 rewrites that file under its partition dir
+    TxLog.delete(spark, t, col("id") === 1L)
+    val m1 = TxLog.manifest(spark, t)
+    assert(m1.stats.get.forall(_.parts.isDefined))
+    // dynamic overwrite still targets exactly (proves parts stayed complete)
+    TxLog.overwritePartitions(
+      Seq((8L, "2024", "w", 80.0)).toDF("id", "yr", "grp", "v"), t)
+    assert(TxLog.read(spark, t).filter(col("yr") === "2024")
+      .select("id").as[Long].collect().toSeq == Seq(8L))
+    TxLog.update(spark, t, col("id") === 8L, Seq("v" -> lit(88.0)))
+    val m2 = TxLog.manifest(spark, t)
+    assert(m2.stats.get.forall(_.parts.isDefined))
+    assert(TxLog.readPartition(spark, t, Map("yr" -> "2024"))
+      .select("v").as[Double].collect().toSeq == Seq(88.0))
+  }
+
+  test("compact on a partitioned table preserves rows and parts") {
+    val t = tmpTable()
+    TxLog.overwrite(sample.repartition(3), t, partitionBy = Some(Seq("yr")))
+    (1 to 3).foreach(i =>
+      TxLog.append(Seq((100L + i, "2024", "c", i.toDouble))
+        .toDF("id", "yr", "grp", "v"), t))
+    val before = TxLog.read(spark, t).as[(Long, String, String, Double)].collect().toSet
+    TxLog.compact(spark, t, smallFileBytes = 10L << 20)
+    val m = TxLog.manifest(spark, t)
+    assert(m.action == "compact")
+    assert(m.stats.get.forall(_.parts.isDefined))
+    assert(TxLog.read(spark, t).as[(Long, String, String, Double)]
+      .collect().toSet == before)
+  }
+
+  test("restore rolls the partition layout back with the data") {
+    val t = tmpTable()
+    TxLog.overwrite(sample.select("id", "v"), t) // v1: flat
+    TxLog.overwrite(sample, t, partitionBy = Some(Seq("yr"))) // v2: partitioned
+    TxLog.restore(spark, t, 1L)
+    assert(TxLog.tablePartitionBy(spark, t).isEmpty)
+    assert(TxLog.read(spark, t).columns.toSeq == Seq("id", "v"))
+    TxLog.restore(spark, t, 2L)
+    assert(TxLog.tablePartitionBy(spark, t) == Seq("yr"))
+    assert(TxLog.partitions(spark, t).count() == 3)
+  }
+
+  test("exact partition ops refuse a table with incomplete partition metadata") {
+    val t = tmpTable()
+    TxLog.overwrite(sample, t) // flat: no parts anywhere
+    val e = intercept[RuntimeException] {
+      TxLog.overwritePartitions(sample.limit(1), t)
+    }
+    assert(e.getMessage.contains("not partitioned"))
+  }
+
+  test("partition values with special characters escape and unescape") {
+    val t = tmpTable()
+    val df = Seq((1L, "a/b"), (2L, "c:d"), (3L, "plain")).toDF("id", "k")
+    TxLog.overwrite(df, t, partitionBy = Some(Seq("k")))
+    val vals = TxLog.manifest(spark, t).stats.get
+      .flatMap(_.parts.get.get("k")).toSet
+    assert(vals == Set("a/b", "c:d", "plain"))
+    assert(TxLog.readPartition(spark, t, Map("k" -> "a/b"))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(TxLog.read(spark, t).count() == 3)
+  }
+}
