@@ -446,6 +446,36 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q108_partition_ivm" -> ((s, dir) => {
+      // q103's IVM machinery composed with the PARTITION ops (the Delta
+      // replaceWhere+CDF shape): a year-partitioned orders table
+      // publishes v1 and materializes per-priority count+sum; the state
+      // is then maintained through a dynamic partition overwrite
+      // (1995 → its URGENT orders only) and a partition drop (1998)
+      // purely from their recorded change feeds — retired partitions
+      // retracted, replacement rows folded in, base table never
+      // rescanned (cost ∝ the changed partitions). Hash equality with
+      // the oracle's from-scratch recompute of the final table proves
+      // the partition ops' feeds are row-exact.
+      val t = tmpTable("tx-q108")
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        dec2(col("o_totalprice")).cast("double").as("price"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      val base = TxLog.overwrite(o, t, partitionBy = Some(Seq("o_year")))
+      val state = Incremental.aggRetractState(
+        TxLog.readAsOf(s, t, base), Seq("o_orderpriority"), col("price"))
+      TxLog.overwritePartitions(
+        o.filter(col("o_year") === 1995 &&
+          col("o_orderpriority") === "1-URGENT"), t, changeFeed = true)
+      TxLog.dropPartitions(s, t, Map("o_year" -> 1998), changeFeed = true)
+      val delta = Incremental.cdfDelta(
+        TxLog.readChangeFeed(s, t, base), Seq("o_orderpriority"), col("price"))
+      Incremental.mergeRetract(state, delta, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"),
+          r2d(col("sum_v")).as("total"))
+    }),
+
     "q103_tx_ivm" -> ((s, dir) => {
       // Incremental view maintenance driven by the change feed
       // (Incremental.cdfDelta scaladoc): materialize per-status
@@ -665,6 +695,21 @@ object Lakehouse {
         |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM final GROUP BY 1""".stripMargin,
+
+    "q108_partition_ivm" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |    CAST(year(o_orderdate) AS INT) AS o_year
+        |  FROM orders),
+        |f AS (
+        |  SELECT * FROM o WHERE o_year NOT IN (1995, 1998)
+        |  UNION ALL
+        |  SELECT * FROM o
+        |  WHERE o_year = 1995 AND o_orderpriority = '1-URGENT')
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(price AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM f GROUP BY 1""".stripMargin,
 
     "q103_tx_ivm" ->
       """WITH o AS (

@@ -308,6 +308,44 @@ object LlmData {
           explode(sequence(lit(1), col("copies"))).as("epoch"))
     }),
 
+    "d26_boilerplate_removal" -> ((s, dir) =>
+      // Boilerplate REMOVAL (ParagraphDedup.removeBoilerplate scaladoc):
+      // where d17 SCORES a document by its duplicated-chunk fraction,
+      // this REWRITES it — chunks whose MinHash signature recurs in ≥2
+      // distinct documents are dropped, the survivors re-joined in
+      // order (the CCNet salvage pass: strip the templated spans, keep
+      // the document). Oracle rebuilds the cleaned text in SQL —
+      // hash equality proves chunking, signature, hot-set, and ordered
+      // reassembly all match bit-for-bit.
+      ParagraphDedup.removeBoilerplate(docs(s, dir), paraSize = 20,
+          minDocs = 2)
+        .select(col("doc_id"), col("n_paras"), col("n_removed"),
+          col("text_clean"), col("n_tok_clean"))),
+
+    "d25_global_shuffle" -> ((s, dir) => {
+      // Deterministic global training-order shuffle — the last stage of
+      // the pretraining chain (mix d19/d20 → pack d18 → SHUFFLE): every
+      // example gets a seeded pseudorandom position, identical under any
+      // partitioning or cluster size. Spark's own rand()/repartition
+      // shuffles are NOT replay-stable (task retries resample); a seeded
+      // hash order is — and position-in-order is computed by the same
+      // two-phase hash-sliced prefix scan as d19 (Mixture.hashPrefixSum
+      // with one constant domain and weight 1): global row_number in
+      // (md5(seed ‖ doc_id), doc_id) order with NO single-partition
+      // window — the slice offsets are a broadcast metadata table, the
+      // only per-row window is slice-local. The oracle is DuckDB's plain
+      // global row_number over the same order: hash equality proves the
+      // distributed scan IS the global permutation.
+      val hash = md5(concat(lit("shuffle-42:"),
+        col("doc_id").cast("string")).cast("binary"))
+      graft.operators.Mixture.hashPrefixSum(
+          docs(s, dir).select(col("doc_id"), col("source"))
+            .withColumn("part", lit(0)),
+          "part", hash, col("doc_id"), lit(1L))
+        .select(col("doc_id"), col("source"),
+          (col("__cum") - 1).cast("long").as("pos"))
+    }),
+
     "d22_ann_pq" -> ((s, dir) => {
       // Product-quantization ANN (PqAnn scaladoc): 64-dim vectors → 16
       // subspaces × 32-entry trained codebooks (16 B/vector, 16× smaller
@@ -902,6 +940,49 @@ object LlmData {
         |FROM c
         |WHERE cum_tok * 100 <=
         |  (CASE WHEN source IN ('src0','src1','src2','src3') THEN 60 ELSE 25 END) * tot""".stripMargin,
+
+    "d26_boilerplate_removal" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(0, (len(t) + 19) // 20)) AS para_idx, t
+        |  FROM tok),
+        |p2 AS (
+        |  SELECT doc_id, para_idx, t[(para_idx*20+1):(para_idx*20+20)] AS pt
+        |  FROM p),
+        |psh AS (
+        |  SELECT DISTINCT doc_id, para_idx,
+        |    unnest(list_transform(range(1, len(pt) - 1),
+        |           i -> pt[i] || ' ' || pt[i+1] || ' ' || pt[i+2])) AS s
+        |  FROM p2 WHERE len(pt) >= 3),
+        |sig AS (
+        |  SELECT doc_id, para_idx,
+        |    min(substr(d,1,8)) || min(substr(d,9,8)) ||
+        |    min(substr(d,17,8)) || min(substr(d,25,8)) AS sig
+        |  FROM (SELECT doc_id, para_idx, md5(s) AS d FROM psh) GROUP BY 1, 2),
+        |hot AS (
+        |  SELECT sig FROM sig GROUP BY sig
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |marked AS (
+        |  SELECT p2.doc_id, p2.para_idx, p2.pt,
+        |    (s.sig IS NOT NULL AND s.sig IN (SELECT sig FROM hot)) AS dropit
+        |  FROM p2 LEFT JOIN sig s
+        |    ON p2.doc_id = s.doc_id AND p2.para_idx = s.para_idx)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_paras,
+        | CAST(sum(CASE WHEN dropit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | coalesce(string_agg(CASE WHEN NOT dropit
+        |   THEN array_to_string(pt, ' ') END, ' ' ORDER BY para_idx), '')
+        |   AS text_clean,
+        | CAST(coalesce(sum(CASE WHEN NOT dropit THEN len(pt) END), 0)
+        |   AS BIGINT) AS n_tok_clean
+        |FROM marked GROUP BY doc_id""".stripMargin,
+
+    "d25_global_shuffle" ->
+      """SELECT doc_id, source,
+        | CAST(row_number() OVER (
+        |   ORDER BY md5('shuffle-42:' || doc_id::VARCHAR), doc_id) - 1
+        |   AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
 
     "d20_epoch_mix" ->
       """WITH c AS (

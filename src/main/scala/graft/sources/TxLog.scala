@@ -907,31 +907,49 @@ object TxLog {
     * metadata composition. Fails loudly if the frame's schema drifts
     * from the table's or a concurrent commit changed the layout.
     */
-  def overwritePartitions(df: DataFrame, table: String): Long = {
+  def overwritePartitions(df: DataFrame, table: String,
+      changeFeed: Boolean = false, maxAttempts: Int = 10): Long = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
     val spark = df.sparkSession
-    val m0 = manifest(spark, table)
-    val pcols = partitionedManifest(table, m0)
-    val cons = constraintsOf(spark, table)
-    val w = writeData(enforcing(df, cons), table, pcols)
-    require(w.schemaJson == m0.schemaJson,
-      s"overwritePartitions schema drift for $table: table has " +
-        s"${m0.schemaJson}, frame has ${w.schemaJson}")
-    val newParts = w.stats.flatMap(_.parts).toSet
-    publish(spark, table, w, parent => {
-      val p = parent.getOrElse(sys.error(
-        s"table $table lost all versions mid-commit"))
-      require(p.schemaJson == w.schemaJson,
-        s"overwritePartitions raced a schema change on $table; re-run")
-      require(p.partitionBy.getOrElse(Seq.empty) == pcols,
-        s"overwritePartitions raced a layout change on $table; re-run")
-      val byPath = partedEntries(table, p)
-      val gone = p.files.filter(f => byPath(f).parts.exists(newParts)).toSet
-      Some(Attempt("overwritePartitions",
-        p.files.filterNot(gone) ++ w.fresh,
-        p.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
-        p.txn.getOrElse(Map.empty),
-        constraints = guardedCons(table, parent, cons)))
-    }).get
+    val t = new Path(table)
+    (1 to maxAttempts).foreach { _ =>
+      val m = manifest(spark, table)
+      val pcols = partitionedManifest(table, m)
+      val cons = m.constraints.getOrElse(Map.empty)
+      val w = writeData(enforcing(df, cons), table, pcols)
+      require(w.schemaJson == m.schemaJson,
+        s"overwritePartitions schema drift for $table: table has " +
+          s"${m.schemaJson}, frame has ${w.schemaJson}")
+      val newParts = w.stats.flatMap(_.parts).toSet
+      val byPath = partedEntries(table, m)
+      val gone = m.files.filter(f => byPath(f).parts.exists(newParts)).toSet
+      // CDF: replaced partitions' rows as delete pre-images, the new
+      // rows as inserts — the Delta replaceWhere+CDF recipe. Opt-in:
+      // recording pre-images reads exactly the replaced files (which
+      // the dynamic overwrite otherwise never touches).
+      val cdfFiles =
+        if (!changeFeed) Seq.empty
+        else {
+          val pre = toDf(spark, t, m.schemaJson, gone.toSeq.sorted)
+            .withColumn("_change_type", lit("delete"))
+          val post = toDf(spark, t, m.schemaJson, w.fresh)
+            .withColumn("_change_type", lit("insert"))
+          writeCdf(spark, table, w, pre.unionByName(post))
+        }
+      val committed = publish(spark, table, w, parent =>
+        if (parent.map(_.version).contains(m.version))
+          Some(Attempt("overwritePartitions",
+            m.files.filterNot(gone) ++ w.fresh,
+            m.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
+            m.txn.getOrElse(Map.empty),
+            cdf = cdfFiles,
+            constraints = guardedCons(table, parent, cons)))
+        else None) // snapshot went stale: recompute against the new latest
+      committed.foreach(v => return v)
+    }
+    sys.error(s"overwritePartitions on $table lost the commit race " +
+      s"$maxAttempts times (pathological write contention); re-run or " +
+      "serialize writers")
   }
 
   /** `ALTER TABLE DROP PARTITION` — drop every file in the partition(s)
@@ -943,7 +961,8 @@ object TxLog {
     * if nothing matched).
     */
   def dropPartitions(spark: SparkSession, table: String,
-      values: Map[String, Any], maxAttempts: Int = 10): Long = {
+      values: Map[String, Any], maxAttempts: Int = 10,
+      changeFeed: Boolean = false): Long = {
     require(values.nonEmpty, "dropPartitions needs at least one partition value")
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     (1 to maxAttempts).foreach { _ =>
@@ -956,12 +975,22 @@ object TxLog {
       val gone = m.files.filter(p => partMatches(schema, byPath(p), values)).toSet
       if (gone.isEmpty) return m.version
       val w = writeNothing(spark, table, m.schemaJson)
+      // CDF: the dropped partitions' rows as delete pre-images — opt-in
+      // because it turns the metadata-only drop into one read of exactly
+      // the dropped files (still never a rewrite); what lets a
+      // downstream incremental view retract the retired partition
+      val cdfFiles =
+        if (!changeFeed) Seq.empty
+        else writeCdf(spark, table, w,
+          toDf(spark, new Path(table), m.schemaJson, gone.toSeq.sorted)
+            .withColumn("_change_type", lit("delete")))
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(m.version))
           Some(Attempt("dropPartitions",
             m.files.filterNot(gone),
             m.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)),
             m.txn.getOrElse(Map.empty),
+            cdf = cdfFiles,
             constraints = m.constraints.getOrElse(Map.empty)))
         else None) // snapshot went stale: re-match against the new latest
       committed.foreach(v => return v)

@@ -64,4 +64,23 @@ class MixtureSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reserved"))
   }
+
+  test("global shuffle (d25 shape): pos is a permutation, stable under partitioning") {
+    // constant domain + weight 1 turns the prefix scan into a global
+    // row_number in seeded-hash order — the training-order shuffle
+    def shuffled(parts: Int) = Mixture.hashPrefixSum(
+        df.select(col("id")).repartition(parts).withColumn("part", lit(0)),
+        "part", h, col("id"), lit(1L))
+      .select(col("id"), (col("__cum") - 1).as("pos"))
+    val a = shuffled(3).as[(Long, Long)].collect().sortBy(_._1)
+    // a permutation of 0..n-1 …
+    assert(a.map(_._2).sorted.toSeq == (0L until rows.size.toLong))
+    // … that matches the naive global order …
+    val ref = df.select(col("id")).withColumn("h", h)
+      .orderBy(col("h"), col("id")).select("id").as[Long].collect()
+      .zipWithIndex.map { case (id, i) => (id, i.toLong) }.sortBy(_._1)
+    assert(a.toSeq == ref.toSeq)
+    // … and is byte-identical under a different input partitioning
+    assert(shuffled(17).as[(Long, Long)].collect().sortBy(_._1).toSeq == a.toSeq)
+  }
 }

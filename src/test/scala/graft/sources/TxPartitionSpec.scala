@@ -190,6 +190,59 @@ class TxPartitionSpec extends SparkSpec {
     assert(e.getMessage.contains("not partitioned"))
   }
 
+  test("partition ops record a change feed when asked (replaceWhere+CDF shape)") {
+    val t = tmpTable()
+    TxLog.overwrite(sample, t, partitionBy = Some(Seq("yr")))
+    val v1 = TxLog.manifest(spark, t).version
+    // dynamic overwrite of 2024 with CDF: old rows delete, new rows insert
+    TxLog.overwritePartitions(
+      Seq((9L, "2024", "z", 99.0)).toDF("id", "yr", "grp", "v"), t,
+      changeFeed = true)
+    // metadata-only drop of 2026 with CDF: pre-images recorded
+    TxLog.dropPartitions(spark, t, Map("yr" -> "2026"), changeFeed = true)
+    val feed = TxLog.readChangeFeed(spark, t, sinceVersion = v1)
+      .select(col("id"), col("yr"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(feed == Set(
+      (1L, "2024", "delete"), (2L, "2024", "delete"), (9L, "2024", "insert"),
+      (5L, "2026", "delete")))
+    // without changeFeed the feed refuses the unrecorded rewrite
+    val t2 = tmpTable()
+    TxLog.overwrite(sample, t2, partitionBy = Some(Seq("yr")))
+    val v = TxLog.manifest(spark, t2).version
+    TxLog.dropPartitions(spark, t2, Map("yr" -> "2024"))
+    val e = intercept[RuntimeException] {
+      TxLog.readChangeFeed(spark, t2, sinceVersion = v).collect()
+    }
+    assert(e.getMessage.contains("no recorded change"))
+  }
+
+  test("streaming sink appends inherit the partition layout") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpTable()
+    val dst = tmpTable()
+    TxLog.overwrite(Seq((1L, "2024"), (2L, "2025")).toDF("id", "yr"), src)
+    // destination created partitioned up front; the sink's idempotent
+    // appends must land Hive-partitioned without being told
+    TxLog.overwrite(Seq((0L, "2023")).toDF("id", "yr"), dst,
+      partitionBy = Some(Seq("yr")))
+    val q = spark.readStream.format("graft-txlog").option("path", src).load()
+      .writeStream.format("graft-txlog")
+      .option("path", dst)
+      .option("txnAppId", "txpart-sink-spec")
+      .option("checkpointLocation",
+        Files.createTempDirectory("txpart-cp").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val m = TxLog.manifest(spark, dst)
+    assert(m.partitionBy.contains(Seq("yr")))
+    assert(m.stats.get.forall(_.parts.isDefined))
+    assert(TxLog.partitions(spark, dst).count() == 3)
+    assert(TxLog.readPartition(spark, dst, Map("yr" -> "2025"))
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("partition values with special characters escape and unescape") {
     val t = tmpTable()
     val df = Seq((1L, "a/b"), (2L, "c:d"), (3L, "plain")).toDF("id", "k")
