@@ -765,12 +765,27 @@ object TxLog {
     */
   def compact(spark: SparkSession, table: String,
       smallFileBytes: Long = 128L << 20,
-      targetFileBytes: Long = 128L << 20): Long = {
+      targetFileBytes: Long = 128L << 20,
+      partition: Map[String, Any] = Map.empty): Long = {
     require(smallFileBytes > 0 && targetFileBytes > 0, "thresholds must be positive")
     val t = new Path(table)
     val f = fs(spark, t)
     val m = manifest(spark, table)
-    val sized = m.files.map(rel => rel -> f.getFileStatus(new Path(t, rel)).getLen)
+    // `partition` targets the bin-packing at one partition (slice) of a
+    // partitioned table — the maintenance-window pattern: a streaming
+    // ingest fragments only TODAY's partition, so tonight's OPTIMIZE
+    // should stat and read only today's files, not the table's
+    val candidates =
+      if (partition.isEmpty) m.files
+      else {
+        val pcols = partitionedManifest(table, m)
+        partition.keys.foreach(k => require(pcols.contains(k),
+          s"'$k' is not a partition column of $table (has: ${pcols.mkString(", ")})"))
+        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        val byPath = partedEntries(table, m)
+        m.files.filter(p => partMatches(schema, byPath(p), partition))
+      }
+    val sized = candidates.map(rel => rel -> f.getFileStatus(new Path(t, rel)).getLen)
     val small = sized.filter(_._2 < smallFileBytes)
     if (small.size < 2) return m.version
     val smallSet = small.map(_._1).toSet

@@ -64,6 +64,12 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
     * ONE atomic commit — Overwrite is the snapshot replace, Append the
     * optimistic append (creating the table on first write), and
     * ErrorIfExists/Ignore gate on whether the log has any version.
+    * `.option("partitionBy", "a,b")` lays the table out Hive-partitioned
+    * on those columns (the v1 writer API drops `df.write.partitionBy`,
+    * so the layout rides an option): Overwrite (re)sets the layout;
+    * table-creating writes adopt it; an append to an EXISTING table
+    * inherits the table's layout and fails loudly if the option names a
+    * different one.
     */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -73,16 +79,26 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
         "a new version on top of the latest")
     val spark = sqlContext.sparkSession
     val exists = TxLog.latestVersion(spark, path).isDefined
+    val optPb: Option[Seq[String]] = parameters.get("partitionBy")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def create(): Unit = TxLog.overwrite(data, path, partitionBy = optPb)
+    def appendExisting(): Unit = {
+      val tablePb = TxLog.tablePartitionBy(spark, path)
+      optPb.foreach(pb => require(pb == tablePb,
+        s"graft-txlog: append partitionBy option [${pb.mkString(", ")}] " +
+          s"does not match $path's layout [${tablePb.mkString(", ")}] — " +
+          "appends inherit the table's partitioning"))
+      TxLog.append(data, path)
+    }
     mode match {
-      case SaveMode.Overwrite => TxLog.overwrite(data, path)
-      case SaveMode.Append =>
-        if (exists) TxLog.append(data, path) else TxLog.overwrite(data, path)
+      case SaveMode.Overwrite => TxLog.overwrite(data, path, partitionBy = optPb)
+      case SaveMode.Append => if (exists) appendExisting() else create()
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft-txlog: $path already has committed versions " +
             "(mode=ErrorIfExists)")
-        else TxLog.overwrite(data, path)
-      case SaveMode.Ignore => if (!exists) TxLog.overwrite(data, path)
+        else create()
+      case SaveMode.Ignore => if (!exists) create()
     }
     createRelation(sqlContext, parameters)
   }
@@ -141,38 +157,50 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
     * identity and double-append. Complete mode atomically OVERWRITES
     * the table with each batch (the snapshot-publish pattern for
     * aggregate serving tables). First Append into a missing table
-    * creates it.
+    * creates it. `writeStream.partitionBy(cols)` lays a table-CREATING
+    * stream out Hive-partitioned; a stream into an existing table must
+    * name the table's own layout (or none — appends inherit it).
     */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
     val path = pathOf(parameters)
-    require(partitionColumns.isEmpty,
-      "graft-txlog sink does not support partitionBy - z-order or " +
-        "range-partition the frame instead (stats skipping replaces " +
-        "directory partitioning)")
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation"))
       .getOrElse(throw new IllegalArgumentException(
         "graft-txlog sink needs .option(\"txnAppId\", ...) (or a " +
           "checkpointLocation to default the transaction identity from)"))
-    new TxLogSink(path, appId, outputMode)
+    new TxLogSink(path, appId, outputMode, partitionColumns)
   }
 }
 
 private[streaming] class TxLogSink(table: String, appId: String,
-    mode: OutputMode) extends Sink {
+    mode: OutputMode, partitionColumns: Seq[String] = Seq.empty) extends Sink {
+
+  private def checkLayout(spark: SparkSession): Unit =
+    if (partitionColumns.nonEmpty &&
+        TxLog.latestVersion(spark, table).isDefined) {
+      val tablePb = TxLog.tablePartitionBy(spark, table)
+      require(partitionColumns == tablePb,
+        s"graft-txlog sink partitionBy [${partitionColumns.mkString(", ")}] " +
+          s"does not match $table's layout [${tablePb.mkString(", ")}] — " +
+          "appends inherit the table's partitioning")
+    }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the engine's micro-batch frame is isStreaming (blocks df.write);
     // re-wrap it as a batch frame — its plan still executes exactly once
     val batch = org.apache.spark.sql.graftshim.Shim.asBatch(data)
     if (mode == OutputMode.Complete()) {
-      TxLog.overwrite(batch, table)
+      TxLog.overwrite(batch, table, partitionBy =
+        Some(partitionColumns).filter(_.nonEmpty))
       ()
     } else {
+      checkLayout(batch.sparkSession)
       if (TxLog.latestVersion(batch.sparkSession, table).isEmpty)
-        TxLog.overwrite(batch.limit(0), table) // create empty at the schema
+        // create empty at the schema (and the requested layout)
+        TxLog.overwrite(batch.limit(0), table,
+          partitionBy = Some(partitionColumns))
       TxLog.idempotentAppend(batch, table, appId, batchId)
       ()
     }

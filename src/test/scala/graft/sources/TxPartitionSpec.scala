@@ -169,6 +169,26 @@ class TxPartitionSpec extends SparkSpec {
       .collect().toSet == before)
   }
 
+  test("compact targeted at one partition leaves other partitions' files alone") {
+    val t = tmpTable()
+    TxLog.overwrite(sample, t, partitionBy = Some(Seq("yr")))
+    (1 to 3).foreach(i =>
+      TxLog.append(Seq((200L + i, "2024", "c", i.toDouble))
+        .toDF("id", "yr", "grp", "v"), t))
+    val before = TxLog.manifest(spark, t)
+    val other = before.files.filterNot(_.contains("__gp_yr=2024")).toSet
+    val n2024 = before.files.count(_.contains("__gp_yr=2024"))
+    val rows = TxLog.read(spark, t).as[(Long, String, String, Double)].collect().toSet
+    TxLog.compact(spark, t, smallFileBytes = 10L << 20,
+      partition = Map("yr" -> "2024"))
+    val after = TxLog.manifest(spark, t)
+    // 2025/2026 files untouched by path; 2024's small-file debt packed
+    assert(other.subsetOf(after.files.toSet))
+    assert(after.files.count(_.contains("__gp_yr=2024")) < n2024)
+    assert(TxLog.read(spark, t).as[(Long, String, String, Double)]
+      .collect().toSet == rows)
+  }
+
   test("restore rolls the partition layout back with the data") {
     val t = tmpTable()
     TxLog.overwrite(sample.select("id", "v"), t) // v1: flat
@@ -241,6 +261,46 @@ class TxPartitionSpec extends SparkSpec {
     assert(TxLog.partitions(spark, dst).count() == 3)
     assert(TxLog.readPartition(spark, dst, Map("yr" -> "2025"))
       .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("batch writer option partitionBy lays the table out partitioned") {
+    val t = tmpTable()
+    sample.write.format("graft-txlog")
+      .option("path", t).option("partitionBy", "yr")
+      .mode("overwrite").save()
+    assert(TxLog.tablePartitionBy(spark, t) == Seq("yr"))
+    assert(TxLog.partitions(spark, t).count() == 3)
+    // append without the option inherits; with a WRONG option fails loud
+    Seq((6L, "2026", "b", 60.0)).toDF("id", "yr", "grp", "v")
+      .write.format("graft-txlog").option("path", t).mode("append").save()
+    assert(TxLog.read(spark, t).count() == 6)
+    assert(TxLog.manifest(spark, t).stats.get.forall(_.parts.isDefined))
+    val e = intercept[IllegalArgumentException] {
+      Seq((7L, "2026", "c", 70.0)).toDF("id", "yr", "grp", "v")
+        .write.format("graft-txlog").option("path", t)
+        .option("partitionBy", "grp").mode("append").save()
+    }
+    assert(e.getMessage.contains("does not match"))
+  }
+
+  test("streaming sink partitionBy creates a partitioned table") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpTable()
+    val dst = tmpTable()
+    TxLog.overwrite(Seq((1L, "2024"), (2L, "2025")).toDF("id", "yr"), src)
+    val q = spark.readStream.format("graft-txlog").option("path", src).load()
+      .writeStream.format("graft-txlog")
+      .partitionBy("yr")
+      .option("path", dst)
+      .option("txnAppId", "txpart-create-sink")
+      .option("checkpointLocation",
+        Files.createTempDirectory("txpart-cp2").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(TxLog.tablePartitionBy(spark, dst) == Seq("yr"))
+    assert(TxLog.readPartition(spark, dst, Map("yr" -> "2024"))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
   test("partition values with special characters escape and unescape") {
