@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.pointInIntervalTableFunction)
     ext.injectTableFunction(GraftExtensions.txReadTableFunction)
     ext.injectTableFunction(GraftExtensions.txCdfTableFunction)
+    ext.injectTableFunction(GraftExtensions.txPartitionsTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // count/min/max over a graft-txlog relation answer from the manifest
     ext.injectOptimizerRule(_ => graft.plans.TxMetadataAgg)
@@ -323,6 +324,28 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
     (FunctionIdentifier("graft_tx_cdf"), txCdfInfo, txCdfBuilder)
 
+  private val txPartitionsInfo = new ExpressionInfo(
+    graft.sources.TxLog.getClass.getName, null, "graft_tx_partitions",
+    "graft_tx_partitions(path) - SHOW PARTITIONS of a partitioned graft " +
+      "transactional table: one row per live partition (values in their " +
+      "dir-rendered string form, NULL partitions as SQL NULL) with its " +
+      "file and row counts, answered entirely from the manifest", "")
+
+  private def txPartitionsBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val fn = "graft_tx_partitions"
+    require(exprs.length == 1, s"$fn(path) takes 1 argument")
+    graft.sources.TxLog.partitions(activeSession, strLit(exprs(0), fn, "path"))
+      .queryExecution.logical
+  }
+
+  val txPartitionsTableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_tx_partitions"), txPartitionsInfo,
+      txPartitionsBuilder)
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     Shim.registerFunction(spark, "graft_dot", dotInfo,
@@ -341,5 +364,7 @@ object GraftExtensions {
       txReadBuilder)
     Shim.registerTableFunction(spark, "graft_tx_cdf", txCdfInfo,
       txCdfBuilder)
+    Shim.registerTableFunction(spark, "graft_tx_partitions",
+      txPartitionsInfo, txPartitionsBuilder)
   }
 }

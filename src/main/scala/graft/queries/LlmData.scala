@@ -308,6 +308,31 @@ object LlmData {
           explode(sequence(lit(1), col("copies"))).as("epoch"))
     }),
 
+    "d27_vocab_oov" -> ((s, dir) => {
+      // Tokenizer-prep vocabulary + OOV audit: the frequency-ranked
+      // top-V vocabulary (the first step of training any BPE/WordPiece
+      // tokenizer: count, rank, truncate) and every document's
+      // out-of-vocabulary fraction under it — the coverage metric that
+      // decides V. Global top-V is orderBy+limit, which Spark plans as
+      // TakeOrderedAndProject: per-partition bounded top-V heaps merged
+      // on the driver — V rows of driver state, never a global sort,
+      // never a single-task funnel (the count table at 100 TB is
+      // |vocabulary types|, millions of rows — the heap merge reduces
+      // each partition to V before anything moves). The tiny vocabulary
+      // broadcasts back over one token scan.
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(16)
+        .select(col("tok"), lit(true).as("__in"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          r4(col("n_oov").cast("double") / col("n_tok")).as("oov_rate"))
+    }),
+
     "d26_boilerplate_removal" -> ((s, dir) =>
       // Boilerplate REMOVAL (ParagraphDedup.removeBoilerplate scaladoc):
       // where d17 SCORES a document by its duplicated-chunk fraction,
@@ -606,6 +631,39 @@ object LlmData {
           count(lit(1)).as("n_terms"))
         .select(col("doc_id"), col("n_tok"), col("n_terms"),
           r4(col("lp_sum").cast("double") / col("n_tok")).as("avg_logprob"))
+    }),
+
+    "t11_bigram_lm" -> ((s, dir) => {
+      // Bigram-LM quality score — t08's unigram proxy upgraded one
+      // order: per-doc mean ln P(w_i | w_{i-1}) under the self-derived
+      // bigram model (P = c(prev,cur) / c(prev-as-context)). Docs whose
+      // transitions are corpus-typical score high; shuffled or templated
+      // token streams score low even when their unigram mix is normal —
+      // the signal the unigram filter cannot see. Bigrams come from one
+      // zip_with over the token array (flatMap-shaped, no join, no
+      // window); counts are two map-side-combinable aggregates; scoring
+      // is one equi-join on the bigram key. Per-bigram ln p is 8dp-pinned
+      // and contributions sum in DECIMAL(18,8) (exact, order-independent
+      // — the t08 parity recipe), only the final mean rounds.
+      val t = TextFns.tokens(col("text"))
+      val bigrams = docs(s, dir).select(col("doc_id"),
+          explode(zip_with(
+            slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val perDoc = CacheRegistry.track(bigrams
+        .groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("c"))
+        .cache())
+      val bc = perDoc.groupBy("prev", "cur").agg(sum("c").as("cbg"))
+      val ctx = bc.groupBy("prev").agg(sum("cbg").as("cctx"))
+      val lp = bc.join(ctx, "prev").select(col("prev"), col("cur"),
+        round(log(col("cbg").cast("double") / col("cctx")), 8).as("lp"))
+      perDoc.join(lp, Seq("prev", "cur"))
+        .withColumn("contrib", (col("c") * col("lp")).cast("decimal(18,8)"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), sum("contrib").as("lp_sum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          r4(col("lp_sum").cast("double") / col("n_bigrams")).as("avg_logprob"))
     }),
 
     "t10_bm25" -> ((s, dir) => {
@@ -940,6 +998,40 @@ object LlmData {
         |FROM c
         |WHERE cum_tok * 100 <=
         |  (CASE WHEN source IN ('src0','src1','src2','src3') THEN 60 ELSE 25 END) * tot""".stripMargin,
+
+    "t11_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) _
+        |  WHERE len(t) >= 2),
+        |pd AS (
+        |  SELECT doc_id, prev, cur, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY 1, 2, 3),
+        |bc AS (SELECT prev, cur, sum(c) AS cbg FROM pd GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(cbg) AS cctx FROM bc GROUP BY 1),
+        |lp AS (
+        |  SELECT prev, cur, round(ln(cbg::DOUBLE / cctx), 8) AS lp
+        |  FROM bc JOIN ctx USING (prev))
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        | round(sum(CAST(c * lp AS DECIMAL(18,8)))::DOUBLE / sum(c) + 1e-7, 4)
+        |   + 0 AS avg_logprob
+        |FROM pd JOIN lp USING (prev, cur) GROUP BY 1""".stripMargin,
+
+    "d27_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+        |  ORDER BY cnt DESC, tok LIMIT 16)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        | CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        | round(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+        |   THEN 0 ELSE 1 END)::DOUBLE / count(*) + 1e-7, 4) + 0 AS oov_rate
+        |FROM toks GROUP BY 1""".stripMargin,
 
     "d26_boilerplate_removal" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

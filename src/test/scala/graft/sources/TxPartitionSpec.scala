@@ -303,6 +303,15 @@ class TxPartitionSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("graft_tx_partitions TVF matches the Scala partitions() surface") {
+    val t = tmpTable()
+    TxLog.overwrite(sample, t, partitionBy = Some(Seq("yr")))
+    val viaSql = spark.sql(
+        s"SELECT yr, rows FROM graft_tx_partitions('$t') ORDER BY yr")
+      .as[(String, Long)].collect().toSeq
+    assert(viaSql == Seq(("2024", 2L), ("2025", 2L), ("2026", 1L)))
+  }
+
   test("partition values with special characters escape and unescape") {
     val t = tmpTable()
     val df = Seq((1L, "a/b"), (2L, "c:d"), (3L, "plain")).toDF("id", "k")
