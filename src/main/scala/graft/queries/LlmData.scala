@@ -8,7 +8,7 @@ import graft.{CacheRegistry, Tables}
 import graft.functions.{BloomFns, HashFns, TextFns, VecFns}
 import graft.plans.TopKPerKey
 import graft.similarity.{ConnectedComponents, IvfAnn, IvfPqAnn, LshAnn, NgramJaccard, ParagraphDedup, PqAnn, SubstringDedup}
-import graft.multimodal.BinaryColumns
+import graft.multimodal.{BinaryColumns, MediaFeatures}
 
 /** LLM-training-data pipeline queries (SURVEY.md §2: d01–d07, t01–t04, m01):
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
@@ -759,6 +759,33 @@ object LlmData {
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
     }),
 
+    "m03_wav_features" -> ((s, dir) =>
+      // REAL audio decode (multimodal/Wav scaladoc): per-doc synthesized
+      // square-wave WAV bytes, genuinely RIFF-parsed back (magic, chunk
+      // walk, PCM demux) into format fields + peak/RMS. The synth is
+      // closed-form, so the oracle PREDICTS every decoded value from
+      // doc_id/n_chars alone — hash equality proves the encoder,
+      // decoder, and feature math compose exactly. ORACLE-CHECKED,
+      // unlike the deliberately-stubbed m01/m02 plumbing.
+      MediaFeatures.wavFeatures(docs(s, dir))
+        .select(col("doc_id"), col("n_bytes"), col("channels"),
+          col("sample_rate"), col("bits"), col("n_frames"),
+          col("duration_ms"), col("peak"), r4(col("rms")).as("rms"))),
+
+    "m04_image_dhash" -> ((s, dir) =>
+      // REAL image decode (multimodal/Bmp scaladoc): per-doc synthesized
+      // 24bpp BMP (bottom-up rows, BGR, 4-byte padding — the format's
+      // real quirks), decoded back into channel means and the 56-bit
+      // perceptual difference hash over an 8×8 nearest-neighbor luma
+      // thumbnail — the image near-dup key (image dedup becomes the
+      // same equi-join shape as d03 text MinHash). Integer pattern math
+      // end-to-end lets the oracle recompute mean_r/g/b AND the dhash
+      // without touching a byte.
+      MediaFeatures.imageFeatures(docs(s, dir))
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          r4(col("mean_r")).as("mean_r"), r4(col("mean_g")).as("mean_g"),
+          r4(col("mean_b")).as("mean_b"), col("dhash"))),
+
     "m01_multimodal_meta" -> ((s, dir) => BinaryColumns.extractMeta(docs(s, dir))),
 
     "m02_frame_sample" -> ((s, dir) => {
@@ -998,6 +1025,64 @@ object LlmData {
         |FROM c
         |WHERE cum_tok * 100 <=
         |  (CASE WHEN source IN ('src0','src1','src2','src3') THEN 60 ELSE 25 END) * tot""".stripMargin,
+
+    "m03_wav_features" ->
+      """SELECT doc_id,
+        | CAST(44 + (200 + n_chars % 800) * (1 + doc_id % 2) * 2 AS INT) AS n_bytes,
+        | CAST(1 + doc_id % 2 AS INT) AS channels,
+        | CAST(8000 AS INT) AS sample_rate,
+        | CAST(16 AS INT) AS bits,
+        | CAST(200 + n_chars % 800 AS BIGINT) AS n_frames,
+        | CAST((200 + n_chars % 800) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        | CAST(1000 + (doc_id * 37) % 20000 AS INT) AS peak,
+        | round(CAST(1000 + (doc_id * 37) % 20000 AS DOUBLE) + 1e-7, 4) + 0 AS rms
+        |FROM documents""".stripMargin,
+
+    "m04_image_dhash" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(24 + doc_id % 41 AS INT) AS w,
+        |    CAST(16 + doc_id % 29 AS INT) AS h
+        |  FROM documents),
+        |pix AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    (3*x + 7*y + doc_id) % 256 AS r,
+        |    (5*x + 11*y + 2*doc_id) % 256 AS g,
+        |    (13*x + 17*y + 3*doc_id) % 256 AS b
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(range(0, w)) AS x) _x,
+        |    LATERAL (SELECT unnest(range(0, h)) AS y) _y),
+        |means AS (
+        |  SELECT doc_id,
+        |    round(avg(r) + 1e-7, 4) + 0 AS mean_r,
+        |    round(avg(g) + 1e-7, 4) + 0 AS mean_g,
+        |    round(avg(b) + 1e-7, 4) + 0 AS mean_b
+        |  FROM pix GROUP BY 1),
+        |th AS (
+        |  SELECT doc_id, i, j,
+        |    (299*((3*x0 + 7*yy + doc_id) % 256)
+        |     + 587*((5*x0 + 11*yy + 2*doc_id) % 256)
+        |     + 114*((13*x0 + 17*yy + 3*doc_id) % 256)) // 1000 AS l0,
+        |    (299*((3*x1 + 7*yy + doc_id) % 256)
+        |     + 587*((5*x1 + 11*yy + 2*doc_id) % 256)
+        |     + 114*((13*x1 + 17*yy + 3*doc_id) % 256)) // 1000 AS l1
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(range(0, 8)) AS i) _i,
+        |    LATERAL (SELECT unnest(range(0, 7)) AS j) _j,
+        |    LATERAL (SELECT (j*w) // 8 AS x0, ((j+1)*w) // 8 AS x1,
+        |                    (i*h) // 8 AS yy) _c),
+        |dh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN l1 > l0
+        |      THEN (1::BIGINT << (i*7 + j)) ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM th GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(54 + (3*d.w + (4 - (3*d.w) % 4) % 4) * d.h AS INT) AS n_bytes,
+        | d.w AS width, d.h AS height,
+        | m.mean_r, m.mean_g, m.mean_b, dh.dhash
+        |FROM dims d
+        |JOIN means m ON d.doc_id = m.doc_id
+        |JOIN dh ON d.doc_id = dh.doc_id""".stripMargin,
 
     "t11_bigram_lm" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
