@@ -8,7 +8,7 @@ import graft.{CacheRegistry, Tables}
 import graft.functions.{BloomFns, HashFns, TextFns, VecFns}
 import graft.plans.TopKPerKey
 import graft.similarity.{ConnectedComponents, IvfAnn, IvfPqAnn, LshAnn, NgramJaccard, ParagraphDedup, PqAnn, SubstringDedup}
-import graft.multimodal.{BinaryColumns, MediaFeatures}
+import graft.multimodal.{BinaryColumns, Bmp, MediaFeatures}
 
 /** LLM-training-data pipeline queries (SURVEY.md §2: d01–d07, t01–t04, m01):
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
@@ -786,6 +786,39 @@ object LlmData {
           r4(col("mean_r")).as("mean_r"), r4(col("mean_g")).as("mean_g"),
           r4(col("mean_b")).as("mean_b"), col("dhash"))),
 
+    "m05_image_neardup" -> ((s, dir) => {
+      // Image dedup over the perceptual hash (m04's dhash as the join
+      // key): each doc renders the pattern of its doc_id mod 37, so the
+      // corpus contains ~37 distinct images with many re-encodes — the
+      // common-crawl reality of one logo/banner under thousands of
+      // URLs. Every image is REALLY decoded (BMP parse + thumbnail +
+      // dhash); dedup is then one hash aggregate + equi-join on the
+      // 56-bit key — the d03 MinHash shape, NOT an all-pairs pixel
+      // compare — keeping the lowest doc_id per perceptual identity.
+      // The oracle recomputes the dhash arithmetic per doc and applies
+      // the same keep rule: hash equality proves decode + key + dedup
+      // agree end-to-end.
+      val spark = s
+      import org.apache.spark.sql.types._
+      val rdd = docs(s, dir).select(col("doc_id"))
+        .rdd.mapPartitions(_.map { r =>
+          val d = r.getLong(0)
+          val seed = d % 37L
+          val w = 24 + (seed % 41L).toInt
+          val h = 16 + (seed % 29L).toInt
+          val dec = Bmp.decode(Bmp.encode(w, h, Bmp.pattern(seed)))
+          org.apache.spark.sql.Row(d, dec.dhash)
+        })
+      val hashed = spark.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("dhash", LongType, nullable = false))))
+      val groups = hashed.groupBy("dhash")
+        .agg(min("doc_id").as("canonical"), count(lit(1)).as("group_size"))
+      hashed.join(groups, "dhash")
+        .select(col("doc_id"), col("dhash"), col("group_size"),
+          (col("doc_id") === col("canonical")).as("keep"))
+    }),
+
     "m01_multimodal_meta" -> ((s, dir) => BinaryColumns.extractMeta(docs(s, dir))),
 
     "m02_frame_sample" -> ((s, dir) => {
@@ -1083,6 +1116,42 @@ object LlmData {
         |FROM dims d
         |JOIN means m ON d.doc_id = m.doc_id
         |JOIN dh ON d.doc_id = dh.doc_id""".stripMargin,
+
+    "m05_image_neardup" ->
+      """WITH seeds AS (SELECT DISTINCT doc_id % 37 AS seed FROM documents),
+        |dims AS (
+        |  SELECT seed, CAST(24 + seed % 41 AS INT) AS w,
+        |         CAST(16 + seed % 29 AS INT) AS h
+        |  FROM seeds),
+        |th AS (
+        |  SELECT seed, i, j,
+        |    (299*((3*x0 + 7*yy + seed) % 256)
+        |     + 587*((5*x0 + 11*yy + 2*seed) % 256)
+        |     + 114*((13*x0 + 17*yy + 3*seed) % 256)) // 1000 AS l0,
+        |    (299*((3*x1 + 7*yy + seed) % 256)
+        |     + 587*((5*x1 + 11*yy + 2*seed) % 256)
+        |     + 114*((13*x1 + 17*yy + 3*seed) % 256)) // 1000 AS l1
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(range(0, 8)) AS i) _i,
+        |    LATERAL (SELECT unnest(range(0, 7)) AS j) _j,
+        |    LATERAL (SELECT (j*w) // 8 AS x0, ((j+1)*w) // 8 AS x1,
+        |                    (i*h) // 8 AS yy) _c),
+        |dh AS (
+        |  SELECT seed,
+        |    CAST(sum(CASE WHEN l1 > l0
+        |      THEN (1::BIGINT << (i*7 + j)) ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM th GROUP BY 1),
+        |hashed AS (
+        |  SELECT d.doc_id, dh.dhash
+        |  FROM (SELECT doc_id, doc_id % 37 AS seed FROM documents) d
+        |  JOIN dh USING (seed)),
+        |groups AS (
+        |  SELECT dhash, min(doc_id) AS canonical,
+        |         CAST(count(*) AS BIGINT) AS group_size
+        |  FROM hashed GROUP BY 1)
+        |SELECT h.doc_id, h.dhash, g.group_size,
+        | h.doc_id = g.canonical AS keep
+        |FROM hashed h JOIN groups g USING (dhash)""".stripMargin,
 
     "t11_bigram_lm" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
