@@ -384,6 +384,45 @@ object TxLog {
     * contract as [[readBetween]]: stats choose files, the exact filter
     * on top chooses rows, missing evidence always keeps the file.
     */
+  /** Evidence for one file/column from the manifest: stored stats, or
+    * the exact partition value as min=max stats of the same strength.
+    * None = no evidence (the caller must keep the file).
+    */
+  private def evidenceFor(e: FileEntry, column: String): Option[ColStats] =
+    e.stats.get(column).orElse(
+      e.parts.flatMap(_.get(column)).map {
+        case `nullPartition` => ColStats(None, None, e.rows)
+        case v => ColStats(Some(v), Some(v), 0)
+      })
+
+  /** The subset of `m.files` that could hold a row matching every given
+    * conjunct, judged from per-file evidence alone. `bounds` are
+    * inclusive [lo, hi] ranges (both optional) in the column's own
+    * domain; `nullness` are IsNull(col)/IsNotNull(col) tests judged
+    * from the stored null counts. Missing evidence ALWAYS keeps the
+    * file — this chooses which files to read, never which rows match.
+    */
+  private[graft] def pruneByConjuncts(m: Manifest, schema: StructType,
+      bounds: Seq[(String, DataType, Option[String], Option[String])],
+      nullness: Seq[(String, Boolean)] = Seq.empty): Seq[String] = {
+    val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    m.files.filter { p =>
+      byPath.get(p) match {
+        case None => true // no entry at all: cannot skip
+        case Some(entry) =>
+          bounds.forall { case (column, dt, lo, hi) =>
+            evidenceFor(entry, column)
+              .forall(st => mayMatch(st, dt, lo, hi))
+          } && nullness.forall { case (column, wantNull) =>
+            evidenceFor(entry, column).forall { st =>
+              if (wantNull) st.nulls > 0 // no NULLs recorded: IsNull can't hit
+              else st.nulls < entry.rows || entry.rows == 0 // all-NULL file
+            }
+          }
+      }
+    }
+  }
+
   def readWhere(spark: SparkSession, table: String,
       bounds: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
     require(bounds.nonEmpty, "readWhere needs at least one column bound")
@@ -395,32 +434,24 @@ object TxLog {
       val field = schema(column)
       require(isSkippable(field.dataType),
         s"column '$column' (${field.dataType.simpleString}) is not range-comparable")
-      (column, field.dataType, lo, hi)
+      (column, field.dataType, lo.map(_.toString), hi.map(_.toString))
     }
-    val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e).toMap
-    val kept = m.files.filter { p =>
-      checks.forall { case (column, dt, lo, hi) =>
-        byPath.get(p).flatMap(_.stats.get(column)) match {
-          case Some(st) => mayMatch(st, dt, lo.map(_.toString), hi.map(_.toString))
-          case None =>
-            // beyond-the-stats-cap partition column: the file's exact
-            // partition value is min=max evidence of the same strength
-            byPath.get(p).flatMap(_.parts).flatMap(_.get(column)) match {
-              case Some(v) if v != nullPartition =>
-                mayMatch(ColStats(Some(v), Some(v), 0), dt,
-                  lo.map(_.toString), hi.map(_.toString))
-              case Some(_) => false // all-NULL partition; range preds null-reject
-              case None => true // no evidence at all: cannot skip
-            }
-        }
-      }
-    }
-    val exact = checks.flatMap { case (column, dt, lo, hi) =>
+    val kept = pruneByConjuncts(m, schema, checks)
+    val exact = bounds.flatMap { case (column, lo, hi) =>
       val c = col(quoted(column))
+      val dt = schema(column).dataType
       lo.map(v => c >= lit(v).cast(dt)) ++ hi.map(v => c <= lit(v).cast(dt))
     }.reduceOption(_ && _).getOrElse(lit(true))
     toDf(spark, new Path(table), m.schemaJson, kept).filter(exact)
   }
+
+  /** [[readFiles]] pinned at `version` (the incremental/pruned-read
+    * primitive for snapshot-stable consumers like [[TxLogRelation]]).
+    */
+  private[graft] def readFilesAsOf(spark: SparkSession, table: String,
+      version: Long, files: Seq[String]): DataFrame =
+    toDf(spark, new Path(table),
+      manifestAt(spark, table, version).schemaJson, files)
 
   private def quoted(name: String): String =
     "`" + name.replace("`", "``") + "`"

@@ -118,10 +118,70 @@ class TxLogRelation(spark: SparkSession, table: String,
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filterNot(toColumn(_).isDefined)
 
+  /** Manifest-level file skipping for the engine's pushed filters —
+    * what makes a plain SQL `WHERE` on a graft-txlog table skip data
+    * files at PLANNING time, exactly like `TxLog.readWhere` but
+    * automatic. Each top-level filter is one conjunct; the translatable
+    * comparisons become inclusive stats bounds (strict inequalities
+    * widen to inclusive — may keep an extra file, never skips one
+    * wrongly), `In` keeps a file if ANY value may match, and
+    * IsNull/IsNotNull judge from the stored per-file null counts (the
+    * IsNotNull conjunct Spark adds for every referenced column prunes
+    * all-NULL files for free). Timestamp values are excluded: their
+    * `toString` render (trailing ".0") differs from the stats' render,
+    * and a domain mismatch could skip wrongly — dates, numerics, and
+    * strings render identically on both sides. Missing evidence always
+    * keeps the file.
+    */
+  private def prunedFiles(filters: Array[Filter]): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val m = TxLog.manifestAt(spark, table, pin())
+    def domain(name: String, v: Any): Option[(String, DataType)] = {
+      if (v == null) return None
+      val field = schema.fields.find(_.name == name)
+      field.map(_.dataType).collect {
+        case dt: NumericType => (name, dt)
+        case StringType => (name, StringType)
+        case DateType => (name, DateType)
+      }
+    }
+    val bounds = filters.toSeq.flatMap {
+      case EqualTo(a, v) => domain(a, v).map { case (n, dt) =>
+        (n, dt, Some(v.toString), Some(v.toString)) }
+      case GreaterThan(a, v) => domain(a, v).map { case (n, dt) =>
+        (n, dt, Some(v.toString), None) }
+      case GreaterThanOrEqual(a, v) => domain(a, v).map { case (n, dt) =>
+        (n, dt, Some(v.toString), None) }
+      case LessThan(a, v) => domain(a, v).map { case (n, dt) =>
+        (n, dt, None, Some(v.toString)) }
+      case LessThanOrEqual(a, v) => domain(a, v).map { case (n, dt) =>
+        (n, dt, None, Some(v.toString)) }
+      case _ => None
+    }
+    val nullness = filters.toSeq.flatMap {
+      case IsNull(a) => Some((a, true))
+      case IsNotNull(a) => Some((a, false))
+      case _ => None
+    }
+    // In(a, vs): a file survives if ANY listed value may match
+    val inKept: Seq[Seq[String]] = filters.toSeq.flatMap {
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        domain(a, vs.head).map { case (n, dt) =>
+          vs.toSeq.flatMap(v => TxLog.pruneByConjuncts(m, schema,
+            Seq((n, dt, Some(v.toString), Some(v.toString))))).distinct
+        }
+      case _ => None
+    }
+    val base = TxLog.pruneByConjuncts(m, schema, bounds, nullness)
+    inKept.foldLeft(base)((acc, keep) => acc.filter(keep.toSet))
+  }
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val filtered = filters.flatMap(toColumn)
-      .foldLeft(snapshot)(_.filter(_))
+    val kept = prunedFiles(filters)
+    TxLogRelation.lastScanFileCount = kept.size
+    val snap = TxLog.readFilesAsOf(spark, table, pin(), kept)
+    val filtered = filters.flatMap(toColumn).foldLeft(snap)(_.filter(_))
     // zero requiredColumns (COUNT(*)) is an empty projection: Spark
     // counts the empty rows; the inner scan still prunes to no columns
     filtered.select(requiredColumns.toSeq.map(n => col(s"`$n`")): _*).rdd
@@ -141,4 +201,12 @@ class TxLogRelation(spark: SparkSession, table: String,
     // queries, so the next SELECT must re-resolve the new latest version
     synchronized { pinnedVersion = None }
   }
+}
+
+private[graft] object TxLogRelation {
+  /** Test observability: how many files the most recent [[buildScan]]
+    * planned after manifest-level skipping (a v1 relation exposes no
+    * FileIndex for `df.inputFiles` to count).
+    */
+  @volatile var lastScanFileCount: Int = -1
 }

@@ -123,4 +123,68 @@ class TxLogRelationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no committed versions"))
   }
+
+  test("SQL WHERE prunes the planned file list from manifest stats") {
+    val t = tmp("prune")
+    // range-clustered publish: each of the 8 files covers a tight k-range
+    val df = spark.range(0, 800).select(col("id").as("k"),
+      (col("id") % 7).cast("double").as("v"))
+    TxLog.overwrite(df.repartitionByRange(8, col("k")), t)
+    val total = TxLog.manifest(spark, t).files.size
+    assert(total == 8)
+    def scanned[A](body: => A): (A, Int) = {
+      TxLogRelation.lastScanFileCount = -1
+      val r = body
+      (r, TxLogRelation.lastScanFileCount)
+    }
+    val rel = spark.read.format("graft-txlog").load(t)
+    // no filter: every file planned (collect, not count — a bare
+    // count() is answered by TxMetadataAgg from the manifest and never
+    // scans at all, which is its own spec'd behavior)
+    val (n0, f0) = scanned(rel.select("k").collect().length)
+    assert(n0 == 800 && f0 == total)
+    // a tight range hits 1-2 files; the answer is exact either way
+    val (rows, f1) = scanned(
+      rel.filter(col("k") >= 100 && col("k") <= 120).collect().length)
+    assert(rows == 21 && f1 <= 2)
+    // point lookup via SQL equality
+    rel.createOrReplaceTempView("prune_t")
+    val (one, f2) = scanned(
+      spark.sql("SELECT v FROM prune_t WHERE k = 555").collect().length)
+    assert(one == 1 && f2 == 1)
+    // IN-list keeps only the union of matching files
+    val (three, f3) = scanned(
+      spark.sql("SELECT v FROM prune_t WHERE k IN (5, 405, 795)")
+        .collect().length)
+    assert(three == 3 && f3 <= 3)
+  }
+
+  test("IsNotNull prunes all-NULL files; IsNull prunes no-NULL files") {
+    val t = tmp("prune-null")
+    val withNulls = spark.range(0, 10)
+      .select(col("id").as("k"), lit(null).cast("string").as("v"))
+    TxLog.overwrite(withNulls.coalesce(1), t)
+    TxLog.append(spark.range(10, 20)
+      .select(col("id").as("k"), lit("x").as("v")).coalesce(1), t)
+    val rel = spark.read.format("graft-txlog").load(t)
+    TxLogRelation.lastScanFileCount = -1
+    assert(rel.filter(col("v").isNotNull).count() == 10)
+    assert(TxLogRelation.lastScanFileCount == 1)
+    TxLogRelation.lastScanFileCount = -1
+    assert(rel.filter(col("v").isNull).count() == 10)
+    assert(TxLogRelation.lastScanFileCount == 1)
+  }
+
+  test("partition-column equality prunes to the partition's files via parts") {
+    val t = tmp("prune-part")
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "c", 4.0))
+      .toDF("k", "g", "v")
+    TxLog.overwrite(df, t, partitionBy = Some(Seq("g")))
+    val rel = spark.read.format("graft-txlog").load(t)
+    TxLogRelation.lastScanFileCount = -1
+    assert(rel.filter(col("g") === "a").count() == 2)
+    val perA = TxLog.manifest(spark, t).stats.get
+      .count(_.parts.exists(_.get("g").contains("a")))
+    assert(TxLogRelation.lastScanFileCount == perA)
+  }
 }
