@@ -446,6 +446,25 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q109_tx_sql_skipping" -> ((s, dir) => {
+      // The AUTOMATIC file-skipping path under the oracle gate
+      // (TxLogRelation.buildScan): orders published range-clustered by
+      // o_custkey through the transactional layer, then queried with a
+      // plain SQL WHERE — no readWhere/readBetween call anywhere. The
+      // pushed filters prune the planned file list from the manifest
+      // stats at planning time; hash equality with DuckDB's full-scan
+      // WHERE proves no qualifying row lived in a skipped file (the
+      // spec separately pins the planned-file counts).
+      val t = tmpTable("tx-q109")
+      TxLog.overwrite(
+        Tables.orders(s, dir).repartitionByRange(8, col("o_custkey")), t)
+      s.read.format("graft-txlog").load(t)
+        .filter(col("o_custkey") >= 100 && col("o_custkey") <= 400)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q108_partition_ivm" -> ((s, dir) => {
       // q103's IVM machinery composed with the PARTITION ops (the Delta
       // replaceWhere+CDF shape): a year-partitioned orders table
@@ -695,6 +714,13 @@ object Lakehouse {
         |SELECT o_year, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM final GROUP BY 1""".stripMargin,
+
+    "q109_tx_sql_skipping" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey >= 100 AND o_custkey <= 400
+        |GROUP BY 1""".stripMargin,
 
     "q108_partition_ivm" ->
       """WITH o AS (
