@@ -446,6 +446,53 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q110_tx_clone" -> ((s, dir) => {
+      // Zero-copy SHALLOW CLONE (TxLog.clone scaladoc): pre-1997 orders
+      // published to a source table, cloned (one metadata write — no
+      // data byte moves, asserted by CloneSpec), then the clone and the
+      // source DIVERGE: 1997+ orders are appended to the clone while
+      // the source is overwritten down to a tiny subset. The clone is
+      // read back and must aggregate to the FULL orders table — which
+      // is only possible if (a) the clone really sees the source's
+      // original files (nothing copied, nothing lost) and (b) neither
+      // the clone's append nor the source's overwrite bled into the
+      // other. The oracle is a from-scratch full-table recompute.
+      val t = tmpTable("tx-q110")
+      val c = tmpTable("tx-q110c")
+      val o = Tables.orders(s, dir)
+      TxLog.overwrite(o.filter(year(col("o_orderdate")) < 1997), t)
+      TxLog.clone(s, t, c)
+      TxLog.append(o.filter(year(col("o_orderdate")) >= 1997), c)
+      TxLog.overwrite(o.filter(col("o_orderkey") <= 10), t) // source moves on
+      TxLog.read(s, c)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
+    "q111_tx_vacuum" -> ((s, dir) => {
+      // VACUUM under the oracle gate (TxLog.vacuum scaladoc): v1 holds
+      // the full orders table, v2 overwrites it with the 1996+ slice,
+      // then vacuum(keep 1) physically deletes v1's files and manifest.
+      // The surviving snapshot is read back and must still aggregate to
+      // exactly the 1996+ slice — hash equality proves vacuum deleted
+      // ONLY unreferenced files (an over-eager reap loses rows and
+      // mismatches); `n_versions` pins that history really shrank to 1.
+      // TxLogSpec separately proves the dropped files are gone from
+      // disk and shared files survive.
+      val t = tmpTable("tx-q111")
+      val o = Tables.orders(s, dir)
+      TxLog.overwrite(o, t)
+      TxLog.overwrite(o.filter(year(col("o_orderdate")) >= 1996), t)
+      TxLog.vacuum(s, t, keepVersions = 1)
+      val remaining = TxLog.versions(s, t).size
+      TxLog.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+        .withColumn("n_versions", lit(remaining))
+    }),
+
     "q109_tx_sql_skipping" -> ((s, dir) => {
       // The AUTOMATIC file-skipping path under the oracle gate
       // (TxLogRelation.buildScan): orders published range-clustered by
@@ -580,6 +627,19 @@ object Lakehouse {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q110_tx_clone" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q111_tx_vacuum" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+        | 1 AS n_versions
+        |FROM orders
+        |WHERE year(o_orderdate) >= 1996
+        |GROUP BY 1""".stripMargin,
 
     "q93_tx_merge" ->
       """WITH snap AS (

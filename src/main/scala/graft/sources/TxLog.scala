@@ -1594,7 +1594,10 @@ object TxLog {
   /** Drop all but the last `keepVersions` manifests and delete the data
     * files ONLY they referenced. Files referenced by any kept version
     * survive; unknown files (possibly an in-flight commit's) are never
-    * touched. Returns the deleted data-file paths (table-relative).
+    * touched, and neither are BORROWED files (absolute-path entries a
+    * [[clone]] references inside another table's root — reaping those
+    * is the owning table's vacuum's call, never the clone's). Returns
+    * the deleted data-file paths (table-relative).
     */
   def vacuum(spark: SparkSession, table: String, keepVersions: Int): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the latest version")
@@ -1608,8 +1611,59 @@ object TxLog {
     val keptFiles = keep.flatMap(v => owned(readManifest(spark, t, v))).toSet
     val doomed = drop.flatMap(v => owned(readManifest(spark, t, v)))
       .distinct.filterNot(keptFiles)
+      .filterNot(isBorrowed)
     doomed.foreach(rel => f.delete(new Path(t, rel), false))
     drop.foreach(v => f.delete(manifestPath(t, v), false))
     doomed
+  }
+
+  /** A manifest entry outside the table root: an absolute path (or full
+    * URI) referencing files a [[clone]] borrowed from its source table.
+    * Every file THIS table writes is recorded `data/<uuid>/…`-relative.
+    */
+  private def isBorrowed(rel: String): Boolean =
+    rel.startsWith("/") || rel.contains("://")
+
+  /** Zero-copy SHALLOW CLONE (the public Delta `CREATE TABLE … SHALLOW
+    * CLONE` semantics): `dst` becomes a new table whose version-1
+    * manifest references the SOURCE's current data files by ABSOLUTE
+    * path — no data byte moves, so cloning a 100 TB table is one
+    * metadata write. The dev/test-fork primitive a lakehouse needs:
+    * experiments run against production data without a copy and without
+    * ever being able to disturb it.
+    *
+    * Independence comes from immutability, not isolation code: data
+    * files are never rewritten in place, so the clone PINS the exact
+    * files it was created from — source overwrites/deletes after the
+    * clone don't change what the clone reads, and the clone's own
+    * appends/rewrites land under `dst`'s `data/` dir, invisible to the
+    * source. Per-file stats, CHECK constraints and the partition layout
+    * carry over (skipping and invariants keep working on the clone);
+    * commit-scoped state (change feed, streaming txn watermarks) does
+    * not — the clone's history starts at its own version 1. The one
+    * coupling is the documented Delta shallow-clone caveat: a source
+    * [[vacuum]] that drops the cloned-from version reaps files the
+    * clone still references — deep-copy (overwrite the clone with
+    * itself) before vacuuming the source under it.
+    */
+  def clone(spark: SparkSession, src: String, dst: String): Long = {
+    val m = manifest(spark, src) // loud if src has no committed versions
+    require(latestVersion(spark, dst).isEmpty,
+      s"clone target $dst already has committed versions")
+    val srcRoot = fs(spark, new Path(src)).makeQualified(new Path(src))
+    def absOf(rel: String): String =
+      if (isBorrowed(rel)) rel // a clone of a clone borrows the originals
+      else new Path(srcRoot, rel).toUri.getPath
+    val att = Attempt("clone", m.files.map(absOf),
+      m.stats.getOrElse(Seq.empty).map(e => e.copy(path = absOf(e.path))),
+      txn = Map.empty,
+      constraints = m.constraints.getOrElse(Map.empty),
+      partitionBy = m.partitionBy)
+    publish(spark, dst, writeNothing(spark, dst, m.schemaJson),
+      parent => {
+        require(parent.isEmpty,
+          s"clone target $dst gained a commit while cloning")
+        Some(att)
+      }).get
   }
 }
