@@ -333,6 +333,92 @@ object LlmData {
           r4(col("n_oov").cast("double") / col("n_tok")).as("oov_rate"))
     }),
 
+    "t12_perplexity_filter" -> ((s, dir) => {
+      // The CCNet head/middle/tail split — the published recipe behind
+      // most public pretraining corpora: score every document's
+      // perplexity under an LM, cut the corpus at the perplexity
+      // terciles, keep head+middle. The LM here is the self-derived
+      // Jelinek-Mercer-interpolated bigram model (0.7·P_bigram +
+      // 0.3·P_unigram — interpolation is what t11's pure bigram lacks:
+      // a rare-but-valid transition no longer scores -inf-ish, the
+      // unigram floor carries it). Shapes are all t08/t11 machinery:
+      // two map-side-combinable count aggregates, one equi-join on the
+      // bigram key, exact DECIMAL(18,8) contribution sums. The tercile
+      // thresholds are one exact-percentile aggregate over the PER-DOC
+      // score table (corpus-metadata-sized: one row per document;
+      // at larger scale substitute a sampled quantile) broadcast back
+      // over it. Threshold compares need no extra rounding: ppl values
+      // sit on the 4dp grid and interpolated terciles land ≥3.3e-5
+      // from any grid point (or exactly ON a tied data value, where
+      // both engines produce the identical double), so Spark and
+      // DuckDB bucket identically.
+      val t = TextFns.tokens(col("text"))
+      val bigrams = docs(s, dir).select(col("doc_id"),
+          explode(zip_with(
+            slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val perDoc = CacheRegistry.track(bigrams
+        .groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("c"))
+        .cache())
+      val bc = perDoc.groupBy("prev", "cur").agg(sum("c").as("cbg"))
+      val ctx = bc.groupBy("prev").agg(sum("cbg").as("cctx"))
+      val uni = docs(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("cur"))
+        .groupBy("cur").agg(count(lit(1)).as("cu"))
+      val tot = uni.agg(sum("cu").cast("double").as("n"))
+      val lp = bc.join(ctx, "prev").join(uni, "cur")
+        .crossJoin(broadcast(tot))
+        .select(col("prev"), col("cur"),
+          round(log(lit(0.7) * col("cbg").cast("double") / col("cctx") +
+            lit(0.3) * col("cu").cast("double") / col("n")), 8).as("lp"))
+      val ppl = perDoc.join(lp, Seq("prev", "cur"))
+        .withColumn("contrib", (col("c") * col("lp")).cast("decimal(18,8)"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), sum("contrib").as("lp_sum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          r4(exp(-(col("lp_sum").cast("double") / col("n_bigrams")))).as("ppl"))
+      val th = ppl.agg(
+        expr("percentile(ppl, 1.0D/3.0D)").as("t1"),
+        expr("percentile(ppl, 2.0D/3.0D)").as("t2"))
+      ppl.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_bigrams"), col("ppl"),
+          when(col("ppl") <= col("t1"), "head")
+            .when(col("ppl") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"),
+          when(col("ppl") <= col("t2"), 1).otherwise(0).as("keep"))
+    }),
+
+    "d28_knn_classify" -> ((s, dir) => {
+      // kNN quality/domain classifier — the fastText-classifier stage of
+      // the public pretraining recipes (label a small human-curated seed
+      // set, classify the corpus by similarity to it), expressed as
+      // 5-NN majority vote over the embedding space. Seeds (vec_id < 50,
+      // true labels from the table) BROADCAST — the labeled sample is
+      // tiny by construction — so classification is ONE corpus scan with
+      // a per-row bounded top-5 (TopKPerKey heap), no shuffle that grows
+      // with the corpus; the vote is a (vec, label) count aggregate.
+      // `correct` compares the vote to the held-back true label, so the
+      // result doubles as the classifier's accuracy audit.
+      val e = emb(s, dir)
+      val seeds = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("s_id"), col("embedding").as("se"),
+          col("label").as("s_label"))
+      val rest = e.filter(col("vec_id") >= 50)
+        .select(col("vec_id"), col("embedding").as("ve"), col("label"))
+      val scored = rest.join(broadcast(seeds), col("vec_id") =!= col("s_id"))
+        .withColumn("cos_raw", VecFns.cosine(col("ve"), col("se")))
+      val nn = TopKPerKey.withRank(scored, Seq(col("vec_id")),
+        Seq(col("cos_raw").desc, col("s_id")), k = 5, rankCol = "rank")
+      val votes = nn.groupBy(col("vec_id"), col("label"), col("s_label"))
+        .agg(count(lit(1)).as("votes"))
+      TopKPerKey.withRank(votes, Seq(col("vec_id")),
+          Seq(col("votes").desc, col("s_label")), k = 1, rankCol = "__r")
+        .select(col("vec_id"), col("label"),
+          col("s_label").as("pred_label"), col("votes"),
+          when(col("label") === col("s_label"), 1).otherwise(0).as("correct"))
+    }),
+
     "d26_boilerplate_removal" -> ((s, dir) =>
       // Boilerplate REMOVAL (ParagraphDedup.removeBoilerplate scaladoc):
       // where d17 SCORES a document by its duplicated-chunk fraction,
@@ -1186,6 +1272,67 @@ object LlmData {
         | round(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
         |   THEN 0 ELSE 1 END)::DOUBLE / count(*) + 1e-7, 4) + 0 AS oov_rate
         |FROM toks GROUP BY 1""".stripMargin,
+
+    "t12_perplexity_filter" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) _
+        |  WHERE len(t) >= 2),
+        |pd AS (SELECT doc_id, prev, cur, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+        |bc AS (SELECT prev, cur, sum(c) AS cbg FROM pd GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(cbg) AS cctx FROM bc GROUP BY 1),
+        |uni AS (
+        |  SELECT cur, count(*) AS cu
+        |  FROM (SELECT unnest(t) AS cur FROM tok) GROUP BY 1),
+        |tot AS (SELECT sum(cu)::DOUBLE AS n FROM uni),
+        |lp AS (
+        |  SELECT b.prev, b.cur,
+        |   round(ln(0.7 * b.cbg::DOUBLE / c.cctx::DOUBLE
+        |            + 0.3 * u.cu::DOUBLE / t2.n), 8) AS lp
+        |  FROM bc b JOIN ctx c ON b.prev = c.prev
+        |            JOIN uni u ON b.cur = u.cur, tot t2),
+        |sc AS (
+        |  SELECT doc_id, sum(c) AS n_bigrams,
+        |   sum(CAST(c * lp AS DECIMAL(18,8))) AS lp_sum
+        |  FROM pd JOIN lp USING (prev, cur) GROUP BY 1),
+        |pp AS (
+        |  SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |   round(exp(-(lp_sum::DOUBLE / n_bigrams)) + 1e-7, 4) + 0 AS ppl
+        |  FROM sc),
+        |th AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
+        |              quantile_cont(ppl, 2.0/3) AS t2 FROM pp)
+        |SELECT doc_id, n_bigrams, ppl,
+        | CASE WHEN ppl <= t1 THEN 'head'
+        |      WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+        | CAST(CASE WHEN ppl <= t2 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM pp, th""".stripMargin,
+
+    "d28_knn_classify" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS s_id, embedding AS se, label AS s_label
+         |  FROM embeddings WHERE vec_id < 50),
+         |r AS (
+         |  SELECT vec_id, embedding AS ve, label
+         |  FROM embeddings WHERE vec_id >= 50),
+         |p AS (
+         |  SELECT vec_id, label, s_id, s_label,
+         |   ${cosSql("ve", "se")} AS cos
+         |  FROM r, seeds),
+         |nn AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY cos DESC, s_id) AS rnk
+         |    FROM p) WHERE rnk <= 5),
+         |v AS (
+         |  SELECT vec_id, label, s_label, count(*) AS votes
+         |  FROM nn GROUP BY 1, 2, 3)
+         |SELECT vec_id, label, s_label AS pred_label,
+         | CAST(votes AS BIGINT) AS votes,
+         | CAST(CASE WHEN label = s_label THEN 1 ELSE 0 END AS INT) AS correct
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                   ORDER BY votes DESC, s_label) AS r2
+         |      FROM v) WHERE r2 = 1""".stripMargin,
 
     "d26_boilerplate_removal" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

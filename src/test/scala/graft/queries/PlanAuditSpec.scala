@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSpec {
     "d23_incremental_dedup", // broadcast 1-row metadata index count
     "t05_tfidf",            // broadcast 1-row n_docs scalar
     "t08_unigram_lm",       // broadcast 1-row corpus-total scalar
-    "t10_bm25")             // broadcast 1-row (sumdl, n) corpus stats
+    "t10_bm25",             // broadcast 1-row (sumdl, n) corpus stats
+    "t12_perplexity_filter", // broadcast 1-row corpus-total + 1-row terciles
+    "d28_knn_classify")     // broadcast labeled-seed set (50 rows) × corpus
 
   private def nodeNames(name: String): Seq[String] = {
     // cache hygiene is part of the AUDIT's integrity, not just memory:
