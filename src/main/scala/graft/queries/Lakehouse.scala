@@ -493,6 +493,30 @@ object Lakehouse {
         .withColumn("n_versions", lit(remaining))
     }),
 
+    "q112_tx_bloom_lookup" -> ((s, dir) => {
+      // Per-file Bloom-index point lookup (TxLog.setBloomIndex
+      // scaladoc): orders published HASH-scattered on o_orderkey — the
+      // layout where every file spans the whole key range, so min/max
+      // stats prune NOTHING — then bloom-indexed and point-queried
+      // through plain SQL. The sidecar filters answer "definitely not
+      // in this file" for all but the key's own file (+ fpp
+      // stragglers); BloomIndexSpec pins the planned-file counts, and
+      // hash equality with DuckDB's full-scan lookup proves no
+      // qualifying row lived in a bloom-skipped file. The probed keys
+      // are the table's min/max key, fetched METADATA-ONLY from the
+      // manifest stats (exists at every SF, no data read).
+      val t = tmpTable("tx-q112")
+      TxLog.overwrite(
+        Tables.orders(s, dir).repartition(8, col("o_orderkey")), t)
+      TxLog.setBloomIndex(s, t, Seq("o_orderkey"))
+      val mm = TxLog.statsAggregate(s, t, Seq("o_orderkey"))
+        .select(col("o_orderkey_min"), col("o_orderkey_max")).head
+      s.read.format("graft-txlog").load(t)
+        .filter(col("o_orderkey").isin(mm.getLong(0), mm.getLong(1)))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          dec2(col("o_totalprice")).cast("double").as("price"))
+    }),
+
     "q109_tx_sql_skipping" -> ((s, dir) => {
       // The AUTOMATIC file-skipping path under the oracle gate
       // (TxLogRelation.buildScan): orders published range-clustered by
@@ -640,6 +664,13 @@ object Lakehouse {
         |FROM orders
         |WHERE year(o_orderdate) >= 1996
         |GROUP BY 1""".stripMargin,
+
+    "q112_tx_bloom_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT min(o_orderkey) FROM orders)
+        |   OR o_orderkey IN (SELECT max(o_orderkey) FROM orders)""".stripMargin,
 
     "q93_tx_merge" ->
       """WITH snap AS (

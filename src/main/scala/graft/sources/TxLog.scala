@@ -7,6 +7,8 @@ import org.apache.spark.sql.types._
 import org.json4s.NoTypeHints
 import org.json4s.jackson.Serialization
 
+import graft.functions.BloomFns
+
 /** Transactional table layer over plain parquet — the manifest/commit-log
   * pattern of Delta Lake / Iceberg re-expressed without their jars (none
   * ship in this offline environment; the BASELINE north star names
@@ -81,7 +83,8 @@ object TxLog {
     * layout — the Delta per-file partitionValues field.
     */
   final case class FileEntry(path: String, rows: Long, stats: Map[String, ColStats],
-      parts: Option[Map[String, String]] = None)
+      parts: Option[Map[String, String]] = None,
+      bytes: Option[Long] = None)
 
   /** One committed version. `files` are table-root-relative and are the
     * single source of truth for reads; `stats` is advisory (skipping
@@ -99,7 +102,8 @@ object TxLog {
       txn: Option[Map[String, Long]] = None,
       cdf: Option[Seq[String]] = None,
       constraints: Option[Map[String, String]] = None,
-      partitionBy: Option[Seq[String]] = None)
+      partitionBy: Option[Seq[String]] = None,
+      bloomIndex: Option[Seq[String]] = None)
 
   /** Stats are collected for at most this many leading skippable
     * columns: min/max strings for a 1000-column table would bloat every
@@ -436,7 +440,13 @@ object TxLog {
         s"column '$column' (${field.dataType.simpleString}) is not range-comparable")
       (column, field.dataType, lo.map(_.toString), hi.map(_.toString))
     }
-    val kept = pruneByConjuncts(m, schema, checks)
+    // point bounds (lo == hi) on bloom-indexed columns additionally
+    // probe the per-file sidecar filters — the prune that works where
+    // min/max cannot (high-cardinality keys scattered across files)
+    val points = bounds.collect {
+      case (c, Some(lo), Some(hi)) if lo == hi => (c, Seq(lo)) }
+    val kept = bloomPrune(spark, table, m, schema,
+      pruneByConjuncts(m, schema, checks), points)
     val exact = bounds.flatMap { case (column, lo, hi) =>
       val c = col(quoted(column))
       val dt = schema(column).dataType
@@ -531,6 +541,25 @@ object TxLog {
     * this engine on public DataFrame API and one code path for every
     * filesystem.)
     */
+  /** Map each scanned absolute path back to its table-relative path by
+    * its `data/<uuid>/…` suffix — the commit-uuid dir makes it unique,
+    * and (unlike the bare file name) it stays unique under partition
+    * subdirectories, where one task writes SAME-NAMED part files into
+    * several partition dirs.
+    */
+  private def relMapper(relFiles: Seq[String]): String => String = {
+    val byRel = relFiles.map(r => r -> r).toMap
+    val dataRel = relFiles.head.split('/').take(2).mkString("/")
+    abs => {
+      val idx = abs.indexOf("/" + dataRel + "/")
+      require(idx >= 0, s"stats scan returned unlisted file $abs")
+      val raw = abs.substring(idx + 1)
+      byRel.getOrElse(raw,
+        byRel.getOrElse(java.net.URLDecoder.decode(raw, "UTF-8"),
+          sys.error(s"stats scan returned unlisted file $abs")))
+    }
+  }
+
   private def collectStats(spark: SparkSession, table: Path,
       schema: StructType, relFiles: Seq[String]): Seq[FileEntry] = {
     val skippable = schema.fields.filter(f => isSkippable(f.dataType)).take(maxStatsCols)
@@ -544,21 +573,7 @@ object TxLog {
         max(c).cast("string").as(s"__mx_$i"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nc_$i"))
     }
-    // map each scanned absolute path back to its table-relative path by
-    // its `data/<uuid>/…` suffix — the commit-uuid dir makes it unique,
-    // and (unlike the bare file name) it stays unique under partition
-    // subdirectories, where one task writes SAME-NAMED part files into
-    // several partition dirs
-    val byRel = relFiles.map(r => r -> r).toMap
-    val dataRel = relFiles.head.split('/').take(2).mkString("/")
-    def relOf(abs: String): String = {
-      val idx = abs.indexOf("/" + dataRel + "/")
-      require(idx >= 0, s"stats scan returned unlisted file $abs")
-      val raw = abs.substring(idx + 1)
-      byRel.getOrElse(raw,
-        byRel.getOrElse(java.net.URLDecoder.decode(raw, "UTF-8"),
-          sys.error(s"stats scan returned unlisted file $abs")))
-    }
+    val relOf = relMapper(relFiles)
     spark.read.schema(schema)
       .parquet(relFiles.map(new Path(table, _).toString): _*)
       .groupBy(input_file_name().as("__file"))
@@ -1359,7 +1374,8 @@ object TxLog {
       schemaJson: Option[String] = None,
       cdf: Seq[String] = Seq.empty,
       constraints: Map[String, String] = Map.empty,
-      partitionBy: Option[Seq[String]] = None)
+      partitionBy: Option[Seq[String]] = None,
+      bloomIndex: Option[Seq[String]] = None)
 
   /** Write a change-data frame under the commit's own data directory
     * (`<dataRel>/_cdf/`): invisible to snapshot readers (only
@@ -1463,11 +1479,20 @@ object TxLog {
     }
     val it = f.listFiles(dataDir, true)
     val freshBuf = scala.collection.mutable.ArrayBuffer[String]()
+    // per-file on-disk sizes, captured from the same listing that finds
+    // the files — they become the manifest's cost statistics, which is
+    // what lets TxLogRelation report an exact sizeInBytes and Spark
+    // auto-broadcast small transactional tables in joins
+    val sizeBuf = scala.collection.mutable.Map[String, Long]()
     val dataDirStr = f.makeQualified(dataDir).toString
     while (it.hasNext) {
-      val p = it.next().getPath.toString
-      if (p.endsWith(".parquet") && p.startsWith(dataDirStr + "/"))
-        freshBuf += dataRel + "/" + p.stripPrefix(dataDirStr + "/")
+      val st = it.next()
+      val p = st.getPath.toString
+      if (p.endsWith(".parquet") && p.startsWith(dataDirStr + "/")) {
+        val rel = dataRel + "/" + p.stripPrefix(dataDirStr + "/")
+        freshBuf += rel
+        sizeBuf(rel) = st.getLen
+      }
     }
     val fresh = freshBuf.toSeq.sorted
     val stats =
@@ -1478,8 +1503,15 @@ object TxLog {
     // manifest's per-file row counts are COMPLETE, which is what lets
     // statsAggregate answer count(*) from metadata alone
     val seen = stats.map(_.path).toSet
-    val all = stats ++ fresh.filterNot(seen)
-      .map(p => FileEntry(p, 0L, Map.empty, partValuesOf(p)))
+    val all = (stats ++ fresh.filterNot(seen)
+        .map(p => FileEntry(p, 0L, Map.empty, partValuesOf(p))))
+      .map(e => e.copy(bytes = sizeBuf.get(e.path)))
+    // bloom index is a table property: every writer builds the fresh
+    // files' sidecars so the index stays complete without opting in
+    val bloomCols = bloomIndexOf(spark, table)
+    if (fresh.nonEmpty && bloomCols.nonEmpty)
+      buildBlooms(spark, t, schema, fresh,
+        stats.map(_.rows).maxOption.getOrElse(1L), bloomCols)
     Written(dataRel, fresh, all.sortBy(_.path), schema.json, partitionBy)
   }
 
@@ -1568,7 +1600,11 @@ object TxLog {
         // partition layout is a table property: only an explicit
         // overwrite/restore changes it, every other commit inherits
         partitionBy = att.partitionBy
-          .orElse(parent.flatMap(_.partitionBy)).filter(_.nonEmpty))
+          .orElse(parent.flatMap(_.partitionBy)).filter(_.nonEmpty),
+        // bloom index set is a table property too: only setBloomIndex /
+        // dropBloomIndex pass Some, every other commit inherits
+        bloomIndex = att.bloomIndex
+          .orElse(parent.flatMap(_.bloomIndex)).filter(_.nonEmpty))
       val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
@@ -1612,7 +1648,11 @@ object TxLog {
     val doomed = drop.flatMap(v => owned(readManifest(spark, t, v)))
       .distinct.filterNot(keptFiles)
       .filterNot(isBorrowed)
-    doomed.foreach(rel => f.delete(new Path(t, rel), false))
+    doomed.foreach { rel =>
+      f.delete(new Path(t, rel), false)
+      // a reaped data file takes its bloom sidecar dir with it
+      f.delete(new Path(t, s"_bloom/$rel"), true)
+    }
     drop.foreach(v => f.delete(manifestPath(t, v), false))
     doomed
   }
@@ -1665,5 +1705,176 @@ object TxLog {
           s"clone target $dst gained a commit while cloning")
         Some(att)
       }).get
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-file Bloom filter index (the public Delta bloom-index capability)
+  // ---------------------------------------------------------------------
+
+  /** False-positive rate of the per-file sidecar filters: ~9.6 bits per
+    * row, so a sidecar is ~0.1% of its (compressed) data file — the
+    * published Delta default is in the same regime.
+    */
+  val bloomFpp = 0.01
+
+  /** Bloom indexing targets POINT lookups, so only equality-friendly key
+    * types: integral and string. (Range types already have min/max
+    * stats; floats equality-match too rarely to pay for.)
+    */
+  private def isBloomIndexable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** The table's bloom-indexed columns (empty when the index is unset). */
+  def bloomIndexOf(spark: SparkSession, table: String): Seq[String] =
+    latestVersion(spark, table)
+      .map(readManifest(spark, new Path(table), _))
+      .flatMap(_.bloomIndex).getOrElse(Seq.empty)
+
+  /** One sidecar per (data file, indexed column), under `_bloom/<rel>/`.
+    * Sidecars are ADVISORY, like stats: a missing/unreadable one keeps
+    * the file; a borrowed (clone) entry resolves to a path that does not
+    * exist under this root and is simply never pruned.
+    */
+  private def bloomPathOf(t: Path, rel: String, column: String): Path =
+    new Path(t,
+      s"_bloom/$rel/${java.net.URLEncoder.encode(column, "UTF-8")}.bloom")
+
+  /** Build + write the per-file sidecar filters for `cols` over
+    * `relFiles`. ONE column-pruned scan of exactly the indexed columns
+    * (grouped by file — a mergeable `BloomFilterAggregate` per column);
+    * only the sketches reach the driver, O(files-in-commit × ~0.1% of
+    * file size). `expectedRows` sizes the filters (an underestimate
+    * degrades fpp, never correctness — Bloom filters cannot
+    * false-negative).
+    */
+  private def buildBlooms(spark: SparkSession, t: Path, schema: StructType,
+      relFiles: Seq[String], expectedRows: Long, cols: Seq[String]): Unit = {
+    val present = cols.filter(schema.fieldNames.contains)
+    if (relFiles.isEmpty || present.isEmpty) return
+    val aggs = present.map(c =>
+      BloomFns.bloomAgg(col(quoted(c)), expectedRows.max(1L), bloomFpp)
+        .as(s"__bf_$c"))
+    val relOf = relMapper(relFiles)
+    val rows = spark.read.schema(schema)
+      .parquet(relFiles.map(new Path(t, _).toString): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val f = fs(spark, t)
+    rows.foreach { r =>
+      val rel = relOf(r.getString(0))
+      present.zipWithIndex.foreach { case (c, i) =>
+        Option(r.get(i + 1)).foreach { bytes =>
+          val out = f.create(bloomPathOf(t, rel, c), true)
+          try out.write(bytes.asInstanceOf[Array[Byte]]) finally out.close()
+        }
+      }
+    }
+  }
+
+  /** Declare `cols` bloom-indexed: backfills sidecars for every live
+    * file (one column-pruned scan), then commits the property — readers
+    * that see it find every sidecar already present (and a missing one
+    * is merely unpruned, never wrong). From then on EVERY writer
+    * (append/overwrite/merge/delete/update/compact) builds sidecars for
+    * the files it adds, so the index stays complete without any writer
+    * opting in. The canonical use: point lookups on a high-cardinality
+    * key whose values are scattered across the table — min/max stats
+    * prune nothing there (every file spans the whole key range), while
+    * the per-file filter answers "definitely not in this file" for
+    * all but ~fpp of the files.
+    */
+  def setBloomIndex(spark: SparkSession, table: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "setBloomIndex needs at least one column")
+    val m = manifest(spark, table)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"table $table has no column '$c' (schema: ${schema.fieldNames.mkString(", ")})")
+      require(isBloomIndexable(schema(c).dataType),
+        s"column '$c' (${schema(c).dataType.simpleString}) is not bloom-indexable " +
+          "(integral and string columns only)")
+    }
+    val t = fs(spark, new Path(table)).makeQualified(new Path(table))
+    val own = m.files.filterNot(isBorrowed)
+    val expected = m.stats.map(_.map(_.rows)).filter(_.nonEmpty)
+      .map(_.max).getOrElse(1000000L)
+    buildBlooms(spark, t, schema, own, expected, cols)
+    publish(spark, table, writeNothing(spark, table, m.schemaJson), parent => {
+      val p = parent.getOrElse(sys.error(s"table $table lost its versions"))
+      Some(Attempt("set_bloom_index", p.files,
+        p.stats.getOrElse(Seq.empty), p.txn.getOrElse(Map.empty),
+        cdf = Seq.empty, constraints = p.constraints.getOrElse(Map.empty),
+        bloomIndex = Some(cols)))
+    }).get
+  }
+
+  /** Drop the bloom-index property (sidecars become dead weight until
+    * [[vacuum]] reaps them with their files; readers ignore them).
+    */
+  def dropBloomIndex(spark: SparkSession, table: String): Long =
+    publish(spark, table,
+      writeNothing(spark, table, manifest(spark, table).schemaJson), parent => {
+        val p = parent.getOrElse(sys.error(s"table $table lost its versions"))
+        Some(Attempt("drop_bloom_index", p.files,
+          p.stats.getOrElse(Seq.empty), p.txn.getOrElse(Map.empty),
+          cdf = Seq.empty, constraints = p.constraints.getOrElse(Map.empty),
+          bloomIndex = Some(Seq.empty))) // Some(empty) → filter(_.nonEmpty) → unset
+      }).get
+
+  /** Driver-side hash matching the build side exactly: the value cast
+    * to the COLUMN's type (the aggregate hashed the column's native
+    * representation), then `xxhash64(seed 42)` — the same pair
+    * [[graft.functions.BloomFns]] builds with. `None` = can't hash
+    * (cast failed / null) → the caller keeps the file.
+    */
+  private def bloomHashOf(dt: DataType, v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    try {
+      val lit = Literal(v)
+      val cast = if (lit.dataType == dt) lit else Cast(lit, dt)
+      val internal = cast.eval(null)
+      if (internal == null) None
+      else Some(new XxHash64(Seq(Literal(internal, dt)), 42L)
+        .eval(null).asInstanceOf[Long])
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Could `rel` hold any of `values` for `column`, judged from its
+    * sidecar filter? Missing/unreadable sidecar or unhashable value ⇒
+    * true (keep) — pruning is an optimization, never a correctness bet.
+    */
+  private[graft] def bloomMightContain(spark: SparkSession, table: Path,
+      rel: String, column: String, dt: DataType, values: Seq[Any]): Boolean = {
+    val f = fs(spark, table)
+    val p = bloomPathOf(table, rel, column)
+    val in = try f.open(p)
+      catch { case _: java.io.IOException => return true }
+    val bf =
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      catch { case scala.util.control.NonFatal(_) => return true }
+      finally in.close()
+    values.exists(v => bloomHashOf(dt, v).forall(bf.mightContainLong))
+  }
+
+  /** The subset of `files` whose sidecar filters admit every probe in
+    * `probes` (column → candidate values; a file survives a probe if
+    * ANY value may be present). Files without sidecars always survive.
+    */
+  private[graft] def bloomPrune(spark: SparkSession, table: String,
+      m: Manifest, schema: StructType, files: Seq[String],
+      probes: Seq[(String, Seq[Any])]): Seq[String] = {
+    val idx = m.bloomIndex.getOrElse(Seq.empty)
+    val live = probes.filter { case (c, _) =>
+      idx.contains(c) && schema.fieldNames.contains(c) }
+    if (live.isEmpty) files
+    else {
+      val t = fs(spark, new Path(table)).makeQualified(new Path(table))
+      files.filter(rel => live.forall { case (c, vs) =>
+        bloomMightContain(spark, t, rel, c, schema(c).dataType, vs) })
+    }
   }
 }

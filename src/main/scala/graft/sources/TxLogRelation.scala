@@ -81,6 +81,23 @@ class TxLogRelation(spark: SparkSession, table: String,
   private[graft] def metadataCount: Option[Long] =
     pinnedStats.map(_.map(_.rows).sum)
 
+  /** Cost statistics for the join planner, straight from the manifest's
+    * recorded per-file sizes (the same semantics HadoopFsRelation
+    * reports: total on-disk bytes). This is what lets Spark
+    * AUTO-BROADCAST a small transactional dimension table — without it
+    * a v1 relation defaults to `defaultSizeInBytes` (effectively
+    * infinite) and every join against it shuffles. Missing sizes (a
+    * pre-statistics manifest) fall back to the safe default: never
+    * broadcast on a guess.
+    */
+  override def sizeInBytes: Long = {
+    val sizes = pinnedStats.map(_.map(_.bytes))
+    sizes match {
+      case Some(bs) if bs.forall(_.isDefined) => bs.flatten.sum
+      case _ => super.sizeInBytes
+    }
+  }
+
   override val schema: StructType = {
     import org.apache.spark.sql.types.DataType
     val v = versionAsOf.getOrElse(latestOrFail)
@@ -173,7 +190,17 @@ class TxLogRelation(spark: SparkSession, table: String,
       case _ => None
     }
     val base = TxLog.pruneByConjuncts(m, schema, bounds, nullness)
-    inKept.foldLeft(base)((acc, keep) => acc.filter(keep.toSet))
+    val statsKept = inKept.foldLeft(base)((acc, keep) => acc.filter(keep.toSet))
+    // equality/IN conjuncts on bloom-indexed columns additionally probe
+    // the per-file sidecar filters — point-lookup pruning where min/max
+    // stats cannot help (untyped nulls never reach the probes)
+    val probes = filters.toSeq.flatMap {
+      case EqualTo(a, v) if v != null => Some((a, Seq(v)))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        Some((a, vs.toSeq))
+      case _ => None
+    }
+    TxLog.bloomPrune(spark, table, m, schema, statsKept, probes)
   }
 
   override def buildScan(requiredColumns: Array[String],

@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** Manifest-driven cost statistics: TxLogRelation.sizeInBytes reports
+  * the recorded per-file sizes, so Spark's join planner auto-broadcasts
+  * a small transactional dimension table — the planning behavior a real
+  * star-schema join needs without hand-placed broadcast() hints.
+  */
+class RelationStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-relstats").resolve("t").toString
+
+  test("sizeInBytes equals the recorded on-disk file sizes") {
+    val t = tmpTable()
+    TxLog.overwrite((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), t)
+    val m = TxLog.manifest(spark, t)
+    val entries = m.stats.get
+    assert(entries.forall(_.bytes.isDefined), "writer must record file sizes")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val onDisk = m.files.map(rel =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(t, rel)).getLen).sum
+    assert(entries.flatMap(_.bytes).sum == onDisk)
+    val rel = new TxLogRelation(spark, t, None)
+    assert(rel.sizeInBytes == onDisk)
+  }
+
+  test("a small tx dimension auto-broadcasts in a join (no hint)") {
+    val t = tmpTable()
+    TxLog.overwrite((1L to 50L).map(i => (i, s"name$i")).toDF("k", "nm"), t)
+    val dim = spark.read.format("graft-txlog").load(t)
+    val fact = spark.range(0, 10000).select(
+      (col("id") % 50 + 1).as("k"), col("id"))
+    val joined = fact.join(dim, "k")
+    val nodes = joined.queryExecution.sparkPlan.collect { case p => p.nodeName }
+    assert(nodes.exists(_.startsWith("BroadcastHashJoin")),
+      s"expected auto-broadcast, planned: ${nodes.mkString(", ")}")
+    assert(joined.count() == 10000L)
+  }
+
+  test("missing sizes fall back to never-broadcast-on-a-guess") {
+    val t = tmpTable()
+    TxLog.overwrite((1L to 10L).map(i => (i, i * 2)).toDF("k", "x"), t)
+    // simulate a pre-statistics manifest: rewrite it without bytes
+    val logDir = new java.io.File(s"$t/_txlog")
+    val mf = logDir.listFiles().filter(_.getName.endsWith(".json")).head
+    val json = new String(Files.readAllBytes(mf.toPath), "UTF-8")
+    val stripped = json.replaceAll(""","bytes":\d+""", "")
+    assert(stripped != json, "expected bytes fields in the manifest")
+    Files.write(mf.toPath, stripped.getBytes("UTF-8"))
+    // the in-place rewrite invalidates ChecksumFs's sidecar; drop it
+    Files.deleteIfExists(mf.toPath.resolveSibling("." + mf.getName + ".crc"))
+    val rel = new TxLogRelation(spark, t, None)
+    assert(rel.sizeInBytes > Int.MaxValue.toLong,
+      "without sizes the relation must report the safe huge default")
+  }
+}
