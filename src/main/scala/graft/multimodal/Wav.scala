@@ -20,10 +20,13 @@ object Wav {
   /** Decoded PCM summary: format fields straight from the `fmt ` chunk,
     * frame count from the `data` chunk, and features computed over the
     * samples (peak = max |sample|, rms = sqrt(mean(sample^2)) across all
-    * channels).
+    * channels; transitions = channel-0 sign changes — the zero-crossing
+    * count, the classic O(1)-state pitch/periodicity feature and the
+    * basis of the m06 audio fingerprint).
     */
   final case class Decoded(channels: Int, sampleRate: Int, bits: Int,
-      nFrames: Long, durationMs: Long, peak: Int, rms: Double)
+      nFrames: Long, durationMs: Long, peak: Int, rms: Double,
+      transitions: Int)
 
   /** Encode 16-bit PCM frames as a canonical RIFF/WAVE byte stream
     * (little-endian, `fmt ` then `data`). `samples` is interleaved
@@ -104,6 +107,12 @@ object Wav {
     val nFrames = nSamples.toLong / channels
     var peak = 0
     var sumSq = 0.0
+    // zero-crossing count over channel 0 (samples are frame-major
+    // interleaved): sign-change bookkeeping, O(1) state per stream —
+    // zero counts as non-negative so a silent stream has 0 crossings
+    var transitions = 0
+    var prevNonNeg = true
+    var first = true
     val pcm = ByteBuffer.wrap(bytes, dataOff, nSamples * 2)
       .order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
@@ -112,11 +121,17 @@ object Wav {
       val a = math.abs(v)
       if (a > peak) peak = a
       sumSq += v.toDouble * v.toDouble
+      if (i % channels == 0) {
+        val nonNeg = v >= 0
+        if (!first && nonNeg != prevNonNeg) transitions += 1
+        prevNonNeg = nonNeg
+        first = false
+      }
       i += 1
     }
     val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
     Decoded(channels, sampleRate, bits, nFrames,
-      nFrames * 1000L / sampleRate, peak, rms)
+      nFrames * 1000L / sampleRate, peak, rms, transitions)
   }
 
   /** Deterministic square-wave synthesizer for the testdata path: the

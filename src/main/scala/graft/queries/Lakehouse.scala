@@ -517,6 +517,27 @@ object Lakehouse {
           dec2(col("o_totalprice")).cast("double").as("price"))
     }),
 
+    "q113_tx_autobroadcast" -> ((s, dir) => {
+      // Manifest cost statistics driving the JOIN PLANNER
+      // (TxLogRelation.sizeInBytes): the customer dimension published
+      // transactionally and joined to orders with NO broadcast() hint —
+      // the relation reports its recorded on-disk bytes, Spark sees a
+      // small table and auto-broadcasts (RelationStatsSpec pins the
+      // BroadcastHashJoin plan shape; without the statistics a v1
+      // relation defaults to effectively-infinite size and every join
+      // shuffles both sides). Hash equality with DuckDB's plain join
+      // proves the broadcast path loses/duplicates nothing.
+      val t = tmpTable("tx-q113")
+      TxLog.overwrite(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")), t)
+      val dim = s.read.format("graft-txlog").load(t)
+      Tables.orders(s, dir)
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q109_tx_sql_skipping" -> ((s, dir) => {
       // The AUTOMATIC file-skipping path under the oracle gate
       // (TxLogRelation.buildScan): orders published range-clustered by
@@ -671,6 +692,12 @@ object Lakehouse {
         |FROM orders
         |WHERE o_orderkey IN (SELECT min(o_orderkey) FROM orders)
         |   OR o_orderkey IN (SELECT max(o_orderkey) FROM orders)""".stripMargin,
+
+    "q113_tx_autobroadcast" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     "q93_tx_merge" ->
       """WITH snap AS (

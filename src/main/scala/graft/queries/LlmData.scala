@@ -8,7 +8,7 @@ import graft.{CacheRegistry, Tables}
 import graft.functions.{BloomFns, HashFns, TextFns, VecFns}
 import graft.plans.TopKPerKey
 import graft.similarity.{ConnectedComponents, IvfAnn, IvfPqAnn, LshAnn, NgramJaccard, ParagraphDedup, PqAnn, SubstringDedup}
-import graft.multimodal.{BinaryColumns, Bmp, MediaFeatures}
+import graft.multimodal.{BinaryColumns, Bmp, MediaFeatures, Wav}
 
 /** LLM-training-data pipeline queries (SURVEY.md §2: d01–d07, t01–t04, m01):
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
@@ -872,6 +872,56 @@ object LlmData {
           r4(col("mean_r")).as("mean_r"), r4(col("mean_g")).as("mean_g"),
           r4(col("mean_b")).as("mean_b"), col("dhash"))),
 
+    "m06_audio_neardup" -> ((s, dir) => {
+      // Audio dedup over a ZERO-CROSSING fingerprint — the audio leg of
+      // the perceptual-dedup family (m05 images, d03 text): every doc's
+      // clip is REALLY RIFF-decoded, the decoder counts channel-0 sign
+      // changes (the classic O(1)-state periodicity feature), and the
+      // fingerprint packs (peak, estimated period = (frames-1)/crossings,
+      // channels, frames) into one 64-bit key. Dedup is then a hash
+      // aggregate + equi-join on that key — never a sample-by-sample
+      // compare. The synth keys params off doc_id % 23, so ~23 distinct
+      // clips recur across the corpus (the re-encoded-jingle reality);
+      // closed-form square waves let the oracle PREDICT the decoder's
+      // crossing count ((frames-1) div period) without touching a byte —
+      // hash equality proves encode → decode → DSP → fingerprint → dedup
+      // compose exactly.
+      val spark = s
+      import org.apache.spark.sql.types._
+      val rdd = docs(s, dir).select(col("doc_id"))
+        .rdd.mapPartitions(_.map { r =>
+          val d = r.getLong(0)
+          val seed = d % 23L
+          val amp = (1000L + seed * 800L).toInt
+          val frames = (300L + seed * 16L).toInt
+          val ch = (1L + seed % 2L).toInt
+          val period = (6L + seed % 13L).toInt
+          val dec = Wav.decode(Wav.encode(
+            Wav.squareWave(amp, frames, ch, period), ch, sampleRate = 8000))
+          org.apache.spark.sql.Row(d, dec.peak, dec.channels, dec.nFrames,
+            dec.transitions)
+        })
+      val feat = spark.createDataFrame(rdd, StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("peak", IntegerType, nullable = false),
+        StructField("channels", IntegerType, nullable = false),
+        StructField("n_frames", LongType, nullable = false),
+        StructField("transitions", IntegerType, nullable = false))))
+      val est = when(col("transitions") > 0,
+        floor((col("n_frames") - 1).cast("double") / col("transitions"))
+          .cast("long")).otherwise(0L)
+      val keyed = feat.select(col("doc_id"), est.as("est_period"),
+        (col("peak").cast("long") * 1099511627776L +
+          est * 1048576L + col("channels").cast("long") * 65536L +
+          col("n_frames")).as("afp"))
+      val groups = keyed.groupBy("afp")
+        .agg(min("doc_id").as("canonical"), count(lit(1)).as("group_size"))
+      keyed.join(groups, "afp")
+        .select(col("doc_id"), col("afp"), col("est_period"),
+          col("group_size"), col("canonical"),
+          when(col("doc_id") =!= col("canonical"), 1).otherwise(0).as("is_dup"))
+    }),
+
     "m05_image_neardup" -> ((s, dir) => {
       // Image dedup over the perceptual hash (m04's dhash as the join
       // key): each doc renders the pattern of its doc_id mod 37, so the
@@ -1202,6 +1252,33 @@ object LlmData {
         |FROM dims d
         |JOIN means m ON d.doc_id = m.doc_id
         |JOIN dh ON d.doc_id = dh.doc_id""".stripMargin,
+
+    "m06_audio_neardup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |   1000 + (doc_id % 23) * 800 AS peak,
+        |   300 + (doc_id % 23) * 16 AS frames,
+        |   1 + (doc_id % 23) % 2 AS ch,
+        |   6 + (doc_id % 23) % 13 AS period
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, peak, frames, ch,
+        |   CAST(floor((frames - 1)::DOUBLE / period) AS BIGINT) AS flips
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id,
+        |   CAST(floor((frames - 1)::DOUBLE / flips) AS BIGINT) AS est_period,
+        |   CAST(peak AS BIGINT) * 1099511627776
+        |     + CAST(floor((frames - 1)::DOUBLE / flips) AS BIGINT) * 1048576
+        |     + CAST(ch AS BIGINT) * 65536 + CAST(frames AS BIGINT) AS afp
+        |  FROM g),
+        |gr AS (
+        |  SELECT afp, min(doc_id) AS canonical, count(*) AS group_size
+        |  FROM h GROUP BY 1)
+        |SELECT doc_id, afp, est_period,
+        | CAST(group_size AS BIGINT) AS group_size, canonical,
+        | CAST(CASE WHEN doc_id <> canonical THEN 1 ELSE 0 END AS INT) AS is_dup
+        |FROM h JOIN gr USING (afp)""".stripMargin,
 
     "m05_image_neardup" ->
       """WITH seeds AS (SELECT DISTINCT doc_id % 37 AS seed FROM documents),

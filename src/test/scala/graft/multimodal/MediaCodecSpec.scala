@@ -19,6 +19,21 @@ class MediaCodecSpec extends SparkSpec {
     assert(d.channels == 2 && d.sampleRate == 8000 && d.bits == 16)
     assert(d.nFrames == 400 && d.durationMs == 50)
     assert(d.peak == 1200 && d.rms == 1200.0) // ±A squares to A² exactly
+    // zero crossings: channel-0 flips at every multiple of the period
+    assert(d.transitions == (400 - 1) / 16)
+  }
+
+  test("zero-crossing count matches the waveform's closed form") {
+    // interleaving must not leak channel 1 into channel 0's crossings
+    for ((frames, ch, period) <- Seq((300, 1, 6), (316, 2, 7), (653, 2, 18))) {
+      val d = Wav.decode(Wav.encode(
+        Wav.squareWave(900, frames, ch, period), ch, 8000))
+      assert(d.transitions == (frames - 1) / period,
+        s"frames=$frames ch=$ch period=$period")
+    }
+    // silence (amplitude 0) never crosses: zero counts as non-negative
+    val s = Wav.decode(Wav.encode(Wav.squareWave(0, 200, 1, 4), 1, 8000))
+    assert(s.transitions == 0)
   }
 
   test("WAV decoder walks unknown chunks by declared size") {
