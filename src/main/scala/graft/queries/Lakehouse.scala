@@ -538,6 +538,28 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q114_tx_zorder" -> ((s, dir) => {
+      // OPTIMIZE ZORDER under the oracle gate (TxLog.zorderOptimize
+      // scaladoc): orders published hash-scattered (every file's
+      // (custkey, totalprice) box spans the whole plane), then
+      // transactionally re-clustered along the Morton curve and
+      // 2-d-range-queried through readWhere — the stats pruning that
+      // makes the query a few-file read (ZorderOptimizeSpec pins the
+      // pruned file counts). Hash equality with DuckDB's full-scan
+      // filter proves the rewrite is row-preserving AND the pruning
+      // skipped no qualifying file.
+      val t = tmpTable("tx-q114")
+      TxLog.overwrite(
+        Tables.orders(s, dir).repartition(8, col("o_orderkey")), t)
+      TxLog.zorderOptimize(s, t, "o_custkey", "o_totalprice", numFiles = 8)
+      TxLog.readWhere(s, t, Seq(
+          ("o_custkey", Some(100L), Some(500L)),
+          ("o_totalprice", Some(50000.0), Some(150000.0))))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q109_tx_sql_skipping" -> ((s, dir) => {
       // The AUTOMATIC file-skipping path under the oracle gate
       // (TxLogRelation.buildScan): orders published range-clustered by
@@ -697,6 +719,14 @@ object Lakehouse {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q114_tx_zorder" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey >= 100 AND o_custkey <= 500
+        |  AND o_totalprice >= 50000 AND o_totalprice <= 150000
         |GROUP BY 1""".stripMargin,
 
     "q93_tx_merge" ->

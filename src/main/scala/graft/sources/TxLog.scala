@@ -869,6 +869,67 @@ object TxLog {
     }).get
   }
 
+  /** Transactional `OPTIMIZE … ZORDER BY (x, y)` (the Delta layout
+    * maintenance command): rewrite the table's files — or ONE
+    * partition's, the nightly maintenance-window shape — re-clustered
+    * along the Morton curve of (`xCol`, `yCol`) via [[Layout.zOrdered]]
+    * (one tiny range aggregate + one range exchange + in-partition
+    * sort), and commit the swap atomically. Rows are untouched; what
+    * changes is every file's per-column [min,max] becoming a tight 2-d
+    * box, which is what lets [[readWhere]]'s conjunctive pruning (and
+    * the automatic SQL skipping) answer a 2-d range query from a
+    * handful of files instead of the whole table. Readers pinned to the
+    * pre-optimize snapshot keep reading the old files (immutable until
+    * [[vacuum]]); a concurrent commit that removed a planned file
+    * aborts the optimize (same CAS stance as [[compact]]); constraints
+    * flow through unguarded — a rewrite of already-validated rows
+    * cannot introduce a violation.
+    */
+  def zorderOptimize(spark: SparkSession, table: String,
+      xCol: String, yCol: String, numFiles: Int,
+      partition: Map[String, Any] = Map.empty): Long = {
+    val t = new Path(table)
+    val m = manifest(spark, table)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    Seq(xCol, yCol).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"table $table has no column '$c' (schema: ${schema.fieldNames.mkString(", ")})")
+      require(schema(c).dataType.isInstanceOf[NumericType],
+        s"z-order column '$c' (${schema(c).dataType.simpleString}) is not numeric")
+    }
+    val candidates =
+      if (partition.isEmpty) m.files
+      else {
+        val pcols = partitionedManifest(table, m)
+        partition.keys.foreach(k => require(pcols.contains(k),
+          s"'$k' is not a partition column of $table (has: ${pcols.mkString(", ")})"))
+        val byPath = partedEntries(table, m)
+        m.files.filter(p => partMatches(schema, byPath(p), partition))
+      }
+    if (candidates.isEmpty) return m.version
+    val candSet = candidates.toSet
+    val (clustered, _) = Layout.zOrdered(
+      toDf(spark, t, m.schemaJson, candidates), xCol, yCol, numFiles)
+    val w = writeData(clustered, table, m.partitionBy.getOrElse(Seq.empty))
+    publish(spark, table, w, parent => {
+      val pf = parent.map(_.files).getOrElse(Seq.empty)
+      if (!candSet.subsetOf(pf.toSet))
+        throw new java.util.ConcurrentModificationException(
+          s"zorder optimize of $table aborted: a concurrent commit " +
+            "removed file(s) planned for rewrite")
+      parent.foreach { p =>
+        require(p.schemaJson == w.schemaJson,
+          s"zorder schema drift for $table (concurrent overwrite?)")
+      }
+      val parentStats = parent.flatMap(_.stats).getOrElse(Seq.empty)
+      Some(Attempt("zorder",
+        pf.filterNot(candSet) ++ w.fresh,
+        parentStats.filterNot(e => candSet(e.path)) ++ w.stats,
+        parent.flatMap(_.txn).getOrElse(Map.empty),
+        constraints = parent.flatMap(_.constraints).getOrElse(Map.empty)))
+    }).get
+  }
+
   // ---------------------------------------------------------------------
   // Partition operations (the Hive/Delta partitioned-table surface over
   // the per-file `parts` metadata [[writeData]] records)
