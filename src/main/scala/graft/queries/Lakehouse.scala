@@ -560,6 +560,29 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q115_tx_deletion_vectors" -> ((s, dir) => {
+      // DELETE via deletion vectors under the oracle gate (TxLog.deleteDv
+      // scaladoc): orders published, a scattered predicate DV-deleted —
+      // no data file rewritten, the matching positions live in sidecars
+      // (DeletionVectorSpec pins byte-identical files) — then the live
+      // state is read back THROUGH the vectors and aggregated. A second,
+      // overlapping delete unions into the same vectors. Hash equality
+      // with DuckDB's WHERE NOT(...) recompute proves the anti-joined
+      // read removes exactly the deleted rows — across both deletes.
+      val t = tmpTable("tx-q115")
+      TxLog.overwrite(
+        Tables.orders(s, dir).repartition(8, col("o_orderkey")), t)
+      TxLog.delete(s, t,
+        col("o_orderstatus") === "F" && year(col("o_orderdate")) <= 1994,
+        deletionVectors = true)
+      TxLog.delete(s, t, col("o_orderpriority") === "1-URGENT",
+        deletionVectors = true)
+      TxLog.read(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q109_tx_sql_skipping" -> ((s, dir) => {
       // The AUTOMATIC file-skipping path under the oracle gate
       // (TxLogRelation.buildScan): orders published range-clustered by
@@ -727,6 +750,14 @@ object Lakehouse {
         |FROM orders
         |WHERE o_custkey >= 100 AND o_custkey <= 500
         |  AND o_totalprice >= 50000 AND o_totalprice <= 150000
+        |GROUP BY 1""".stripMargin,
+
+    "q115_tx_deletion_vectors" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND year(o_orderdate) <= 1994)
+        |  AND NOT (o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
 
     "q93_tx_merge" ->

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, max, min, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, input_file_name, lit, max, min, regexp_extract, sum, when}
 import org.apache.spark.sql.types._
 import org.json4s.NoTypeHints
 import org.json4s.jackson.Serialization
@@ -86,6 +86,14 @@ object TxLog {
       parts: Option[Map[String, String]] = None,
       bytes: Option[Long] = None)
 
+  /** One data file's DELETION VECTOR (the public Delta DV concept): the
+    * file stays on disk untouched, `dv` names a sidecar listing the
+    * row positions (parquet `row_index`) deleted from it, `deleted` is
+    * their count. Readers anti-join the positions out; rewrites
+    * materialize them (a rewritten file never carries a DV forward).
+    */
+  final case class DvEntry(path: String, dv: String, deleted: Long)
+
   /** One committed version. `files` are table-root-relative and are the
     * single source of truth for reads; `stats` is advisory (skipping
     * only — a file without an entry is simply never skipped); `txn` is
@@ -103,7 +111,8 @@ object TxLog {
       cdf: Option[Seq[String]] = None,
       constraints: Option[Map[String, String]] = None,
       partitionBy: Option[Seq[String]] = None,
-      bloomIndex: Option[Seq[String]] = None)
+      bloomIndex: Option[Seq[String]] = None,
+      dvs: Option[Seq[DvEntry]] = None)
 
   /** Stats are collected for at most this many leading skippable
     * columns: min/max strings for a 1000-column table would bloat every
@@ -199,19 +208,106 @@ object TxLog {
       .parquet(files.map(new Path(table, _).toString): _*)
   }
 
+  // ---------------------------------------------------------------------
+  // Deletion-vector plumbing (see [[DvEntry]]; written by
+  // `delete(deletionVectors = true)`, applied by every live read)
+  // ---------------------------------------------------------------------
+
+  /** The last two path components — unique per live file (the part-file
+    * name embeds its write job's UUID; the parent is the commit-uuid or
+    * partition dir), and extractable from `_metadata.file_path` with
+    * one regexp, which is how a scan row finds its file's DV.
+    */
+  private def last2(rel: String): String =
+    rel.split('/').takeRight(2).mkString("/")
+
+  private def writeDvFile(f: org.apache.hadoop.fs.FileSystem, t: Path,
+      rel: String, positions: Seq[Long]): Unit = {
+    val out = f.create(new Path(t, rel), true)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(positions.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      positions.foreach(buf.putLong)
+      out.write(buf.array())
+    } finally out.close()
+  }
+
+  private def readDvFile(spark: SparkSession, t: Path, rel: String): Seq[Long] = {
+    val f = fs(spark, t)
+    val p = new Path(t, rel)
+    val len = f.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = f.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq.fill(len / 8)(buf.getLong)
+  }
+
+  /** `files` (non-empty) read with the file key (`last2`) and parquet
+    * row position attached as `__dv_k`/`__dv_i`, and `m`'s deletion
+    * vectors for those files anti-joined out against the BROADCAST
+    * position set (DVs are change-sized, not table-sized — the whole
+    * point is that the delete wrote KBs of positions instead of
+    * rewriting GBs of parquet).
+    */
+  private def liveKeyed(spark: SparkSession, t: Path, m: Manifest,
+      files: Seq[String]): DataFrame = {
+    val want = files.toSet
+    val dvs = m.dvs.getOrElse(Seq.empty).filter(e => want(e.path))
+    val keyed = toDf(spark, t, m.schemaJson, files)
+      .withColumn("__dv_k",
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+      .withColumn("__dv_i", col("_metadata.row_index"))
+    if (dvs.isEmpty) keyed
+    else {
+      val anti = dvs.flatMap(e =>
+        readDvFile(spark, t, e.dv).map(i => (last2(e.path), i)))
+      import spark.implicits._
+      keyed.join(broadcast(anti.toDF("__dv_k", "__dv_i")),
+        Seq("__dv_k", "__dv_i"), "left_anti")
+    }
+  }
+
+  /** `files` read with `m`'s deletion vectors applied — the LIVE rows.
+    * Files without a DV stream through a pass-through plan untouched.
+    */
+  private def readLive(spark: SparkSession, t: Path, m: Manifest,
+      files: Seq[String]): DataFrame = {
+    val want = files.toSet
+    if (m.dvs.getOrElse(Seq.empty).forall(e => !want(e.path)))
+      toDf(spark, t, m.schemaJson, files)
+    else {
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      liveKeyed(spark, t, m, files)
+        .select(schema.fieldNames.map(n => col(quoted(n))): _*)
+    }
+  }
+
+  /** Live row count per file under `m`'s DVs (physical rows minus
+    * deleted positions) — what the full-file-delete tier compares
+    * match counts against.
+    */
+  private def liveRowsOf(m: Manifest): Map[String, Long] = {
+    val deleted = m.dvs.getOrElse(Seq.empty).map(e => e.path -> e.deleted).toMap
+    m.stats.getOrElse(Seq.empty)
+      .map(e => e.path -> (e.rows - deleted.getOrElse(e.path, 0L))).toMap
+  }
+
   /** Latest committed snapshot. Planning reads ONLY the manifest-listed
-    * files with the stored schema — no directory listing, no inference.
+    * files with the stored schema — no directory listing, no inference —
+    * and applies any deletion vectors.
     */
   def read(spark: SparkSession, table: String): DataFrame = {
     val m = manifest(spark, table)
-    toDf(spark, new Path(table), m.schemaJson, m.files)
+    readLive(spark, new Path(table), m, m.files)
   }
 
   /** Time travel: the table exactly as committed at `version`. */
   def readAsOf(spark: SparkSession, table: String, version: Long): DataFrame = {
     val t = new Path(table)
     val m = readManifest(spark, t, version)
-    toDf(spark, t, m.schemaJson, m.files)
+    readLive(spark, t, m, m.files)
   }
 
   /** The manifest exactly as committed at `version` (metadata-only). */
@@ -226,7 +322,10 @@ object TxLog {
     * latest manifest schema (files predating an evolved column
     * null-fill it). The incremental-consumer primitive: a change feed
     * or streaming source hands this exactly the files new commits
-    * added.
+    * added. Deliberately RAW (no deletion vectors applied): the
+    * append-feed contract is "the rows these files added when they were
+    * committed", and a later DV on one of them must not retroactively
+    * shrink the feed — use [[read]]/[[readAsOf]] for live-state reads.
     */
   def readFiles(spark: SparkSession, table: String,
       files: Seq[String]): DataFrame =
@@ -297,7 +396,9 @@ object TxLog {
       val cons = m.constraints.getOrElse(Map.empty)
       require(!cons.contains(name),
         s"constraint '$name' already exists on $table (drop it first)")
-      val violations = toDf(spark, t, m.schemaJson, m.files)
+      // live rows only: a DV-deleted row is gone and must not block an
+      // invariant the remaining data satisfies
+      val violations = readLive(spark, t, m, m.files)
         .filter(!coalesce(org.apache.spark.sql.functions.expr(exprSql), lit(false)))
         .limit(1).count()
       require(violations == 0,
@@ -452,16 +553,17 @@ object TxLog {
       val dt = schema(column).dataType
       lo.map(v => c >= lit(v).cast(dt)) ++ hi.map(v => c <= lit(v).cast(dt))
     }.reduceOption(_ && _).getOrElse(lit(true))
-    toDf(spark, new Path(table), m.schemaJson, kept).filter(exact)
+    readLive(spark, new Path(table), m, kept).filter(exact)
   }
 
-  /** [[readFiles]] pinned at `version` (the incremental/pruned-read
-    * primitive for snapshot-stable consumers like [[TxLogRelation]]).
+  /** [[readFiles]] pinned at `version`, with that version's deletion
+    * vectors applied (the incremental/pruned-read primitive for
+    * snapshot-stable LIVE-state consumers like [[TxLogRelation]]).
     */
   private[graft] def readFilesAsOf(spark: SparkSession, table: String,
       version: Long, files: Seq[String]): DataFrame =
-    toDf(spark, new Path(table),
-      manifestAt(spark, table, version).schemaJson, files)
+    readLive(spark, new Path(table),
+      manifestAt(spark, table, version), files)
 
   private def quoted(name: String): String =
     "`" + name.replace("`", "``") + "`"
@@ -491,6 +593,13 @@ object TxLog {
   def statsAggregate(spark: SparkSession, table: String,
       columns: Seq[String] = Seq.empty): DataFrame = {
     val m = manifest(spark, table)
+    // deletion vectors make the per-file stats describe rows that are
+    // no longer live (the deleted row may BE the min/max, and row
+    // counts overcount) — a metadata ANSWER is never a guess; stats
+    // PRUNING stays safe because bounds only widen
+    require(m.dvs.forall(_.isEmpty),
+      s"statsAggregate on $table: table has deletion vectors — the stored " +
+        "stats may describe deleted rows; read the data (or compact first)")
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val cols = columns.map { c =>
       require(schema.fieldNames.contains(c),
@@ -759,29 +868,65 @@ object TxLog {
   /** Transactional MERGE INTO: fold a CDC change batch
     * ([[graft.operators.MergeOps.cdcApply]] semantics — latest change
     * per key wins, `deleteOp` deletes, anything else upserts) into the
-    * table under snapshot isolation. Optimistic CAS loop: the merge is
-    * computed against the latest snapshot and publishes ONLY if that
-    * snapshot is still the latest at commit time; a concurrent commit
-    * in the gap makes the loop re-derive the merge against the new
-    * snapshot (the stale result, however plausible, would silently drop
-    * the concurrent writer's rows — lost update). Data is rewritten per
-    * retry; retries are as rare as real write-write races.
+    * table under snapshot isolation.
+    *
+    * TOUCHED-FILES-ONLY rewrite (the public Delta merge shape): one
+    * column-pruned scan semi-joined against the BROADCAST distinct
+    * change-key set finds the files holding any matched key; ONLY those
+    * are rewritten (with the changes applied; new-key inserts ride in
+    * the same fresh write), every other file stays referenced
+    * untouched. Cost is O(touched + changes), not O(table) — at 100 TB
+    * a CDC batch touching 0.1% of files rewrites 0.1% of the table.
+    * The broadcast assumes the key set is change-batch-sized (the CDC
+    * premise); a table-sized "change" batch should be an overwrite.
+    *
+    * Optimistic CAS loop: the merge is computed against the latest
+    * snapshot and publishes ONLY if that snapshot is still the latest
+    * at commit time; a concurrent commit in the gap makes the loop
+    * re-derive against the new snapshot (the stale result, however
+    * plausible, would silently drop the concurrent writer's rows —
+    * lost update). Data is rewritten per retry; retries are as rare as
+    * real write-write races. Deletion vectors on touched files are
+    * materialized by the rewrite; untouched files keep theirs.
     */
   def merge(spark: SparkSession, table: String, changes: DataFrame,
       keys: Seq[String], ordering: Seq[Column], opCol: String,
       deleteOp: String = "D", maxAttempts: Int = 10): Long = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    val t = new Path(table)
+    val keysDf = changes.select(keys.map(k => col(quoted(k))): _*).distinct()
+    val renamedKeys = keys.foldLeft(keysDf)((d, k) =>
+      d.withColumnRenamed(k, s"__mk_$k"))
     (1 to maxAttempts).foreach { _ =>
       val base = latestVersion(spark, table).getOrElse(
         sys.error(s"table $table has no committed versions to merge into"))
+      val m = manifestAt(spark, table, base)
+      val touched: Seq[String] =
+        if (m.files.isEmpty) Seq.empty
+        else {
+          // null-safe key match, mirroring cdcApply's <=> semantics
+          val cond = keys.map(k => col(quoted(k)) <=> col(s"__mk_$k"))
+            .reduce(_ && _)
+          val byKey = m.files.map(f => last2(f) -> f).toMap
+          liveKeyed(spark, t, m, m.files)
+            .join(broadcast(renamedKeys), cond, "left_semi")
+            .select(col("__dv_k")).distinct().collect()
+            .map(r => byKey.getOrElse(r.getString(0),
+              sys.error(s"scan returned unlisted file ${r.getString(0)}")))
+            .toSeq
+        }
       val merged = graft.operators.MergeOps.cdcApply(
-        readAsOf(spark, table, base), changes, keys, ordering, opCol, deleteOp)
+        readLive(spark, t, m, touched), changes, keys, ordering, opCol, deleteOp)
       val cons = constraintsOf(spark, table)
       val w = writeData(enforcing(merged, cons), table,
-        manifestAt(spark, table, base).partitionBy.getOrElse(Seq.empty))
+        m.partitionBy.getOrElse(Seq.empty))
+      val touchedSet = touched.toSet
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(base))
-          Some(Attempt("merge", w.fresh, w.stats,
+          Some(Attempt("merge",
+            m.files.filterNot(touchedSet) ++ w.fresh,
+            m.stats.getOrElse(Seq.empty).filterNot(e => touchedSet(e.path))
+              ++ w.stats,
             parent.flatMap(_.txn).getOrElse(Map.empty),
             constraints = guardedCons(table, parent, cons)))
         else None) // snapshot went stale: recompute from the new latest
@@ -835,11 +980,11 @@ object TxLog {
     val small = sized.filter(_._2 < smallFileBytes)
     if (small.size < 2) return m.version
     val smallSet = small.map(_._1).toSet
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    val packed = spark.read.schema(schema)
-      .parquet(small.map(p => new Path(t, p._1).toString): _*)
+    val packed = readLive(spark, t, m, small.map(_._1))
       // coalesce, not repartition: packing must not shuffle the data it
       // rewrites — narrow concatenation of the small files' partitions
+      // (readLive's DV anti-join, when present, broadcasts and stays
+      // narrow too; packing also MATERIALIZES the deletion vectors)
       .coalesce(((small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes)
         .toInt.max(1))
     // a partitioned table's rewrite re-partitions on the same columns
@@ -908,8 +1053,10 @@ object TxLog {
       }
     if (candidates.isEmpty) return m.version
     val candSet = candidates.toSet
+    // live rows: a rewrite MATERIALIZES any deletion vectors (the
+    // rewritten files never carry them forward)
     val (clustered, _) = Layout.zOrdered(
-      toDf(spark, t, m.schemaJson, candidates), xCol, yCol, numFiles)
+      readLive(spark, t, m, candidates), xCol, yCol, numFiles)
     val w = writeData(clustered, table, m.partitionBy.getOrElse(Seq.empty))
     publish(spark, table, w, parent => {
       val pf = parent.map(_.files).getOrElse(Seq.empty)
@@ -1016,7 +1163,7 @@ object TxLog {
       val c = col(quoted(k))
       if (v == null) c.isNull else c === lit(v).cast(schema(k).dataType)
     }.reduceOption(_ && _).getOrElse(lit(true))
-    toDf(spark, new Path(table), m.schemaJson, kept).filter(exact)
+    readLive(spark, new Path(table), m, kept).filter(exact)
   }
 
   /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=dynamic`
@@ -1052,7 +1199,10 @@ object TxLog {
       val cdfFiles =
         if (!changeFeed) Seq.empty
         else {
-          val pre = toDf(spark, t, m.schemaJson, gone.toSeq.sorted)
+          // pre-images are LIVE rows only (a DV-deleted row was already
+          // retracted by the commit that deleted it); fresh files carry
+          // no DVs, post stays raw
+          val pre = readLive(spark, t, m, gone.toSeq.sorted)
             .withColumn("_change_type", lit("delete"))
           val post = toDf(spark, t, m.schemaJson, w.fresh)
             .withColumn("_change_type", lit("insert"))
@@ -1104,7 +1254,7 @@ object TxLog {
       val cdfFiles =
         if (!changeFeed) Seq.empty
         else writeCdf(spark, table, w,
-          toDf(spark, new Path(table), m.schemaJson, gone.toSeq.sorted)
+          readLive(spark, new Path(table), m, gone.toSeq.sorted)
             .withColumn("_change_type", lit("delete")))
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(m.version))
@@ -1135,20 +1285,19 @@ object TxLog {
   private def findTouched(spark: SparkSession, t: Path, m: Manifest,
       cond: Column): Seq[Touched] = {
     if (m.files.isEmpty) return Seq.empty
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    val hits = spark.read.schema(schema)
-      .parquet(m.files.map(new Path(t, _).toString): _*)
+    // LIVE rows only: a deletion-vectored row can't be touched again,
+    // and the full-file tier compares against live counts
+    val hits = liveKeyed(spark, t, m, m.files)
       .filter(cond)
-      .groupBy(input_file_name().as("__f"))
+      .groupBy(col("__dv_k").as("__f"))
       .agg(count(lit(1)).as("__n"))
       .collect()
-    // map absolute scan paths back to table-relative manifest paths by
-    // suffix — the rel path embeds the commit uuid dir, so it cannot
-    // collide across data directories
+    // map file keys back to table-relative manifest paths (last2 is
+    // unique per live file: the part name embeds its write job's UUID)
+    val byKey = m.files.map(f => last2(f) -> f).toMap
     hits.toSeq.map { r =>
-      val abs = r.getString(0)
-      val rel = m.files.find(f => abs.endsWith("/" + f)).getOrElse(
-        sys.error(s"scan returned unlisted file $abs"))
+      val rel = byKey.getOrElse(r.getString(0),
+        sys.error(s"scan returned unlisted file ${r.getString(0)}"))
       Touched(rel, r.getAs[Long]("__n"))
     }
   }
@@ -1171,21 +1320,24 @@ object TxLog {
     * version (unchanged if nothing matched).
     */
   def delete(spark: SparkSession, table: String, cond: Column,
-      maxAttempts: Int = 10, changeFeed: Boolean = false): Long = {
+      maxAttempts: Int = 10, changeFeed: Boolean = false,
+      deletionVectors: Boolean = false): Long = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    if (deletionVectors)
+      return deleteDv(spark, table, cond, maxAttempts, changeFeed)
     val t = new Path(table)
     (1 to maxAttempts).foreach { _ =>
       val m = manifest(spark, table)
       val touched = findTouched(spark, t, m, cond)
       if (touched.isEmpty) return m.version
-      val rowsOf = m.stats.getOrElse(Seq.empty).map(e => e.path -> e.rows).toMap
-      val (drop, rewrite) = touched.partition(h => rowsOf.get(h.rel).contains(h.matches))
-      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val live = liveRowsOf(m)
+      val (drop, rewrite) = touched.partition(h => live.get(h.rel).contains(h.matches))
       val w =
         if (rewrite.isEmpty) writeNothing(spark, table, m.schemaJson)
         else writeData(
-          spark.read.schema(schema)
-            .parquet(rewrite.map(h => new Path(t, h.rel).toString): _*)
+          // live rows: the rewrite MATERIALIZES any existing deletion
+          // vectors on the boundary files (never carried forward)
+          readLive(spark, t, m, rewrite.map(_.rel))
             .filter(!coalesce(cond, lit(false))),
           table, m.partitionBy.getOrElse(Seq.empty))
       // CDF: the deleted rows' pre-images. Opt-in because tier-2 files
@@ -1195,8 +1347,7 @@ object TxLog {
       val cdfFiles =
         if (!changeFeed) Seq.empty
         else writeCdf(spark, table, w,
-          spark.read.schema(schema)
-            .parquet(touched.map(h => new Path(t, h.rel).toString): _*)
+          readLive(spark, t, m, touched.map(_.rel))
             .filter(coalesce(cond, lit(false)))
             .withColumn("_change_type", lit("delete")))
       val gone = touched.map(_.rel).toSet
@@ -1209,6 +1360,82 @@ object TxLog {
             m.txn.getOrElse(Map.empty),
             cdf = cdfFiles,
             constraints = m.constraints.getOrElse(Map.empty)))
+        else None) // snapshot went stale: re-find against the new latest
+      committed.foreach(v => return v)
+    }
+    sys.error(s"delete from $table lost the commit race $maxAttempts times " +
+      "(pathological write contention); re-run or serialize writers")
+  }
+
+  /** DELETE via DELETION VECTORS (the modern Delta default): no data
+    * file is rewritten — the matching rows' parquet positions are
+    * written to change-sized sidecar files and the manifest maps each
+    * touched file to its vector. At 100 TB this turns a GDPR-style
+    * scattered delete from "rewrite every touched GB" into "one scan +
+    * KBs of positions": the delete's cost is proportional to what it
+    * DELETES, not what it touches. Files whose every live row matches
+    * are still dropped from the manifest outright (no vector needed); a
+    * second delete on an already-vectored file unions positions. Every
+    * live read (read/readAsOf/readWhere/SQL relation) anti-joins the
+    * positions out; rewrites (compact/zorder/update/boundary-delete)
+    * materialize them; [[statsAggregate]] and the metadata-aggregate
+    * rule refuse tables with vectors (per-file min/max may describe
+    * deleted rows — a metadata ANSWER is never a guess, while stats
+    * PRUNING stays safe because bounds only widen).
+    */
+  private def deleteDv(spark: SparkSession, table: String, cond: Column,
+      maxAttempts: Int, changeFeed: Boolean): Long = {
+    val t = new Path(table)
+    (1 to maxAttempts).foreach { _ =>
+      val m = manifest(spark, table)
+      if (m.files.isEmpty) return m.version
+      val tq = fs(spark, t).makeQualified(t)
+      // one scan: LIVE matching rows' (file key, position)
+      val matchedRows = liveKeyed(spark, t, m, m.files)
+        .filter(coalesce(cond, lit(false)))
+        .select(col("__dv_k"), col("__dv_i"))
+        .collect()
+      if (matchedRows.isEmpty) return m.version
+      val byKey = m.files.map(f => last2(f) -> f).toMap
+      val matched: Map[String, Seq[Long]] = matchedRows.toSeq
+        .groupBy(r => byKey.getOrElse(r.getString(0),
+          sys.error(s"scan returned unlisted file ${r.getString(0)}")))
+        .map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
+      val live = liveRowsOf(m)
+      val (dropWhole, dvAdd) = matched.partition { case (rel, ps) =>
+        live.get(rel).contains(ps.size.toLong) }
+      val w = writeNothing(spark, table, m.schemaJson)
+      val cdfFiles =
+        if (!changeFeed) Seq.empty
+        else writeCdf(spark, table, w,
+          readLive(spark, t, m, matched.keys.toSeq.sorted)
+            .filter(coalesce(cond, lit(false)))
+            .withColumn("_change_type", lit("delete")))
+      val f = fs(spark, t)
+      val oldDv = m.dvs.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+      val newEntries = dvAdd.toSeq.sortBy(_._1).zipWithIndex.map {
+        case ((rel, ps), i) =>
+          // union with any prior vector: positions are physical parquet
+          // row indexes, stable for an immutable file
+          val prior = oldDv.get(rel)
+            .map(e => readDvFile(spark, tq, e.dv)).getOrElse(Seq.empty)
+          val union = (prior ++ ps).distinct.sorted
+          val dvRel = s"${w.dataRel}/_dv/$i.dv"
+          writeDvFile(f, tq, dvRel, union)
+          DvEntry(rel, dvRel, union.size.toLong)
+      }
+      val goneSet = dropWhole.keySet
+      val committed = publish(spark, table, w, parent =>
+        if (parent.map(_.version).contains(m.version))
+          Some(Attempt("delete",
+            m.files.filterNot(goneSet),
+            m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path)),
+            m.txn.getOrElse(Map.empty),
+            cdf = cdfFiles,
+            constraints = m.constraints.getOrElse(Map.empty),
+            dvs = Some(m.dvs.getOrElse(Seq.empty)
+              .filterNot(e => goneSet(e.path) || dvAdd.contains(e.path))
+              ++ newEntries)))
         else None) // snapshot went stale: re-find against the new latest
       committed.foreach(v => return v)
     }
@@ -1245,8 +1472,9 @@ object TxLog {
           acc.withColumn(name,
             when(hit, expr.cast(schema(name).dataType)).otherwise(col(quoted(name))))
       }
-      val touchedDf = spark.read.schema(schema)
-        .parquet(touched.map(h => new Path(t, h.rel).toString): _*)
+      // live rows: the rewrite MATERIALIZES any deletion vectors on the
+      // touched files (a deleted row must not resurrect updated)
+      val touchedDf = readLive(spark, t, m, touched.map(_.rel))
       // assignments can violate a CHECK constraint — enforce on the
       // rewritten rows like any other row-changing write
       val cons = m.constraints.getOrElse(Map.empty)
@@ -1338,7 +1566,9 @@ object TxLog {
         constraints = target.constraints.getOrElse(Map.empty),
         // explicit: restoring to a pre-partitioning (or differently
         // partitioned) version restores THAT layout, not the parent's
-        partitionBy = Some(target.partitionBy.getOrElse(Seq.empty))))).get
+        partitionBy = Some(target.partitionBy.getOrElse(Seq.empty)),
+        // ... and THAT version's deletion vectors, not the parent's
+        dvs = Some(target.dvs.getOrElse(Seq.empty))))).get
   }
 
   /** Row-level change data feed (the public Delta CDF shape): every
@@ -1436,7 +1666,13 @@ object TxLog {
       cdf: Seq[String] = Seq.empty,
       constraints: Map[String, String] = Map.empty,
       partitionBy: Option[Seq[String]] = None,
-      bloomIndex: Option[Seq[String]] = None)
+      bloomIndex: Option[Seq[String]] = None,
+      // None = inherit the parent's deletion vectors RESTRICTED to this
+      // attempt's file list (universally right for carries and
+      // DV-materializing rewrites: a file dropped from `files` sheds its
+      // DV, a surviving file keeps it); Some = exactly these (the
+      // DV-writing delete, restore, clone)
+      dvs: Option[Seq[DvEntry]] = None)
 
   /** Write a change-data frame under the commit's own data directory
     * (`<dataRel>/_cdf/`): invisible to snapshot readers (only
@@ -1665,7 +1901,11 @@ object TxLog {
         // bloom index set is a table property too: only setBloomIndex /
         // dropBloomIndex pass Some, every other commit inherits
         bloomIndex = att.bloomIndex
-          .orElse(parent.flatMap(_.bloomIndex)).filter(_.nonEmpty))
+          .orElse(parent.flatMap(_.bloomIndex)).filter(_.nonEmpty),
+        dvs = Some(att.dvs.getOrElse {
+          val keep = att.files.toSet
+          parent.flatMap(_.dvs).getOrElse(Seq.empty).filter(e => keep(e.path))
+        }).filter(_.nonEmpty))
       val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
@@ -1702,9 +1942,12 @@ object TxLog {
     val f = fs(spark, t)
     val all = versions(spark, table)
     val (drop, keep) = all.splitAt((all.size - keepVersions).max(0))
-    // a version owns its data files AND its change-data files; CDF files
-    // are only ever referenced by the one committing manifest
-    def owned(m: Manifest): Seq[String] = m.files ++ m.cdf.getOrElse(Seq.empty)
+    // a version owns its data files, its change-data files AND its
+    // deletion-vector sidecars (a DV file can be referenced by several
+    // consecutive manifests — the shared-file rule keeps it alive)
+    def owned(m: Manifest): Seq[String] =
+      m.files ++ m.cdf.getOrElse(Seq.empty) ++
+        m.dvs.getOrElse(Seq.empty).map(_.dv)
     val keptFiles = keep.flatMap(v => owned(readManifest(spark, t, v))).toSet
     val doomed = drop.flatMap(v => owned(readManifest(spark, t, v)))
       .distinct.filterNot(keptFiles)
@@ -1759,7 +2002,10 @@ object TxLog {
       m.stats.getOrElse(Seq.empty).map(e => e.copy(path = absOf(e.path))),
       txn = Map.empty,
       constraints = m.constraints.getOrElse(Map.empty),
-      partitionBy = m.partitionBy)
+      partitionBy = m.partitionBy,
+      // deletion vectors ride along, entry AND sidecar borrowed
+      dvs = Some(m.dvs.getOrElse(Seq.empty)
+        .map(e => e.copy(path = absOf(e.path), dv = absOf(e.dv)))))
     publish(spark, dst, writeNothing(spark, dst, m.schemaJson),
       parent => {
         require(parent.isEmpty,

@@ -72,6 +72,10 @@ class TxLogRelation(spark: SparkSession, table: String,
     */
   private[graft] def pinnedStats: Option[Seq[TxLog.FileEntry]] = {
     val m = TxLog.manifestAt(spark, table, pin())
+    // deletion vectors invalidate metadata ANSWERS (counts overcount,
+    // min/max may describe deleted rows) — the aggregate rule must keep
+    // the scan; stats PRUNING elsewhere stays safe (bounds only widen)
+    if (m.dvs.exists(_.nonEmpty)) return None
     val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e).toMap
     val entries = m.files.map(byPath.get)
     if (entries.forall(_.isDefined)) Some(entries.flatten) else None

@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.SparkSpec
+
+/** TxLog deletion vectors (delete(deletionVectors = true), q115):
+  * DELETE without rewriting data files — positions to sidecars, every
+  * live read anti-joins them out, rewrites materialize them.
+  */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-dv").resolve("t").toString
+
+  private def publish(t: String, n: Int = 100, parts: Int = 4): Unit =
+    TxLog.overwrite((0 until n).map(i => (i.toLong, s"v$i", i % 10))
+      .toDF("k", "v", "g").repartition(parts, col("k")), t)
+
+  test("DV delete removes rows without touching a data file") {
+    val t = tmpTable()
+    publish(t)
+    val before = TxLog.manifest(spark, t)
+    val sizes = before.files.map(f =>
+      f -> java.nio.file.Files.size(java.nio.file.Paths.get(t, f))).toMap
+    TxLog.delete(spark, t, col("g") === 3, deletionVectors = true)
+    val after = TxLog.manifest(spark, t)
+    // same data files, byte-identical; only the manifest gained vectors
+    assert(after.files == before.files)
+    after.files.foreach(f =>
+      assert(java.nio.file.Files.size(java.nio.file.Paths.get(t, f)) == sizes(f)))
+    assert(after.dvs.exists(_.nonEmpty))
+    assert(after.dvs.get.map(_.deleted).sum == 10L)
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 90)
+    assert(!got.exists(_._3 == 3))
+  }
+
+  test("a second DV delete unions positions; full-file deletes drop the file") {
+    val t = tmpTable()
+    publish(t)
+    TxLog.delete(spark, t, col("g") === 3, deletionVectors = true)
+    TxLog.delete(spark, t, col("g") === 7, deletionVectors = true)
+    val m = TxLog.manifest(spark, t)
+    assert(m.dvs.get.map(_.deleted).sum == 20L)
+    assert(TxLog.read(spark, t).count() == 80L)
+    // delete everything else in one file's worth: every remaining row
+    TxLog.delete(spark, t, lit(true), deletionVectors = true)
+    val m2 = TxLog.manifest(spark, t)
+    assert(m2.files.isEmpty, "all-live-rows-match must DROP files, not vector them")
+    assert(TxLog.read(spark, t).count() == 0L)
+  }
+
+  test("time travel reads the pre-delete state; restore brings vectors back") {
+    val t = tmpTable()
+    publish(t)
+    val v1 = TxLog.latestVersion(spark, t).get
+    val vDel = TxLog.delete(spark, t, col("g") === 0, deletionVectors = true)
+    assert(TxLog.readAsOf(spark, t, v1).count() == 100L)
+    assert(TxLog.read(spark, t).count() == 90L)
+    // an overwrite then a restore to the DV version restores the vectors
+    TxLog.overwrite(Seq((999L, "z", 0)).toDF("k", "v", "g"), t)
+    TxLog.restore(spark, t, vDel)
+    assert(TxLog.manifest(spark, t).dvs.exists(_.nonEmpty))
+    assert(TxLog.read(spark, t).count() == 90L)
+  }
+
+  test("compact materializes deletion vectors") {
+    val t = tmpTable()
+    publish(t, n = 100, parts = 8)
+    TxLog.delete(spark, t, col("g") === 5, deletionVectors = true)
+    TxLog.compact(spark, t, smallFileBytes = 10L << 20,
+      targetFileBytes = 10L << 20)
+    val m = TxLog.manifest(spark, t)
+    assert(m.dvs.forall(_.isEmpty), "rewritten files must not carry vectors")
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 90 && !got.exists(_._3 == 5))
+    // with the vectors gone, metadata aggregates work again
+    assert(TxLog.statsAggregate(spark, t).head.getLong(0) == 90L)
+  }
+
+  test("update and rewrite-delete never resurrect vectored rows") {
+    val t = tmpTable()
+    publish(t)
+    TxLog.delete(spark, t, col("k") < 10, deletionVectors = true)
+    TxLog.update(spark, t, col("g") === 1, Seq("v" -> lit("upd")))
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 90)
+    assert(!got.exists(_._1 < 10))
+    assert(got.filter(_._3 == 1).forall(_._2 == "upd"))
+    // rewrite-mode delete on a table with vectors also materializes
+    TxLog.delete(spark, t, col("g") === 2)
+    val got2 = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got2.length == 81 && !got2.exists(_._3 == 2))
+  }
+
+  test("SQL relation applies vectors; the metadata-agg rule keeps the scan") {
+    val t = tmpTable()
+    publish(t)
+    TxLog.delete(spark, t, col("g") === 4, deletionVectors = true)
+    val rel = spark.read.format("graft-txlog").load(t)
+    assert(rel.count() == 90L) // a folded stats answer would say 100
+    assert(rel.filter(col("g") === 4).count() == 0L)
+    intercept[IllegalArgumentException] {
+      TxLog.statsAggregate(spark, t, Seq("k"))
+    }
+  }
+
+  test("CDF records DV-deleted rows as pre-images") {
+    val t = tmpTable()
+    publish(t)
+    val v = TxLog.delete(spark, t, col("g") === 6,
+      deletionVectors = true, changeFeed = true)
+    val feed = TxLog.readChangeFeed(spark, t, v - 1)
+    val dels = feed.filter(col("_change_type") === "delete")
+    assert(dels.count() == 10L)
+    assert(dels.select("g").as[Int].collect().forall(_ == 6))
+  }
+
+  test("clone borrows vectors; vacuum reaps sidecars with history") {
+    val t = tmpTable(); val c = tmpTable()
+    publish(t)
+    TxLog.delete(spark, t, col("g") === 9, deletionVectors = true)
+    TxLog.clone(spark, t, c)
+    assert(TxLog.read(spark, c).count() == 90L)
+    // drop the pre-delete version; its only unique artifact is nothing
+    // (the delete added just a sidecar) — now overwrite and vacuum to 1:
+    // data files AND dv sidecars of dropped versions must leave disk
+    val dvRel = TxLog.manifest(spark, t).dvs.get.head.dv
+    TxLog.overwrite(Seq((1L, "x", 0)).toDF("k", "v", "g"), t)
+    TxLog.vacuum(spark, t, keepVersions = 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, dvRel)))
+  }
+
+  test("constraint backfill check sees live rows only") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "ok", 1), (2L, "bad", -5)).toDF("k", "v", "g"), t)
+    TxLog.delete(spark, t, col("g") < 0, deletionVectors = true)
+    // the violating row is DV-deleted: the constraint must be addable
+    TxLog.addConstraint(spark, t, "g_pos", "g > 0")
+    assert(TxLog.constraintsOf(spark, t).contains("g_pos"))
+  }
+}
