@@ -234,6 +234,47 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q116_tx_dv_update" -> ((s, dir) => {
+      // q97's reclassification through DELETION-VECTOR update
+      // (TxLog.updateDv scaladoc): the matched rows' old positions are
+      // vectored out — no touched file rewritten (DeletionVectorSpec
+      // pins file identity) — and the post-images land in one fresh
+      // write. Same oracle as q97: hash equality proves the DV path and
+      // the copy-on-write path are semantically indistinguishable.
+      val t = tmpTable("tx-q116")
+      TxLog.overwrite(
+        Tables.orders(s, dir).repartitionByRange(8, col("o_orderdate")), t)
+      TxLog.update(s, t, col("o_orderstatus") === "F",
+        Seq("o_orderpriority" -> lit("0-RECLASSIFIED")),
+        deletionVectors = true)
+      TxLog.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
+    "q117_tx_dv_merge" -> ((s, dir) => {
+      // q93's CDC fold through DELETION-VECTOR merge (TxLog.mergeDv
+      // scaladoc): matched keys' old positions vectored out, the latest
+      // non-delete change rows appended in one fresh write — no touched
+      // file read beyond the key scan, none rewritten; cost O(changes).
+      // Same oracle as q93.
+      val t = tmpTable("tx-q117")
+      val snap = Tables.customer(s, dir).select(
+        col("c_custkey"), dec2(col("c_acctbal")).cast("double").as("bal"))
+      TxLog.overwrite(snap, t)
+      val chg = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        dec2(col("o_totalprice")).cast("double").as("bal"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+        col("o_orderdate"), col("o_orderkey"))
+      TxLog.merge(s, t, chg,
+        keys = Seq("c_custkey"),
+        ordering = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+        opCol = "op", deletionVectors = true)
+      TxLog.read(s, t).select(col("c_custkey"), col("bal"))
+    }),
+
     "q98_tx_changefeed" -> ((s, dir) => {
       // Append-only change feed (TxLog.readAppendsSince scaladoc): a
       // base publish followed by two append commits; the feed from the
@@ -663,6 +704,33 @@ object Lakehouse {
           r2d(col("sum_v")).as("total"))
     }))
 
+  /** Shared by q97 (copy-on-write) and q116 (deletion vectors): the two
+    * update paths must be semantically indistinguishable.
+    */
+  private val updateOracle =
+    """SELECT CASE WHEN o_orderstatus = 'F' THEN '0-RECLASSIFIED'
+      |            ELSE o_orderpriority END AS o_orderpriority,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Shared by q93 (touched-files merge) and q117 (DV merge). */
+  private val mergeOracle =
+    """WITH snap AS (
+      |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+      |  FROM customer),
+      |chg AS (
+      |  SELECT o_custkey AS c_custkey,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+      |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+      |  FROM orders
+      |  QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+      |SELECT c_custkey, bal FROM snap
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      |UNION ALL
+      |SELECT c_custkey, bal FROM chg WHERE op <> 'D'""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q89_lakehouse_pipeline" ->
@@ -760,21 +828,9 @@ object Lakehouse {
         |  AND NOT (o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
 
-    "q93_tx_merge" ->
-      """WITH snap AS (
-        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
-        |  FROM customer),
-        |chg AS (
-        |  SELECT o_custkey AS c_custkey,
-        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS bal,
-        |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
-        |  FROM orders
-        |  QUALIFY row_number() OVER (PARTITION BY o_custkey
-        |                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
-        |SELECT c_custkey, bal FROM snap
-        |WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
-        |UNION ALL
-        |SELECT c_custkey, bal FROM chg WHERE op <> 'D'""".stripMargin,
+    "q93_tx_merge" -> mergeOracle,
+    // same oracle: DV merge is the same CDC fold, minus the rewrites
+    "q117_tx_dv_merge" -> mergeOracle,
 
     "q94_tx_skipping" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
@@ -797,12 +853,9 @@ object Lakehouse {
         |WHERE NOT (o_orderdate < TIMESTAMP '1995-01-01 00:00:00')
         |GROUP BY 1""".stripMargin,
 
-    "q97_tx_update" ->
-      """SELECT CASE WHEN o_orderstatus = 'F' THEN '0-RECLASSIFIED'
-        |            ELSE o_orderpriority END AS o_orderpriority,
-        | CAST(count(*) AS BIGINT) AS n,
-        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
-        |FROM orders GROUP BY 1""".stripMargin,
+    "q97_tx_update" -> updateOracle,
+    // same oracle: the DV path must be semantically indistinguishable
+    "q116_tx_dv_update" -> updateOracle,
 
     "q98_tx_changefeed" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,

@@ -891,8 +891,12 @@ object TxLog {
     */
   def merge(spark: SparkSession, table: String, changes: DataFrame,
       keys: Seq[String], ordering: Seq[Column], opCol: String,
-      deleteOp: String = "D", maxAttempts: Int = 10): Long = {
+      deleteOp: String = "D", maxAttempts: Int = 10,
+      deletionVectors: Boolean = false): Long = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    if (deletionVectors)
+      return mergeDv(spark, table, changes, keys, ordering, opCol,
+        deleteOp, maxAttempts)
     val t = new Path(table)
     val keysDf = changes.select(keys.map(k => col(quoted(k))): _*).distinct()
     val renamedKeys = keys.foldLeft(keysDf)((d, k) =>
@@ -932,9 +936,70 @@ object TxLog {
         else None) // snapshot went stale: recompute from the new latest
       committed.foreach(v => return v)
     }
+    mergeRaceError(table, maxAttempts)
+  }
+
+  /** MERGE via DELETION VECTORS — the cheapest correct merge CDC
+    * semantics allow: a replaced row's OLD VALUES never matter (the
+    * change row carries the entire new row), so the matched keys' old
+    * positions are vectored out and the latest non-delete change rows
+    * land in ONE fresh write. No touched file is read beyond the
+    * key-finding scan, none is rewritten — cost O(changes), the shape
+    * that absorbs a trickle of CDC batches into a 100 TB table all day
+    * and lets the nightly OPTIMIZE materialize the vectors once.
+    */
+  private def mergeDv(spark: SparkSession, table: String, changes: DataFrame,
+      keys: Seq[String], ordering: Seq[Column], opCol: String,
+      deleteOp: String, maxAttempts: Int): Long = {
+    val t = new Path(table)
+    val keysDf = changes.select(keys.map(k => col(quoted(k))): _*).distinct()
+    val renamedKeys = keys.foldLeft(keysDf)((d, k) =>
+      d.withColumnRenamed(k, s"__mk_$k"))
+    (1 to maxAttempts).foreach { _ =>
+      val base = latestVersion(spark, table).getOrElse(
+        sys.error(s"table $table has no committed versions to merge into"))
+      val m = manifestAt(spark, table, base)
+      val tq = fs(spark, t).makeQualified(t)
+      val matched: Map[String, Seq[Long]] =
+        if (m.files.isEmpty) Map.empty
+        else {
+          val cond = keys.map(k => col(quoted(k)) <=> col(s"__mk_$k"))
+            .reduce(_ && _)
+          val byKey = m.files.map(f => last2(f) -> f).toMap
+          liveKeyed(spark, t, m, m.files)
+            .join(broadcast(renamedKeys), cond, "left_semi")
+            .select(col("__dv_k"), col("__dv_i")).collect().toSeq
+            .groupBy(r => byKey.getOrElse(r.getString(0),
+              sys.error(s"scan returned unlisted file ${r.getString(0)}")))
+            .map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
+        }
+      // the appended rows: latest non-delete change per key (the old
+      // rows' values are irrelevant under CDC replace semantics)
+      val merged = graft.operators.MergeOps.cdcApply(
+        readLive(spark, t, m, Seq.empty), changes, keys, ordering,
+        opCol, deleteOp)
+      val cons = constraintsOf(spark, table)
+      val w = writeData(enforcing(merged, cons), table,
+        m.partitionBy.getOrElse(Seq.empty))
+      val (goneSet, newDvs) = composeDvs(spark, tq, m, w, matched)
+      val committed = publish(spark, table, w, parent =>
+        if (parent.map(_.version).contains(base))
+          Some(Attempt("merge",
+            m.files.filterNot(goneSet) ++ w.fresh,
+            m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path))
+              ++ w.stats,
+            parent.flatMap(_.txn).getOrElse(Map.empty),
+            constraints = guardedCons(table, parent, cons),
+            dvs = Some(newDvs)))
+        else None)
+      committed.foreach(v => return v)
+    }
+    mergeRaceError(table, maxAttempts)
+  }
+
+  private def mergeRaceError(table: String, maxAttempts: Int): Nothing =
     sys.error(s"merge into $table lost the commit race $maxAttempts times " +
       "(pathological write contention); re-run or serialize writers")
-  }
 
   /** Compaction (the public OPTIMIZE bin-packing recipe): rewrite the
     * referenced files smaller than `smallFileBytes` into
@@ -1401,9 +1466,6 @@ object TxLog {
         .groupBy(r => byKey.getOrElse(r.getString(0),
           sys.error(s"scan returned unlisted file ${r.getString(0)}")))
         .map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
-      val live = liveRowsOf(m)
-      val (dropWhole, dvAdd) = matched.partition { case (rel, ps) =>
-        live.get(rel).contains(ps.size.toLong) }
       val w = writeNothing(spark, table, m.schemaJson)
       val cdfFiles =
         if (!changeFeed) Seq.empty
@@ -1411,20 +1473,7 @@ object TxLog {
           readLive(spark, t, m, matched.keys.toSeq.sorted)
             .filter(coalesce(cond, lit(false)))
             .withColumn("_change_type", lit("delete")))
-      val f = fs(spark, t)
-      val oldDv = m.dvs.getOrElse(Seq.empty).map(e => e.path -> e).toMap
-      val newEntries = dvAdd.toSeq.sortBy(_._1).zipWithIndex.map {
-        case ((rel, ps), i) =>
-          // union with any prior vector: positions are physical parquet
-          // row indexes, stable for an immutable file
-          val prior = oldDv.get(rel)
-            .map(e => readDvFile(spark, tq, e.dv)).getOrElse(Seq.empty)
-          val union = (prior ++ ps).distinct.sorted
-          val dvRel = s"${w.dataRel}/_dv/$i.dv"
-          writeDvFile(f, tq, dvRel, union)
-          DvEntry(rel, dvRel, union.size.toLong)
-      }
-      val goneSet = dropWhole.keySet
+      val (goneSet, newDvs) = composeDvs(spark, tq, m, w, matched)
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(m.version))
           Some(Attempt("delete",
@@ -1433,14 +1482,41 @@ object TxLog {
             m.txn.getOrElse(Map.empty),
             cdf = cdfFiles,
             constraints = m.constraints.getOrElse(Map.empty),
-            dvs = Some(m.dvs.getOrElse(Seq.empty)
-              .filterNot(e => goneSet(e.path) || dvAdd.contains(e.path))
-              ++ newEntries)))
+            dvs = Some(newDvs)))
         else None) // snapshot went stale: re-find against the new latest
       committed.foreach(v => return v)
     }
     sys.error(s"delete from $table lost the commit race $maxAttempts times " +
       "(pathological write contention); re-run or serialize writers")
+  }
+
+  /** Turn per-file deleted positions into this commit's DV state:
+    * writes the sidecars (unioned with any prior vector — positions
+    * are physical parquet row indexes, stable for an immutable file)
+    * under `w.dataRel/_dv/`, drops files whose every live row is
+    * deleted outright, and returns (files to drop, the manifest's
+    * complete new DV list). The sidecars ride the commit's data dir,
+    * so an abandoned publish cleans them up with it.
+    */
+  private def composeDvs(spark: SparkSession, tq: Path, m: Manifest,
+      w: Written, matched: Map[String, Seq[Long]]): (Set[String], Seq[DvEntry]) = {
+    val live = liveRowsOf(m)
+    val (dropWhole, dvAdd) = matched.partition { case (rel, ps) =>
+      live.get(rel).contains(ps.size.toLong) }
+    val f = fs(spark, tq)
+    val oldDv = m.dvs.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    val newEntries = dvAdd.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((rel, ps), i) =>
+        val prior = oldDv.get(rel)
+          .map(e => readDvFile(spark, tq, e.dv)).getOrElse(Seq.empty)
+        val union = (prior ++ ps).distinct.sorted
+        val dvRel = s"${w.dataRel}/_dv/$i.dv"
+        writeDvFile(f, tq, dvRel, union)
+        DvEntry(rel, dvRel, union.size.toLong)
+    }
+    val goneSet = dropWhole.keySet
+    (goneSet, m.dvs.getOrElse(Seq.empty)
+      .filterNot(e => goneSet(e.path) || dvAdd.contains(e.path)) ++ newEntries)
   }
 
   /** Copy-on-write UPDATE (SQL `UPDATE SET col = expr WHERE cond`
@@ -1452,9 +1528,11 @@ object TxLog {
     */
   def update(spark: SparkSession, table: String, cond: Column,
       set: Seq[(String, Column)], maxAttempts: Int = 10,
-      changeFeed: Boolean = false): Long = {
+      changeFeed: Boolean = false, deletionVectors: Boolean = false): Long = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     require(set.nonEmpty, "update needs at least one assignment")
+    if (deletionVectors)
+      return updateDv(spark, table, cond, set, maxAttempts, changeFeed)
     val t = new Path(table)
     (1 to maxAttempts).foreach { _ =>
       val m = manifest(spark, table)
@@ -1501,6 +1579,77 @@ object TxLog {
             m.txn.getOrElse(Map.empty),
             cdf = cdfFiles,
             constraints = guardedCons(table, parent, cons)))
+        else None)
+      committed.foreach(v => return v)
+    }
+    sys.error(s"update of $table lost the commit race $maxAttempts times " +
+      "(pathological write contention); re-run or serialize writers")
+  }
+
+  /** UPDATE via DELETION VECTORS: the matched rows' old positions are
+    * vectored out of their files (no touched file is rewritten) and the
+    * updated post-image rows land in ONE fresh write — cost proportional
+    * to the rows UPDATED, not the files touched. A scattered 0.01%
+    * update of a 100 TB table moves KBs of positions plus the updated
+    * rows themselves, where the copy-on-write path rewrites every file
+    * that held a match. Same CAS loop, CDF pre/post pairs, and
+    * constraint enforcement (on the rewritten rows) as the rewrite
+    * path; files whose every live row matched are dropped outright
+    * (their entire content moved to the fresh write).
+    */
+  private def updateDv(spark: SparkSession, table: String, cond: Column,
+      set: Seq[(String, Column)], maxAttempts: Int,
+      changeFeed: Boolean): Long = {
+    val t = new Path(table)
+    (1 to maxAttempts).foreach { _ =>
+      val m = manifest(spark, table)
+      if (m.files.isEmpty) return m.version
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      set.foreach { case (name, _) =>
+        require(schema.fieldNames.contains(name),
+          s"table $table has no column '$name' " +
+            s"(schema: ${schema.fieldNames.mkString(", ")})")
+      }
+      val tq = fs(spark, t).makeQualified(t)
+      val hit = coalesce(cond, lit(false))
+      val matchedRows = liveKeyed(spark, t, m, m.files)
+        .filter(hit)
+        .select(col("__dv_k"), col("__dv_i"))
+        .collect()
+      if (matchedRows.isEmpty) return m.version
+      val byKey = m.files.map(f => last2(f) -> f).toMap
+      val matched: Map[String, Seq[Long]] = matchedRows.toSeq
+        .groupBy(r => byKey.getOrElse(r.getString(0),
+          sys.error(s"scan returned unlisted file ${r.getString(0)}")))
+        .map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
+      def applySet(df: DataFrame): DataFrame = set.foldLeft(df) {
+        case (acc, (name, expr)) =>
+          acc.withColumn(name, expr.cast(schema(name).dataType))
+      }
+      // post-image rows: the matched live rows with assignments applied
+      // (every row in this frame matched, so no per-row `when` needed)
+      val matchedDf = readLive(spark, t, m, matched.keys.toSeq.sorted)
+        .filter(hit)
+      val cons = m.constraints.getOrElse(Map.empty)
+      val w = writeData(enforcing(applySet(matchedDf), cons), table,
+        m.partitionBy.getOrElse(Seq.empty))
+      val cdfFiles =
+        if (!changeFeed) Seq.empty
+        else writeCdf(spark, table, w,
+          matchedDf.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(applySet(matchedDf)
+              .withColumn("_change_type", lit("update_postimage"))))
+      val (goneSet, newDvs) = composeDvs(spark, tq, m, w, matched)
+      val committed = publish(spark, table, w, parent =>
+        if (parent.map(_.version).contains(m.version))
+          Some(Attempt("update",
+            m.files.filterNot(goneSet) ++ w.fresh,
+            m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path))
+              ++ w.stats,
+            m.txn.getOrElse(Map.empty),
+            cdf = cdfFiles,
+            constraints = guardedCons(table, parent, cons),
+            dvs = Some(newDvs)))
         else None)
       committed.foreach(v => return v)
     }

@@ -135,6 +135,46 @@ class DeletionVectorSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, dvRel)))
   }
 
+  test("DV update vectors old positions and appends post-images") {
+    val t = tmpTable()
+    publish(t)
+    val before = TxLog.manifest(spark, t).files.toSet
+    val v = TxLog.update(spark, t, col("g") === 2,
+      Seq("v" -> lit("upd")), deletionVectors = true, changeFeed = true)
+    val m = TxLog.manifest(spark, t)
+    // every original file survives by identity; one fresh write added
+    assert(before.subsetOf(m.files.toSet))
+    assert(m.files.toSet.size > before.size)
+    assert(m.dvs.get.map(_.deleted).sum == 10L)
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 100)
+    assert(got.filter(_._3 == 2).forall(_._2 == "upd"))
+    assert(got.count(_._3 == 2) == 10)
+    // CDF carries the pre/post pair
+    val feed = TxLog.readChangeFeed(spark, t, v - 1)
+    assert(feed.filter(col("_change_type") === "update_preimage").count() == 10L)
+    assert(feed.filter(col("_change_type") === "update_postimage").count() == 10L)
+  }
+
+  test("DV merge vectors matched keys and appends the change rows") {
+    val t = tmpTable()
+    publish(t)
+    val before = TxLog.manifest(spark, t).files.toSet
+    val changes = Seq(
+      (5L, "m5", 9, "U", 1L), (50L, "", 0, "D", 1L), (777L, "new", 9, "U", 1L))
+      .toDF("k", "v", "g", "op", "seq")
+    TxLog.merge(spark, t, changes, keys = Seq("k"),
+      ordering = Seq(col("seq").desc), opCol = "op",
+      deletionVectors = true)
+    val m = TxLog.manifest(spark, t)
+    assert(before.subsetOf(m.files.toSet), "DV merge must rewrite no file")
+    assert(m.dvs.get.map(_.deleted).sum == 2L) // the upserted + deleted keys
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+    assert(got.size == 100) // 100 - upsert(5) - delete(50) + new(777) + upd(5)
+    assert(got.contains((5L, "m5", 9)) && got.contains((777L, "new", 9)))
+    assert(!got.exists(_._1 == 50L))
+  }
+
   test("constraint backfill check sees live rows only") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1L, "ok", 1), (2L, "bad", -5)).toDF("k", "v", "g"), t)
