@@ -234,6 +234,30 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q118_tx_generated" -> ((s, dir) => {
+      // GENERATED ALWAYS AS under the oracle gate (TxLog.
+      // setGeneratedColumn scaladoc): pre-1997 orders published
+      // partitioned by o_year, the column then DECLARED generated from
+      // o_orderdate — after which the 1997+ append states ONLY the base
+      // columns and the layout column derives (and Hive-partitions)
+      // itself. Hash equality of the per-year aggregate with a
+      // from-scratch year(o_orderdate) recompute proves the computed
+      // values equal the expression on every appended row.
+      val t = tmpTable("tx-q118")
+      val o = Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      TxLog.overwrite(o.filter(col("o_year") < 1997), t,
+        partitionBy = Some(Seq("o_year")))
+      TxLog.setGeneratedColumn(s, t, "o_year",
+        "CAST(year(o_orderdate) AS INT)")
+      TxLog.append(
+        Tables.orders(s, dir).filter(year(col("o_orderdate")) >= 1997), t)
+      TxLog.read(s, t)
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q116_tx_dv_update" -> ((s, dir) => {
       // q97's reclassification through DELETION-VECTOR update
       // (TxLog.updateDv scaladoc): the matched rows' old positions are
@@ -827,6 +851,12 @@ object Lakehouse {
         |WHERE NOT (o_orderstatus = 'F' AND year(o_orderdate) <= 1994)
         |  AND NOT (o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
+
+    "q118_tx_generated" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q93_tx_merge" -> mergeOracle,
     // same oracle: DV merge is the same CDC fold, minus the rewrites

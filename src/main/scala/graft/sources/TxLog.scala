@@ -112,7 +112,8 @@ object TxLog {
       constraints: Option[Map[String, String]] = None,
       partitionBy: Option[Seq[String]] = None,
       bloomIndex: Option[Seq[String]] = None,
-      dvs: Option[Seq[DvEntry]] = None)
+      dvs: Option[Seq[DvEntry]] = None,
+      generated: Option[Map[String, String]] = None)
 
   /** Stats are collected for at most this many leading skippable
     * columns: min/max strings for a 1000-column table would bloat every
@@ -351,12 +352,108 @@ object TxLog {
     * null-passes — a constraint that silently ignores NULLs is how bad
     * rows sneak into a lakehouse).
     */
+  /** The table's generated columns (column → SQL expression); empty
+    * when none are declared.
+    */
+  def generatedOf(spark: SparkSession, table: String): Map[String, String] =
+    latestVersion(spark, table)
+      .map(readManifest(spark, new Path(table), _))
+      .flatMap(_.generated).getOrElse(Map.empty)
+
+  /** Apply the generated-column property to an incoming frame (the
+    * public Delta `GENERATED ALWAYS AS` write semantics): a frame that
+    * OMITS a generated column gets it computed from its expression
+    * (cast to the column's declared type); a frame that PROVIDES one
+    * must agree with the expression null-safely on every row — a
+    * silently divergent value would make the column a lie for every
+    * downstream reader (and for partition pruning when the generated
+    * column is the partition key, the canonical use).
+    */
+  private def applyGenerated(df: DataFrame, gen: Map[String, String],
+      schema: StructType): DataFrame =
+    gen.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, sql)) =>
+      val e = org.apache.spark.sql.functions.expr(sql).cast(schema(c).dataType)
+      if (!d.columns.contains(c)) d.withColumn(c, e)
+      else d.filter(org.apache.spark.sql.functions.assert_true(
+        col(quoted(c)) <=> e,
+        lit(s"generated column '$c' provided a value different from ($sql)"))
+        .isNull)
+    }
+
+  /** Declare `column` GENERATED ALWAYS AS (`exprSql`): existing rows
+    * must already satisfy the expression (checked against LIVE rows,
+    * like [[addConstraint]]); from then on every row-adding write
+    * computes the column when omitted and validates it when provided,
+    * and UPDATE recomputes it after assignments to its source columns.
+    * Canonical use: `o_year = year(o_orderdate)` on a table
+    * partitioned by `o_year` — writers state only the timestamp, the
+    * layout column derives consistently forever.
+    */
+  def setGeneratedColumn(spark: SparkSession, table: String,
+      column: String, exprSql: String): Long = {
+    val t = new Path(table)
+    org.apache.spark.sql.functions.expr(exprSql) // parse eagerly
+    val w = writeNothing(spark, table, manifest(spark, table).schemaJson)
+    publish(spark, table, w, parent => {
+      val m = parent.getOrElse(sys.error(
+        s"table $table has no committed versions"))
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      require(schema.fieldNames.contains(column),
+        s"table $table has no column '$column' (schema: ${schema.fieldNames.mkString(", ")})")
+      val gen = m.generated.getOrElse(Map.empty)
+      require(!gen.contains(column),
+        s"column '$column' is already generated on $table (drop it first)")
+      val e = org.apache.spark.sql.functions.expr(exprSql)
+        .cast(schema(column).dataType)
+      val divergent = readLive(spark, t, m, m.files)
+        .filter(!(col(quoted(column)) <=> e)).limit(1).count()
+      require(divergent == 0,
+        s"cannot declare '$column' generated on $table: existing rows " +
+          s"diverge from ($exprSql)")
+      Some(Attempt("set_generated", m.files, m.stats.getOrElse(Seq.empty),
+        m.txn.getOrElse(Map.empty),
+        constraints = m.constraints.getOrElse(Map.empty),
+        generated = Some(gen + (column -> exprSql))))
+    }).get
+  }
+
+  /** Drop a generated-column declaration (the data is untouched — the
+    * column simply stops being computed/validated).
+    */
+  def dropGeneratedColumn(spark: SparkSession, table: String,
+      column: String): Long =
+    publish(spark, table,
+      writeNothing(spark, table, manifest(spark, table).schemaJson), parent => {
+        val m = parent.getOrElse(sys.error(
+          s"table $table has no committed versions"))
+        val gen = m.generated.getOrElse(Map.empty)
+        require(gen.contains(column),
+          s"no generated column '$column' on $table (has: ${gen.keySet.mkString(", ")})")
+        Some(Attempt("drop_generated", m.files, m.stats.getOrElse(Seq.empty),
+          m.txn.getOrElse(Map.empty),
+          constraints = m.constraints.getOrElse(Map.empty),
+          generated = Some(gen - column)))
+      }).get
+
   private def enforcing(df: DataFrame, cons: Map[String, String]): DataFrame =
     cons.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
       d.filter(org.apache.spark.sql.functions.assert_true(
         coalesce(org.apache.spark.sql.functions.expr(sql), lit(false)),
         lit(s"CHECK constraint '$name' violated: ($sql) is not true")).isNull)
     }
+
+  /** The row-adding writers' shared inbound pipeline: generated columns
+    * computed/validated, then CHECK constraints enforced.
+    */
+  private def inbound(spark: SparkSession, table: String, df: DataFrame,
+      cons: Map[String, String]): DataFrame = {
+    val gen = generatedOf(spark, table)
+    val g =
+      if (gen.isEmpty) df
+      else applyGenerated(df, gen, DataType.fromJson(
+        manifest(spark, table).schemaJson).asInstanceOf[StructType])
+    enforcing(g, cons)
+  }
 
   /** Composer-side guard: the rows being committed were enforced under
     * `enforcedCons`; if the parent manifest meanwhile gained a
@@ -727,7 +824,7 @@ object TxLog {
     val spark = df.sparkSession
     val effective = partitionBy.getOrElse(tablePartitionBy(spark, table))
     val cons = constraintsOf(spark, table)
-    val w = writeData(enforcing(df, cons), table, effective)
+    val w = writeData(inbound(spark, table, df, cons), table, effective)
     publish(spark, table, w, parent =>
       Some(Attempt("overwrite", w.fresh, w.stats,
         parent.flatMap(_.txn).getOrElse(Map.empty),
@@ -757,7 +854,8 @@ object TxLog {
   def append(df: DataFrame, table: String, mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val cons = constraintsOf(spark, table)
-    val w = writeData(enforcing(df, cons), table, tablePartitionBy(spark, table))
+    val w = writeData(inbound(spark, table, df, cons), table,
+      tablePartitionBy(spark, table))
     publish(spark, table, w, parent =>
       Some(appendAttempt(table, parent, w, Map.empty, cons, mergeSchema))).get
   }
@@ -805,7 +903,8 @@ object TxLog {
       .flatMap(_.txn.getOrElse(Map.empty).get(appId)).exists(_ >= batchId)
     if (done) return None
     val cons = constraintsOf(spark, table)
-    val w = writeData(enforcing(df, cons), table, tablePartitionBy(spark, table))
+    val w = writeData(inbound(spark, table, df, cons), table,
+      tablePartitionBy(spark, table))
     publish(spark, table, w, parent => {
       val seen = parent.flatMap(_.txn).getOrElse(Map.empty)
       if (seen.get(appId).exists(_ >= batchId)) None // lost a same-app race
@@ -922,7 +1021,7 @@ object TxLog {
       val merged = graft.operators.MergeOps.cdcApply(
         readLive(spark, t, m, touched), changes, keys, ordering, opCol, deleteOp)
       val cons = constraintsOf(spark, table)
-      val w = writeData(enforcing(merged, cons), table,
+      val w = writeData(inbound(spark, table, merged, cons), table,
         m.partitionBy.getOrElse(Seq.empty))
       val touchedSet = touched.toSet
       val committed = publish(spark, table, w, parent =>
@@ -979,7 +1078,7 @@ object TxLog {
         readLive(spark, t, m, Seq.empty), changes, keys, ordering,
         opCol, deleteOp)
       val cons = constraintsOf(spark, table)
-      val w = writeData(enforcing(merged, cons), table,
+      val w = writeData(inbound(spark, table, merged, cons), table,
         m.partitionBy.getOrElse(Seq.empty))
       val (goneSet, newDvs) = composeDvs(spark, tq, m, w, matched)
       val committed = publish(spark, table, w, parent =>
@@ -1250,7 +1349,7 @@ object TxLog {
       val m = manifest(spark, table)
       val pcols = partitionedManifest(table, m)
       val cons = m.constraints.getOrElse(Map.empty)
-      val w = writeData(enforcing(df, cons), table, pcols)
+      val w = writeData(inbound(spark, table, df, cons), table, pcols)
       require(w.schemaJson == m.schemaJson,
         s"overwritePartitions schema drift for $table: table has " +
           s"${m.schemaJson}, frame has ${w.schemaJson}")
@@ -1545,10 +1644,22 @@ object TxLog {
       val touched = findTouched(spark, t, m, cond)
       if (touched.isEmpty) return m.version
       val hit = coalesce(cond, lit(false))
-      def applySet(df: DataFrame): DataFrame = set.foldLeft(df) {
-        case (acc, (name, expr)) =>
-          acc.withColumn(name,
-            when(hit, expr.cast(schema(name).dataType)).otherwise(col(quoted(name))))
+      // generated columns cannot be assigned (they derive), and are
+      // RECOMPUTED after the assignments in case a source column moved
+      val gen = m.generated.getOrElse(Map.empty)
+      set.foreach { case (name, _) => require(!gen.contains(name),
+        s"cannot UPDATE generated column '$name' of $table — it derives " +
+          s"from (${gen(name)})") }
+      def applySet(df: DataFrame): DataFrame = {
+        val assigned = set.foldLeft(df) {
+          case (acc, (name, expr)) =>
+            acc.withColumn(name,
+              when(hit, expr.cast(schema(name).dataType)).otherwise(col(quoted(name))))
+        }
+        gen.toSeq.sortBy(_._1).foldLeft(assigned) { case (acc, (c, sql)) =>
+          acc.withColumn(c, org.apache.spark.sql.functions.expr(sql)
+            .cast(schema(c).dataType))
+        }
       }
       // live rows: the rewrite MATERIALIZES any deletion vectors on the
       // touched files (a deleted row must not resurrect updated)
@@ -1622,9 +1733,19 @@ object TxLog {
         .groupBy(r => byKey.getOrElse(r.getString(0),
           sys.error(s"scan returned unlisted file ${r.getString(0)}")))
         .map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
-      def applySet(df: DataFrame): DataFrame = set.foldLeft(df) {
-        case (acc, (name, expr)) =>
-          acc.withColumn(name, expr.cast(schema(name).dataType))
+      val gen = m.generated.getOrElse(Map.empty)
+      set.foreach { case (name, _) => require(!gen.contains(name),
+        s"cannot UPDATE generated column '$name' of $table — it derives " +
+          s"from (${gen(name)})") }
+      def applySet(df: DataFrame): DataFrame = {
+        val assigned = set.foldLeft(df) {
+          case (acc, (name, expr)) =>
+            acc.withColumn(name, expr.cast(schema(name).dataType))
+        }
+        gen.toSeq.sortBy(_._1).foldLeft(assigned) { case (acc, (c, sql)) =>
+          acc.withColumn(c, org.apache.spark.sql.functions.expr(sql)
+            .cast(schema(c).dataType))
+        }
       }
       // post-image rows: the matched live rows with assignments applied
       // (every row in this frame matched, so no per-row `when` needed)
@@ -1716,8 +1837,10 @@ object TxLog {
         // explicit: restoring to a pre-partitioning (or differently
         // partitioned) version restores THAT layout, not the parent's
         partitionBy = Some(target.partitionBy.getOrElse(Seq.empty)),
-        // ... and THAT version's deletion vectors, not the parent's
-        dvs = Some(target.dvs.getOrElse(Seq.empty))))).get
+        // ... and THAT version's deletion vectors and generated-column
+        // declarations, not the parent's
+        dvs = Some(target.dvs.getOrElse(Seq.empty)),
+        generated = Some(target.generated.getOrElse(Map.empty))))).get
   }
 
   /** Row-level change data feed (the public Delta CDF shape): every
@@ -1821,7 +1944,10 @@ object TxLog {
       // DV-materializing rewrites: a file dropped from `files` sheds its
       // DV, a surviving file keeps it); Some = exactly these (the
       // DV-writing delete, restore, clone)
-      dvs: Option[Seq[DvEntry]] = None)
+      dvs: Option[Seq[DvEntry]] = None,
+      // generated-column table property: None inherits, only
+      // set/dropGeneratedColumn, restore, and clone pass Some
+      generated: Option[Map[String, String]] = None)
 
   /** Write a change-data frame under the commit's own data directory
     * (`<dataRel>/_cdf/`): invisible to snapshot readers (only
@@ -2054,7 +2180,9 @@ object TxLog {
         dvs = Some(att.dvs.getOrElse {
           val keep = att.files.toSet
           parent.flatMap(_.dvs).getOrElse(Seq.empty).filter(e => keep(e.path))
-        }).filter(_.nonEmpty))
+        }).filter(_.nonEmpty),
+        generated = att.generated
+          .orElse(parent.flatMap(_.generated)).filter(_.nonEmpty))
       val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
@@ -2154,7 +2282,8 @@ object TxLog {
       partitionBy = m.partitionBy,
       // deletion vectors ride along, entry AND sidecar borrowed
       dvs = Some(m.dvs.getOrElse(Seq.empty)
-        .map(e => e.copy(path = absOf(e.path), dv = absOf(e.dv)))))
+        .map(e => e.copy(path = absOf(e.path), dv = absOf(e.dv)))),
+      generated = m.generated)
     publish(spark, dst, writeNothing(spark, dst, m.schemaJson),
       parent => {
         require(parent.isEmpty,
