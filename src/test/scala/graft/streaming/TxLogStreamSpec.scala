@@ -158,6 +158,31 @@ class TxLogStreamSpec extends SparkSpec {
       Set((4L, "d", "insert", 7L)))
   }
 
+  test("deletion-vector DML streams through the change feed like a rewrite") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = tmp("txcdfdv")
+    val cp = Files.createTempDirectory("txcdfdv-cp").toString
+    // one file, so neither DML empties a file (that would whole-drop it
+    // instead of vectoring — a different, also-correct path)
+    TxLog.overwrite(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t)
+    assert(drainCdf(t, cp) == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 1L)))
+    // vectored DML rewrites nothing, but its recorded feed is identical
+    // to the copy-on-write paths' — downstream consumers can't tell
+    val files = TxLog.manifest(spark, t).files.toSet
+    TxLog.delete(spark, t, col("k") === 1L,
+      deletionVectors = true, changeFeed = true)                  // v2
+    TxLog.update(spark, t, col("k") === 3L, Seq("v" -> lit("c!")),
+      deletionVectors = true, changeFeed = true)                  // v3
+    assert(files.subsetOf(TxLog.manifest(spark, t).files.toSet))
+    assert(drainCdf(t, cp) == Set(
+      (1L, "a", "delete", 2L),
+      (3L, "c", "update_preimage", 3L),
+      (3L, "c!", "update_postimage", 3L)))
+  }
+
   test("format(graft-txlog) sink appends exactly once and Complete overwrites") {
     val src = tmp("txsink-src")
     val dst = tmp("txsink-dst")
