@@ -258,6 +258,29 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q119_tx_drop_column" -> ((s, dir) => {
+      // Metadata-only DROP COLUMN under the oracle gate (TxLog.
+      // dropColumn scaladoc): even-key orders published WITH a scratch
+      // column, the column dropped (no file rewritten — DropColumnSpec
+      // pins file identity), then the odd-key half appended under the
+      // narrowed schema. The read plans wide old files and narrow new
+      // files through ONE stored schema; hash equality with the
+      // full-orders recompute proves the dropped column vanished from
+      // the result while every row survived across both file
+      // generations.
+      val t = tmpTable("tx-q119")
+      val o = Tables.orders(s, dir)
+      TxLog.overwrite(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_scratch", col("o_orderkey") % 7), t)
+      TxLog.dropColumn(s, t, "o_scratch")
+      TxLog.append(o.filter(col("o_orderkey") % 2 =!= 0), t)
+      TxLog.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q116_tx_dv_update" -> ((s, dir) => {
       // q97's reclassification through DELETION-VECTOR update
       // (TxLog.updateDv scaladoc): the matched rows' old positions are
@@ -851,6 +874,11 @@ object Lakehouse {
         |WHERE NOT (o_orderstatus = 'F' AND year(o_orderdate) <= 1994)
         |  AND NOT (o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
+
+    "q119_tx_drop_column" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q118_tx_generated" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,

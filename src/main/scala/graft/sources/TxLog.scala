@@ -113,7 +113,8 @@ object TxLog {
       partitionBy: Option[Seq[String]] = None,
       bloomIndex: Option[Seq[String]] = None,
       dvs: Option[Seq[DvEntry]] = None,
-      generated: Option[Map[String, String]] = None)
+      generated: Option[Map[String, String]] = None,
+      dropped: Option[Seq[String]] = None)
 
   /** Stats are collected for at most this many leading skippable
     * columns: min/max strings for a 1000-column table would bloat every
@@ -925,7 +926,8 @@ object TxLog {
             "or append(mergeSchema = true) to evolve it")
         mergeSchemas(table,
           DataType.fromJson(p.schemaJson).asInstanceOf[StructType],
-          DataType.fromJson(w.schemaJson).asInstanceOf[StructType]).json
+          DataType.fromJson(w.schemaJson).asInstanceOf[StructType],
+          p.dropped.getOrElse(Seq.empty)).json
       }
     }
     parent.foreach { p =>
@@ -950,9 +952,17 @@ object TxLog {
     * misread the already-committed files that carry the old type.
     */
   private def mergeSchemas(table: String, existing: StructType,
-      incoming: StructType): StructType = {
+      incoming: StructType, tombstones: Seq[String]): StructType = {
     val byName = existing.fields.map(f => f.name -> f).toMap
+    val dead = tombstones.map(_.toLowerCase).toSet
     incoming.fields.foreach { f =>
+      // re-adding a DROPPED name would resurrect the old files' stored
+      // values as that column's history — without column mapping the
+      // name IS the physical binding, so the name is retired for good
+      require(!dead.contains(f.name.toLowerCase),
+        s"append(mergeSchema) to $table: column '${f.name}' was DROPPED; " +
+          "old files still hold values under that name, so re-adding it " +
+          "would resurrect them — use a new column name")
       byName.get(f.name).foreach { tf =>
         require(tf.dataType == f.dataType,
           s"append(mergeSchema) to $table: column '${f.name}' type conflict " +
@@ -962,6 +972,70 @@ object TxLog {
     }
     StructType(existing.fields ++
       incoming.fields.filterNot(f => byName.contains(f.name)))
+  }
+
+  /** The attribute names a SQL expression references (pre-resolution;
+    * parsed with the catalyst parser — `functions.expr` in Spark 4 is a
+    * lazy SQL node with no tree to walk).
+    */
+  private def referencesOf(sql: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql)
+      .collect { case a: UnresolvedAttribute => a.name.toLowerCase }.toSet
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit (no data file rewritten):
+    * the manifest schema narrows, and because every read plans with the
+    * STORED schema over parquet's by-name resolution, the column simply
+    * stops being read — the bytes stay in the old files but no plan
+    * ever projects them. At 100 TB this is the difference between a
+    * catalog edit and rewriting the table.
+    *
+    * The dropped NAME is tombstoned: re-adding it via schema evolution
+    * is refused (old files still hold values under that name — without
+    * column mapping, re-adding would resurrect them as the new
+    * column's history; the public Delta caveat, enforced loudly).
+    * Columns load-bearing elsewhere must be released first: partition
+    * layout, generated-column declarations/sources, CHECK-constraint
+    * references, and the bloom index (auto-dropped from the property).
+    */
+  def dropColumn(spark: SparkSession, table: String, column: String): Long = {
+    val m0 = manifest(spark, table)
+    val schema0 = DataType.fromJson(m0.schemaJson).asInstanceOf[StructType]
+    require(schema0.fieldNames.contains(column),
+      s"table $table has no column '$column' (schema: ${schema0.fieldNames.mkString(", ")})")
+    val narrowed0 = StructType(schema0.fields.filterNot(_.name == column))
+    require(narrowed0.nonEmpty, s"cannot drop the last column of $table")
+    publish(spark, table, writeNothing(spark, table, narrowed0.json), parent => {
+      val m = parent.getOrElse(sys.error(s"table $table lost its versions"))
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      require(schema.fieldNames.contains(column),
+        s"column '$column' vanished from $table concurrently")
+      val lc = column.toLowerCase
+      require(!m.partitionBy.getOrElse(Seq.empty).contains(column),
+        s"'$column' is a partition column of $table — flatten or " +
+          "re-partition the layout first")
+      val gen = m.generated.getOrElse(Map.empty)
+      require(!gen.contains(column),
+        s"'$column' is a generated column — dropGeneratedColumn first")
+      gen.foreach { case (c, sql) => require(!referencesOf(sql).contains(lc),
+        s"generated column '$c' derives from '$column' — drop that " +
+          "declaration first") }
+      m.constraints.getOrElse(Map.empty).foreach { case (n, sql) =>
+        require(!referencesOf(sql).contains(lc),
+          s"CHECK constraint '$n' references '$column' — drop it first") }
+      val narrowed = StructType(schema.fields.filterNot(_.name == column))
+      Some(Attempt("drop_column", m.files,
+        // per-file stats for the dropped column are dead weight; strip
+        m.stats.getOrElse(Seq.empty).map(e => e.copy(stats = e.stats - column)),
+        m.txn.getOrElse(Map.empty),
+        schemaJson = Some(narrowed.json),
+        constraints = m.constraints.getOrElse(Map.empty),
+        bloomIndex = Some(m.bloomIndex.getOrElse(Seq.empty)
+          .filterNot(_ == column)),
+        dropped = Some(m.dropped.getOrElse(Seq.empty) :+ column)))
+    }).get
   }
 
   /** Transactional MERGE INTO: fold a CDC change batch
@@ -1840,7 +1914,8 @@ object TxLog {
         // ... and THAT version's deletion vectors and generated-column
         // declarations, not the parent's
         dvs = Some(target.dvs.getOrElse(Seq.empty)),
-        generated = Some(target.generated.getOrElse(Map.empty))))).get
+        generated = Some(target.generated.getOrElse(Map.empty)),
+        dropped = Some(target.dropped.getOrElse(Seq.empty))))).get
   }
 
   /** Row-level change data feed (the public Delta CDF shape): every
@@ -1947,7 +2022,10 @@ object TxLog {
       dvs: Option[Seq[DvEntry]] = None,
       // generated-column table property: None inherits, only
       // set/dropGeneratedColumn, restore, and clone pass Some
-      generated: Option[Map[String, String]] = None)
+      generated: Option[Map[String, String]] = None,
+      // dropped-column tombstones: None inherits, only dropColumn,
+      // restore, and clone pass Some
+      dropped: Option[Seq[String]] = None)
 
   /** Write a change-data frame under the commit's own data directory
     * (`<dataRel>/_cdf/`): invisible to snapshot readers (only
@@ -2182,7 +2260,9 @@ object TxLog {
           parent.flatMap(_.dvs).getOrElse(Seq.empty).filter(e => keep(e.path))
         }).filter(_.nonEmpty),
         generated = att.generated
-          .orElse(parent.flatMap(_.generated)).filter(_.nonEmpty))
+          .orElse(parent.flatMap(_.generated)).filter(_.nonEmpty),
+        dropped = att.dropped
+          .orElse(parent.flatMap(_.dropped)).filter(_.nonEmpty))
       val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
@@ -2283,7 +2363,8 @@ object TxLog {
       // deletion vectors ride along, entry AND sidecar borrowed
       dvs = Some(m.dvs.getOrElse(Seq.empty)
         .map(e => e.copy(path = absOf(e.path), dv = absOf(e.dv)))),
-      generated = m.generated)
+      generated = m.generated,
+      dropped = m.dropped)
     publish(spark, dst, writeNothing(spark, dst, m.schemaJson),
       parent => {
         require(parent.isEmpty,

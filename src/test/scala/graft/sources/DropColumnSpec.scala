@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** TxLog.dropColumn — metadata-only DROP COLUMN with name tombstones
+  * (q119).
+  */
+class DropColumnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-dropcol").resolve("t").toString
+
+  test("drop narrows the schema without touching a data file") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "x"), t)
+    val before = TxLog.manifest(spark, t)
+    TxLog.dropColumn(spark, t, "x")
+    val m = TxLog.manifest(spark, t)
+    assert(m.files == before.files) // same bytes on disk
+    assert(m.action == "drop_column")
+    val got = TxLog.read(spark, t)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(got.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // appends no longer carry the column
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+    assert(TxLog.read(spark, t).count() == 3L)
+    // stats for the dropped column were stripped
+    assert(m.stats.get.forall(e => !e.stats.contains("x")))
+  }
+
+  test("the dropped name is tombstoned against re-adding") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a", 10)).toDF("k", "v", "x"), t)
+    TxLog.dropColumn(spark, t, "x")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(Seq((2L, "b", 99)).toDF("k", "v", "x"), t,
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("DROPPED"))
+    // a NEW name evolves fine
+    TxLog.append(Seq((2L, "b", 99L)).toDF("k", "v", "y"), t,
+      mergeSchema = true)
+    assert(TxLog.read(spark, t).schema.fieldNames.toSeq == Seq("k", "v", "y"))
+  }
+
+  test("load-bearing columns must be released first") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a", 10, 20)).toDF("k", "v", "x", "x2"), t,
+      partitionBy = Some(Seq("v")))
+    intercept[IllegalArgumentException] { TxLog.dropColumn(spark, t, "v") }
+    TxLog.addConstraint(spark, t, "x_pos", "x > 0")
+    intercept[IllegalArgumentException] { TxLog.dropColumn(spark, t, "x") }
+    TxLog.dropConstraint(spark, t, "x_pos")
+    TxLog.setGeneratedColumn(spark, t, "x2", "x * 2")
+    intercept[IllegalArgumentException] { TxLog.dropColumn(spark, t, "x") }
+    intercept[IllegalArgumentException] { TxLog.dropColumn(spark, t, "x2") }
+    TxLog.dropGeneratedColumn(spark, t, "x2")
+    TxLog.dropColumn(spark, t, "x")
+    assert(TxLog.read(spark, t).schema.fieldNames.toSeq == Seq("k", "v", "x2"))
+  }
+
+  test("time travel still sees the column; restore resurrects the wide schema") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a", 10)).toDF("k", "v", "x"), t)
+    val wide = TxLog.latestVersion(spark, t).get
+    TxLog.dropColumn(spark, t, "x")
+    assert(TxLog.readAsOf(spark, t, wide).schema.fieldNames.contains("x"))
+    TxLog.restore(spark, t, wide)
+    assert(TxLog.read(spark, t).schema.fieldNames.toSeq == Seq("k", "v", "x"))
+    // the restore also restores the (empty) tombstone set of that
+    // version, so the name is usable again — consistent with the
+    // restored schema already CONTAINING the column
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect().toSeq ==
+      Seq((1L, "a", 10)))
+  }
+
+  test("bloom index sheds a dropped column automatically") {
+    val t = tmpTable()
+    TxLog.overwrite((0L until 50L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4, col("k")), t)
+    TxLog.setBloomIndex(spark, t, Seq("k", "v"))
+    TxLog.dropColumn(spark, t, "v")
+    assert(TxLog.bloomIndexOf(spark, t) == Seq("k"))
+    val r = TxLog.readWhere(spark, t, Seq(("k", Some(17L), Some(17L))))
+    assert(r.as[Long].collect().toSeq == Seq(17L))
+  }
+}
