@@ -223,15 +223,53 @@ object TxLog {
   private def last2(rel: String): String =
     rel.split('/').takeRight(2).mkString("/")
 
+  /** Sidecar codec: `GDV1` magic + row count + ULEB128 gap varints over
+    * the SORTED positions — the roaring-bitmap-class trick that makes a
+    * vector ~1–2 bytes per deleted row instead of 8 (deletes cluster,
+    * so gaps are small and most varints are one byte). A million-row
+    * delete is ~1–2 MB of sidecar against the gigabytes it didn't
+    * rewrite.
+    */
+  private[graft] def encodeDv(positions: Seq[Long]): Array[Byte] = {
+    val sorted = positions.distinct.sorted
+    val out = new java.io.ByteArrayOutputStream(8 + sorted.length * 2)
+    out.write('G'); out.write('D'); out.write('V'); out.write('1')
+    def varint(v0: Long): Unit = {
+      require(v0 >= 0, s"negative row position $v0")
+      var v = v0
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    varint(sorted.length.toLong)
+    var prev = 0L
+    sorted.foreach { p => varint(p - prev); prev = p }
+    out.toByteArray
+  }
+
+  private[graft] def decodeDv(bytes: Array[Byte]): Seq[Long] = {
+    require(bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'D' &&
+      bytes(2) == 'V' && bytes(3) == '1',
+      s"not a GDV1 deletion-vector sidecar (${bytes.length} bytes)")
+    var i = 4
+    def varint(): Long = {
+      var v = 0L; var shift = 0
+      while ({
+        require(i < bytes.length, "truncated deletion-vector sidecar")
+        val b = bytes(i); i += 1
+        v |= (b & 0x7FL) << shift; shift += 7
+        (b & 0x80) != 0
+      }) ()
+      v
+    }
+    val n = varint().toInt
+    var prev = 0L
+    Seq.fill(n) { prev += varint(); prev }
+  }
+
   private def writeDvFile(f: org.apache.hadoop.fs.FileSystem, t: Path,
       rel: String, positions: Seq[Long]): Unit = {
     val out = f.create(new Path(t, rel), true)
-    try {
-      val buf = java.nio.ByteBuffer.allocate(positions.length * 8)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      positions.foreach(buf.putLong)
-      out.write(buf.array())
-    } finally out.close()
+    try out.write(encodeDv(positions)) finally out.close()
   }
 
   private def readDvFile(spark: SparkSession, t: Path, rel: String): Seq[Long] = {
@@ -241,9 +279,7 @@ object TxLog {
     val bytes = new Array[Byte](len)
     val in = f.open(p)
     try in.readFully(0, bytes) finally in.close()
-    val buf = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    Seq.fill(len / 8)(buf.getLong)
+    decodeDv(bytes)
   }
 
   /** `files` (non-empty) read with the file key (`last2`) and parquet

@@ -175,6 +175,21 @@ class DeletionVectorSpec extends SparkSpec {
     assert(!got.exists(_._1 == 50L))
   }
 
+  test("sidecar codec: gap-varint round-trip, compact, loud on garbage") {
+    val cases = Seq(
+      Seq.empty[Long], Seq(0L), Seq(7L), (0L until 1000L),
+      Seq(5L, 6L, 7L, 1000000L, 1000001L), Seq(Long.MaxValue - 1))
+    cases.foreach { ps =>
+      assert(TxLog.decodeDv(TxLog.encodeDv(ps)) == ps.distinct.sorted.toSeq)
+    }
+    // clustered deletes: ~1 byte per position, not 8
+    val dense = TxLog.encodeDv(0L until 10000L)
+    assert(dense.length < 10000 + 16, s"dense vector took ${dense.length} B")
+    intercept[IllegalArgumentException] {
+      TxLog.decodeDv(Array[Byte](1, 2, 3, 4, 5))
+    }
+  }
+
   test("constraint backfill check sees live rows only") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1L, "ok", 1), (2L, "bad", -5)).toDF("k", "v", "g"), t)
