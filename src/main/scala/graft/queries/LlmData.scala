@@ -419,6 +419,35 @@ object LlmData {
           when(col("label") === col("s_label"), 1).otherwise(0).as("correct"))
     }),
 
+    "d29_split_leakage" -> ((s, dir) => {
+      // Split-hygiene audit — d10's deterministic split composed with
+      // d12's verbatim-8-gram overlap: which val/test documents share
+      // ANY 8-gram with the train split (leakage there silently
+      // inflates every eval score; this audit runs after each
+      // re-split). Unlike d12, whose benchmark side is tiny and
+      // broadcast, BOTH sides here are corpus-scale — so the shape is
+      // one shuffled equi-join on the gram hash with each side deduped
+      // first: cost ∝ total distinct grams, never a broadcast bet that
+      // a 20% split fits in memory. The held-out side keys by
+      // (doc, gram) distinct, so n_shared counts distinct leaked grams.
+      val bucket = (conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") % 100).cast("int")
+      val d = docs(s, dir).withColumn("bucket", bucket)
+      def grams(df: DataFrame): DataFrame =
+        HashFns.explodedNgrams(df, 8)
+          .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+      val train = grams(d.filter(col("bucket") < 80)).select("h").distinct()
+      val held = grams(d.filter(col("bucket") >= 80))
+      held.join(train, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(d.select(col("doc_id"),
+          when(col("bucket") < 90, "val").otherwise("test").as("split")),
+          "doc_id")
+        .select(col("doc_id"), col("split"), col("n_shared"))
+    }),
+
     "d26_boilerplate_removal" -> ((s, dir) =>
       // Boilerplate REMOVAL (ParagraphDedup.removeBoilerplate scaladoc):
       // where d17 SCORES a document by its duplicated-chunk fraction,
@@ -1090,6 +1119,29 @@ object LlmData {
         |FROM h JOIN bench USING (h)
         |WHERE doc_id % 50 <> 0
         |GROUP BY 1""".stripMargin,
+
+    "d29_split_leakage" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |   t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) _
+        |  WHERE len(t) >= 8),
+        |h AS (SELECT doc_id, md5(s) AS h FROM sh),
+        |b AS (
+        |  SELECT doc_id,
+        |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |tr AS (
+        |  SELECT DISTINCT h.h FROM h JOIN b USING (doc_id) WHERE bucket < 80),
+        |held AS (
+        |  SELECT h.doc_id, h.h,
+        |   CASE WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM h JOIN b USING (doc_id) WHERE bucket >= 80)
+        |SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM held JOIN tr USING (h)
+        |GROUP BY 1, 2""".stripMargin,
 
     "d16_bloom_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
