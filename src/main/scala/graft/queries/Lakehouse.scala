@@ -281,6 +281,32 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q120_tx_identity" -> ((s, dir) => {
+      // GENERATED ALWAYS AS IDENTITY under the oracle gate (TxLog.
+      // setIdentityColumn scaladoc): the customer table seeds a row_id
+      // (existing ids = custkeys), the column is declared identity, and
+      // an orders-sized batch appends WITHOUT it — every appended row
+      // receives a fresh id from the transactional high-water mark.
+      // Which row got which id is layout-dependent, so the gate checks
+      // the allocation's INVARIANTS, all exactly predictable: total
+      // rows, all-distinct ids, the seed minimum, and the range
+      // endpoint max(custkey) + n_appended — contiguity and uniqueness
+      // without pinning the permutation (IdentityColumnSpec pins the
+      // racing-writers uniqueness separately).
+      val t = tmpTable("tx-q120")
+      TxLog.overwrite(Tables.customer(s, dir)
+        .select(col("c_custkey").as("row_id"),
+          col("c_mktsegment").as("seg")), t)
+      TxLog.setIdentityColumn(s, t, "row_id")
+      TxLog.append(Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("seg")), t)
+      TxLog.read(s, t).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("row_id").as("n_ids"),
+        min("row_id").as("id_min"),
+        max("row_id").as("id_max"))
+    }),
+
     "q116_tx_dv_update" -> ((s, dir) => {
       // q97's reclassification through DELETION-VECTOR update
       // (TxLog.updateDv scaladoc): the matched rows' old positions are
@@ -874,6 +900,14 @@ object Lakehouse {
         |WHERE NOT (o_orderstatus = 'F' AND year(o_orderdate) <= 1994)
         |  AND NOT (o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
+
+    "q120_tx_identity" ->
+      """SELECT
+        | CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+        | CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM orders) AS BIGINT) AS n_ids,
+        | CAST((SELECT min(c_custkey) FROM customer) AS BIGINT) AS id_min,
+        | CAST((SELECT max(c_custkey) FROM customer)
+        |   + (SELECT count(*) FROM orders) AS BIGINT) AS id_max""".stripMargin,
 
     "q119_tx_drop_column" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -94,6 +94,15 @@ object TxLog {
     */
   final case class DvEntry(path: String, dv: String, deleted: Long)
 
+  /** An IDENTITY column's allocation state (the Delta `GENERATED ALWAYS
+    * AS IDENTITY` concept): appends that omit the column receive the
+    * contiguous ids `[next, next + step·(n−1)]` and the commit advances
+    * `next` — the high-water mark IS transactional state, so two racing
+    * appends can never hand out the same id (the loser's CAS re-derives
+    * with fresh ids).
+    */
+  final case class IdentitySpec(step: Long, next: Long)
+
   /** One committed version. `files` are table-root-relative and are the
     * single source of truth for reads; `stats` is advisory (skipping
     * only — a file without an entry is simply never skipped); `txn` is
@@ -114,7 +123,8 @@ object TxLog {
       bloomIndex: Option[Seq[String]] = None,
       dvs: Option[Seq[DvEntry]] = None,
       generated: Option[Map[String, String]] = None,
-      dropped: Option[Seq[String]] = None)
+      dropped: Option[Seq[String]] = None,
+      identity: Option[Map[String, IdentitySpec]] = None)
 
   /** Stats are collected for at most this many leading skippable
     * columns: min/max strings for a 1000-column table would bloat every
@@ -471,6 +481,89 @@ object TxLog {
           constraints = m.constraints.getOrElse(Map.empty),
           generated = Some(gen - column)))
       }).get
+
+  /** The table's identity columns (column → allocation state). */
+  def identityOf(spark: SparkSession, table: String): Map[String, IdentitySpec] =
+    latestVersion(spark, table)
+      .map(readManifest(spark, new Path(table), _))
+      .flatMap(_.identity).getOrElse(Map.empty)
+
+  /** Declare `column` GENERATED ALWAYS AS IDENTITY: appends must OMIT
+    * it (ALWAYS semantics — explicit values are refused) and receive
+    * contiguous ids from the manifest's transactional high-water mark;
+    * a lost commit race re-derives with fresh ids, so ids are unique
+    * across any interleaving of writers. Allocation starts at
+    * `max(start, max(existing) + 1)` — one column-pruned live scan
+    * seeds the mark above whatever ids the table already holds.
+    */
+  def setIdentityColumn(spark: SparkSession, table: String, column: String,
+      start: Long = 1L, step: Long = 1L): Long = {
+    require(step >= 1, s"identity step must be >= 1, got $step")
+    val t = new Path(table)
+    publish(spark, table,
+      writeNothing(spark, table, manifest(spark, table).schemaJson), parent => {
+        val m = parent.getOrElse(sys.error(
+          s"table $table has no committed versions"))
+        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        require(schema.fieldNames.contains(column),
+          s"table $table has no column '$column' (schema: ${schema.fieldNames.mkString(", ")})")
+        require(schema(column).dataType == LongType,
+          s"identity column '$column' must be BIGINT, is " +
+            schema(column).dataType.simpleString)
+        val ids = m.identity.getOrElse(Map.empty)
+        require(!ids.contains(column),
+          s"column '$column' is already an identity column of $table")
+        require(!m.generated.getOrElse(Map.empty).contains(column),
+          s"column '$column' is a generated column — it cannot also be identity")
+        val existingMax = readLive(spark, t, m, m.files)
+          .agg(max(col(quoted(column)))).head match {
+            case r if r.isNullAt(0) => None
+            case r => Some(r.getLong(0))
+          }
+        val next = existingMax.map(_ + 1L).filter(_ > start).getOrElse(start)
+        Some(Attempt("set_identity", m.files, m.stats.getOrElse(Seq.empty),
+          m.txn.getOrElse(Map.empty),
+          constraints = m.constraints.getOrElse(Map.empty),
+          identity = Some(ids + (column -> IdentitySpec(step, next)))))
+      }).get
+  }
+
+  /** Drop an identity declaration (the column keeps its values and
+    * simply stops being auto-assigned).
+    */
+  def dropIdentityColumn(spark: SparkSession, table: String,
+      column: String): Long =
+    publish(spark, table,
+      writeNothing(spark, table, manifest(spark, table).schemaJson), parent => {
+        val m = parent.getOrElse(sys.error(
+          s"table $table has no committed versions"))
+        val ids = m.identity.getOrElse(Map.empty)
+        require(ids.contains(column),
+          s"no identity column '$column' on $table (has: ${ids.keySet.mkString(", ")})")
+        Some(Attempt("drop_identity", m.files, m.stats.getOrElse(Seq.empty),
+          m.txn.getOrElse(Map.empty),
+          constraints = m.constraints.getOrElse(Map.empty),
+          identity = Some(ids - column)))
+      }).get
+
+  /** Assign each identity column the contiguous ids
+    * `next + step·rowIndex` in ONE `zipWithIndex` pass (a per-partition
+    * count job + a narrow map — the only RDD drop-down in the write
+    * path, justified by genuinely positional per-row logic), then
+    * project back to the table's column order.
+    */
+  private def assignIdentity(df: DataFrame, ids: Map[String, IdentitySpec],
+      schema: StructType): DataFrame = {
+    val specs = ids.toSeq.sortBy(_._1)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(
+        r.toSeq ++ specs.map { case (_, sp) => sp.next + sp.step * i })
+    }
+    val outSchema = StructType(df.schema.fields ++
+      specs.map { case (c, _) => org.apache.spark.sql.types.StructField(c, LongType) })
+    df.sparkSession.createDataFrame(rdd, outSchema)
+      .select(schema.fieldNames.toSeq.map(n => col(quoted(n))): _*)
+  }
 
   private def enforcing(df: DataFrame, cons: Map[String, String]): DataFrame =
     cons.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
@@ -890,11 +983,56 @@ object TxLog {
     */
   def append(df: DataFrame, table: String, mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
+    val ids = identityOf(spark, table)
+    if (ids.nonEmpty) {
+      // ALWAYS semantics: identity values are assigned, never accepted
+      val provided = ids.keySet.intersect(df.columns.toSet)
+      require(provided.isEmpty,
+        s"append to $table provides identity column(s) " +
+          s"${provided.mkString(", ")} — they are GENERATED ALWAYS AS " +
+          "IDENTITY; omit them")
+      return appendWithIdentity(df, table, mergeSchema)
+    }
     val cons = constraintsOf(spark, table)
     val w = writeData(inbound(spark, table, df, cons), table,
       tablePartitionBy(spark, table))
     publish(spark, table, w, parent =>
       Some(appendAttempt(table, parent, w, Map.empty, cons, mergeSchema))).get
+  }
+
+  /** [[append]] for a table with identity columns: assign ids from the
+    * snapshot's high-water marks, write, and publish ONLY if no other
+    * commit moved a mark meanwhile — else the written files hold ids
+    * the winner may also have handed out, so the attempt is abandoned
+    * (publish deletes its data dir) and the whole assignment re-derives
+    * against the new marks. The committed manifest advances every mark
+    * by `step · rows`, keeping allocation transactional.
+    */
+  private def appendWithIdentity(df: DataFrame, table: String,
+      mergeSchema: Boolean, maxAttempts: Int = 10): Long = {
+    val spark = df.sparkSession
+    (1 to maxAttempts).foreach { _ =>
+      val m = manifest(spark, table)
+      val idMap = m.identity.getOrElse(Map.empty)
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val cons = m.constraints.getOrElse(Map.empty)
+      val w = writeData(
+        inbound(spark, table, assignIdentity(df, idMap, schema), cons),
+        table, tablePartitionBy(spark, table))
+      val n = w.stats.map(_.rows).sum
+      val committed = publish(spark, table, w, parent => {
+        val pIds = parent.flatMap(_.identity).getOrElse(Map.empty)
+        if (pIds == idMap)
+          Some(appendAttempt(table, parent, w, Map.empty, cons, mergeSchema)
+            .copy(identity = Some(idMap.map { case (c, sp) =>
+              c -> sp.copy(next = sp.next + sp.step * n) })))
+        else None // an id-allocating commit raced us: re-assign fresh ids
+      })
+      committed.foreach(v => return v)
+    }
+    sys.error(s"identity append to $table lost the commit race " +
+      s"$maxAttempts times (pathological write contention); re-run or " +
+      "serialize writers")
   }
 
   /** Exactly-once streaming append — the `foreachBatch` sink body:
@@ -1055,6 +1193,8 @@ object TxLog {
       val gen = m.generated.getOrElse(Map.empty)
       require(!gen.contains(column),
         s"'$column' is a generated column — dropGeneratedColumn first")
+      require(!m.identity.getOrElse(Map.empty).contains(column),
+        s"'$column' is an identity column — dropIdentityColumn first")
       gen.foreach { case (c, sql) => require(!referencesOf(sql).contains(lc),
         s"generated column '$c' derives from '$column' — drop that " +
           "declaration first") }
@@ -1951,7 +2091,8 @@ object TxLog {
         // declarations, not the parent's
         dvs = Some(target.dvs.getOrElse(Seq.empty)),
         generated = Some(target.generated.getOrElse(Map.empty)),
-        dropped = Some(target.dropped.getOrElse(Seq.empty))))).get
+        dropped = Some(target.dropped.getOrElse(Seq.empty)),
+        identity = Some(target.identity.getOrElse(Map.empty))))).get
   }
 
   /** Row-level change data feed (the public Delta CDF shape): every
@@ -2061,7 +2202,10 @@ object TxLog {
       generated: Option[Map[String, String]] = None,
       // dropped-column tombstones: None inherits, only dropColumn,
       // restore, and clone pass Some
-      dropped: Option[Seq[String]] = None)
+      dropped: Option[Seq[String]] = None,
+      // identity allocation state: None inherits, identity-assigning
+      // appends / setIdentityColumn / restore / clone pass Some
+      identity: Option[Map[String, IdentitySpec]] = None)
 
   /** Write a change-data frame under the commit's own data directory
     * (`<dataRel>/_cdf/`): invisible to snapshot readers (only
@@ -2298,7 +2442,9 @@ object TxLog {
         generated = att.generated
           .orElse(parent.flatMap(_.generated)).filter(_.nonEmpty),
         dropped = att.dropped
-          .orElse(parent.flatMap(_.dropped)).filter(_.nonEmpty))
+          .orElse(parent.flatMap(_.dropped)).filter(_.nonEmpty),
+        identity = att.identity
+          .orElse(parent.flatMap(_.identity)).filter(_.nonEmpty))
       val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
@@ -2400,7 +2546,8 @@ object TxLog {
       dvs = Some(m.dvs.getOrElse(Seq.empty)
         .map(e => e.copy(path = absOf(e.path), dv = absOf(e.dv)))),
       generated = m.generated,
-      dropped = m.dropped)
+      dropped = m.dropped,
+      identity = m.identity)
     publish(spark, dst, writeNothing(spark, dst, m.schemaJson),
       parent => {
         require(parent.isEmpty,
