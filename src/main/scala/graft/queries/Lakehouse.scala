@@ -307,6 +307,27 @@ object Lakehouse {
         max("row_id").as("id_max"))
     }),
 
+    "q121_tx_rename" -> ((s, dir) => {
+      // Metadata-only RENAME COLUMN under the oracle gate (TxLog.
+      // renameColumn scaladoc): even-key orders published, the price
+      // column renamed — no file touched (RenameColumnSpec pins file
+      // identity and that new files still store the PHYSICAL name) —
+      // then the odd-key half appended SPEAKING THE NEW NAME. The read
+      // aggregates under the new name across both file generations;
+      // hash equality with the full-orders recompute proves the alias
+      // boundary loses nothing in either direction.
+      val t = tmpTable("tx-q121")
+      val o = Tables.orders(s, dir)
+      TxLog.overwrite(o.filter(col("o_orderkey") % 2 === 0), t)
+      TxLog.renameColumn(s, t, "o_totalprice", "price")
+      TxLog.append(o.filter(col("o_orderkey") % 2 =!= 0)
+        .withColumnRenamed("o_totalprice", "price"), t)
+      TxLog.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("price")))).as("total"))
+    }),
+
     "q116_tx_dv_update" -> ((s, dir) => {
       // q97's reclassification through DELETION-VECTOR update
       // (TxLog.updateDv scaladoc): the matched rows' old positions are
@@ -900,6 +921,11 @@ object Lakehouse {
         |WHERE NOT (o_orderstatus = 'F' AND year(o_orderdate) <= 1994)
         |  AND NOT (o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
+
+    "q121_tx_rename" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q120_tx_identity" ->
       """SELECT

@@ -124,7 +124,8 @@ object TxLog {
       dvs: Option[Seq[DvEntry]] = None,
       generated: Option[Map[String, String]] = None,
       dropped: Option[Seq[String]] = None,
-      identity: Option[Map[String, IdentitySpec]] = None)
+      identity: Option[Map[String, IdentitySpec]] = None,
+      renames: Option[Map[String, String]] = None)
 
   /** Stats are collected for at most this many leading skippable
     * columns: min/max strings for a 1000-column table would bloat every
@@ -292,12 +293,60 @@ object TxLog {
     decodeDv(bytes)
   }
 
+  // ---------------------------------------------------------------------
+  // Column mapping (renameColumn): the manifest schema keeps the
+  // PHYSICAL names (what the data files, stats, bloom sidecars, and
+  // partition metadata say forever); `renames` maps physical → current
+  // LOGICAL name. Reads alias physical → logical at the end of the
+  // plan; writers rename logical → physical at the head of writeData —
+  // everything between (conditions, constraints, generated expressions,
+  // identity assignment) lives in the logical world.
+  // ---------------------------------------------------------------------
+
+  private def renamesOfM(m: Manifest): Map[String, String] =
+    m.renames.getOrElse(Map.empty)
+
+  /** The physical (file/stats) name behind a logical column name. */
+  private def physOf(m: Manifest, logical: String): String =
+    renamesOfM(m).collectFirst { case (p, l) if l == logical => p }
+      .getOrElse(logical)
+
+  /** The manifest's physical schema with renamed fields shown under
+    * their current logical names — what every read returns and every
+    * user-facing validation checks against.
+    */
+  private def logicalSchema(m: Manifest): StructType = {
+    val ren = renamesOfM(m)
+    val s = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    if (ren.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = ren.getOrElse(f.name, f.name))))
+  }
+
+  /** [[logicalSchema]] of the manifest at `version` (relation surface). */
+  private[graft] def logicalSchemaAt(spark: SparkSession, table: String,
+      version: Long): StructType =
+    logicalSchema(manifestAt(spark, table, version))
+
+  /** [[physOf]] for the relation surface. */
+  private[graft] def physOfAt(m: Manifest, logical: String): String =
+    physOf(m, logical)
+
+  /** Alias a physical-named frame to logical names (extra columns —
+    * `_change_type`, `__dv_*` — pass through untouched).
+    */
+  private def aliasLogical(df: DataFrame, m: Manifest): DataFrame = {
+    val ren = renamesOfM(m)
+    if (ren.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(quoted(c)).as(ren.getOrElse(c, c))): _*)
+  }
+
   /** `files` (non-empty) read with the file key (`last2`) and parquet
-    * row position attached as `__dv_k`/`__dv_i`, and `m`'s deletion
+    * row position attached as `__dv_k`/`__dv_i`, `m`'s deletion
     * vectors for those files anti-joined out against the BROADCAST
     * position set (DVs are change-sized, not table-sized — the whole
     * point is that the delete wrote KBs of positions instead of
-    * rewriting GBs of parquet).
+    * rewriting GBs of parquet), and columns under their LOGICAL names.
     */
   private def liveKeyed(spark: SparkSession, t: Path, m: Manifest,
       files: Seq[String]): DataFrame = {
@@ -307,28 +356,31 @@ object TxLog {
       .withColumn("__dv_k",
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("__dv_i", col("_metadata.row_index"))
-    if (dvs.isEmpty) keyed
-    else {
-      val anti = dvs.flatMap(e =>
-        readDvFile(spark, t, e.dv).map(i => (last2(e.path), i)))
-      import spark.implicits._
-      keyed.join(broadcast(anti.toDF("__dv_k", "__dv_i")),
-        Seq("__dv_k", "__dv_i"), "left_anti")
-    }
+    val lively =
+      if (dvs.isEmpty) keyed
+      else {
+        val anti = dvs.flatMap(e =>
+          readDvFile(spark, t, e.dv).map(i => (last2(e.path), i)))
+        import spark.implicits._
+        keyed.join(broadcast(anti.toDF("__dv_k", "__dv_i")),
+          Seq("__dv_k", "__dv_i"), "left_anti")
+      }
+    aliasLogical(lively, m)
   }
 
-  /** `files` read with `m`'s deletion vectors applied — the LIVE rows.
-    * Files without a DV stream through a pass-through plan untouched.
+  /** `files` read with `m`'s deletion vectors applied — the LIVE rows,
+    * under their LOGICAL column names. Files without a DV stream
+    * through a pass-through plan untouched.
     */
   private def readLive(spark: SparkSession, t: Path, m: Manifest,
       files: Seq[String]): DataFrame = {
     val want = files.toSet
     if (m.dvs.getOrElse(Seq.empty).forall(e => !want(e.path)))
-      toDf(spark, t, m.schemaJson, files)
+      aliasLogical(toDf(spark, t, m.schemaJson, files), m)
     else {
-      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val names = logicalSchema(m).fieldNames
       liveKeyed(spark, t, m, files)
-        .select(schema.fieldNames.map(n => col(quoted(n))): _*)
+        .select(names.map(n => col(quoted(n))): _*)
     }
   }
 
@@ -376,8 +428,10 @@ object TxLog {
     * shrink the feed — use [[read]]/[[readAsOf]] for live-state reads.
     */
   def readFiles(spark: SparkSession, table: String,
-      files: Seq[String]): DataFrame =
-    toDf(spark, new Path(table), manifest(spark, table).schemaJson, files)
+      files: Seq[String]): DataFrame = {
+    val m = manifest(spark, table)
+    aliasLogical(toDf(spark, new Path(table), m.schemaJson, files), m)
+  }
 
   // ---------------------------------------------------------------------
   // CHECK constraints (the public Delta invariants surface)
@@ -504,7 +558,7 @@ object TxLog {
       writeNothing(spark, table, manifest(spark, table).schemaJson), parent => {
         val m = parent.getOrElse(sys.error(
           s"table $table has no committed versions"))
-        val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        val schema = logicalSchema(m)
         require(schema.fieldNames.contains(column),
           s"table $table has no column '$column' (schema: ${schema.fieldNames.mkString(", ")})")
         require(schema(column).dataType == LongType,
@@ -580,8 +634,7 @@ object TxLog {
     val gen = generatedOf(spark, table)
     val g =
       if (gen.isEmpty) df
-      else applyGenerated(df, gen, DataType.fromJson(
-        manifest(spark, table).schemaJson).asInstanceOf[StructType])
+      else applyGenerated(df, gen, logicalSchema(manifest(spark, table)))
     enforcing(g, cons)
   }
 
@@ -759,21 +812,24 @@ object TxLog {
       bounds: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
     require(bounds.nonEmpty, "readWhere needs at least one column bound")
     val m = manifest(spark, table)
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val schema = logicalSchema(m)
+    // stats/bloom evidence is keyed by PHYSICAL names; users speak
+    // logical — translate for the metadata lookups only
     val checks = bounds.map { case (column, lo, hi) =>
       require(schema.fieldNames.contains(column),
         s"table $table has no column '$column' (schema: ${schema.fieldNames.mkString(", ")})")
       val field = schema(column)
       require(isSkippable(field.dataType),
         s"column '$column' (${field.dataType.simpleString}) is not range-comparable")
-      (column, field.dataType, lo.map(_.toString), hi.map(_.toString))
+      (physOf(m, column), field.dataType, lo.map(_.toString), hi.map(_.toString))
     }
     // point bounds (lo == hi) on bloom-indexed columns additionally
     // probe the per-file sidecar filters — the prune that works where
     // min/max cannot (high-cardinality keys scattered across files)
     val points = bounds.collect {
-      case (c, Some(lo), Some(hi)) if lo == hi => (c, Seq(lo)) }
-    val kept = bloomPrune(spark, table, m, schema,
+      case (c, Some(lo), Some(hi)) if lo == hi =>
+        (physOf(m, c), schema(c).dataType, Seq(lo)) }
+    val kept = bloomPrune(spark, table, m,
       pruneByConjuncts(m, schema, checks), points)
     val exact = bounds.flatMap { case (column, lo, hi) =>
       val c = col(quoted(column))
@@ -827,24 +883,25 @@ object TxLog {
     require(m.dvs.forall(_.isEmpty),
       s"statsAggregate on $table: table has deletion vectors — the stored " +
         "stats may describe deleted rows; read the data (or compact first)")
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val schema = logicalSchema(m)
+    // users speak logical names; per-file stats are keyed physical
     val cols = columns.map { c =>
       require(schema.fieldNames.contains(c),
         s"table $table has no column '$c' (schema: ${schema.fieldNames.mkString(", ")})")
       val f = schema(c)
       require(isSkippable(f.dataType),
         s"column '$c' (${f.dataType.simpleString}) has no stats domain")
-      c -> f.dataType
+      (c, physOf(m, c), f.dataType)
     }
     val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e).toMap
     val perFile = m.files.map { p =>
       val e = byPath.getOrElse(p, sys.error(
         s"file $p of $table carries no stats — metadata-only aggregate " +
           "unavailable; aggregate over read() instead"))
-      val vals: Seq[Any] = e.rows +: cols.flatMap { case (c, _) =>
+      val vals: Seq[Any] = e.rows +: cols.flatMap { case (c, pc, _) =>
         if (e.rows == 0L) Seq(null, null, 0L) // 0-row file: nothing to fold
         else {
-          val st = e.stats.getOrElse(c, sys.error(
+          val st = e.stats.getOrElse(pc, sys.error(
             s"file $p of $table has no stats for column '$c' — metadata-only " +
               "aggregate unavailable; aggregate over read() instead"))
           Seq(st.min.orNull, st.max.orNull, st.nulls)
@@ -854,13 +911,13 @@ object TxLog {
     }
     val statSchema = StructType(
       StructField("__rows", LongType, nullable = false) +:
-        cols.flatMap { case (c, _) => Seq(
+        cols.flatMap { case (c, _, _) => Seq(
           StructField(s"__mn_$c", StringType, nullable = true),
           StructField(s"__mx_$c", StringType, nullable = true),
           StructField(s"__nc_$c", LongType, nullable = false)) })
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(perFile.asJava, statSchema)
-    val aggs = cols.flatMap { case (c, dt) => Seq(
+    val aggs = cols.flatMap { case (c, _, dt) => Seq(
       min(col(quoted(s"__mn_$c")).cast(dt)).as(s"${c}_min"),
       max(col(quoted(s"__mx_$c")).cast(dt)).as(s"${c}_max"),
       coalesce(sum(col(quoted(s"__nc_$c"))), lit(0L)).as(s"${c}_nulls")) }
@@ -1014,7 +1071,7 @@ object TxLog {
     (1 to maxAttempts).foreach { _ =>
       val m = manifest(spark, table)
       val idMap = m.identity.getOrElse(Map.empty)
-      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val schema = logicalSchema(m)
       val cons = m.constraints.getOrElse(Map.empty)
       val w = writeData(
         inbound(spark, table, assignIdentity(df, idMap, schema), cons),
@@ -1148,6 +1205,59 @@ object TxLog {
       incoming.fields.filterNot(f => byName.contains(f.name)))
   }
 
+  /** RENAME COLUMN as a METADATA-ONLY commit (the column-mapping
+    * capability): the data files keep the original PHYSICAL name
+    * forever — stats, bloom sidecars, and every byte on disk are
+    * untouched — and the manifest's rename map re-labels it; reads
+    * alias physical → logical at the end of the plan, writers rename
+    * logical → physical at the head of the write, so old and new file
+    * generations agree byte-for-byte while users only ever see the new
+    * name. Load-bearing declarations must be released first (partition
+    * layout, identity, generated columns and their sources,
+    * CHECK-constraint references — same rule as [[dropColumn]]); the
+    * bloom index needs no release (it is physical-keyed and probes
+    * translate). The new name must not collide with any current
+    * logical name or dropped-name tombstone.
+    */
+  def renameColumn(spark: SparkSession, table: String,
+      from: String, to: String): Long = {
+    require(from != to, "rename to the same name is a no-op")
+    publish(spark, table,
+      writeNothing(spark, table, manifest(spark, table).schemaJson), parent => {
+        val m = parent.getOrElse(sys.error(
+          s"table $table has no committed versions"))
+        val ls = logicalSchema(m)
+        require(ls.fieldNames.contains(from),
+          s"table $table has no column '$from' (schema: ${ls.fieldNames.mkString(", ")})")
+        require(!ls.fieldNames.contains(to),
+          s"table $table already has a column '$to'")
+        require(!m.dropped.getOrElse(Seq.empty)
+            .exists(_.equalsIgnoreCase(to)),
+          s"'$to' is a dropped-column tombstone of $table — old files " +
+            "still hold values under that name; pick another")
+        val lc = from.toLowerCase
+        require(!m.partitionBy.getOrElse(Seq.empty).contains(from),
+          s"'$from' is a partition column of $table — re-partition first")
+        require(!m.identity.getOrElse(Map.empty).contains(from),
+          s"'$from' is an identity column — dropIdentityColumn first")
+        val gen = m.generated.getOrElse(Map.empty)
+        require(!gen.contains(from),
+          s"'$from' is a generated column — dropGeneratedColumn first")
+        gen.foreach { case (c, sql) => require(!referencesOf(sql).contains(lc),
+          s"generated column '$c' derives from '$from' — drop that " +
+            "declaration first") }
+        m.constraints.getOrElse(Map.empty).foreach { case (n, sql) =>
+          require(!referencesOf(sql).contains(lc),
+            s"CHECK constraint '$n' references '$from' — drop it first") }
+        val p = physOf(m, from)
+        val ren = renamesOfM(m) - p
+        Some(Attempt("rename_column", m.files, m.stats.getOrElse(Seq.empty),
+          m.txn.getOrElse(Map.empty),
+          constraints = m.constraints.getOrElse(Map.empty),
+          renames = Some(if (to == p) ren else ren + (p -> to))))
+      }).get
+  }
+
   /** The attribute names a SQL expression references (pre-resolution;
     * parsed with the catalyst parser — `functions.expr` in Spark 4 is a
     * lazy SQL node with no tree to walk).
@@ -1176,16 +1286,16 @@ object TxLog {
     */
   def dropColumn(spark: SparkSession, table: String, column: String): Long = {
     val m0 = manifest(spark, table)
-    val schema0 = DataType.fromJson(m0.schemaJson).asInstanceOf[StructType]
-    require(schema0.fieldNames.contains(column),
-      s"table $table has no column '$column' (schema: ${schema0.fieldNames.mkString(", ")})")
-    val narrowed0 = StructType(schema0.fields.filterNot(_.name == column))
-    require(narrowed0.nonEmpty, s"cannot drop the last column of $table")
-    publish(spark, table, writeNothing(spark, table, narrowed0.json), parent => {
+    require(logicalSchema(m0).fieldNames.contains(column),
+      s"table $table has no column '$column' (schema: ${logicalSchema(m0).fieldNames.mkString(", ")})")
+    publish(spark, table, writeNothing(spark, table, m0.schemaJson), parent => {
       val m = parent.getOrElse(sys.error(s"table $table lost its versions"))
-      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-      require(schema.fieldNames.contains(column),
+      require(logicalSchema(m).fieldNames.contains(column),
         s"column '$column' vanished from $table concurrently")
+      // the user names the LOGICAL column; files/stats/tombstones speak
+      // physical — drop the physical field and retire BOTH names
+      val p = physOf(m, column)
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
       val lc = column.toLowerCase
       require(!m.partitionBy.getOrElse(Seq.empty).contains(column),
         s"'$column' is a partition column of $table — flatten or " +
@@ -1201,16 +1311,19 @@ object TxLog {
       m.constraints.getOrElse(Map.empty).foreach { case (n, sql) =>
         require(!referencesOf(sql).contains(lc),
           s"CHECK constraint '$n' references '$column' — drop it first") }
-      val narrowed = StructType(schema.fields.filterNot(_.name == column))
+      val narrowed = StructType(schema.fields.filterNot(_.name == p))
+      require(narrowed.nonEmpty, s"cannot drop the last column of $table")
       Some(Attempt("drop_column", m.files,
         // per-file stats for the dropped column are dead weight; strip
-        m.stats.getOrElse(Seq.empty).map(e => e.copy(stats = e.stats - column)),
+        m.stats.getOrElse(Seq.empty).map(e => e.copy(stats = e.stats - p)),
         m.txn.getOrElse(Map.empty),
         schemaJson = Some(narrowed.json),
         constraints = m.constraints.getOrElse(Map.empty),
         bloomIndex = Some(m.bloomIndex.getOrElse(Seq.empty)
-          .filterNot(_ == column)),
-        dropped = Some(m.dropped.getOrElse(Seq.empty) :+ column)))
+          .filterNot(_ == p)),
+        dropped = Some((m.dropped.getOrElse(Seq.empty) :+ p :+ column)
+          .distinct),
+        renames = Some(renamesOfM(m) - p)))
     }).get
   }
 
@@ -1449,7 +1562,7 @@ object TxLog {
       partition: Map[String, Any] = Map.empty): Long = {
     val t = new Path(table)
     val m = manifest(spark, table)
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val schema = logicalSchema(m)
     Seq(xCol, yCol).foreach { c =>
       require(schema.fieldNames.contains(c),
         s"table $table has no column '$c' (schema: ${schema.fieldNames.mkString(", ")})")
@@ -1885,7 +1998,7 @@ object TxLog {
     val t = new Path(table)
     (1 to maxAttempts).foreach { _ =>
       val m = manifest(spark, table)
-      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val schema = logicalSchema(m)
       set.foreach { case (name, _) =>
         require(schema.fieldNames.contains(name),
           s"table $table has no column '$name' " +
@@ -1965,7 +2078,7 @@ object TxLog {
     (1 to maxAttempts).foreach { _ =>
       val m = manifest(spark, table)
       if (m.files.isEmpty) return m.version
-      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val schema = logicalSchema(m)
       set.foreach { case (name, _) =>
         require(schema.fieldNames.contains(name),
           s"table $table has no column '$name' " +
@@ -2049,10 +2162,10 @@ object TxLog {
         s"'${m.action}', not an append — the file-set diff is only a row " +
         "diff across append-only history; re-baseline from a snapshot read"))
     later.lastOption match {
-      case None => toDf(spark, t, from.schemaJson, Seq.empty)
+      case None => aliasLogical(toDf(spark, t, from.schemaJson, Seq.empty), from)
       case Some(to) =>
         val base = from.files.toSet
-        toDf(spark, t, to.schemaJson, to.files.filterNot(base))
+        aliasLogical(toDf(spark, t, to.schemaJson, to.files.filterNot(base)), to)
     }
   }
 
@@ -2092,7 +2205,8 @@ object TxLog {
         dvs = Some(target.dvs.getOrElse(Seq.empty)),
         generated = Some(target.generated.getOrElse(Map.empty)),
         dropped = Some(target.dropped.getOrElse(Seq.empty)),
-        identity = Some(target.identity.getOrElse(Map.empty))))).get
+        identity = Some(target.identity.getOrElse(Map.empty)),
+        renames = Some(target.renames.getOrElse(Map.empty))))).get
   }
 
   /** Row-level change data feed (the public Delta CDF shape): every
@@ -2126,18 +2240,23 @@ object TxLog {
       val m = readManifest(spark, t, v)
       val piece: Option[DataFrame] = (m.action, m.cdf) match {
         case ("append", _) =>
-          Some(toDf(spark, t, m.schemaJson, m.files.filterNot(prevFiles))
+          Some(aliasLogical(
+            toDf(spark, t, m.schemaJson, m.files.filterNot(prevFiles)), m)
             .withColumn("_change_type", lit("insert")))
         case (_, Some(cdfFiles)) =>
-          val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-            .add("_change_type", StringType)
+          // CDF files are written from logical-named frames, so they
+          // read back under the committing manifest's logical schema
+          val schema = logicalSchema(m).add("_change_type", StringType)
           Some(spark.read.schema(schema)
             .parquet(cdfFiles.map(new Path(t, _).toString): _*))
-        // row-preserving commits (OPTIMIZE bin-packing, constraint
-        // add/drop) have a provably EMPTY change set — the feed skips
-        // them without needing anything recorded (Delta's
-        // dataChange=false files)
-        case ("compact" | "addConstraint" | "dropConstraint", None) => None
+        // row-preserving commits (OPTIMIZE bin-packing/z-order,
+        // constraint / property / schema-metadata changes) have a
+        // provably EMPTY row-change set — the feed skips them without
+        // needing anything recorded (Delta's dataChange=false files)
+        case ("compact" | "zorder" | "addConstraint" | "dropConstraint"
+            | "set_bloom_index" | "drop_bloom_index" | "set_generated"
+            | "drop_generated" | "set_identity" | "drop_identity"
+            | "drop_column" | "rename_column", None) => None
         case (_, None) if skipUnrecorded => None
         case (other, None) => sys.error(
           s"readChangeFeed: version $v is '$other' with no recorded change " +
@@ -2151,7 +2270,7 @@ object TxLog {
     parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse {
         val m = readManifest(spark, t, until)
-        toDf(spark, t, m.schemaJson, Seq.empty)
+        aliasLogical(toDf(spark, t, m.schemaJson, Seq.empty), m)
           .withColumn("_change_type", lit(null).cast("string"))
           .withColumn("_commit_version", lit(null).cast("long"))
       }
@@ -2205,7 +2324,10 @@ object TxLog {
       dropped: Option[Seq[String]] = None,
       // identity allocation state: None inherits, identity-assigning
       // appends / setIdentityColumn / restore / clone pass Some
-      identity: Option[Map[String, IdentitySpec]] = None)
+      identity: Option[Map[String, IdentitySpec]] = None,
+      // column-mapping renames (PHYSICAL -> current LOGICAL name):
+      // None inherits, only renameColumn / restore / clone pass Some
+      renames: Option[Map[String, String]] = None)
 
   /** Write a change-data frame under the commit's own data directory
     * (`<dataRel>/_cdf/`): invisible to snapshot readers (only
@@ -2284,9 +2406,22 @@ object TxLog {
     * ([[overwritePartitions]], [[dropPartitions]], [[readPartition]])
     * plan from without touching data.
     */
-  private def writeData(df: DataFrame, table: String,
+  private def writeData(df0: DataFrame, table: String,
       partitionBy: Seq[String] = Seq.empty): Written = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
+    // logical → physical: renamed columns are written under the name
+    // the table's existing files use, so every file generation agrees
+    val ren = latestVersion(spark, table)
+      .map(readManifest(spark, new Path(table), _))
+      .flatMap(_.renames).getOrElse(Map.empty)
+    // a frame still speaking a RETIRED physical name is a stale writer,
+    // not a valid spelling — fail loudly rather than silently matching
+    // the files' internal name
+    ren.foreach { case (p, l) =>
+      require(!df0.columns.contains(p),
+        s"write to $table uses column '$p', which was renamed to '$l'") }
+    val df = ren.foldLeft(df0) { case (d, (p, l)) =>
+      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d }
     val f = fs(spark, new Path(table))
     val t = f.makeQualified(new Path(table))
     val commitId = java.util.UUID.randomUUID().toString
@@ -2444,7 +2579,9 @@ object TxLog {
         dropped = att.dropped
           .orElse(parent.flatMap(_.dropped)).filter(_.nonEmpty),
         identity = att.identity
-          .orElse(parent.flatMap(_.identity)).filter(_.nonEmpty))
+          .orElse(parent.flatMap(_.identity)).filter(_.nonEmpty),
+        renames = att.renames
+          .orElse(parent.flatMap(_.renames)).filter(_.nonEmpty))
       val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
@@ -2547,7 +2684,8 @@ object TxLog {
         .map(e => e.copy(path = absOf(e.path), dv = absOf(e.dv)))),
       generated = m.generated,
       dropped = m.dropped,
-      identity = m.identity)
+      identity = m.identity,
+      renames = m.renames)
     publish(spark, dst, writeNothing(spark, dst, m.schemaJson),
       parent => {
         require(parent.isEmpty,
@@ -2639,25 +2777,30 @@ object TxLog {
       cols: Seq[String]): Long = {
     require(cols.nonEmpty, "setBloomIndex needs at least one column")
     val m = manifest(spark, table)
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    cols.foreach { c =>
+    val schema = logicalSchema(m)
+    // validated against the logical schema, STORED as physical names
+    // (the sidecar builder scans physical-named files, probes translate)
+    val physCols = cols.map { c =>
       require(schema.fieldNames.contains(c),
         s"table $table has no column '$c' (schema: ${schema.fieldNames.mkString(", ")})")
       require(isBloomIndexable(schema(c).dataType),
         s"column '$c' (${schema(c).dataType.simpleString}) is not bloom-indexable " +
           "(integral and string columns only)")
+      physOf(m, c)
     }
     val t = fs(spark, new Path(table)).makeQualified(new Path(table))
     val own = m.files.filterNot(isBorrowed)
     val expected = m.stats.map(_.map(_.rows)).filter(_.nonEmpty)
       .map(_.max).getOrElse(1000000L)
-    buildBlooms(spark, t, schema, own, expected, cols)
+    buildBlooms(spark, t,
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType],
+      own, expected, physCols)
     publish(spark, table, writeNothing(spark, table, m.schemaJson), parent => {
       val p = parent.getOrElse(sys.error(s"table $table lost its versions"))
       Some(Attempt("set_bloom_index", p.files,
         p.stats.getOrElse(Seq.empty), p.txn.getOrElse(Map.empty),
         cdf = Seq.empty, constraints = p.constraints.getOrElse(Map.empty),
-        bloomIndex = Some(cols)))
+        bloomIndex = Some(physCols)))
     }).get
   }
 
@@ -2713,17 +2856,20 @@ object TxLog {
     * `probes` (column → candidate values; a file survives a probe if
     * ANY value may be present). Files without sidecars always survive.
     */
+  /** Probes are (PHYSICAL column, value type, candidate values) —
+    * callers translate logical names and resolve the type from the
+    * logical schema, so a renamed bloom column keeps pruning.
+    */
   private[graft] def bloomPrune(spark: SparkSession, table: String,
-      m: Manifest, schema: StructType, files: Seq[String],
-      probes: Seq[(String, Seq[Any])]): Seq[String] = {
+      m: Manifest, files: Seq[String],
+      probes: Seq[(String, DataType, Seq[Any])]): Seq[String] = {
     val idx = m.bloomIndex.getOrElse(Seq.empty)
-    val live = probes.filter { case (c, _) =>
-      idx.contains(c) && schema.fieldNames.contains(c) }
+    val live = probes.filter { case (c, _, _) => idx.contains(c) }
     if (live.isEmpty) files
     else {
       val t = fs(spark, new Path(table)).makeQualified(new Path(table))
-      files.filter(rel => live.forall { case (c, vs) =>
-        bloomMightContain(spark, t, rel, c, schema(c).dataType, vs) })
+      files.filter(rel => live.forall { case (c, dt, vs) =>
+        bloomMightContain(spark, t, rel, c, dt, vs) })
     }
   }
 }

@@ -103,10 +103,8 @@ class TxLogRelation(spark: SparkSession, table: String,
   }
 
   override val schema: StructType = {
-    import org.apache.spark.sql.types.DataType
     val v = versionAsOf.getOrElse(latestOrFail)
-    DataType.fromJson(TxLog.manifestAt(spark, table, v).schemaJson)
-      .asInstanceOf[StructType]
+    TxLog.logicalSchemaAt(spark, table, v)
   }
 
   /** Data-source filters this relation replays onto the inner plan.
@@ -157,13 +155,15 @@ class TxLogRelation(spark: SparkSession, table: String,
   private def prunedFiles(filters: Array[Filter]): Seq[String] = {
     import org.apache.spark.sql.types._
     val m = TxLog.manifestAt(spark, table, pin())
+    // filters reference LOGICAL names; stats/bloom evidence is keyed by
+    // PHYSICAL names — translate for the metadata lookups
     def domain(name: String, v: Any): Option[(String, DataType)] = {
       if (v == null) return None
       val field = schema.fields.find(_.name == name)
       field.map(_.dataType).collect {
-        case dt: NumericType => (name, dt)
-        case StringType => (name, StringType)
-        case DateType => (name, DateType)
+        case dt: NumericType => (TxLog.physOfAt(m, name), dt)
+        case StringType => (TxLog.physOfAt(m, name), StringType)
+        case DateType => (TxLog.physOfAt(m, name), DateType)
       }
     }
     val bounds = filters.toSeq.flatMap {
@@ -180,8 +180,8 @@ class TxLogRelation(spark: SparkSession, table: String,
       case _ => None
     }
     val nullness = filters.toSeq.flatMap {
-      case IsNull(a) => Some((a, true))
-      case IsNotNull(a) => Some((a, false))
+      case IsNull(a) => Some((TxLog.physOfAt(m, a), true))
+      case IsNotNull(a) => Some((TxLog.physOfAt(m, a), false))
       case _ => None
     }
     // In(a, vs): a file survives if ANY listed value may match
@@ -199,12 +199,15 @@ class TxLogRelation(spark: SparkSession, table: String,
     // the per-file sidecar filters — point-lookup pruning where min/max
     // stats cannot help (untyped nulls never reach the probes)
     val probes = filters.toSeq.flatMap {
-      case EqualTo(a, v) if v != null => Some((a, Seq(v)))
+      case EqualTo(a, v) if v != null =>
+        schema.fields.find(_.name == a).map(f =>
+          (TxLog.physOfAt(m, a), f.dataType, Seq(v)))
       case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
-        Some((a, vs.toSeq))
+        schema.fields.find(_.name == a).map(f =>
+          (TxLog.physOfAt(m, a), f.dataType, vs.toSeq))
       case _ => None
     }
-    TxLog.bloomPrune(spark, table, m, schema, statsKept, probes)
+    TxLog.bloomPrune(spark, table, m, statsKept, probes)
   }
 
   override def buildScan(requiredColumns: Array[String],
