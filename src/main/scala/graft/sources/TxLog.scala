@@ -192,6 +192,35 @@ object TxLog {
     * for pre-stats manifests). Metadata-only: O(versions) manifest
     * reads, no data file is touched.
     */
+  /** `DESCRIBE DETAIL` (the public Delta table-summary shape): one row
+    * of operational metadata answered entirely from the latest manifest
+    * — version, file count, total recorded bytes, live row count net of
+    * deletion vectors, and the table properties (partition layout,
+    * bloom index, constraint/generated/identity/rename counts). Zero
+    * data files opened.
+    */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val m = manifest(spark, table)
+    val stats = m.stats.getOrElse(Seq.empty)
+    val dvDeleted = m.dvs.getOrElse(Seq.empty).map(_.deleted).sum
+    Seq((m.version, m.action, m.tsMillis,
+      m.files.size.toLong,
+      stats.flatMap(_.bytes).sum,
+      stats.map(_.rows).sum - dvDeleted,
+      m.dvs.getOrElse(Seq.empty).size.toLong,
+      m.partitionBy.getOrElse(Seq.empty).mkString(","),
+      m.bloomIndex.getOrElse(Seq.empty).mkString(","),
+      m.constraints.getOrElse(Map.empty).size.toLong,
+      m.generated.getOrElse(Map.empty).size.toLong,
+      m.identity.getOrElse(Map.empty).size.toLong,
+      m.renames.getOrElse(Map.empty).size.toLong))
+      .toDF("version", "last_action", "last_modified_ms", "num_files",
+        "size_bytes", "num_rows", "num_deletion_vectors", "partition_by",
+        "bloom_index", "num_constraints", "num_generated",
+        "num_identity", "num_renames")
+  }
+
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val t = new Path(table)
@@ -401,6 +430,26 @@ object TxLog {
   def read(spark: SparkSession, table: String): DataFrame = {
     val m = manifest(spark, table)
     readLive(spark, new Path(table), m, m.files)
+  }
+
+  /** `TIMESTAMP AS OF` time travel (the second public Delta spelling):
+    * the snapshot of the LAST version committed at or before
+    * `tsMillis` — manifests carry their commit wall-clock, so the
+    * lookup is a metadata walk. Fails loudly when the timestamp
+    * precedes the retained history (vacuumed or never existed), same
+    * stance as a missing version.
+    */
+  def readAsOfTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): DataFrame = {
+    val t = new Path(table)
+    val vs = versions(spark, table)
+    val at = vs.map(v => v -> readManifest(spark, t, v))
+      .filter(_._2.tsMillis <= tsMillis)
+    require(at.nonEmpty,
+      s"table $table has no version committed at or before $tsMillis " +
+        "(before retained history, or the table did not exist yet)")
+    val m = at.maxBy(_._2.tsMillis)._2
+    readLive(spark, t, m, m.files)
   }
 
   /** Time travel: the table exactly as committed at `version`. */
