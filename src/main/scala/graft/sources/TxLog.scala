@@ -448,7 +448,9 @@ object TxLog {
     require(at.nonEmpty,
       s"table $table has no version committed at or before $tsMillis " +
         "(before retained history, or the table did not exist yet)")
-    val m = at.maxBy(_._2.tsMillis)._2
+    // same-millisecond commits: the LATER version wins (it is the state
+    // a reader at that instant would have seen)
+    val m = at.maxBy { case (v, mm) => (mm.tsMillis, v) }._2
     readLive(spark, t, m, m.files)
   }
 
@@ -664,8 +666,12 @@ object TxLog {
     }
     val outSchema = StructType(df.schema.fields ++
       specs.map { case (c, _) => org.apache.spark.sql.types.StructField(c, LongType) })
+    // project to table order over the columns PRESENT (an omitted
+    // generated column is computed later by the inbound pipeline)
+    val have = df.columns.toSet ++ specs.map(_._1)
     df.sparkSession.createDataFrame(rdd, outSchema)
-      .select(schema.fieldNames.toSeq.map(n => col(quoted(n))): _*)
+      .select(schema.fieldNames.toSeq.filter(have)
+        .map(n => col(quoted(n))): _*)
   }
 
   private def enforcing(df: DataFrame, cons: Map[String, String]): DataFrame =
@@ -2458,19 +2464,31 @@ object TxLog {
   private def writeData(df0: DataFrame, table: String,
       partitionBy: Seq[String] = Seq.empty): Written = {
     val spark = df0.sparkSession
+    val mOpt = latestVersion(spark, table)
+      .map(readManifest(spark, new Path(table), _))
     // logical → physical: renamed columns are written under the name
     // the table's existing files use, so every file generation agrees
-    val ren = latestVersion(spark, table)
-      .map(readManifest(spark, new Path(table), _))
-      .flatMap(_.renames).getOrElse(Map.empty)
+    val ren = mOpt.flatMap(_.renames).getOrElse(Map.empty)
     // a frame still speaking a RETIRED physical name is a stale writer,
     // not a valid spelling — fail loudly rather than silently matching
     // the files' internal name
     ren.foreach { case (p, l) =>
       require(!df0.columns.contains(p),
         s"write to $table uses column '$p', which was renamed to '$l'") }
-    val df = ren.foldLeft(df0) { case (d, (p, l)) =>
+    val renamed = ren.foldLeft(df0) { case (d, (p, l)) =>
       if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d }
+    // column ORDER is immaterial to parquet by-name reads, but the
+    // manifest compares schemas structurally — when the frame holds
+    // exactly the table's columns (e.g. a generated or identity column
+    // was computed and APPENDED mid-pipeline), align it to the declared
+    // order; any other shape (evolution, overwrite reshaping) passes
+    // through for the append drift check to judge
+    val df = mOpt.map(m =>
+        DataType.fromJson(m.schemaJson).asInstanceOf[StructType].fieldNames.toSeq)
+      .filter(names => names != renamed.columns.toSeq &&
+        names.sorted == renamed.columns.toSeq.sorted)
+      .map(names => renamed.select(names.map(n => col(quoted(n))): _*))
+      .getOrElse(renamed)
     val f = fs(spark, new Path(table))
     val t = f.makeQualified(new Path(table))
     val commitId = java.util.UUID.randomUUID().toString

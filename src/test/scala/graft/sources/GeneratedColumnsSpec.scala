@@ -81,6 +81,18 @@ class GeneratedColumnsSpec extends SparkSpec {
       Set((1L, 50L, 100L), (2L, 9L, 18L)))
   }
 
+  test("mid-schema generated + identity columns compose on one append") {
+    val t = tmpTable()
+    // generated column sits in the MIDDLE of the schema: the computed
+    // columns come back in declared order, not appended at the end
+    TxLog.overwrite(Seq((1L, 10L, 20L, "x")).toDF("id", "a", "a2", "v"), t)
+    TxLog.setGeneratedColumn(spark, t, "a2", "a * 2")
+    TxLog.setIdentityColumn(spark, t, "id")
+    TxLog.append(Seq((7L, "y")).toDF("a", "v"), t) // omits id AND a2
+    assert(TxLog.read(spark, t).as[(Long, Long, Long, String)]
+      .collect().toSet == Set((1L, 10L, 20L, "x"), (2L, 7L, 14L, "y")))
+  }
+
   test("drop stops computing; clone carries the declaration") {
     val t = tmpTable(); val c = tmpTable()
     TxLog.overwrite(Seq((1L, 5L, 10L)).toDF("k", "a", "a2"), t)
