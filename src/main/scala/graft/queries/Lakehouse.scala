@@ -6,7 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Incremental, MergeOps, Scd}
+import graft.functions.TextFns
+import graft.operators.{Cleaning, Incremental, MergeOps, Scd}
 import graft.sources.TxLog
 
 /** Lakehouse-lifecycle query surface: the maintenance operators COMPOSED
@@ -326,6 +327,55 @@ object Lakehouse {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           r2d(sum(dec2(col("price")))).as("total"))
+    }),
+
+    "q122_pipeline_publish" -> ((s, dir) => {
+      // The CAPSTONE composition — the two halves of this engine run as
+      // ONE nightly pretraining publish: d14's curation (fingerprint
+      // dedup keep-lowest → quality gate → deterministic split) lands
+      // in a transactional table PARTITIONED BY split; a second ingest
+      // batch (every 3rd doc — overlapping the published set, the
+      // re-crawl reality) dedups against the PUBLISHED fingerprints by
+      // probing the table through the log (one column-pruned read, cost
+      // ∝ index, never re-reading the corpus text) and appends only the
+      // genuinely new documents atomically under the inherited layout.
+      // The final state reads back through the manifest grouped by
+      // split; the oracle recomputes the whole two-batch composition
+      // from scratch in SQL — hash equality proves curation, publish,
+      // probe, dedup, and partitioned append compose exactly.
+      def curate(df: DataFrame): DataFrame = {
+        val toks = TextFns.tokens(col("text"))
+        val nTok = size(toks)
+        val avgTokLen = length(translate(col("text"), " ", "")) / nTok
+        val stopRatio = TextFns.tokenCountIn(toks, TextFns.markers("en")) / nTok
+        val q = when(nTok >= 20, 1).otherwise(0) +
+          when(avgTokLen >= 3.0 && avgTokLen <= 8.0, 1).otherwise(0) +
+          when(stopRatio > 0.01, 1).otherwise(0)
+        val bucket = (conv(substring(
+          md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 100).cast("int")
+        Cleaning.dedupLatest(
+            df.select(col("doc_id"), col("lang"),
+              TextFns.fingerprint(col("text")).as("fp"), q.as("quality_score")),
+            Seq("fp"), Seq(col("doc_id")))
+          .filter(col("quality_score") >= 2)
+          .select(col("doc_id"), col("lang"), col("fp"), col("quality_score"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+      }
+      val t = tmpTable("tx-q122")
+      val docs = Tables.documents(s, dir)
+      TxLog.overwrite(curate(docs.filter(col("doc_id") % 3 =!= 0)), t,
+        partitionBy = Some(Seq("split")))
+      // day 2: the remaining third arrives — overlapping the published
+      // set only through DUPLICATE TEXTS (the re-crawl reality), so the
+      // fingerprint probe must drop those and append the rest
+      val incoming = curate(docs.filter(col("doc_id") % 3 === 0))
+      val published = TxLog.read(s, t).select(col("fp")).distinct()
+      TxLog.append(incoming.join(published, Seq("fp"), "left_anti"), t)
+      TxLog.read(s, t)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), countDistinct("fp").as("n_fp"))
     }),
 
     "q116_tx_dv_update" -> ((s, dir) => {
@@ -926,6 +976,42 @@ object Lakehouse {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q122_pipeline_publish" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |   len(string_split(text, ' ')) AS n_tok,
+        |   length(replace(text, ' ', '')) AS n_nonspace,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','a'))) AS stop_n
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, fp,
+        |   (CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END +
+        |    CASE WHEN n_nonspace / n_tok >= 3.0 AND n_nonspace / n_tok <= 8.0 THEN 1 ELSE 0 END +
+        |    CASE WHEN stop_n / n_tok > 0.01 THEN 1 ELSE 0 END) AS quality_score,
+        |   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |        WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |        ELSE 'test' END AS split
+        |  FROM m),
+        |cur AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+        |    FROM q WHERE doc_id % 3 <> 0)
+        |  WHERE doc_id = keep_id AND quality_score >= 2),
+        |inc AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+        |    FROM q WHERE doc_id % 3 = 0)
+        |  WHERE doc_id = keep_id AND quality_score >= 2),
+        |newdocs AS (
+        |  SELECT * FROM inc WHERE fp NOT IN (SELECT fp FROM cur)),
+        |final AS (
+        |  SELECT split, fp FROM cur
+        |  UNION ALL SELECT split, fp FROM newdocs)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(DISTINCT fp) AS BIGINT) AS n_fp
+        |FROM final GROUP BY 1""".stripMargin,
 
     "q120_tx_identity" ->
       """SELECT
