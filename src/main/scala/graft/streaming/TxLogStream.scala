@@ -170,12 +170,33 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft-txlog sink needs .option(\"txnAppId\", ...) (or a " +
           "checkpointLocation to default the transaction identity from)"))
-    new TxLogSink(path, appId, outputMode, partitionColumns)
+    val autoCompact = parameters.get("autoCompactMinFiles").map { v =>
+      val n = v.toInt
+      require(n >= 2, s"autoCompactMinFiles must be >= 2, got $n")
+      n
+    }
+    val smallBytes = parameters.get("autoCompactSmallBytes")
+      .map(_.toLong).getOrElse(16L << 20)
+    new TxLogSink(path, appId, outputMode, partitionColumns,
+      autoCompact, smallBytes)
   }
 }
 
+/** `autoCompactMinFiles` is the Delta auto-optimize recipe for the
+  * classic streaming pathology — a long-running micro-batch ingest
+  * fragments the table into thousands of tiny files: after each
+  * committed batch the sink counts the manifest's sub-threshold files
+  * (metadata only — per-file sizes live in the manifest) and runs an
+  * OPTIMIZE bin-packing pass when at least that many qualify. The
+  * compaction is an ordinary row-preserving commit (pinned readers,
+  * the idempotent-append watermark, and the streaming offsets are all
+  * untouched), so the ingest keeps flowing while the file count stays
+  * bounded.
+  */
 private[streaming] class TxLogSink(table: String, appId: String,
-    mode: OutputMode, partitionColumns: Seq[String] = Seq.empty) extends Sink {
+    mode: OutputMode, partitionColumns: Seq[String] = Seq.empty,
+    autoCompactMinFiles: Option[Int] = None,
+    autoCompactSmallBytes: Long = 16L << 20) extends Sink {
 
   private def checkLayout(spark: SparkSession): Unit =
     if (partitionColumns.nonEmpty &&
@@ -202,6 +223,16 @@ private[streaming] class TxLogSink(table: String, appId: String,
         TxLog.overwrite(batch.limit(0), table,
           partitionBy = Some(partitionColumns))
       TxLog.idempotentAppend(batch, table, appId, batchId)
+      autoCompactMinFiles.foreach { minFiles =>
+        val spark = batch.sparkSession
+        val m = TxLog.manifest(spark, table)
+        val small = m.stats.getOrElse(Seq.empty)
+          .count(_.bytes.exists(_ < autoCompactSmallBytes))
+        if (small >= minFiles)
+          TxLog.compact(spark, table,
+            smallFileBytes = autoCompactSmallBytes,
+            targetFileBytes = autoCompactSmallBytes.max(128L << 20))
+      }
       ()
     }
   }

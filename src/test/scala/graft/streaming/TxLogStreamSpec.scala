@@ -216,6 +216,47 @@ class TxLogStreamSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("autoCompactMinFiles keeps a fragmenting ingest's file count bounded") {
+    val src = tmp("txac-src")
+    val dst = tmp("txac-dst")
+    TxLog.overwrite(Seq((0L, "seed")).toDF("k", "v"), src)
+
+    // one checkpoint across restarts: each run's batch gets the NEXT
+    // id, so the idempotent watermark admits it (a fresh checkpoint
+    // would restart ids at 0 and the sink would rightly skip them)
+    val cp = Files.createTempDirectory("txac-cp").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-txlog").option("path", src).load()
+        .writeStream.format("graft-txlog")
+        .option("path", dst)
+        .option("txnAppId", "ac-spec")
+        .option("checkpointLocation", cp)
+        .option("autoCompactMinFiles", "4")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+
+    // 6 tiny append commits through the streaming sink: without the
+    // trigger each leaves its own small files behind
+    run()
+    (1 to 6).foreach { i =>
+      TxLog.append(Seq((i.toLong, s"b$i")).toDF("k", "v"), src)
+      run()
+    }
+    val m = TxLog.manifest(spark, dst)
+    assert(m.files.size < 4,
+      s"auto-compaction left ${m.files.size} files")
+    // the compactions are ordinary row-preserving commits in history
+    assert(TxLog.history(spark, dst)
+      .filter(org.apache.spark.sql.functions.col("action") === "compact")
+      .count() >= 1L)
+    // and exactly-once ingestion survived them
+    assert(TxLog.read(spark, dst).as[(Long, String)].collect().toSet ==
+      (Set((0L, "seed")) ++ (1 to 6).map(i => (i.toLong, s"b$i"))))
+  }
+
   test("exactly-once table-to-table pipe survives a checkpoint wipe") {
     val src = tmp("txpipe-src")
     val dst = tmp("txpipe-dst")
