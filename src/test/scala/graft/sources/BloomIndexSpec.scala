@@ -118,6 +118,38 @@ class BloomIndexSpec extends SparkSpec {
     }
   }
 
+  test("bloom sidecars work under a Hive-partitioned layout") {
+    val t = tmpTable()
+    // partition dirs mean same-named part files across directories —
+    // the sidecar path mapping must key on the full data/<uuid> suffix
+    val df = (0L until 600L).map(i => (i, s"v$i", (i % 3).toInt))
+      .toDF("k", "v", "p").repartition(4, col("k"))
+    TxLog.overwrite(df, t, partitionBy = Some(Seq("p")))
+    TxLog.setBloomIndex(spark, t, Seq("k"))
+    val pruned = TxLog.readWhere(spark, t, Seq(("k", Some(123L), Some(123L))))
+    assert(pruned.inputFiles.length <= 3,
+      s"bloom kept ${pruned.inputFiles.length} files on a partitioned table")
+    assert(pruned.as[(Long, String, Int)].collect().toSeq ==
+      Seq((123L, "v123", 0)))
+    // appends under the layout keep the index complete
+    TxLog.append((600L until 900L).map(i => (i, s"v$i", (i % 3).toInt))
+      .toDF("k", "v", "p").repartition(4, col("k")), t)
+    val p2 = TxLog.readWhere(spark, t, Seq(("k", Some(777L), Some(777L))))
+    assert(p2.as[(Long, String, Int)].collect().toSeq == Seq((777L, "v777", 0)))
+    assert(p2.inputFiles.length <= 4)
+  }
+
+  test("a clone's borrowed files read correctly without the source's sidecars") {
+    val t = tmpTable(); val c = tmpTable()
+    publishScattered(t)
+    TxLog.setBloomIndex(spark, t, Seq("k"))
+    TxLog.clone(spark, t, c)
+    // the clone's probe resolves under ITS root, finds nothing, and
+    // keeps every borrowed file — unpruned but never wrong
+    val r = TxLog.readWhere(spark, c, Seq(("k", Some(17L), Some(17L))))
+    assert(r.as[(Long, String)].collect().toSeq == Seq((17L, "v17")))
+  }
+
   test("non-indexable and absent columns fail loudly at set time") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1L, 2.5)).toDF("k", "x"), t)

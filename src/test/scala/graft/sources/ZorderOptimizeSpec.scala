@@ -67,6 +67,23 @@ class ZorderOptimizeSpec extends SparkSpec {
     assert(TxLog.read(spark, t).count() == 2000L)
   }
 
+  test("zorder materializes deletion vectors in the rewrite") {
+    val t = tmpTable()
+    publishScattered(t)
+    TxLog.delete(spark, t, org.apache.spark.sql.functions.col("x") < 100,
+      deletionVectors = true)
+    val liveBefore = TxLog.read(spark, t).as[(Long, Int, Int)].collect().toSet
+    TxLog.zorderOptimize(spark, t, "x", "y", numFiles = 8)
+    val m = TxLog.manifest(spark, t)
+    assert(m.dvs.forall(_.isEmpty), "rewritten files must not carry vectors")
+    assert(TxLog.read(spark, t).as[(Long, Int, Int)].collect().toSet ==
+      liveBefore)
+    // with the vectors gone the metadata aggregate works again, and the
+    // row count matches the live set
+    assert(TxLog.statsAggregate(spark, t).head.getLong(0) ==
+      liveBefore.size.toLong)
+  }
+
   test("non-numeric or missing zorder columns fail loudly") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1L, "a", 2)).toDF("id", "s", "x"), t)
