@@ -81,6 +81,24 @@ class CloneSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("stats skipping prunes through a clone's borrowed entries") {
+    val src = tmpTable(); val dst = tmpTable()
+    TxLog.overwrite(
+      {
+        import org.apache.spark.sql.functions.col
+        (0L until 400L).map(i => (i, s"v$i")).toDF("k", "v")
+          .repartitionByRange(8, col("k"))
+      }, src)
+    TxLog.clone(spark, src, dst)
+    // per-file [min,max] evidence was remapped to the borrowed absolute
+    // paths, so a range read through the CLONE plans only the
+    // qualifying source files
+    val pruned = TxLog.readWhere(spark, dst, Seq(("k", Some(50L), Some(99L))))
+    assert(pruned.inputFiles.length <= 2,
+      s"clone kept ${pruned.inputFiles.length} of 8 borrowed files")
+    assert(pruned.count() == 50L)
+  }
+
   test("constraints and partition layout carry over; clone target must be fresh") {
     val src = tmpTable(); val dst = tmpTable()
     TxLog.overwrite(Seq((1L, "x", 2024), (2L, "y", 2025)).toDF("k", "v", "yr"),
