@@ -150,6 +150,25 @@ class BloomIndexSpec extends SparkSpec {
     assert(r.as[(Long, String)].collect().toSeq == Seq((17L, "v17")))
   }
 
+  test("the index property survives RESTORE (table property, not row state)") {
+    val t = tmpTable()
+    publishScattered(t)
+    val preIndex = TxLog.latestVersion(spark, t).get
+    TxLog.setBloomIndex(spark, t, Seq("k"))
+    TxLog.overwrite((0L until 100L).map(i => (i, s"w$i")).toDF("k", "v")
+      .repartition(4, col("k")), t)
+    TxLog.restore(spark, t, preIndex)
+    // restore rolls back ROWS; the index remains declared (deliberate:
+    // a maintenance property outlives data rollbacks, like constraints
+    // would if the restored schema still binds them) and fresh writes
+    // keep building sidecars
+    assert(TxLog.bloomIndexOf(spark, t) == Seq("k"))
+    TxLog.append((2000L until 2200L).map(i => (i, s"n$i")).toDF("k", "v")
+      .repartition(2, col("k")), t)
+    val r = TxLog.readWhere(spark, t, Seq(("k", Some(2100L), Some(2100L))))
+    assert(r.as[(Long, String)].collect().toSeq == Seq((2100L, "n2100")))
+  }
+
   test("non-indexable and absent columns fail loudly at set time") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1L, 2.5)).toDF("k", "x"), t)
