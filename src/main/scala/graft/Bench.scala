@@ -11,53 +11,65 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
-  /** Per query: one untimed warmup run, then median of 3 timed runs, with
-    * caches cleared between runs. Single shots on a shared box swing 2-10x
-    * (GC, page cache, JIT recompiles); best-of-2 still mirrored that noise
-    * across rounds, median-of-3 after a warmup is stable enough for
-    * round-over-round comparison. Leaked .cache() blocks from one run must
-    * not distort the next, hence the release between every run.
+  /** Per-query timing, PASS-MAJOR: one untimed warmup pass over the whole
+    * query list, then THREE full timed passes over the list, and per-query
+    * median (and min) taken ACROSS passes. The previous query-major shape
+    * (3 back-to-back timed runs of one query) had a fatal flaw on a shared
+    * box: a minutes-long contention burst (noisy neighbor, page-cache
+    * eviction) lands on all three adjacent runs, so the median cannot
+    * reject it — round 7's driver artifact carried 5-60x outliers on
+    * UNCHANGED code for exactly this reason. Interleaving separates a
+    * query's samples by the full list's wall time (~minutes), so a burst
+    * contaminates at most one sample per query and the median rejects it.
+    * The min-of-3 rides along as the standard noise-floor statistic for
+    * cleared-cache runs (min is the least contended observation; with
+    * caches cleared between runs it cannot be flattered by residual state).
     *
     * A query that throws is recorded in the error map (exception class
     * name) and contributes NOTHING to the timing map or the total — a
     * failure's wall time is not a plausible benchmark number, and silently
     * timing the failure path masked real breakage for four rounds.
-    * Returns (median seconds per passing query, error class per failure),
+    * Returns (per-query (median, min) seconds, error class per failure),
     * both in `queries` iteration order.
     */
   def run(spark: SparkSession, sfDir: String,
           queries: Seq[(String, (SparkSession, String) => DataFrame)])
-      : (Seq[(String, Double)], Seq[(String, String)]) = {
+      : (Seq[(String, (Double, Double))], Seq[(String, String)]) = {
     def clear(): Unit = { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
-    val timed = Vector.newBuilder[(String, Double)]
-    val failed = Vector.newBuilder[(String, String)]
     // NonFatal only: an OOM/StackOverflow leaves the JVM corrupted — every
     // later median would be GC-thrash noise published as a plausible
     // number — so fatal errors abort the whole bench instead of being
     // recorded as one query's "error"
     import scala.util.control.NonFatal
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Warmup pass (untimed): JIT + codegen + parquet footers per query, and
+    // the up-front failure screen — a query that can't even warm up never
+    // enters the timed passes.
     queries.foreach { case (name, fn) =>
       clear()
-      val warmup: Option[String] =
-        try { materialize(fn(spark, sfDir)); None }
-        catch { case NonFatal(e) => Some(e.getClass.getName) }
-      warmup match {
-        case Some(errClass) => failed += name -> errClass
-        case None =>
-          // warmup passed; a throw here (flaky/nondeterministic failure)
-          // still voids the query — partial timings are not a median
-          try {
-            val times = (1 to 3).map { _ =>
-              clear()
-              val t0 = System.nanoTime()
-              materialize(fn(spark, sfDir))
-              (System.nanoTime() - t0) / 1e9
-            }
-            timed += name -> times.sorted.apply(1)
-          } catch { case NonFatal(e) => failed += name -> e.getClass.getName }
+      try materialize(fn(spark, sfDir))
+      catch { case NonFatal(e) => failed(name) = e.getClass.getName }
+    }
+    val live = queries.filterNot { case (n, _) => failed.contains(n) }
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    live.foreach { case (n, _) => samples(n) = Vector.empty }
+    (1 to 3).foreach { _ =>
+      live.foreach { case (name, fn) =>
+        if (!failed.contains(name)) {
+          clear()
+          val t0 = System.nanoTime()
+          // a throw here (flaky/nondeterministic failure) voids the query
+          // entirely — partial samples are not a median
+          try { materialize(fn(spark, sfDir)); samples(name) :+= (System.nanoTime() - t0) / 1e9 }
+          catch { case NonFatal(e) => failed(name) = e.getClass.getName; samples.remove(name) }
+        }
       }
     }
-    (timed.result(), failed.result())
+    val timed = samples.toVector.map { case (n, ts) =>
+      val s = ts.sorted
+      n -> (s(s.size / 2), s.head)
+    }
+    (timed, failed.toVector)
   }
 
   private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -65,16 +77,21 @@ object Bench {
   /** The detailed stdout/BENCH_LOCAL line: total + per-query seconds +
     * per-query error classes. `queries` stays strictly name→number so the
     * driver's parser never sees a mixed-type map; failures live in the
-    * separate `errors` object.
+    * separate `errors` object, and the per-query min-of-3 (the noise-floor
+    * statistic) in the separate `queries_min` object for idle-box
+    * comparison without polluting the canonical median map.
     */
-  def detailedLine(timed: Seq[(String, Double)], failed: Seq[(String, String)],
-                   sfNum: String): String = {
-    val qs = timed.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+  def detailedLine(timed: Seq[(String, (Double, Double))],
+                   failed: Seq[(String, String)], sfNum: String): String = {
+    val qs = timed.map { case (k, (med, _)) => "\"" + k + "\":" + f3(med) }
+      .mkString("{", ",", "}")
+    val mins = timed.map { case (k, (_, mn)) => "\"" + k + "\":" + f3(mn) }
       .mkString("{", ",", "}")
     val errs = failed.map { case (k, c) => "\"" + k + "\":\"" + c + "\"" }
       .mkString("{", ",", "}")
-    val total = timed.map(_._2).sum
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum}"""
+    val total = timed.map(_._2._1).sum
+    val totalMin = timed.map(_._2._2).sum
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_min":${f3(totalMin)},"queries":$qs,"queries_min":$mins,"errors":$errs,"sf":$sfNum}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -92,7 +109,7 @@ object Bench {
     // first timed query doesn't absorb one-time JVM startup cost.
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val (timed, failed) = run(spark, sfDir, SparkEntry.queries.toSeq)
-    val total = timed.map(_._2).sum
+    val total = timed.map(_._2._1).sum
     // The sf dir name carries the scale factor; a silent 0 fallback would
     // mislabel every downstream comparison, so unrecognized dirs fail loudly.
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(

@@ -82,7 +82,7 @@ object PqAnn {
     embeddings.sparkSession.createDataFrame(rows).toDF("sub_id", "code", "ce")
   }
 
-  /** [[trainCodebooks]] memoized per (corpusTag, m, ksub, maxIter, seed). */
+  /** [[trainCodebooks]] memoized per (corpusTag, dim, m, ksub, maxIter, seed). */
   def codebooksFor(embeddings: DataFrame, corpusTag: String, dim: Int, m: Int,
                    ksub: Int, maxIter: Int = 10, seed: Long = 42L): DataFrame = {
     val rows = codebookMemo.computeIfAbsent(

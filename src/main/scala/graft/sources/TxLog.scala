@@ -263,6 +263,26 @@ object TxLog {
   private def last2(rel: String): String =
     rel.split('/').takeRight(2).mkString("/")
 
+  /** A scan's `_metadata.file_path` is the file's URI string, which
+    * percent-encodes characters the manifest's raw rel path stores
+    * literally (a partition dir like `cat=a b/` scans back as
+    * `cat=a%20b/`). Every lookup structure keyed by [[last2]] and probed
+    * with SCAN-reported keys therefore carries BOTH spellings — raw and
+    * URI-encoded — mirroring [[relMapper]]'s raw-then-decode fallback.
+    * (The encoded variant is computed the same way the scan produces it:
+    * Hadoop `Path` → `URI` quoting. A lookup-side decode alone could not
+    * serve the DV anti-JOIN, which has no fallback branch.)
+    */
+  private def scanKeys(rel: String): Seq[String] = {
+    val raw = last2(rel)
+    val enc = last2(new Path("/" + rel).toUri.getRawPath)
+    if (enc == raw) Seq(raw) else Seq(raw, enc)
+  }
+
+  /** file → rel map probe-able by scan-reported keys (both spellings). */
+  private def byScanKey(files: Seq[String]): Map[String, String] =
+    files.flatMap(f => scanKeys(f).map(_ -> f)).toMap
+
   /** Sidecar codec: `GDV1` magic + row count + ULEB128 gap varints over
     * the SORTED positions — the roaring-bitmap-class trick that makes a
     * vector ~1–2 bytes per deleted row instead of 8 (deletes cluster,
@@ -388,8 +408,12 @@ object TxLog {
     val lively =
       if (dvs.isEmpty) keyed
       else {
-        val anti = dvs.flatMap(e =>
-          readDvFile(spark, t, e.dv).map(i => (last2(e.path), i)))
+        // positions appear under BOTH key spellings so the anti-join
+        // matches however the scan reports the path (raw vs URI-encoded)
+        val anti = dvs.flatMap { e =>
+          val pos = readDvFile(spark, t, e.dv)
+          scanKeys(e.path).flatMap(k => pos.map(i => (k, i)))
+        }
         import spark.implicits._
         keyed.join(broadcast(anti.toDF("__dv_k", "__dv_i")),
           Seq("__dv_k", "__dv_i"), "left_anti")
@@ -667,11 +691,16 @@ object TxLog {
     val outSchema = StructType(df.schema.fields ++
       specs.map { case (c, _) => org.apache.spark.sql.types.StructField(c, LongType) })
     // project to table order over the columns PRESENT (an omitted
-    // generated column is computed later by the inbound pipeline)
+    // generated column is computed later by the inbound pipeline) —
+    // and KEEP columns the table doesn't know yet, ordered after the
+    // schema ones: a mergeSchema append's evolved columns must survive
+    // this projection or the evolution silently loses their data
     val have = df.columns.toSet ++ specs.map(_._1)
+    val inSchema = schema.fieldNames.toSeq.filter(have)
+    val extras = (df.columns.toSeq ++ specs.map(_._1))
+      .filterNot(schema.fieldNames.toSet).distinct
     df.sparkSession.createDataFrame(rdd, outSchema)
-      .select(schema.fieldNames.toSeq.filter(have)
-        .map(n => col(quoted(n))): _*)
+      .select((inSchema ++ extras).map(n => col(quoted(n))): _*)
   }
 
   private def enforcing(df: DataFrame, cons: Map[String, String]): DataFrame =
@@ -1428,7 +1457,7 @@ object TxLog {
           // null-safe key match, mirroring cdcApply's <=> semantics
           val cond = keys.map(k => col(quoted(k)) <=> col(s"__mk_$k"))
             .reduce(_ && _)
-          val byKey = m.files.map(f => last2(f) -> f).toMap
+          val byKey = byScanKey(m.files)
           liveKeyed(spark, t, m, m.files)
             .join(broadcast(renamedKeys), cond, "left_semi")
             .select(col("__dv_k")).distinct().collect()
@@ -1482,7 +1511,7 @@ object TxLog {
         else {
           val cond = keys.map(k => col(quoted(k)) <=> col(s"__mk_$k"))
             .reduce(_ && _)
-          val byKey = m.files.map(f => last2(f) -> f).toMap
+          val byKey = byScanKey(m.files)
           liveKeyed(spark, t, m, m.files)
             .join(broadcast(renamedKeys), cond, "left_semi")
             .select(col("__dv_k"), col("__dv_i")).collect().toSeq
@@ -1536,6 +1565,26 @@ object TxLog {
     * Returns the committed version, or the current version unchanged if
     * fewer than two files qualify (nothing to pack).
     */
+  /** Abort a rewrite (compact/zorder) whose planned files' DELETION
+    * VECTORS changed between planning and commit. The files-still-present
+    * check alone misses this race: a concurrent `delete/update(
+    * deletionVectors = true)` ADDS a vector without removing the file, but
+    * the rewrite was computed with [[readLive]] under the OLD snapshot's
+    * vectors, and committing it sheds the racer's new vector (the rewritten
+    * file leaves the manifest, taking its DV entry with it) — silently
+    * resurrecting the concurrently-deleted rows. The row-level DML paths
+    * CAS on the exact parent version; rewrites deliberately tolerate
+    * concurrent APPENDS, so the DV set must be checked explicitly.
+    */
+  private[graft] def requireDvsUnchanged(table: String, what: String,
+      planned: Set[String], m: Manifest, parent: Option[Manifest]): Unit = {
+    def of(mm: Manifest) = mm.dvs.getOrElse(Seq.empty).filter(e => planned(e.path)).toSet
+    if (parent.map(of).getOrElse(Set.empty) != of(m))
+      throw new java.util.ConcurrentModificationException(
+        s"$what of $table aborted: a concurrent commit changed deletion " +
+          "vectors on file(s) planned for rewrite")
+  }
+
   def compact(spark: SparkSession, table: String,
       smallFileBytes: Long = 128L << 20,
       targetFileBytes: Long = 128L << 20,
@@ -1581,6 +1630,7 @@ object TxLog {
         throw new java.util.ConcurrentModificationException(
           s"compaction of $table aborted: a concurrent commit removed " +
             "file(s) planned for rewrite")
+      requireDvsUnchanged(table, "compaction", smallSet, m, parent)
       parent.foreach { p =>
         require(p.schemaJson == w.schemaJson,
           s"compaction schema drift for $table (concurrent overwrite?)")
@@ -1646,6 +1696,7 @@ object TxLog {
         throw new java.util.ConcurrentModificationException(
           s"zorder optimize of $table aborted: a concurrent commit " +
             "removed file(s) planned for rewrite")
+      requireDvsUnchanged(table, "zorder optimize", candSet, m, parent)
       parent.foreach { p =>
         require(p.schemaJson == w.schemaJson,
           s"zorder schema drift for $table (concurrent overwrite?)")
@@ -1786,7 +1837,10 @@ object TxLog {
           // no DVs, post stays raw
           val pre = readLive(spark, t, m, gone.toSeq.sorted)
             .withColumn("_change_type", lit("delete"))
-          val post = toDf(spark, t, m.schemaJson, w.fresh)
+          // post-images under LOGICAL names like every other CDF writer
+          // (raw toDf is physical-named; on a renamed table the union
+          // below would fail, and readChangeFeed expects logical)
+          val post = aliasLogical(toDf(spark, t, m.schemaJson, w.fresh), m)
             .withColumn("_change_type", lit("insert"))
           writeCdf(spark, table, w, pre.unionByName(post))
         }
@@ -1876,7 +1930,7 @@ object TxLog {
       .collect()
     // map file keys back to table-relative manifest paths (last2 is
     // unique per live file: the part name embeds its write job's UUID)
-    val byKey = m.files.map(f => last2(f) -> f).toMap
+    val byKey = byScanKey(m.files)
     hits.toSeq.map { r =>
       val rel = byKey.getOrElse(r.getString(0),
         sys.error(s"scan returned unlisted file ${r.getString(0)}"))
@@ -1978,7 +2032,7 @@ object TxLog {
         .select(col("__dv_k"), col("__dv_i"))
         .collect()
       if (matchedRows.isEmpty) return m.version
-      val byKey = m.files.map(f => last2(f) -> f).toMap
+      val byKey = byScanKey(m.files)
       val matched: Map[String, Seq[Long]] = matchedRows.toSeq
         .groupBy(r => byKey.getOrElse(r.getString(0),
           sys.error(s"scan returned unlisted file ${r.getString(0)}")))
@@ -2146,7 +2200,7 @@ object TxLog {
         .select(col("__dv_k"), col("__dv_i"))
         .collect()
       if (matchedRows.isEmpty) return m.version
-      val byKey = m.files.map(f => last2(f) -> f).toMap
+      val byKey = byScanKey(m.files)
       val matched: Map[String, Seq[Long]] = matchedRows.toSeq
         .groupBy(r => byKey.getOrElse(r.getString(0),
           sys.error(s"scan returned unlisted file ${r.getString(0)}")))
@@ -2709,7 +2763,10 @@ object TxLog {
     * Every file THIS table writes is recorded `data/<uuid>/…`-relative.
     */
   private def isBorrowed(rel: String): Boolean =
-    rel.startsWith("/") || rel.contains("://")
+    // scheme match, not "://": Hadoop renders authority-less URIs with a
+    // single slash (`file:/root/…`), which `"://"` would miss. An owned
+    // entry (`data/<uuid>/…`) can never contain ':' before its first '/'.
+    rel.startsWith("/") || rel.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*")
 
   /** Zero-copy SHALLOW CLONE (the public Delta `CREATE TABLE … SHALLOW
     * CLONE` semantics): `dst` becomes a new table whose version-1
@@ -2740,7 +2797,11 @@ object TxLog {
     val srcRoot = fs(spark, new Path(src)).makeQualified(new Path(src))
     def absOf(rel: String): String =
       if (isBorrowed(rel)) rel // a clone of a clone borrows the originals
-      else new Path(srcRoot, rel).toUri.getPath
+      // FULL URI, not getPath: a bare /path would strip the source's
+      // scheme/authority (s3://, hdfs://host) and silently resolve
+      // against the DESTINATION's filesystem — and make isBorrowed's
+      // "://" branch unreachable for entries this code writes
+      else new Path(srcRoot, rel).toUri.toString
     val att = Attempt("clone", m.files.map(absOf),
       m.stats.getOrElse(Seq.empty).map(e => e.copy(path = absOf(e.path))),
       txn = Map.empty,

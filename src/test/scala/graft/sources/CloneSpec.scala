@@ -35,7 +35,9 @@ class CloneSpec extends SparkSpec {
     // and metadata aggregates keep working on the clone
     val m = TxLog.manifest(spark, dst)
     assert(m.action == "clone")
-    assert(m.files.forall(f => f.startsWith("/")))
+    // borrowed entries are FULL URIs (scheme intact) so a clone from a
+    // non-default filesystem resolves against the SOURCE's fs
+    assert(m.files.forall(f => f.startsWith("file:/")))
     assert(m.stats.exists(es => es.map(_.path).toSet == m.files.toSet))
     assert(m.stats.get.map(_.rows).sum == 2L)
   }
