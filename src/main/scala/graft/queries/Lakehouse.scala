@@ -378,6 +378,45 @@ object Lakehouse {
         .agg(count(lit(1)).as("n"), countDistinct("fp").as("n_fp"))
     }),
 
+    "q123_merge_into" -> ((s, dir) => {
+      // General MERGE INTO (TxLog.mergeInto scaladoc) — every clause kind
+      // in one statement, evaluated IN ORDER against a published customer
+      // snapshot: heavy customers (>25 orders) are purged (WHEN MATCHED
+      // AND … DELETE), big spenders get their balance bumped (second
+      // MATCHED clause — order matters: the DELETE saw the row first),
+      // synthetic unseen keys INSERT (WHEN NOT MATCHED AND …), and
+      // order-less customers are tagged (WHEN NOT MATCHED BY SOURCE
+      // UPDATE). The oracle recomputes the merged state as one
+      // FULL OUTER JOIN + CASE in DuckDB — hash equality proves clause
+      // routing, ordering, and every arithmetic branch.
+      val t = tmpTable("tx-q123")
+      import graft.sources.TxLog.{MergeDelete, MergeInsert, MergeUpdate}
+      TxLog.overwrite(Tables.customer(s, dir).select(
+        col("c_custkey").as("k"),
+        dec2(col("c_acctbal")).cast("double").as("bal"),
+        col("c_mktsegment").as("seg")), t)
+      val perCust = Tables.orders(s, dir).groupBy(col("o_custkey").as("k"))
+        .agg(r2d(sum(dec2(col("o_totalprice")))).as("total"),
+          count(lit(1)).as("cnt"))
+      // shifted copies of the busiest keys: guaranteed-unmatched source
+      // rows so the NOT MATCHED clause has work (every o_custkey exists
+      // in customer)
+      val source = perCust.unionByName(perCust.filter(col("cnt") > 28)
+        .select((col("k") + 10000000L).as("k"), col("total"), col("cnt")))
+      TxLog.mergeInto(s, t, source,
+        on = expr("t.k = s.k"),
+        matched = Seq(
+          MergeDelete(cond = Some(expr("s.cnt > 25"))),
+          MergeUpdate(Map("bal" -> expr("t.bal + s.total")),
+            cond = Some(expr("s.total > 100000")))),
+        notMatched = Seq(
+          MergeInsert(Map("k" -> expr("s.k"), "bal" -> expr("s.total"),
+            "seg" -> lit("NEW")))),
+        notMatchedBySource = Seq(
+          MergeUpdate(Map("seg" -> lit("NOORDERS")))))
+      TxLog.read(s, t)
+    }),
+
     "q116_tx_dv_update" -> ((s, dir) => {
       // q97's reclassification through DELETION-VECTOR update
       // (TxLog.updateDv scaladoc): the matched rows' old positions are
@@ -1184,5 +1223,34 @@ object Lakehouse {
         |  FROM o WHERE o_orderstatus <> 'F')
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(price AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
-        |FROM f GROUP BY 1""".stripMargin)
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // the CASE-driven from-scratch recompute of every MERGE clause:
+    // matched rows route through the ordered WHEN branches, source-only
+    // rows insert, target-only rows take the by-source update
+    "q123_merge_into" ->
+      """WITH perCust AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+        |    count(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |src AS (
+        |  SELECT * FROM perCust
+        |  UNION ALL
+        |  SELECT k + 10000000, total, cnt FROM perCust WHERE cnt > 28),
+        |tgt AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+        |    c_mktsegment AS seg
+        |  FROM customer)
+        |SELECT COALESCE(t.k, s.k) AS k,
+        |  CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN
+        |         CASE WHEN s.total > 100000 THEN t.bal + s.total ELSE t.bal END
+        |       WHEN t.k IS NULL THEN s.total
+        |       ELSE t.bal END AS bal,
+        |  CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN t.seg
+        |       WHEN t.k IS NULL THEN 'NEW'
+        |       ELSE 'NOORDERS' END AS seg
+        |FROM tgt t FULL OUTER JOIN src s ON t.k = s.k
+        |WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND s.cnt > 25)""".stripMargin)
 }

@@ -1547,6 +1547,263 @@ object TxLog {
     sys.error(s"merge into $table lost the commit race $maxAttempts times " +
       "(pathological write contention); re-run or serialize writers")
 
+  // ---------------------------------------------------------------------
+  // General MERGE INTO (the full Delta/SQL MERGE clause surface;
+  // [[merge]] keeps the cheaper CDC-shaped fast path)
+  // ---------------------------------------------------------------------
+
+  /** One `WHEN MATCHED [AND cond]` / `WHEN NOT MATCHED BY SOURCE [AND
+    * cond]` clause. Conditions and assignment expressions reference the
+    * target as `t.<col>` and the source as `s.<col>` (the engine aliases
+    * both sides so); a NULL condition does not apply the clause (SQL
+    * three-valued semantics). Clauses are evaluated IN ORDER — the first
+    * whose condition holds acts, later ones never see the row.
+    */
+  sealed trait MergeMatchedClause { def cond: Option[Column] }
+  /** `THEN UPDATE SET col = expr, …` — unassigned columns keep their
+    * target values; each assignment is cast to the column's declared
+    * type (an UPDATE can never drift the schema).
+    */
+  final case class MergeUpdate(set: Map[String, Column],
+      cond: Option[Column] = None) extends MergeMatchedClause
+  /** `THEN DELETE`. */
+  final case class MergeDelete(cond: Option[Column] = None)
+      extends MergeMatchedClause
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT (col, …) VALUES (expr, …)`
+    * — unlisted columns insert NULL (generated columns are computed).
+    */
+  final case class MergeInsert(values: Map[String, Column],
+      cond: Option[Column] = None)
+
+  /** General `MERGE INTO` (the public Delta/ANSI shape): join the
+    * target's LIVE rows with `source` on `on`, then apply the first
+    * applicable clause per row — `matched` to (target, source) pairs,
+    * `notMatched` to source-only rows, `notMatchedBySource` to
+    * target-only rows. A target row matching MULTIPLE source rows fails
+    * loudly (the update/delete to apply would be ambiguous, and a
+    * rewrite would duplicate the row) — the standard Delta stance.
+    *
+    * Cost shapes, in the order a 100 TB table cares about them:
+    *   - '''insert-only''' (no matched/by-source clauses): one
+    *     anti-join, fresh files appended, NOTHING rewritten — the
+    *     dedup-on-ingest fast path.
+    *   - '''no by-source clauses''': one column-pruned find scan
+    *     locates the files containing matches (same economics as
+    *     [[delete]]'s find pass); only those are rewritten
+    *     (`deletionVectors = false`) or vectored (`true`, cost ∝ rows
+    *     changed — no touched file read beyond the scans).
+    *   - '''by-source clauses''': act on rows that DON'T match, which
+    *     can live anywhere — the whole table is the working set (use
+    *     vectors, or a partition-scoped `on`, for big tables).
+    *
+    * Optimistic CAS like [[merge]]: a concurrent commit in the
+    * find→publish gap re-derives against the new snapshot. Returns the
+    * committed version (unchanged when no clause applied anywhere).
+    */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      on: Column,
+      matched: Seq[MergeMatchedClause] = Seq.empty,
+      notMatched: Seq[MergeInsert] = Seq.empty,
+      notMatchedBySource: Seq[MergeMatchedClause] = Seq.empty,
+      deletionVectors: Boolean = false,
+      maxAttempts: Int = 10): Long = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeInto needs at least one WHEN clause")
+    Seq("__s_m", "__dv_k", "__dv_i").foreach(c =>
+      require(!source.columns.contains(c),
+        s"mergeInto source must not contain reserved column '$c'"))
+    require(identityOf(spark, table).isEmpty,
+      s"mergeInto does not assign identity columns — table $table has " +
+        "identity columns; use merge (CDC fast path) with explicit ids, " +
+        "or drop the identity declaration")
+    val t = new Path(table)
+    val srcM = source.withColumn("__s_m", lit(1)).alias("s")
+    def hold(c: Option[Column]): Column =
+      c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+    (1 to maxAttempts).foreach { _ =>
+      val base = latestVersion(spark, table).getOrElse(
+        sys.error(s"table $table has no committed versions to merge into"))
+      val m = manifestAt(spark, table, base)
+      val schema = logicalSchema(m)
+      val gen = m.generated.getOrElse(Map.empty)
+      val cons = m.constraints.getOrElse(Map.empty)
+      def checkAssign(cols: Iterable[String], what: String): Unit =
+        cols.foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"mergeInto $what references no such column '$c' of $table " +
+              s"(schema: ${schema.fieldNames.mkString(", ")})")
+          require(!gen.contains(c),
+            s"mergeInto cannot assign generated column '$c' of $table — " +
+              s"it derives from (${gen.getOrElse(c, "")})")
+        }
+      (matched ++ notMatchedBySource).foreach {
+        case MergeUpdate(set, _) => checkAssign(set.keys, "UPDATE SET")
+        case _ => ()
+      }
+      notMatched.foreach(cl => checkAssign(cl.values.keys, "INSERT"))
+
+      // re-derive generated columns AFTER clause assignments (mirrors
+      // update), so inbound validation can never trip on a stale value
+      def regen(df: DataFrame): DataFrame =
+        gen.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (c, sql)) =>
+          acc.withColumn(c, org.apache.spark.sql.functions.expr(sql)
+            .cast(schema(c).dataType))
+        }
+
+      // ---- insert-only fast path: one anti-join, zero rewrites --------
+      if (matched.isEmpty && notMatchedBySource.isEmpty) {
+        val unmatched = srcM.join(
+          readLive(spark, t, m, m.files).alias("t"), on, "left_anti")
+        val taggedI = notMatched.zipWithIndex.map { case (cl, j) =>
+          (hold(cl.cond), s"i$j") }
+        val actI = taggedI.tail
+          .foldLeft(when(taggedI.head._1, lit(taggedI.head._2))) {
+            case (acc, (c, tag)) => acc.when(c, lit(tag)) }
+          .otherwise(lit("drop"))
+        val rows = unmatched.withColumn("__act", actI)
+          .filter(col("__act") =!= "drop")
+          .select(schema.fields.toSeq.map { f =>
+            notMatched.zipWithIndex
+              .foldLeft(lit(null).cast(f.dataType): Column) {
+                case (acc, (cl, j)) => when(col("__act") === s"i$j",
+                  cl.values.getOrElse(f.name, lit(null)).cast(f.dataType))
+                  .otherwise(acc)
+              }.as(f.name)
+          }: _*)
+        val w = writeData(enforcing(regen(rows), cons), table,
+          m.partitionBy.getOrElse(Seq.empty))
+        val committed = publish(spark, table, w, parent =>
+          if (parent.map(_.version).contains(base))
+            Some(Attempt("merge", m.files ++ w.fresh,
+              m.stats.getOrElse(Seq.empty) ++ w.stats,
+              parent.flatMap(_.txn).getOrElse(Map.empty),
+              constraints = guardedCons(table, parent, cons)))
+          else None)
+        committed.foreach(v => return v)
+      } else {
+        // ---- find pass: touched files + multi-match cardinality check
+        val byKey = byScanKey(m.files)
+        val perFile =
+          if (m.files.isEmpty) Seq.empty[(String, Long)]
+          else liveKeyed(spark, t, m, m.files).alias("t")
+            .join(srcM, on, "inner")
+            .groupBy(col("t.__dv_k").as("__k"), col("t.__dv_i").as("__i"))
+            .agg(count(lit(1)).as("__c"))
+            .groupBy(col("__k")).agg(max(col("__c")).as("__mx"))
+            .collect().toSeq
+            .map(r => byKey.getOrElse(r.getString(0),
+              sys.error(s"scan returned unlisted file ${r.getString(0)}"))
+              -> r.getLong(1))
+        if (perFile.exists(_._2 > 1L)) sys.error(
+          s"mergeInto $table: a target row matches multiple source rows — " +
+            "the clause to apply is ambiguous (and a rewrite would " +
+            "duplicate the row); de-duplicate the source on the merge keys")
+        val touched = perFile.map(_._1).distinct
+        // a by-source clause acts on rows that DON'T match — any file
+        // can hold one, so the working set widens to the whole table
+        val working =
+          if (notMatchedBySource.nonEmpty) m.files else touched
+        if (working.isEmpty && notMatched.isEmpty) return m.version
+
+        val tgt =
+          if (working.nonEmpty) liveKeyed(spark, t, m, working)
+          else aliasLogical(toDf(spark, t, m.schemaJson, Seq.empty), m)
+            .withColumn("__dv_k", lit(null).cast("string"))
+            .withColumn("__dv_i", lit(null).cast("long"))
+        val isM = col("t.__dv_k").isNotNull && col("__s_m").isNotNull
+        val isS = col("t.__dv_k").isNull && col("__s_m").isNotNull
+        val isT = col("__s_m").isNull
+        val tagged: Seq[(Column, String)] =
+          matched.zipWithIndex.map { case (cl, i) => (isM && hold(cl.cond), s"m$i") } ++
+          notMatched.zipWithIndex.map { case (cl, j) => (isS && hold(cl.cond), s"i$j") } ++
+          notMatchedBySource.zipWithIndex.map { case (cl, b) => (isT && hold(cl.cond), s"b$b") }
+        val act = tagged.tail
+          .foldLeft(when(tagged.head._1, lit(tagged.head._2))) {
+            case (acc, (c, tag)) => acc.when(c, lit(tag)) }
+          .otherwise(when(isS, lit("drop")).otherwise(lit("keep")))
+        val acted = tgt.alias("t").join(srcM, on, "full_outer")
+          .withColumn("__act", act)
+        val deadTags: Seq[String] =
+          matched.zipWithIndex.collect { case (MergeDelete(_), i) => s"m$i" } ++
+          notMatchedBySource.zipWithIndex.collect { case (MergeDelete(_), b) => s"b$b" } :+
+          "drop"
+        def outCols(df: DataFrame): DataFrame =
+          df.select(schema.fields.toSeq.map { f =>
+            val branches: Seq[(String, Column)] =
+              matched.zipWithIndex.collect {
+                case (MergeUpdate(set, _), i) if set.contains(f.name) =>
+                  s"m$i" -> set(f.name) } ++
+              notMatched.zipWithIndex.map { case (cl, j) =>
+                s"i$j" -> cl.values.getOrElse(f.name, lit(null)) } ++
+              notMatchedBySource.zipWithIndex.collect {
+                case (MergeUpdate(set, _), b) if set.contains(f.name) =>
+                  s"b$b" -> set(f.name) }
+            branches.foldLeft(col("t." + quoted(f.name)).cast(f.dataType)) {
+              case (acc, (tag, v)) =>
+                when(col("__act") === tag, v.cast(f.dataType)).otherwise(acc)
+            }.as(f.name)
+          }: _*)
+
+        if (!deletionVectors) {
+          // copy-on-write: rewrite the working files without the dead
+          // rows, clause outputs applied; untouched files keep their DVs
+          val rows = outCols(acted.filter(!col("__act").isin(deadTags: _*)))
+          val goneSet = working.toSet
+          val w = writeData(enforcing(regen(rows), cons), table,
+            m.partitionBy.getOrElse(Seq.empty))
+          val committed = publish(spark, table, w, parent =>
+            if (parent.map(_.version).contains(base))
+              Some(Attempt("merge",
+                m.files.filterNot(goneSet) ++ w.fresh,
+                m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path))
+                  ++ w.stats,
+                parent.flatMap(_.txn).getOrElse(Map.empty),
+                constraints = guardedCons(table, parent, cons)))
+            else None)
+          committed.foreach(v => return v)
+        } else {
+          // deletion vectors: EVERY acted-on target row's old position is
+          // vectored out (update and delete alike); updates' post-images
+          // and inserts land in one fresh write. Cost ∝ rows changed —
+          // no working file is read beyond the scans, none rewritten.
+          val tq = fs(spark, t).makeQualified(t)
+          val actedTags: Seq[String] =
+            matched.indices.map(i => s"m$i") ++
+            notMatchedBySource.indices.map(b => s"b$b")
+          val positions = acted
+            .filter(col("__act").isin(actedTags: _*))
+            .select(col("t.__dv_k"), col("t.__dv_i")).collect().toSeq
+          val matchedMap: Map[String, Seq[Long]] = positions
+            .groupBy(r => byKey.getOrElse(r.getString(0),
+              sys.error(s"scan returned unlisted file ${r.getString(0)}")))
+            .map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
+          val liveTags: Seq[String] =
+            matched.zipWithIndex.collect { case (MergeUpdate(_, _), i) => s"m$i" } ++
+            notMatched.indices.map(j => s"i$j") ++
+            notMatchedBySource.zipWithIndex.collect {
+              case (MergeUpdate(_, _), b) => s"b$b" }
+          val rows = outCols(acted.filter(col("__act").isin(liveTags: _*)))
+          val w = writeData(enforcing(regen(rows), cons), table,
+            m.partitionBy.getOrElse(Seq.empty))
+          val (goneSet, newDvs) = composeDvs(spark, tq, m, w, matchedMap)
+          val committed = publish(spark, table, w, parent =>
+            if (parent.map(_.version).contains(base))
+              Some(Attempt("merge",
+                m.files.filterNot(goneSet) ++ w.fresh,
+                m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path))
+                  ++ w.stats,
+                parent.flatMap(_.txn).getOrElse(Map.empty),
+                constraints = guardedCons(table, parent, cons),
+                dvs = Some(newDvs)))
+            else None)
+          committed.foreach(v => return v)
+        }
+      }
+    }
+    mergeRaceError(table, maxAttempts)
+  }
+
   /** Compaction (the public OPTIMIZE bin-packing recipe): rewrite the
     * referenced files smaller than `smallFileBytes` into
     * ~`targetFileBytes` files and commit a version with identical rows.

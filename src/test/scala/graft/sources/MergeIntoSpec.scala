@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col, expr, lit}
+
+import graft.SparkSpec
+
+/** General MERGE INTO (q123): conditional WHEN MATCHED UPDATE/DELETE,
+  * WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY SOURCE, clause order,
+  * multi-match rejection, and cost-shape guarantees (insert-only appends
+  * without rewriting; the DV path rewrites nothing).
+  */
+class MergeIntoSpec extends SparkSpec {
+  import spark.implicits._
+  import TxLog.{MergeDelete, MergeInsert, MergeUpdate}
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-mi").resolve("t").toString
+
+  // target: (k, v, n); source: (k, sv, op)
+  private def seed(t: String): Unit =
+    TxLog.overwrite(Seq(
+      (1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)
+    ).toDF("k", "v", "n").repartition(2, col("k")), t)
+
+  private val src = Seq(
+    (2L, "B", "upd"), (3L, "C", "del"), (9L, "I", "ins"), (10L, "J", "skip"))
+
+  private def run(t: String, dv: Boolean): Unit = {
+    seed(t)
+    TxLog.mergeInto(spark, t, src.toDF("k", "sv", "op"),
+      on = expr("t.k = s.k"),
+      matched = Seq(
+        MergeDelete(cond = Some(expr("s.op = 'del'"))),
+        MergeUpdate(Map("v" -> expr("s.sv"), "n" -> expr("t.n + 1")),
+          cond = Some(expr("s.op = 'upd'")))),
+      notMatched = Seq(
+        MergeInsert(Map("k" -> expr("s.k"), "v" -> expr("s.sv")),
+          cond = Some(expr("s.op = 'ins'")))),
+      deletionVectors = dv)
+    val got = TxLog.read(spark, t).as[(Long, String, Option[Int])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, "a", Some(10)),          // untouched
+      (2L, "B", Some(21)),          // matched upd clause
+      // 3 deleted by the first matched clause
+      (4L, "d", Some(40)),          // untouched
+      (9L, "I", None)),             // inserted (n unlisted -> NULL)
+      s"got $got")
+  }
+
+  test("conditional matched update/delete + conditional insert (copy-on-write)") {
+    run(tmpTable(), dv = false)
+  }
+
+  test("conditional matched update/delete + conditional insert (deletion vectors)") {
+    val t = tmpTable()
+    val before = { seed(t); TxLog.manifest(spark, t).files.toSet }
+    TxLog.mergeInto(spark, t, src.toDF("k", "sv", "op"),
+      on = expr("t.k = s.k"),
+      matched = Seq(
+        MergeDelete(cond = Some(expr("s.op = 'del'"))),
+        MergeUpdate(Map("v" -> expr("s.sv"), "n" -> expr("t.n + 1")),
+          cond = Some(expr("s.op = 'upd'")))),
+      notMatched = Seq(
+        MergeInsert(Map("k" -> expr("s.k"), "v" -> expr("s.sv")),
+          cond = Some(expr("s.op = 'ins'")))),
+      deletionVectors = true)
+    val m = TxLog.manifest(spark, t)
+    // DV path: every pre-merge file still referenced (none rewritten),
+    // vectors cover the updated+deleted rows
+    assert(before.subsetOf(m.files.toSet), "DV merge rewrote a file")
+    assert(m.dvs.exists(_.map(_.deleted).sum == 2L))
+    val got = TxLog.read(spark, t).as[(Long, String, Option[Int])]
+      .collect().toSet
+    assert(got == Set((1L, "a", Some(10)), (2L, "B", Some(21)),
+      (4L, "d", Some(40)), (9L, "I", None)))
+  }
+
+  test("clause ORDER decides: first applicable clause wins") {
+    val t = tmpTable(); seed(t)
+    // both clauses' conditions hold for k=2; the DELETE is first
+    TxLog.mergeInto(spark, t, Seq((2L, "B")).toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      matched = Seq(
+        MergeDelete(cond = Some(expr("t.n >= 20"))),
+        MergeUpdate(Map("v" -> expr("s.sv")))))
+    assert(!TxLog.read(spark, t).as[(Long, String, Int)].collect()
+      .exists(_._1 == 2L))
+    // now the same shape with UPDATE first
+    TxLog.mergeInto(spark, t, Seq((3L, "C")).toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      matched = Seq(
+        MergeUpdate(Map("v" -> expr("s.sv")), cond = Some(expr("t.n >= 20"))),
+        MergeDelete()))
+    val r3 = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+      .find(_._1 == 3L)
+    assert(r3.contains((3L, "C", 30)))
+  }
+
+  test("unconditional matched clause catches what earlier clauses skip") {
+    val t = tmpTable(); seed(t)
+    // first clause updates op='upd' rows; trailing DELETE removes every
+    // OTHER matched row
+    TxLog.mergeInto(spark, t,
+      Seq((1L, "A1", "upd"), (2L, "B1", "other")).toDF("k", "sv", "op"),
+      on = expr("t.k = s.k"),
+      matched = Seq(
+        MergeUpdate(Map("v" -> expr("s.sv")), cond = Some(expr("s.op = 'upd'"))),
+        MergeDelete()))
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "A1", 10), (3L, "c", 30), (4L, "d", 40)))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE update and delete") {
+    val t = tmpTable(); seed(t)
+    // source covers k=1,2; by-source clauses act on k=3,4
+    TxLog.mergeInto(spark, t, Seq((1L, "x"), (2L, "y")).toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")))),
+      notMatchedBySource = Seq(
+        MergeDelete(cond = Some(expr("t.n >= 40"))),
+        MergeUpdate(Map("v" -> lit("stale")))))
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "x", 10), (2L, "y", 20), (3L, "stale", 30)))
+  }
+
+  test("insert-only merge appends without rewriting a single file") {
+    val t = tmpTable(); seed(t)
+    val before = TxLog.manifest(spark, t).files.toSet
+    TxLog.mergeInto(spark, t,
+      Seq((2L, "dup"), (7L, "new")).toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      notMatched = Seq(MergeInsert(Map("k" -> expr("s.k"),
+        "v" -> expr("s.sv"), "n" -> lit(0)))))
+    val m = TxLog.manifest(spark, t)
+    assert(before.subsetOf(m.files.toSet),
+      "insert-only merge must never rewrite existing files")
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+    assert(got.contains((7L, "new", 0)) && got.contains((2L, "b", 20)))
+    assert(got.size == 5) // the matched source row did NOT insert
+  }
+
+  test("a target row matching multiple source rows fails loudly") {
+    val t = tmpTable(); seed(t)
+    val e = intercept[RuntimeException] {
+      TxLog.mergeInto(spark, t,
+        Seq((2L, "B1"), (2L, "B2")).toDF("k", "sv"),
+        on = expr("t.k = s.k"),
+        matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")))))
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+  }
+
+  test("merge into an empty-ish table: only inserts fire") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq.empty[(Long, String, Int)].toDF("k", "v", "n"), t)
+    TxLog.mergeInto(spark, t, Seq((5L, "e")).toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")))),
+      notMatched = Seq(MergeInsert(Map("k" -> expr("s.k"),
+        "v" -> expr("s.sv"), "n" -> lit(1)))))
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet ==
+      Set((5L, "e", 1)))
+  }
+
+  test("generated columns recompute under merge updates; constraints enforce") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, 5, 50), (2L, 7, 70)).toDF("k", "n", "n10"), t)
+    TxLog.setGeneratedColumn(spark, t, "n10", "n * 10")
+    TxLog.addConstraint(spark, t, "n_pos", "n > 0")
+    TxLog.mergeInto(spark, t, Seq((1L, 9)).toDF("k", "sn"),
+      on = expr("t.k = s.k"),
+      matched = Seq(MergeUpdate(Map("n" -> expr("s.sn")))))
+    val got = TxLog.read(spark, t).as[(Long, Int, Int)].collect().toSet
+    assert(got == Set((1L, 9, 90), (2L, 7, 70))) // n10 recomputed
+    // a violating update fails the commit
+    intercept[Exception] {
+      TxLog.mergeInto(spark, t, Seq((2L, -1)).toDF("k", "sn"),
+        on = expr("t.k = s.k"),
+        matched = Seq(MergeUpdate(Map("n" -> expr("s.sn")))))
+    }
+    assert(TxLog.read(spark, t).as[(Long, Int, Int)].collect().toSet == got)
+  }
+
+  test("assigning a generated column or unknown column is rejected") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, 5, 50)).toDF("k", "n", "n10"), t)
+    TxLog.setGeneratedColumn(spark, t, "n10", "n * 10")
+    intercept[IllegalArgumentException] {
+      TxLog.mergeInto(spark, t, Seq((1L, 1)).toDF("k", "sn"),
+        on = expr("t.k = s.k"),
+        matched = Seq(MergeUpdate(Map("n10" -> lit(1)))))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.mergeInto(spark, t, Seq((1L, 1)).toDF("k", "sn"),
+        on = expr("t.k = s.k"),
+        matched = Seq(MergeUpdate(Map("nope" -> lit(1)))))
+    }
+  }
+
+  test("DV merge with by-source delete vectors unmatched rows, rewrites nothing") {
+    val t = tmpTable(); seed(t)
+    val before = TxLog.manifest(spark, t).files.toSet
+    TxLog.mergeInto(spark, t, Seq((1L, "x")).toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")))),
+      notMatchedBySource = Seq(MergeDelete(cond = Some(expr("t.n > 25")))),
+      deletionVectors = true)
+    val m = TxLog.manifest(spark, t)
+    // nothing REWRITTEN: the only fresh rows are the single update
+    // post-image (a pre-merge file may legitimately be DROPPED when every
+    // live row in it got vectored — that is metadata-only, not a rewrite)
+    val freshRows = m.stats.getOrElse(Seq.empty)
+      .filterNot(e => before(e.path)).map(_.rows).sum
+    assert(freshRows == 1L, s"DV merge rewrote data: $freshRows fresh rows")
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "x", 10), (2L, "b", 20)))
+  }
+}
