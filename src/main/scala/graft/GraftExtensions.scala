@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.txCdfTableFunction)
     ext.injectTableFunction(GraftExtensions.txPartitionsTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // SQL DELETE/UPDATE/MERGE over graft-txlog v1 relations
+    ext.injectPlannerStrategy(_ => graft.plans.TxSqlDmlStrategy)
     // count/min/max over a graft-txlog relation answer from the manifest
     ext.injectOptimizerRule(_ => graft.plans.TxMetadataAgg)
     // pre-CBO: runs AFTER the default optimizer batches, so it sees (and

@@ -24,6 +24,10 @@ object SparkEntry {
   def setup(spark: SparkSession): Unit = {
     GraftExtensions.register(spark)
     graft.plans.TopKPerKey.installRewrite(spark)
+    // SQL DELETE/UPDATE/MERGE on graft-txlog tables plan through the
+    // transactional layer instead of the v1-unsupported error
+    org.apache.spark.sql.graftshim.Shim.addStrategy(
+      spark, graft.plans.TxSqlDmlStrategy)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,184 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.graftshim.Shim
+
+import graft.sources.{TxLog, TxLogRelation}
+
+/** SQL DML for graft-txlog tables — makes
+  *
+  * {{{
+  *   sql("DELETE FROM t WHERE …")
+  *   sql("UPDATE t SET c = e, … WHERE …")
+  *   sql("MERGE INTO t USING src s ON … WHEN MATCHED [AND …] THEN
+  *        UPDATE SET … / DELETE  WHEN NOT MATCHED [AND …] THEN INSERT …
+  *        WHEN NOT MATCHED BY SOURCE [AND …] THEN UPDATE … / DELETE")
+  * }}}
+  *
+  * reach the SAME transactional implementations the Scala API uses
+  * ([[TxLog.delete]] / [[TxLog.update]] / [[TxLog.mergeInto]]) — SQL
+  * adds a parser, not a second engine, so the SQL surface can never
+  * drift from the operator semantics (optimistic CAS, deletion-vector
+  * opt-in via table property, CHECK constraints, generated columns).
+  *
+  * Mechanism: Spark's own parser + analyzer already produce fully
+  * RESOLVED `DeleteFromTable` / `UpdateTable` / `MergeIntoTable` plans
+  * over a v1 relation (verified on 4.1: analysis passes; only PLANNING
+  * rejects v1 targets), so this strategy intercepts exactly where the
+  * built-in planner would throw "only supported with v2 tables".
+  * Expressions are de-resolved back to name-based references (the
+  * TxLog APIs re-resolve them against their own scan plans) — target
+  * attributes to `t.<name>`, source attributes to `s.<name>`, matching
+  * [[TxLog.mergeInto]]'s aliasing contract.
+  *
+  * Deletion vectors: SQL carries no option syntax here, so the path is
+  * chosen by the table property [[TxLog.dvPropertyKey]] (set via
+  * `TxLog.setProperty(…, TxLog.dvPropertyKey, "true")`) — the
+  * Delta-parity knob a table declares once rather than per statement.
+  */
+object TxSqlDmlStrategy extends SparkStrategy {
+
+  /** Unwraps alias/projection shells down to a graft-txlog relation.
+    * (The optimizer usually eliminates SubqueryAlias before planning,
+    * but commands may reach the planner un-optimized too.)
+    */
+  private object TxTarget {
+    def unapply(plan: LogicalPlan): Option[(TxLogRelation, Seq[Attribute])] =
+      plan match {
+        case SubqueryAlias(_, child) => unapply(child)
+        case lr: LogicalRelation if lr.relation.isInstanceOf[TxLogRelation] =>
+          Some((lr.relation.asInstanceOf[TxLogRelation], lr.output))
+        case _ => None
+      }
+  }
+
+  private def requireWritable(rel: TxLogRelation): String = {
+    require(!rel.isTimeTravel,
+      "graft-txlog: cannot run DML through a versionAsOf time-travel " +
+        "relation - it is a read-only historical view")
+    rel.tablePath
+  }
+
+  /** Resolved attribute refs → name-based refs the TxLog APIs re-resolve
+    * against their own scans. Subqueries in DML predicates are not
+    * routable through the Column-based APIs — fail loudly rather than
+    * mis-evaluate.
+    */
+  private def unresolve(e: Expression, tAttrs: AttributeSet,
+      sAttrs: AttributeSet): Expression = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      "graft-txlog SQL DML: subqueries in DML predicates are not " +
+        "supported - materialize the subquery into a temp view and MERGE")
+    e.transform {
+      case a: AttributeReference if tAttrs.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if sAttrs.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }
+  }
+
+  private def colOf(e: Expression, tAttrs: AttributeSet = AttributeSet.empty,
+      sAttrs: AttributeSet = AttributeSet.empty): Column =
+    Shim.column(unresolve(e, tAttrs, sAttrs))
+
+  private def nameOf(e: Expression): String = e match {
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case other => sys.error(
+      s"graft-txlog SQL DML: cannot assign to expression ${other.sql}")
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case DeleteFromTable(TxTarget(rel, _), cond) =>
+      val path = requireWritable(rel)
+      TxDmlExec("graft_tx_delete", plan.output, { spark =>
+        TxLog.delete(spark, path, colOf(cond),
+          deletionVectors = TxLog.dmlDeletionVectors(spark, path))
+        rel.unpin()
+      }) :: Nil
+
+    case UpdateTable(TxTarget(rel, _), assignments, cond) =>
+      val path = requireWritable(rel)
+      val set = assignments.map(a => nameOf(a.key) -> colOf(a.value))
+      val c = cond.map(colOf(_)).getOrElse(Shim.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
+      TxDmlExec("graft_tx_update", plan.output, { spark =>
+        TxLog.update(spark, path, c, set,
+          deletionVectors = TxLog.dmlDeletionVectors(spark, path))
+        rel.unpin()
+      }) :: Nil
+
+    case mit: MergeIntoTable => mit.targetTable match {
+      case TxTarget(rel, tOut) =>
+        require(!mit.withSchemaEvolution,
+          "graft-txlog MERGE: WITH SCHEMA EVOLUTION is not supported - " +
+            "evolve via append(mergeSchema = true) first")
+        val path = requireWritable(rel)
+        val tAttrs = AttributeSet(tOut)
+        val sAttrs = mit.sourceTable.outputSet
+        def cl(c: Option[Expression]): Option[Column] =
+          c.map(colOf(_, tAttrs, sAttrs))
+        // SET * / INSERT * expand to every target column taking the
+        // same-named source column (the ANSI star contract)
+        def starSet: Map[String, Column] = rel.schema.fieldNames.map(n =>
+          n -> Shim.column(UnresolvedAttribute(Seq("s", n)))).toMap
+        def setOf(as: Seq[Assignment]): Map[String, Column] =
+          as.map(a => nameOf(a.key) -> colOf(a.value, tAttrs, sAttrs)).toMap
+        val matched = mit.matchedActions.map {
+          case UpdateAction(c, as, _) => TxLog.MergeUpdate(setOf(as), cl(c))
+          case UpdateStarAction(c) => TxLog.MergeUpdate(starSet, cl(c))
+          case DeleteAction(c) => TxLog.MergeDelete(cl(c))
+          case other => sys.error(s"graft-txlog MERGE: unsupported matched action $other")
+        }
+        val notMatched = mit.notMatchedActions.map {
+          case InsertAction(c, as) => TxLog.MergeInsert(setOf(as), cl(c))
+          case InsertStarAction(c) => TxLog.MergeInsert(starSet, cl(c))
+          case other => sys.error(s"graft-txlog MERGE: unsupported not-matched action $other")
+        }
+        val bySource = mit.notMatchedBySourceActions.map {
+          case UpdateAction(c, as, _) => TxLog.MergeUpdate(setOf(as), cl(c))
+          case DeleteAction(c) => TxLog.MergeDelete(cl(c))
+          case other => sys.error(
+            s"graft-txlog MERGE: unsupported not-matched-by-source action $other")
+        }
+        val on = colOf(mit.mergeCondition, tAttrs, sAttrs)
+        val src = mit.sourceTable
+        TxDmlExec("graft_tx_merge", plan.output, { spark =>
+          TxLog.mergeInto(spark, path, Shim.ofRows(spark, src), on,
+            matched, notMatched, bySource,
+            deletionVectors = TxLog.dmlDeletionVectors(spark, path))
+          rel.unpin()
+        }) :: Nil
+      case _ => Nil
+    }
+
+    case _ => Nil
+  }
+}
+
+/** Side-effecting DML exec node: runs the transactional operation once
+  * (idempotently guarded — Spark may invoke executeCollect and doExecute
+  * more than once on a command's physical plan) and returns no rows,
+  * matching the logical Command's empty output.
+  */
+case class TxDmlExec(label: String, output: Seq[Attribute],
+    body: SparkSession => Unit) extends LeafExecNode {
+  private val ran = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def runOnce(): Unit =
+    if (ran.compareAndSet(false, true)) body(SparkSession.active)
+  override def executeCollect(): Array[InternalRow] = {
+    runOnce(); Array.empty
+  }
+  override protected def doExecute(): RDD[InternalRow] = {
+    runOnce(); sparkContext.emptyRDD
+  }
+  override def nodeName: String = label
+}

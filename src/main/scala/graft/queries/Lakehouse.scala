@@ -417,6 +417,36 @@ object Lakehouse {
       TxLog.read(s, t)
     }),
 
+    "q124_sql_dml" -> ((s, dir) => {
+      // The SQL DML surface (plans/TxSqlDml scaladoc): DELETE, UPDATE,
+      // and a multi-clause MERGE issued as PURE SQL TEXT against a
+      // graft-txlog catalog table — each statement planned by Spark's
+      // own parser/analyzer and routed into the same transactional
+      // implementations the Scala API uses. The oracle recomputes the
+      // three-statement lifecycle as chained CTEs — hash equality proves
+      // the SQL surface adds a parser, not a second engine.
+      val t = tmpTable("tx-q124")
+      TxLog.overwrite(Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_orderdate")), t)
+      val name = "q124_" + java.util.UUID.randomUUID().toString.replace("-", "_")
+      s.sql(s"CREATE TABLE $name USING `graft-txlog` OPTIONS (path '$t')")
+      s.sql(s"DELETE FROM $name WHERE year(o_orderdate) < 1994")
+      s.sql(s"UPDATE $name SET o_orderpriority = '0-RECLASSIFIED' " +
+        "WHERE o_orderstatus = 'F'")
+      Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("k"))
+        .createOrReplaceTempView(s"${name}_chg")
+      s.sql(
+        s"""MERGE INTO $name t USING ${name}_chg s ON t.o_orderkey = s.k
+           |WHEN MATCHED AND t.o_orderstatus = 'O' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_orderpriority = '9-MERGED'
+           |""".stripMargin)
+      s.sql(
+        s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+           |FROM $name GROUP BY o_orderpriority""".stripMargin)
+    }),
+
     "q116_tx_dv_update" -> ((s, dir) => {
       // q97's reclassification through DELETION-VECTOR update
       // (TxLog.updateDv scaladoc): the matched rows' old positions are
@@ -1252,5 +1282,24 @@ object Lakehouse {
         |       WHEN t.k IS NULL THEN 'NEW'
         |       ELSE 'NOORDERS' END AS seg
         |FROM tgt t FULL OUTER JOIN src s ON t.k = s.k
-        |WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND s.cnt > 25)""".stripMargin)
+        |WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND s.cnt > 25)""".stripMargin,
+
+    // the DELETE -> UPDATE -> MERGE lifecycle as chained CTEs
+    "q124_sql_dml" ->
+      """WITH base AS (
+        |  SELECT * FROM orders WHERE year(o_orderdate) >= 1994),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    CASE WHEN o_orderstatus = 'F' THEN '0-RECLASSIFIED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM base),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN '9-MERGED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM upd
+        |  WHERE NOT (o_orderkey % 97 = 0 AND o_orderstatus = 'O'))
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM merged GROUP BY 1""".stripMargin)
 }

@@ -125,7 +125,8 @@ object TxLog {
       generated: Option[Map[String, String]] = None,
       dropped: Option[Seq[String]] = None,
       identity: Option[Map[String, IdentitySpec]] = None,
-      renames: Option[Map[String, String]] = None)
+      renames: Option[Map[String, String]] = None,
+      properties: Option[Map[String, String]] = None)
 
   /** Stats are collected for at most this many leading skippable
     * columns: min/max strings for a 1000-column table would bloat every
@@ -2572,8 +2573,58 @@ object TxLog {
         generated = Some(target.generated.getOrElse(Map.empty)),
         dropped = Some(target.dropped.getOrElse(Seq.empty)),
         identity = Some(target.identity.getOrElse(Map.empty)),
-        renames = Some(target.renames.getOrElse(Map.empty))))).get
+        renames = Some(target.renames.getOrElse(Map.empty)),
+        properties = Some(target.properties.getOrElse(Map.empty))))).get
   }
+
+  // ---------------------------------------------------------------------
+  // Table properties (the TBLPROPERTIES surface)
+  // ---------------------------------------------------------------------
+
+  /** The table property that routes SQL DELETE/UPDATE/MERGE through the
+    * deletion-vector paths (the Delta
+    * `delta.enableDeletionVectors`-equivalent knob): SQL statements carry
+    * no per-call option, so the table declares the DML cost shape once.
+    */
+  val dvPropertyKey = "graft.dml.deletionVectors"
+
+  /** Current table properties (empty when none were ever set). */
+  def propertiesOf(spark: SparkSession, table: String): Map[String, String] =
+    latestVersion(spark, table)
+      .map(readManifest(spark, new Path(table), _))
+      .flatMap(_.properties).getOrElse(Map.empty)
+
+  /** Whether SQL DML on `table` should take the deletion-vector paths. */
+  def dmlDeletionVectors(spark: SparkSession, table: String): Boolean =
+    propertiesOf(spark, table).get(dvPropertyKey).exists(_.toBoolean)
+
+  /** `ALTER TABLE … SET TBLPROPERTIES(key = value)` — a metadata-only
+    * commit; properties inherit through every subsequent commit and
+    * restore/clone carry them like the other table-level declarations.
+    */
+  def setProperty(spark: SparkSession, table: String, key: String,
+      value: String): Long =
+    publish(spark, table,
+      writeNothing(spark, table, manifest(spark, table).schemaJson), parent => {
+        val m = parent.getOrElse(sys.error(
+          s"table $table has no committed versions"))
+        Some(Attempt("set_property", m.files, m.stats.getOrElse(Seq.empty),
+          m.txn.getOrElse(Map.empty),
+          constraints = m.constraints.getOrElse(Map.empty),
+          properties = Some(m.properties.getOrElse(Map.empty) + (key -> value))))
+      }).get
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES(key)` (no-op if absent). */
+  def unsetProperty(spark: SparkSession, table: String, key: String): Long =
+    publish(spark, table,
+      writeNothing(spark, table, manifest(spark, table).schemaJson), parent => {
+        val m = parent.getOrElse(sys.error(
+          s"table $table has no committed versions"))
+        Some(Attempt("unset_property", m.files, m.stats.getOrElse(Seq.empty),
+          m.txn.getOrElse(Map.empty),
+          constraints = m.constraints.getOrElse(Map.empty),
+          properties = Some(m.properties.getOrElse(Map.empty) - key)))
+      }).get
 
   /** Row-level change data feed (the public Delta CDF shape): every
     * change committed in `(sinceVersion, untilVersion]`, as table rows
@@ -2622,7 +2673,8 @@ object TxLog {
         case ("compact" | "zorder" | "addConstraint" | "dropConstraint"
             | "set_bloom_index" | "drop_bloom_index" | "set_generated"
             | "drop_generated" | "set_identity" | "drop_identity"
-            | "drop_column" | "rename_column", None) => None
+            | "drop_column" | "rename_column"
+            | "set_property" | "unset_property", None) => None
         case (_, None) if skipUnrecorded => None
         case (other, None) => sys.error(
           s"readChangeFeed: version $v is '$other' with no recorded change " +
@@ -2693,7 +2745,10 @@ object TxLog {
       identity: Option[Map[String, IdentitySpec]] = None,
       // column-mapping renames (PHYSICAL -> current LOGICAL name):
       // None inherits, only renameColumn / restore / clone pass Some
-      renames: Option[Map[String, String]] = None)
+      renames: Option[Map[String, String]] = None,
+      // free-form table properties (TBLPROPERTIES): None inherits, only
+      // setProperty / restore / clone pass Some
+      properties: Option[Map[String, String]] = None)
 
   /** Write a change-data frame under the commit's own data directory
     * (`<dataRel>/_cdf/`): invisible to snapshot readers (only
@@ -2959,7 +3014,9 @@ object TxLog {
         identity = att.identity
           .orElse(parent.flatMap(_.identity)).filter(_.nonEmpty),
         renames = att.renames
-          .orElse(parent.flatMap(_.renames)).filter(_.nonEmpty))
+          .orElse(parent.flatMap(_.renames)).filter(_.nonEmpty),
+        properties = att.properties
+          .orElse(parent.flatMap(_.properties)).filter(_.nonEmpty))
       val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
@@ -3070,7 +3127,8 @@ object TxLog {
       generated = m.generated,
       dropped = m.dropped,
       identity = m.identity,
-      renames = m.renames)
+      renames = m.renames,
+      properties = m.properties)
     publish(spark, dst, writeNothing(spark, dst, m.schemaJson),
       parent => {
         require(parent.isEmpty,

@@ -60,6 +60,19 @@ class TxLogRelation(spark: SparkSession, table: String,
       pinnedVersion = Some(l); l }
   }
 
+  /** The table root path (for the SQL DML strategy). */
+  private[graft] def tablePath: String = table
+
+  /** True for a versionAsOf relation — a read-only historical view. */
+  private[graft] def isTimeTravel: Boolean = versionAsOf.isDefined
+
+  /** Drop the pinned snapshot so the next scan re-resolves the latest
+    * version — called after any write that bypasses [[insert]] (the SQL
+    * DML strategy commits through TxLog directly, and Spark caches a
+    * catalog table's relation instance across queries).
+    */
+  private[graft] def unpin(): Unit = synchronized { pinnedVersion = None }
+
   private def snapshot: DataFrame = TxLog.readAsOf(spark, table, pin())
 
   /** Per-file stats for the metadata-only aggregate rewrite
@@ -233,7 +246,7 @@ class TxLogRelation(spark: SparkSession, table: String,
     else TxLog.append(data, table)
     // un-pin: Spark caches a catalog table's relation instance across
     // queries, so the next SELECT must re-resolve the new latest version
-    synchronized { pinnedVersion = None }
+    unpin()
   }
 }
 

@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.sources.TxLog
+
+/** SQL DELETE/UPDATE/MERGE on graft-txlog catalog tables (q124): the
+  * planner strategy routes Spark's own analyzed DML plans into the
+  * transactional layer — same semantics as the Scala API, reached from
+  * pure SQL text.
+  */
+class TxSqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshTable(): (String, String) = synchronized {
+    n += 1
+    val name = s"sqldml_$n"
+    val path = java.nio.file.Files.createTempDirectory("graft-sqldml")
+      .resolve("t").toString
+    (name, path)
+  }
+
+  private def mk(): (String, String) = {
+    val (name, path) = freshTable()
+    TxLog.overwrite(Seq(
+      (1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)
+    ).toDF("k", "v", "n").repartition(2, col("k")), path)
+    spark.sql(s"CREATE TABLE $name USING `graft-txlog` OPTIONS (path '$path')")
+    (name, path)
+  }
+
+  test("SQL DELETE commits through the log and the table re-resolves") {
+    val (name, path) = mk()
+    assert(spark.sql(s"SELECT * FROM $name").count() == 4L) // pin a snapshot
+    spark.sql(s"DELETE FROM $name WHERE n >= 30")
+    assert(spark.sql(s"SELECT * FROM $name").count() == 2L)
+    assert(TxLog.read(spark, path).count() == 2L) // the Scala view agrees
+    assert(TxLog.manifest(spark, path).action == "delete")
+  }
+
+  test("SQL UPDATE applies assignments with SQL WHERE semantics") {
+    val (name, path) = mk()
+    spark.sql(s"UPDATE $name SET v = concat(v, '!'), n = n + 1 WHERE k <= 2")
+    val got = TxLog.read(spark, path).as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a!", 11), (2L, "b!", 21), (3L, "c", 30), (4L, "d", 40)))
+  }
+
+  test("SQL MERGE: conditional matched clauses, insert, by-source") {
+    val (name, path) = mk()
+    Seq((2L, "B", "upd"), (3L, "C", "del"), (9L, "I", "ins"))
+      .toDF("k", "sv", "op").createOrReplaceTempView("chg")
+    spark.sql(
+      s"""MERGE INTO $name t USING chg s ON t.k = s.k
+         |WHEN MATCHED AND s.op = 'del' THEN DELETE
+         |WHEN MATCHED AND s.op = 'upd' THEN UPDATE SET v = s.sv, n = t.n + 1
+         |WHEN NOT MATCHED AND s.op = 'ins' THEN INSERT (k, v) VALUES (s.k, s.sv)
+         |WHEN NOT MATCHED BY SOURCE AND t.k = 4 THEN UPDATE SET v = 'stale'
+         |""".stripMargin)
+    val got = TxLog.read(spark, path).as[(Long, String, Option[Int])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, "a", Some(10)), (2L, "B", Some(21)), (4L, "stale", Some(40)),
+      (9L, "I", None)))
+  }
+
+  test("the deletion-vector table property routes SQL DML through DVs") {
+    val (name, path) = mk()
+    TxLog.setProperty(spark, path, TxLog.dvPropertyKey, "true")
+    val before = TxLog.manifest(spark, path).files.toSet
+    spark.sql(s"DELETE FROM $name WHERE k = 1")
+    val m = TxLog.manifest(spark, path)
+    assert(m.files.toSet == before, "DV-routed SQL DELETE rewrote a file")
+    assert(m.dvs.exists(_.map(_.deleted).sum == 1L))
+    assert(spark.sql(s"SELECT * FROM $name").count() == 3L)
+    // property survives commits and restore semantics like other metadata
+    assert(TxLog.dmlDeletionVectors(spark, path))
+    TxLog.unsetProperty(spark, path, TxLog.dvPropertyKey)
+    assert(!TxLog.dmlDeletionVectors(spark, path))
+  }
+
+  test("DML through a time-travel relation is rejected") {
+    val (name, path) = mk()
+    val (tvName, _) = freshTable()
+    spark.sql(s"CREATE TABLE $tvName USING `graft-txlog` " +
+      s"OPTIONS (path '$path', versionAsOf '1')")
+    val e = intercept[Exception] { spark.sql(s"DELETE FROM $tvName WHERE k = 1") }
+    assert(e.getMessage.contains("time-travel"))
+  }
+
+  test("a subquery predicate fails loudly instead of mis-evaluating") {
+    val (name, path) = mk()
+    Seq(1L, 2L).toDF("k").createOrReplaceTempView("doomed")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $name WHERE k IN (SELECT k FROM doomed)")
+    }
+    assert(e.getMessage.contains("subqueries"))
+    assert(TxLog.read(spark, path).count() == 4L)
+  }
+
+  test("SQL MERGE with UPDATE SET * / INSERT *") {
+    val (name, path) = mk()
+    Seq((2L, "B2", 200), (8L, "H", 800)).toDF("k", "v", "n")
+      .createOrReplaceTempView("star_src")
+    spark.sql(
+      s"""MERGE INTO $name t USING star_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val got = TxLog.read(spark, path).as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10), (2L, "B2", 200), (3L, "c", 30),
+      (4L, "d", 40), (8L, "H", 800)))
+  }
+}
