@@ -92,6 +92,23 @@ object PqAnn {
     embeddings.sparkSession.createDataFrame(rows).toDF("sub_id", "code", "ce")
   }
 
+  /** Deterministic SEED codebooks — code `k` of subspace `s` is the
+    * normalized `s`-th subvector of the embedding with `vec_id = k`
+    * (`k < ksub`). Zero training, so the whole construction is
+    * re-expressible in plain SQL: this is what lets [[encode]]'s
+    * argmin arithmetic (the exact path d22/d24's trained codebooks run
+    * through) be ORACLE-CHECKED end-to-end, leaving only the k-means
+    * fit itself outside the hash gate.
+    */
+  def seedCodebooks(embeddings: DataFrame, dim: Int, m: Int,
+                    ksub: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    subvectors(embeddings.filter(col("vec_id") < ksub),
+        "vec_id", "embedding", m, dim / m)
+      .select(col("sub_id"), col("vec_id").cast("int").as("code"),
+        col("sv").as("ce"))
+  }
+
   /** Encode the corpus: (vec_id, sub_id, code) — each subvector's
     * nearest-codebook-entry id (squared-L2 argmin, ties to the lower
     * code). One broadcast join + one map-side-combinable min-struct

@@ -2913,7 +2913,7 @@ object TxLog {
     Written(dataRel, fresh, all.sortBy(_.path), schema.json, partitionBy)
   }
 
-  // one lock object per local table log dir — see renameIfAbsent
+  // fallback lock per local table log dir — see renameIfAbsent
   private val localLogLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
 
@@ -2924,25 +2924,45 @@ object TxLog {
     * is check-THEN-rename over a POSIX rename that silently
     * OVERWRITES, so two racing committers can both observe "absent"
     * and both return success — the second clobbers the first's
-    * manifest (losing its commit!) and ChecksumFs then leaves a stale
-    * `.crc` that fails every subsequent read of the version. So local
-    * commits serialize on an in-process per-log-dir lock (the Delta
-    * LocalLogStore stance: local FS is a test/single-process surface;
-    * multi-PROCESS local-FS writers are out of scope and documented
-    * so, while any real deployment is on HDFS/object storage where
-    * the primitive is atomic without the lock).
+    * manifest (losing its commit!). Local commits therefore publish by
+    * HARD LINK: `link(2)` fails with EEXIST atomically — across
+    * PROCESSES, not just threads (an in-process lock, the previous
+    * stance, still let two JVMs on one machine both win a version) —
+    * and the target appears with its FULL content in one step, so a
+    * concurrent reader can never see a torn manifest. Filesystems
+    * without hard links (some network mounts) fall back to the
+    * in-process lock + exists + rename, restoring the documented
+    * single-process-only guarantee there.
     */
-  private def renameIfAbsent(fc: FileContext, f: org.apache.hadoop.fs.FileSystem,
-      tmp: Path, target: Path): Unit = {
+  private[graft] def renameIfAbsent(fc: FileContext,
+      f: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path): Unit = {
     val scheme = Option(target.toUri.getScheme).getOrElse("file")
     if (scheme == "file") {
-      val lock = localLogLocks.computeIfAbsent(
-        target.getParent.toString, _ => new Object)
-      lock.synchronized {
-        if (f.exists(target))
-          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-            target.toString)
-        fc.rename(tmp, target, Options.Rename.NONE)
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val targetNio = java.nio.file.Paths.get(target.toUri.getPath)
+      try {
+        // atomic create-if-absent: one winner per version across
+        // processes; java.nio FileAlreadyExistsException propagates to
+        // publish's existing lost-race handling
+        java.nio.file.Files.createLink(targetNio, tmpNio)
+        f.delete(tmp, false)
+        // ChecksumFileSystem wrote tmp's .crc sidecar; the linked target
+        // has none, which is fine (missing crc = unchecked read), but a
+        // STALE crc from any earlier overwrite attempt would fail reads —
+        // drop one if present
+        val crc = new Path(target.getParent, s".${target.getName}.crc")
+        if (f.exists(crc)) f.delete(crc, false)
+      } catch {
+        case _: UnsupportedOperationException =>
+          // no hard links on this mount: single-process fallback
+          val lock = localLogLocks.computeIfAbsent(
+            target.getParent.toString, _ => new Object)
+          lock.synchronized {
+            if (f.exists(target))
+              throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+                target.toString)
+            fc.rename(tmp, target, Options.Rename.NONE)
+          }
       }
     } else fc.rename(tmp, target, Options.Rename.NONE)
   }
