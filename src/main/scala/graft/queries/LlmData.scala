@@ -105,6 +105,36 @@ object LlmData {
         .select(col("q_id"), col("c_id"), col("rank"), r4(col("cos_raw")).as("cos"))
     }),
 
+    "d30_ivf_route" -> ((s, dir) => {
+      // IVF ROUTING under the hash gate (VERDICT r7 #6): the
+      // nearest-centroid assignment d08/d24 run their corpora through
+      // (IvfAnn.assign — broadcast centroids, fused-cosine argmax, ties
+      // to the lower centroid id), made oracle-checkable by using the
+      // deterministic zero-training quantizer (sampleCentroids: the
+      // first nlist vectors) instead of the k-means fit. Only the
+      // TRAINING now lives outside the gate; the routing arithmetic —
+      // the part a wrong plan or a broken cosine would corrupt — is
+      // hash-checked per vector.
+      val e = emb(s, dir)
+      IvfAnn.assign(e, IvfAnn.sampleCentroids(e, 16))
+        .select(col("vec_id"), col("cent_id"))
+    }),
+
+    "d31_pq_code" -> ((s, dir) => {
+      // PQ ENCODING under the hash gate (VERDICT r7 #6): the
+      // per-subvector code assignment d22/d24 build their indexes with
+      // (PqAnn.encode — normalize, slice into m subspaces, broadcast
+      // codebook join, squared-L2 min-struct argmin with ties to the
+      // lower code), oracle-checked via the deterministic seed
+      // codebooks. The oracle recomputes normalize→slice→d2→argmin in
+      // SQL with the IDENTICAL expansion (‖sv‖² − 2·sv·ce + ‖ce‖², same
+      // fold order), so the hash pins the exact arithmetic the trained
+      // path executes.
+      val e = emb(s, dir)
+      PqAnn.encode(e, PqAnn.seedCodebooks(e, dim = 64, m = 4, ksub = 8),
+        dim = 64, m = 4)
+    }),
+
     "d06_embedding_neardup" -> ((s, dir) => {
       // Near-dup pairs (cos >= 0.35) with LSH-signature blocking, NOT
       // label blocking: label blocks are O(Σ n_label²) — one big label is
@@ -1534,6 +1564,47 @@ object LlmData {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, c_id) AS rnk
          |      FROM p)
          |WHERE rnk <= 5""".stripMargin,
+
+    "d30_ivf_route" ->
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |p AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |   ${cosSql("e.embedding", "ce")} AS sim
+         |  FROM embeddings e, c)
+         |SELECT vec_id, cent_id
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk
+         |      FROM p)
+         |WHERE rk = 1""".stripMargin,
+
+    // normalize -> slice m=4 subspaces of 16 dims -> seed codebook
+    // (vec_id < 8) -> d2 = n2(sv) - 2 dot(sv,ce) + n2(ce) -> argmin,
+    // ties to the lower code — term-for-term the encode path's algebra
+    "d31_pq_code" ->
+      """WITH nv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |                    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) > 0
+        |      THEN list_transform(range(1, len(embedding)+1),
+        |             i -> embedding[i]::DOUBLE /
+        |                  sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |                    j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))))
+        |      ELSE list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE)
+        |    END AS v
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, s.sub_id, v[s.sub_id*16+1 : s.sub_id*16+16] AS sv
+        |  FROM nv, (SELECT unnest(range(0, 4))::INT AS sub_id) s),
+        |cb AS (SELECT sub_id, vec_id::INT AS code, sv AS ce FROM subs WHERE vec_id < 8),
+        |d AS (
+        |  SELECT t.vec_id, t.sub_id, cb.code,
+        |    list_sum(list_transform(range(1, 17), i -> t.sv[i] * t.sv[i]))
+        |    - 2.0 * list_sum(list_transform(range(1, 17), i -> t.sv[i] * cb.ce[i]))
+        |    + list_sum(list_transform(range(1, 17), i -> cb.ce[i] * cb.ce[i])) AS d2
+        |  FROM subs t JOIN cb ON t.sub_id = cb.sub_id)
+        |SELECT vec_id, sub_id, code
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, code) AS rk
+        |      FROM d)
+        |WHERE rk = 1""".stripMargin,
 
     "d06_embedding_neardup" -> {
       val bandSelects = LshAnn.bandedBucketSql("embedding", d06Bands, d06PlanesPerBand, 64)
