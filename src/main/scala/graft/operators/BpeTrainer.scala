@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE (byte-pair-encoding) tokenizer TRAINING (Sennrich et al. 2016) —
+  * the iterative pair-merge loop that d27's frequency-ranked vocabulary
+  * is the first step of, completing the tokenizer-prep story.
+  *
+  * Scale shape: the loop runs over the DISTINCT-WORD table (word, freq),
+  * not the corpus — corpus → distinct words is one groupBy, and a 100 TB
+  * corpus has a vocabulary in the millions of rows, so each merge round
+  * is one small aggregate (count adjacent symbol pairs weighted by word
+  * freq → global argmax) plus one narrow map (apply the merge with a
+  * fold over each word's symbol array). Rounds are inherently sequential
+  * (each merge changes the pair statistics the next round counts — the
+  * algorithm, not the engine); `localCheckpoint` truncates lineage per
+  * round exactly like [[graft.similarity.ConnectedComponents]]'s loop,
+  * pinning at most two symbol tables.
+  *
+  * Determinism: the winning pair is (max total freq, then lexicographic
+  * (left, right)) — a total order, so training is reproducible across
+  * partitionings. Merging is greedy left-to-right within a word (the
+  * reference BPE behavior: "aaaa" under merge (a,a) → [aa, aa]).
+  */
+object BpeTrainer {
+
+  /** Learn `numMerges` merges from a (word, freq) vocabulary. Returns
+    * the merges IN ORDER — the artifact a BPE tokenizer ships. Stops
+    * early when no adjacent pair occurs at least `minCount` times.
+    */
+  def train(words: DataFrame, numMerges: Int, minCount: Long = 2L)
+      : Seq[(String, String)] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    // initial symbol sequence: characters + the end-of-word marker (so
+    // a merge can learn word-final units, the standard formulation)
+    var cur = words.select(col("freq").cast("long").as("freq"),
+        concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+      .localCheckpoint(true)
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (!done && round < numMerges) {
+      val top = cur.filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("l"),
+              element_at(col("syms"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minCount) done = true
+      else {
+        val (l, r) = (top.head.getString(0), top.head.getString(1))
+        merges += l -> r
+        // greedy left-to-right merge as a fold: append each symbol,
+        // except when the accumulated LAST symbol is `l` and this one is
+        // `r` — then replace the last with the merged token
+        val applied = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        val next = cur.select(col("freq"), applied.as("syms"))
+          .localCheckpoint(true)
+        prevRdd.foreach(_.unpersist(false))
+        prevRdd = org.apache.spark.sql.graftshim.Shim.checkpointedRdd(cur)
+        cur = next
+        round += 1
+      }
+    }
+    prevRdd.foreach(_.unpersist(false))
+    org.apache.spark.sql.graftshim.Shim.checkpointedRdd(cur)
+      .foreach(_.unpersist(false))
+    merges.result()
+  }
+
+  /** Encode one word with learned merges (driver-side reference path —
+    * the per-round application above is what runs at scale). Applies
+    * merges in training order, each greedily left-to-right.
+    */
+  def encode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString) :+ "</w>"
+    merges.foreach { case (l, r) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+}

@@ -778,6 +778,25 @@ object LlmData {
           r4(col("lp_sum").cast("double") / col("n_tok")).as("avg_logprob"))
     }),
 
+    "t13_bpe_merges" -> ((s, dir) => {
+      // BPE tokenizer TRAINING (operators/BpeTrainer scaladoc): the
+      // iterative pair-merge loop d27's frequency-ranked vocabulary is
+      // the first step of. Rows-only by design (the loop is sequential
+      // state, not a single SQL expression); BpeTrainerSpec gates it
+      // differentially against a single-node reference implementation
+      // (same merges, same order). Output: the ordered merge table a
+      // BPE tokenizer ships.
+      import s.implicits._
+      val words = docs(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.operators.BpeTrainer.train(words, numMerges = 30)
+        .zipWithIndex
+        .map { case ((l, r), i) => (i + 1, l, r) }
+        .toDF("rank", "left", "right")
+    }),
+
     "t11_bigram_lm" -> ((s, dir) => {
       // Bigram-LM quality score — t08's unigram proxy upgraded one
       // order: per-doc mean ln P(w_i | w_{i-1}) under the self-derived
