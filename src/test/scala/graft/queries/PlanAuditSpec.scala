@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
   private val nljAllowed: Set[String] = Set(
     "d05_cosine_topk",      // broadcast query-vector set (50 rows) × corpus
     "d08_ann_ivf",          // broadcast coarse quantizer (16 centroids)
+    "d30_ivf_route",        // same IvfAnn.assign broadcast (16 centroids)
     "d24_ann_ivfpq",        // broadcast coarse quantizer (16 centroids)
     "q11_weighted_recency", // broadcast 1-row max-ts anchor
     "q24_recent_perf",      // broadcast 1-row max-day anchor
