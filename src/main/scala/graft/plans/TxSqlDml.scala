@@ -42,6 +42,9 @@ import graft.sources.{TxLog, TxLogRelation}
   * chosen by the table property [[TxLog.dvPropertyKey]] (set via
   * `TxLog.setProperty(…, TxLog.dvPropertyKey, "true")`) — the
   * Delta-parity knob a table declares once rather than per statement.
+  * The change data feed works the same way: [[TxLog.cfPropertyKey]]
+  * makes every SQL DML statement record its row-level changes, so
+  * `readChangeFeed`/`graft_tx_cdf` work across SQL commits.
   */
 object TxSqlDmlStrategy extends SparkStrategy {
 
@@ -101,6 +104,7 @@ object TxSqlDmlStrategy extends SparkStrategy {
       val path = requireWritable(rel)
       TxDmlExec("graft_tx_delete", plan.output, { spark =>
         TxLog.delete(spark, path, colOf(cond),
+          changeFeed = TxLog.dmlChangeFeed(spark, path),
           deletionVectors = TxLog.dmlDeletionVectors(spark, path))
         rel.unpin()
       }) :: Nil
@@ -112,6 +116,7 @@ object TxSqlDmlStrategy extends SparkStrategy {
         org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
       TxDmlExec("graft_tx_update", plan.output, { spark =>
         TxLog.update(spark, path, c, set,
+          changeFeed = TxLog.dmlChangeFeed(spark, path),
           deletionVectors = TxLog.dmlDeletionVectors(spark, path))
         rel.unpin()
       }) :: Nil
@@ -154,7 +159,8 @@ object TxSqlDmlStrategy extends SparkStrategy {
         TxDmlExec("graft_tx_merge", plan.output, { spark =>
           TxLog.mergeInto(spark, path, Shim.ofRows(spark, src), on,
             matched, notMatched, bySource,
-            deletionVectors = TxLog.dmlDeletionVectors(spark, path))
+            deletionVectors = TxLog.dmlDeletionVectors(spark, path),
+            changeFeed = TxLog.dmlChangeFeed(spark, path))
           rel.unpin()
         }) :: Nil
       case _ => Nil

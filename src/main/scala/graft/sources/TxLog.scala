@@ -1607,6 +1607,7 @@ object TxLog {
       notMatched: Seq[MergeInsert] = Seq.empty,
       notMatchedBySource: Seq[MergeMatchedClause] = Seq.empty,
       deletionVectors: Boolean = false,
+      changeFeed: Boolean = false,
       maxAttempts: Int = 10): Long = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
@@ -1674,11 +1675,17 @@ object TxLog {
           }: _*)
         val w = writeData(enforcing(regen(rows), cons), table,
           m.partitionBy.getOrElse(Seq.empty))
+        val cdfFiles =
+          if (!changeFeed) Seq.empty
+          else writeCdf(spark, table, w,
+            aliasLogical(toDf(spark, t, m.schemaJson, w.fresh), m)
+              .withColumn("_change_type", lit("insert")))
         val committed = publish(spark, table, w, parent =>
           if (parent.map(_.version).contains(base))
             Some(Attempt("merge", m.files ++ w.fresh,
               m.stats.getOrElse(Seq.empty) ++ w.stats,
               parent.flatMap(_.txn).getOrElse(Map.empty),
+              cdf = cdfFiles,
               constraints = guardedCons(table, parent, cons)))
           else None)
         committed.foreach(v => return v)
@@ -1746,6 +1753,39 @@ object TxLog {
             }.as(f.name)
           }: _*)
 
+        // CDF for the general merge (the shape readChangeFeed folds):
+        // acted-on target rows' pre-images (update_preimage / delete),
+        // update post-images, and inserts — all from the SAME acted
+        // frame the commit derives from, so the feed can never disagree
+        // with the committed rows
+        val updTags: Seq[String] =
+          matched.zipWithIndex.collect { case (MergeUpdate(_, _), i) => s"m$i" } ++
+          notMatchedBySource.zipWithIndex.collect {
+            case (MergeUpdate(_, _), b) => s"b$b" }
+        val delTags: Seq[String] =
+          matched.zipWithIndex.collect { case (MergeDelete(_), i) => s"m$i" } ++
+          notMatchedBySource.zipWithIndex.collect {
+            case (MergeDelete(_), b) => s"b$b" }
+        val insTags: Seq[String] = notMatched.indices.map(j => s"i$j")
+        def cdfOf(w: Written): Seq[String] =
+          if (!changeFeed) Seq.empty
+          else {
+            val tcols = schema.fields.toSeq.map(f =>
+              col("t." + quoted(f.name)).cast(f.dataType).as(f.name))
+            val pre = acted
+              .filter(col("__act").isin((updTags ++ delTags): _*))
+              .select(tcols :+ col("__act"): _*)
+              .withColumn("_change_type",
+                when(col("__act").isin(updTags: _*), lit("update_preimage"))
+                  .otherwise(lit("delete")))
+              .drop("__act")
+            val post = outCols(acted.filter(col("__act").isin(updTags: _*)))
+              .withColumn("_change_type", lit("update_postimage"))
+            val ins = outCols(acted.filter(col("__act").isin(insTags: _*)))
+              .withColumn("_change_type", lit("insert"))
+            writeCdf(spark, table, w, pre.unionByName(post).unionByName(ins))
+          }
+
         if (!deletionVectors) {
           // copy-on-write: rewrite the working files without the dead
           // rows, clause outputs applied; untouched files keep their DVs
@@ -1753,6 +1793,7 @@ object TxLog {
           val goneSet = working.toSet
           val w = writeData(enforcing(regen(rows), cons), table,
             m.partitionBy.getOrElse(Seq.empty))
+          val cdfFiles = cdfOf(w)
           val committed = publish(spark, table, w, parent =>
             if (parent.map(_.version).contains(base))
               Some(Attempt("merge",
@@ -1760,6 +1801,7 @@ object TxLog {
                 m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path))
                   ++ w.stats,
                 parent.flatMap(_.txn).getOrElse(Map.empty),
+                cdf = cdfFiles,
                 constraints = guardedCons(table, parent, cons)))
             else None)
           committed.foreach(v => return v)
@@ -1787,6 +1829,7 @@ object TxLog {
           val rows = outCols(acted.filter(col("__act").isin(liveTags: _*)))
           val w = writeData(enforcing(regen(rows), cons), table,
             m.partitionBy.getOrElse(Seq.empty))
+          val cdfFiles = cdfOf(w)
           val (goneSet, newDvs) = composeDvs(spark, tq, m, w, matchedMap)
           val committed = publish(spark, table, w, parent =>
             if (parent.map(_.version).contains(base))
@@ -1795,6 +1838,7 @@ object TxLog {
                 m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path))
                   ++ w.stats,
                 parent.flatMap(_.txn).getOrElse(Map.empty),
+                cdf = cdfFiles,
                 constraints = guardedCons(table, parent, cons),
                 dvs = Some(newDvs)))
             else None)
@@ -2597,6 +2641,17 @@ object TxLog {
   /** Whether SQL DML on `table` should take the deletion-vector paths. */
   def dmlDeletionVectors(spark: SparkSession, table: String): Boolean =
     propertiesOf(spark, table).get(dvPropertyKey).exists(_.toBoolean)
+
+  /** The table property that makes SQL DML record its row-level change
+    * data (the Delta `delta.enableChangeDataFeed` parity knob): with it
+    * set, [[readChangeFeed]] works across SQL DELETE/UPDATE/MERGE
+    * commits instead of failing loudly on an unrecorded rewrite.
+    */
+  val cfPropertyKey = "graft.dml.changeFeed"
+
+  /** Whether SQL DML on `table` should record the change data feed. */
+  def dmlChangeFeed(spark: SparkSession, table: String): Boolean =
+    propertiesOf(spark, table).get(cfPropertyKey).exists(_.toBoolean)
 
   /** `ALTER TABLE … SET TBLPROPERTIES(key = value)` — a metadata-only
     * commit; properties inherit through every subsequent commit and

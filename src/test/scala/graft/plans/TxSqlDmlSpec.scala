@@ -80,6 +80,21 @@ class TxSqlDmlSpec extends SparkSpec {
     assert(!TxLog.dmlDeletionVectors(spark, path))
   }
 
+  test("the changeFeed table property makes SQL DML record CDF") {
+    val (name, path) = mk()
+    TxLog.setProperty(spark, path, TxLog.cfPropertyKey, "true")
+    val since = TxLog.latestVersion(spark, path).get
+    spark.sql(s"DELETE FROM $name WHERE k = 1")
+    spark.sql(s"UPDATE $name SET n = n + 100 WHERE k = 2")
+    val cdf = TxLog.readChangeFeed(spark, path, sinceVersion = since)
+      .select("k", "n", "_change_type").as[(Long, Int, String)]
+      .collect().toSet
+    assert(cdf == Set(
+      (1L, 10, "delete"),
+      (2L, 20, "update_preimage"),
+      (2L, 120, "update_postimage")))
+  }
+
   test("DML through a time-travel relation is rejected") {
     val (name, path) = mk()
     val (tvName, _) = freshTable()

@@ -142,6 +142,42 @@ class MergeIntoSpec extends SparkSpec {
     assert(got.size == 5) // the matched source row did NOT insert
   }
 
+  test("changeFeed records pre/post/insert rows the feed can fold") {
+    Seq(false, true).foreach { dv =>
+      val t = tmpTable(); seed(t)
+      val v = TxLog.mergeInto(spark, t, src.toDF("k", "sv", "op"),
+        on = expr("t.k = s.k"),
+        matched = Seq(
+          MergeDelete(cond = Some(expr("s.op = 'del'"))),
+          MergeUpdate(Map("v" -> expr("s.sv"), "n" -> expr("t.n + 1")),
+            cond = Some(expr("s.op = 'upd'")))),
+        notMatched = Seq(
+          MergeInsert(Map("k" -> expr("s.k"), "v" -> expr("s.sv")),
+            cond = Some(expr("s.op = 'ins'")))),
+        deletionVectors = dv, changeFeed = true)
+      val cdf = TxLog.readChangeFeed(spark, t, sinceVersion = v - 1)
+        .select("k", "v", "_change_type")
+        .as[(Long, String, String)].collect().toSet
+      assert(cdf == Set(
+        (3L, "c", "delete"),
+        (2L, "b", "update_preimage"),
+        (2L, "B", "update_postimage"),
+        (9L, "I", "insert")), s"dv=$dv got $cdf")
+    }
+  }
+
+  test("insert-only changeFeed records just the inserts") {
+    val t = tmpTable(); seed(t)
+    val v = TxLog.mergeInto(spark, t, Seq((2L, "dup"), (7L, "new")).toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      notMatched = Seq(MergeInsert(Map("k" -> expr("s.k"),
+        "v" -> expr("s.sv"), "n" -> lit(0)))),
+      changeFeed = true)
+    val cdf = TxLog.readChangeFeed(spark, t, sinceVersion = v - 1)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(cdf == Set((7L, "insert")))
+  }
+
   test("a target row matching multiple source rows fails loudly") {
     val t = tmpTable(); seed(t)
     val e = intercept[RuntimeException] {
