@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.txReadTableFunction)
     ext.injectTableFunction(GraftExtensions.txCdfTableFunction)
     ext.injectTableFunction(GraftExtensions.txPartitionsTableFunction)
+    ext.injectTableFunction(GraftExtensions.txPropertiesTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // SQL DELETE/UPDATE/MERGE over graft-txlog v1 relations
     ext.injectPlannerStrategy(_ => graft.plans.TxSqlDmlStrategy)
@@ -326,6 +327,27 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
     (FunctionIdentifier("graft_tx_cdf"), txCdfInfo, txCdfBuilder)
 
+  private val txPropertiesInfo = new ExpressionInfo(
+    graft.sources.TxLog.getClass.getName, null, "graft_tx_properties",
+    "graft_tx_properties(path) - SHOW TBLPROPERTIES of a graft " +
+      "transactional table: one (key, value) row per property, answered " +
+      "from the manifest alone", "")
+
+  private def txPropertiesBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val fn = "graft_tx_properties"
+    require(exprs.length == 1, s"$fn(path) takes 1 argument")
+    graft.sources.TxLog.properties(activeSession, strLit(exprs(0), fn, "path"))
+      .queryExecution.logical
+  }
+
+  val txPropertiesTableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_tx_properties"), txPropertiesInfo,
+      txPropertiesBuilder)
+
   private val txPartitionsInfo = new ExpressionInfo(
     graft.sources.TxLog.getClass.getName, null, "graft_tx_partitions",
     "graft_tx_partitions(path) - SHOW PARTITIONS of a partitioned graft " +
@@ -368,5 +390,7 @@ object GraftExtensions {
       txCdfBuilder)
     Shim.registerTableFunction(spark, "graft_tx_partitions",
       txPartitionsInfo, txPartitionsBuilder)
+    Shim.registerTableFunction(spark, "graft_tx_properties",
+      txPropertiesInfo, txPropertiesBuilder)
   }
 }

@@ -2653,6 +2653,14 @@ object TxLog {
   def dmlChangeFeed(spark: SparkSession, table: String): Boolean =
     propertiesOf(spark, table).get(cfPropertyKey).exists(_.toBoolean)
 
+  /** `SHOW TBLPROPERTIES` as a frame: (key, value), one row per
+    * property — the SQL-facing read of [[propertiesOf]].
+    */
+  def properties(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    propertiesOf(spark, table).toSeq.sortBy(_._1).toDF("key", "value")
+  }
+
   /** `ALTER TABLE … SET TBLPROPERTIES(key = value)` — a metadata-only
     * commit; properties inherit through every subsequent commit and
     * restore/clone carry them like the other table-level declarations.

@@ -95,6 +95,18 @@ class TxSqlDmlSpec extends SparkSpec {
       (2L, 120, "update_postimage")))
   }
 
+  test("graft_tx_properties exposes TBLPROPERTIES to SQL") {
+    val (_, path) = mk()
+    TxLog.setProperty(spark, path, TxLog.dvPropertyKey, "true")
+    TxLog.setProperty(spark, path, "owner", "pipeline")
+    val got = spark.sql(s"SELECT * FROM graft_tx_properties('$path')")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(TxLog.dvPropertyKey -> "true", "owner" -> "pipeline"))
+    TxLog.unsetProperty(spark, path, "owner")
+    assert(spark.sql(s"SELECT * FROM graft_tx_properties('$path')")
+      .count() == 1L)
+  }
+
   test("DML through a time-travel relation is rejected") {
     val (name, path) = mk()
     val (tvName, _) = freshTable()

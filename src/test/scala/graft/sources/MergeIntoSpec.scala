@@ -178,6 +178,35 @@ class MergeIntoSpec extends SparkSpec {
     assert(cdf == Set((7L, "insert")))
   }
 
+  test("IVM folds a merge's change feed to exactly the recompute") {
+    import graft.operators.Incremental
+    val t = tmpTable(); seed(t)
+    val base = TxLog.latestVersion(spark, t).get
+    val state = Incremental.aggRetractState(
+      TxLog.readAsOf(spark, t, base), Seq("v"), col("n"))
+    TxLog.mergeInto(spark, t, src.toDF("k", "sv", "op"),
+      on = expr("t.k = s.k"),
+      matched = Seq(
+        MergeDelete(cond = Some(expr("s.op = 'del'"))),
+        MergeUpdate(Map("n" -> expr("t.n + 1")),
+          cond = Some(expr("s.op = 'upd'")))),
+      notMatched = Seq(
+        MergeInsert(Map("k" -> expr("s.k"), "v" -> expr("s.sv"), "n" -> lit(5)),
+          cond = Some(expr("s.op = 'ins'")))),
+      changeFeed = true)
+    val delta = Incremental.cdfDelta(
+      TxLog.readChangeFeed(spark, t, base), Seq("v"), col("n"))
+    val folded = Incremental.mergeRetract(state, delta, Seq("v"))
+      .select("v", "rows", "sum_v")
+      .as[(String, Long, java.math.BigDecimal)].collect().toSet
+    val recomputed = Incremental.aggRetractState(
+        TxLog.read(spark, t), Seq("v"), col("n"))
+      .select("v", "rows", "sum_v")
+      .as[(String, Long, java.math.BigDecimal)].collect().toSet
+    assert(folded == recomputed,
+      s"\nfolded:     $folded\nrecomputed: $recomputed")
+  }
+
   test("a target row matching multiple source rows fails loudly") {
     val t = tmpTable(); seed(t)
     val e = intercept[RuntimeException] {

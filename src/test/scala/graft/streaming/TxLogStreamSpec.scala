@@ -158,6 +158,29 @@ class TxLogStreamSpec extends SparkSpec {
       Set((4L, "d", "insert", 7L)))
   }
 
+  test("a general MERGE with changeFeed streams its row-level changes") {
+    import org.apache.spark.sql.functions.expr
+    import TxLog.{MergeDelete, MergeInsert, MergeUpdate}
+    val t = tmp("txcdf-merge")
+    val cp = Files.createTempDirectory("txcdf-merge-cp").toString
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t) // v1
+    drainCdf(t, cp) // consume the snapshot batch
+    TxLog.mergeInto(spark, t, Seq((2L, "B"), (3L, "DEL"), (9L, "I"))
+        .toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      matched = Seq(
+        MergeDelete(cond = Some(expr("s.sv = 'DEL'"))),
+        MergeUpdate(Map("v" -> expr("s.sv")))),
+      notMatched = Seq(MergeInsert(Map("k" -> expr("s.k"),
+        "v" -> expr("s.sv")))),
+      changeFeed = true)                                                    // v2
+    assert(drainCdf(t, cp) == Set(
+      (2L, "b", "update_preimage", 2L),
+      (2L, "B", "update_postimage", 2L),
+      (3L, "c", "delete", 2L),
+      (9L, "I", "insert", 2L)))
+  }
+
   test("deletion-vector DML streams through the change feed like a rewrite") {
     import org.apache.spark.sql.functions.{col, lit}
     val t = tmp("txcdfdv")
