@@ -265,6 +265,72 @@ class MergeIntoSpec extends SparkSpec {
     }
   }
 
+  test("merge preserves a partitioned layout and prunes post-merge reads") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq(
+      (1L, "x", 2024), (2L, "y", 2024), (3L, "z", 2025), (4L, "w", 2025)
+    ).toDF("k", "v", "yr"), t, partitionBy = Some(Seq("yr")))
+    TxLog.mergeInto(spark, t, Seq((2L, "Y2"), (8L, "NEW")).toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")))),
+      notMatched = Seq(MergeInsert(Map("k" -> expr("s.k"),
+        "v" -> expr("s.sv"), "yr" -> lit(2026)))))
+    val m = TxLog.manifest(spark, t)
+    assert(m.partitionBy.contains(Seq("yr")), "merge dropped the layout")
+    // every live file still carries partition metadata (the rewrite and
+    // the fresh write both landed Hive-partitioned)
+    val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    m.files.foreach(f => assert(byPath(f).parts.exists(_.contains("yr")),
+      s"file $f lost partition metadata"))
+    // partition read plans only that partition and sees the merge result
+    val got = TxLog.readPartition(spark, t, Map("yr" -> 2024))
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(got == Set(1L -> "x", 2L -> "Y2"))
+    assert(TxLog.readPartition(spark, t, Map("yr" -> 2026))
+      .select("k").as[Long].collect().toSet == Set(8L))
+  }
+
+  test("merge works through renamed columns (logical names everywhere)") {
+    val t = tmpTable(); seed(t)
+    TxLog.renameColumn(spark, t, "v", "val")
+    TxLog.mergeInto(spark, t, Seq((2L, "B")).toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      matched = Seq(MergeUpdate(Map("val" -> expr("s.sv")))),
+      notMatchedBySource = Seq(
+        MergeUpdate(Map("val" -> lit("old")), cond = Some(expr("t.k = 4")))))
+    val got = TxLog.read(spark, t).select("k", "val")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "old"))
+    // the physical name is refused (it no longer exists logically)
+    intercept[IllegalArgumentException] {
+      TxLog.mergeInto(spark, t, Seq((1L, "q")).toDF("k", "sv"),
+        on = expr("t.k = s.k"),
+        matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")))))
+    }
+  }
+
+  test("a concurrent append between find and publish re-derives, never loses rows") {
+    val t = tmpTable(); seed(t)
+    // inject the race deterministically: the SOURCE frame's first
+    // evaluation triggers an append (lazily, during merge's find scan),
+    // so merge's CAS must lose once and re-derive against the appended
+    // snapshot
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appendOnce = org.apache.spark.sql.functions.udf { (k: Long) =>
+      if (fired.compareAndSet(false, true))
+        TxLog.append(Seq((100L, "race", 0)).toDF("k", "v", "n"), t)
+      k
+    }
+    TxLog.mergeInto(spark, t,
+      Seq((2L, "B")).toDF("k", "sv").withColumn("k", appendOnce(col("k"))),
+      on = expr("t.k = s.k"),
+      matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")))))
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+    assert(got.contains((100L, "race", 0)), "merge's commit dropped the racer")
+    assert(got.contains((2L, "B", 20)))
+    assert(got.size == 5)
+  }
+
   test("DV merge with by-source delete vectors unmatched rows, rewrites nothing") {
     val t = tmpTable(); seed(t)
     val before = TxLog.manifest(spark, t).files.toSet
