@@ -63,6 +63,63 @@ object Layout {
     interleave16(norm(x, xRange), norm(y, yRange))
   }
 
+  /** N-dimensional Morton code: each column min/max-normalized to a
+    * `min(16, 63/n)`-bit grid, bits interleaved round-robin (bit `i` of
+    * dimension `d` lands at position `i·n + d`), the whole code fitting
+    * a non-negative long. For n = 2 this is exactly [[zValue]]'s 16-bit
+    * layout; more dimensions trade per-dimension resolution for
+    * dimensions the way every published Z-order implementation does
+    * (3 → 21 bits, 4 → 15, …). Same NULL/out-of-range clamping as the
+    * 2-d path. The repeated normalized-cell sub-expressions collapse in
+    * codegen's common-subexpression elimination — still a pure
+    * projection, no UDF.
+    */
+  def zValueN(dims: Seq[(Column, (Double, Double))]): Column = {
+    val n = dims.size
+    require(n >= 1 && n <= 8, s"z-order supports 1..8 dimensions, got $n")
+    val bits = math.min(16, 63 / n)
+    val maxCell = (1L << bits) - 1
+    def norm(c: Column, r: (Double, Double)): Column = {
+      val (lo, hi) = r
+      if (hi <= lo) lit(0L)
+      else {
+        val scaled = (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(maxCell.toDouble)
+        val cell = coalesce(floor(scaled).cast("long"), lit(0L))
+        greatest(lit(0L), least(lit(maxCell), cell))
+      }
+    }
+    dims.zipWithIndex.foldLeft(lit(0L)) { case (acc, ((c, r), d)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(shiftleft(
+          norm(c, r).bitwiseAND(lit(1L << i)), i * (n - 1) + d))
+      }
+    }
+  }
+
+  /** [[zOrdered]] over ANY number of columns (the full
+    * `OPTIMIZE … ZORDER BY (a, b, c, …)` surface): one aggregate for
+    * all ranges, one range exchange on the Morton code, an in-partition
+    * sort. Returns the frame plus each column's (min, max).
+    */
+  def zOrderedN(df: DataFrame, cols: Seq[String], numFiles: Int)
+      : (DataFrame, Seq[(Double, Double)]) = {
+    require(numFiles > 0, "numFiles must be positive")
+    require(cols.nonEmpty, "z-order needs at least one column")
+    require(!df.columns.contains("__z"), "df has reserved column name: __z")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head.toSeq
+      .map { case null => 0.0; case v => v.asInstanceOf[Double] }
+    val ranges = cols.indices.map(i => (row(2 * i), row(2 * i + 1)))
+    val clustered = df
+      .withColumn("__z", zValueN(cols.zip(ranges).map {
+        case (c, r) => (col(c), r) }))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    (clustered, ranges)
+  }
+
   /** `df` re-clustered into `numFiles` partitions z-ordered on (`xCol`,
     * `yCol`): one aggregate for the ranges, one range exchange on the
     * z-value, an in-partition sort (tight row-group AND file stats —
@@ -75,20 +132,8 @@ object Layout {
     */
   def zOrdered(df: DataFrame, xCol: String, yCol: String, numFiles: Int)
       : (DataFrame, ((Double, Double), (Double, Double))) = {
-    require(numFiles > 0, "numFiles must be positive")
-    require(!df.columns.contains("__z"),
-      "df has reserved column name: __z")
-    val Array(xLo, xHi, yLo, yHi) = df.agg(
-      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
-      min(col(yCol).cast("double")), max(col(yCol).cast("double")))
-      .head.toSeq.map { case null => 0.0; case v => v.asInstanceOf[Double] }.toArray
-    val xR = (xLo, xHi); val yR = (yLo, yHi)
-    val clustered = df
-      .withColumn("__z", zValue(col(xCol), xR, col(yCol), yR))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-    (clustered, (xR, yR))
+    val (clustered, ranges) = zOrderedN(df, Seq(xCol, yCol), numFiles)
+    (clustered, (ranges(0), ranges(1)))
   }
 
   /** Rewrite `df` as `numFiles` parquet files z-ordered on (`xCol`,

@@ -1966,11 +1966,22 @@ object TxLog {
     */
   def zorderOptimize(spark: SparkSession, table: String,
       xCol: String, yCol: String, numFiles: Int,
-      partition: Map[String, Any] = Map.empty): Long = {
+      partition: Map[String, Any] = Map.empty): Long =
+    zorderOptimize(spark, table, Seq(xCol, yCol), numFiles, partition)
+
+  /** [[zorderOptimize]] over ANY number of columns — the full
+    * `OPTIMIZE … ZORDER BY (a, b, c, …)` surface ([[Layout.zValueN]]
+    * trades per-dimension grid resolution for dimensions exactly like
+    * the published implementations).
+    */
+  def zorderOptimize(spark: SparkSession, table: String,
+      cols: Seq[String], numFiles: Int,
+      partition: Map[String, Any]): Long = {
+    require(cols.nonEmpty, "z-order needs at least one column")
     val t = new Path(table)
     val m = manifest(spark, table)
     val schema = logicalSchema(m)
-    Seq(xCol, yCol).foreach { c =>
+    cols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"table $table has no column '$c' (schema: ${schema.fieldNames.mkString(", ")})")
       require(schema(c).dataType.isInstanceOf[NumericType],
@@ -1989,8 +2000,8 @@ object TxLog {
     val candSet = candidates.toSet
     // live rows: a rewrite MATERIALIZES any deletion vectors (the
     // rewritten files never carry them forward)
-    val (clustered, _) = Layout.zOrdered(
-      readLive(spark, t, m, candidates), xCol, yCol, numFiles)
+    val (clustered, _) = Layout.zOrderedN(
+      readLive(spark, t, m, candidates), cols, numFiles)
     val w = writeData(clustered, table, m.partitionBy.getOrElse(Seq.empty))
     publish(spark, table, w, parent => {
       val pf = parent.map(_.files).getOrElse(Seq.empty)

@@ -45,6 +45,34 @@ class ZorderOptimizeSpec extends SparkSpec {
       .collect().toSet == before)
   }
 
+  test("N-dimensional zorder: a 3-d box query prunes on every dimension") {
+    val t = tmpTable()
+    // hash-scattered over a 3-d grid: before the optimize every file's
+    // box spans the whole cube on all three axes
+    val df = (0 until 6000).map { i =>
+      (i.toLong, (i * 2654435761L % 1000L).toInt,
+        (i * 40503L % 1000L).toInt, (i * 2246822519L % 1000L).toInt)
+    }.toDF("id", "x", "y", "zc").repartition(8, col("id"))
+    TxLog.overwrite(df, t)
+    def cube(): Int = TxLog.readWhere(spark, t, Seq(
+      ("x", Some(0), Some(249)), ("y", Some(0), Some(249)),
+      ("zc", Some(0), Some(249)))).inputFiles.length
+    def oneAxis(c: String): Int = TxLog.readWhere(spark, t,
+      Seq((c, Some(0), Some(124)))).inputFiles.length
+    val before = TxLog.read(spark, t).as[(Long, Int, Int, Int)].collect().toSet
+    assert(cube() == 8, "scattered layout must not prune")
+    TxLog.zorderOptimize(spark, t, Seq("x", "y", "zc"), numFiles = 8,
+      partition = Map.empty)
+    // a 1/64 cube intersects few of the 8 Morton boxes, and EACH single
+    // axis prunes too (no dimension is sacrificed)
+    assert(cube() <= 3, s"3-d box kept ${cube()} of 8 files")
+    Seq("x", "y", "zc").foreach(c =>
+      assert(oneAxis(c) <= 6, s"axis $c kept ${oneAxis(c)} of 8 files"))
+    // row-preserving
+    assert(TxLog.read(spark, t).as[(Long, Int, Int, Int)].collect().toSet
+      == before)
+  }
+
   test("partition-targeted zorder leaves other partitions' files alone") {
     val t = tmpTable()
     val df = (0 until 2000).map { i =>
