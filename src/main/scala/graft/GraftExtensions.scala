@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.txCdfTableFunction)
     ext.injectTableFunction(GraftExtensions.txPartitionsTableFunction)
     ext.injectTableFunction(GraftExtensions.txPropertiesTableFunction)
+    ext.injectTableFunction(GraftExtensions.txHistoryTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // SQL DELETE/UPDATE/MERGE over graft-txlog v1 relations
     ext.injectPlannerStrategy(_ => graft.plans.TxSqlDmlStrategy)
@@ -348,6 +349,27 @@ object GraftExtensions {
     (FunctionIdentifier("graft_tx_properties"), txPropertiesInfo,
       txPropertiesBuilder)
 
+  private val txHistoryInfo = new ExpressionInfo(
+    graft.sources.TxLog.getClass.getName, null, "graft_tx_history",
+    "graft_tx_history(path) - DESCRIBE HISTORY of a graft transactional " +
+      "table: one row per committed version (version, action, commit " +
+      "timestamp, file count, recorded rows), answered from the " +
+      "manifests alone", "")
+
+  private def txHistoryBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val fn = "graft_tx_history"
+    require(exprs.length == 1, s"$fn(path) takes 1 argument")
+    graft.sources.TxLog.history(activeSession, strLit(exprs(0), fn, "path"))
+      .queryExecution.logical
+  }
+
+  val txHistoryTableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_tx_history"), txHistoryInfo, txHistoryBuilder)
+
   private val txPartitionsInfo = new ExpressionInfo(
     graft.sources.TxLog.getClass.getName, null, "graft_tx_partitions",
     "graft_tx_partitions(path) - SHOW PARTITIONS of a partitioned graft " +
@@ -392,5 +414,7 @@ object GraftExtensions {
       txPartitionsInfo, txPartitionsBuilder)
     Shim.registerTableFunction(spark, "graft_tx_properties",
       txPropertiesInfo, txPropertiesBuilder)
+    Shim.registerTableFunction(spark, "graft_tx_history",
+      txHistoryInfo, txHistoryBuilder)
   }
 }

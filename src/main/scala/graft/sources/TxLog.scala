@@ -2901,6 +2901,52 @@ object TxLog {
     * ([[overwritePartitions]], [[dropPartitions]], [[readPartition]])
     * plan from without touching data.
     */
+  /** Table property declaring CLUSTER-ON-WRITE columns (logical names,
+    * comma-separated) — the Delta clustered-table/liquid-style knob:
+    * every write sorts its rows along the Morton curve of the declared
+    * columns WITHIN each write task before landing, so fresh files get
+    * tight row-group and file min/max boxes from day one. No extra
+    * shuffle and no second pass over the incoming frame: the curve's
+    * ranges come from the MANIFEST's existing per-file stats (metadata
+    * only; out-of-range values clamp to the grid edge), and the first
+    * write of a stat-less table falls back to a lexicographic in-task
+    * sort. The full re-cluster across files remains
+    * [[zorderOptimize]]'s job.
+    */
+  val clusterByKey = "graft.clusterBy"
+
+  /** Apply the cluster-on-write sort if `m` declares it and every
+    * declared column is present and numeric in the (physical-named)
+    * frame — otherwise the frame passes through untouched (a reshaping
+    * overwrite or schema evolution must not be blocked by a layout
+    * hint).
+    */
+  private def clusterOnWrite(mOpt: Option[Manifest],
+      ren: Map[String, String], df: DataFrame): DataFrame = {
+    val m = mOpt.getOrElse(return df)
+    val logical = m.properties.getOrElse(Map.empty).get(clusterByKey)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    if (logical.isEmpty) return df
+    val phys = logical.map(l =>
+      ren.collectFirst { case (p, ll) if ll == l => p }.getOrElse(l))
+    if (!phys.forall(c => df.columns.contains(c) &&
+        df.schema(c).dataType.isInstanceOf[NumericType])) return df
+    val stats = m.stats.getOrElse(Seq.empty)
+    def rangeOf(c: String): Option[(Double, Double)] = {
+      val vals = stats.flatMap(_.stats.get(c))
+      val los = vals.flatMap(_.min).flatMap(s => s.toDoubleOption)
+      val his = vals.flatMap(_.max).flatMap(s => s.toDoubleOption)
+      if (los.isEmpty || his.isEmpty) None else Some((los.min, his.max))
+    }
+    val ranges = phys.map(rangeOf)
+    if (ranges.forall(_.isDefined))
+      df.sortWithinPartitions(Layout.zValueN(
+        phys.zip(ranges.flatten).map { case (c, r) => (col(quoted(c)), r) }))
+    else // no stats yet (first write): lexicographic still tightens c1
+      df.sortWithinPartitions(phys.map(c => col(quoted(c))): _*)
+  }
+
   private def writeData(df0: DataFrame, table: String,
       partitionBy: Seq[String] = Seq.empty): Written = {
     val spark = df0.sparkSession
@@ -2923,12 +2969,13 @@ object TxLog {
     // was computed and APPENDED mid-pipeline), align it to the declared
     // order; any other shape (evolution, overwrite reshaping) passes
     // through for the append drift check to judge
-    val df = mOpt.map(m =>
+    val aligned = mOpt.map(m =>
         DataType.fromJson(m.schemaJson).asInstanceOf[StructType].fieldNames.toSeq)
       .filter(names => names != renamed.columns.toSeq &&
         names.sorted == renamed.columns.toSeq.sorted)
       .map(names => renamed.select(names.map(n => col(quoted(n))): _*))
       .getOrElse(renamed)
+    val df = clusterOnWrite(mOpt, ren, aligned)
     val f = fs(spark, new Path(table))
     val t = f.makeQualified(new Path(table))
     val commitId = java.util.UUID.randomUUID().toString
