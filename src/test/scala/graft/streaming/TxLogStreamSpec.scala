@@ -280,6 +280,75 @@ class TxLogStreamSpec extends SparkSpec {
       (Set((0L, "seed")) ++ (1 to 6).map(i => (i.toLong, s"b$i"))))
   }
 
+  test("CDF-driven replication: streaming the feed into merge rebuilds the table") {
+    // the Delta CDC replication recipe end-to-end: table A's change feed
+    // streamed and folded into replica B through the CDC merge fast path
+    // — after any mix of DML on A, B converges to A's live rows. This is
+    // the strongest statement that the feed is COMPLETE: a missing or
+    // double-counted change would leave the replica divergent.
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    import TxLog.{MergeDelete, MergeInsert, MergeUpdate}
+    val a = tmp("txrepl-a"); val b = tmp("txrepl-b")
+    TxLog.overwrite(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "v", "n"), a)
+    TxLog.overwrite(Seq.empty[(Long, String, Int)].toDF("k", "v", "n"), b)
+
+    def replicate(cp: String): Unit = {
+      val q = spark.readStream.format("graft-txlog").option("path", a)
+        .option("readChangeFeed", "true").load()
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // preimages carry no new state; deletes become 'D' ops and the
+          // CDC merge keeps the LATEST change per key by commit version
+          val changes = batch
+            .filter(col("_change_type") =!= "update_preimage")
+            .withColumn("op",
+              when(col("_change_type") === "delete", "D").otherwise("U"))
+          if (!changes.isEmpty)
+            TxLog.merge(spark, b, changes.drop("_change_type"),
+              keys = Seq("k"),
+              ordering = Seq(col("_commit_version").desc),
+              opCol = "op")
+          ()
+        }
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+
+    // ONE checkpoint across runs — the incremental-continuation shape a
+    // real replication pipeline has (a FRESH checkpoint re-baselines
+    // from the current snapshot, which by design cannot retract a
+    // replica's stale rows; re-baselining requires truncating B first)
+    val cp = Files.createTempDirectory("txrepl-cp").toString
+    replicate(cp)
+    def live(t: String): Set[(Long, String, Int)] =
+      TxLog.read(spark, t).select("k", "v", "n")
+        .as[(Long, String, Int)].collect().toSet
+    assert(live(b) == live(a), "replica diverged after the snapshot batch")
+
+    // a mixed-DML day on A: append, DV delete, update, general merge
+    TxLog.append(Seq((4L, "d", 40)).toDF("k", "v", "n"), a)
+    TxLog.delete(spark, a, col("k") === 1L, changeFeed = true,
+      deletionVectors = true)
+    TxLog.update(spark, a, col("k") === 2L,
+      Seq("n" -> (col("n") + 5)), changeFeed = true)
+    TxLog.mergeInto(spark, a, Seq((3L, "C3"), (9L, "I")).toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")))),
+      notMatched = Seq(MergeInsert(Map("k" -> expr("s.k"),
+        "v" -> expr("s.sv"), "n" -> lit(0)))),
+      changeFeed = true)
+
+    replicate(cp) // continue from the same checkpoint: only new changes
+    assert(live(b) == live(a),
+      s"replica diverged: b=${live(b)} a=${live(a)}")
+    assert(live(a) == Set((2L, "b", 25), (3L, "C3", 30), (4L, "d", 40),
+      (9L, "I", 0)))
+  }
+
   test("exactly-once table-to-table pipe survives a checkpoint wipe") {
     val src = tmp("txpipe-src")
     val dst = tmp("txpipe-dst")
