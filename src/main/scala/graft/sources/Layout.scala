@@ -96,13 +96,42 @@ object Layout {
     }
   }
 
+  /** [[zValueN]]'s HILBERT counterpart: same per-dimension grid
+    * normalization and NULL pinning, but the cells map to their
+    * Hilbert-curve position ([[graft.functions.HilbertIndex]], a
+    * codegen'd expression) instead of the Morton interleave.
+    * Consecutive curve positions are always ADJACENT cells, so range
+    * partitions become boxes with strictly better worst-case shapes
+    * than Morton's power-of-two jumps — the curve liquid-clustering
+    * class systems standardized on.
+    */
+  def hilbertValueN(dims: Seq[(Column, (Double, Double))]): Column = {
+    val n = dims.size
+    require(n >= 1 && n <= 8, s"hilbert clustering supports 1..8 dimensions, got $n")
+    val bits = math.min(16, 63 / n)
+    val maxCell = (1L << bits) - 1
+    def norm(c: Column, r: (Double, Double)): Column = {
+      val (lo, hi) = r
+      if (hi <= lo) lit(0L)
+      else {
+        val scaled = (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(maxCell.toDouble)
+        val cell = coalesce(floor(scaled).cast("long"), lit(0L))
+        greatest(lit(0L), least(lit(maxCell), cell))
+      }
+    }
+    org.apache.spark.sql.graftshim.Shim.column(
+      graft.functions.HilbertIndex(bits, dims.map { case (c, r) =>
+        org.apache.spark.sql.graftshim.Shim.expression(norm(c, r)) }))
+  }
+
   /** [[zOrdered]] over ANY number of columns (the full
     * `OPTIMIZE … ZORDER BY (a, b, c, …)` surface): one aggregate for
-    * all ranges, one range exchange on the Morton code, an in-partition
-    * sort. Returns the frame plus each column's (min, max).
+    * all ranges, one range exchange on the curve value (`curve` =
+    * "morton" | "hilbert"), an in-partition sort. Returns the frame
+    * plus each column's (min, max).
     */
-  def zOrderedN(df: DataFrame, cols: Seq[String], numFiles: Int)
-      : (DataFrame, Seq[(Double, Double)]) = {
+  def zOrderedN(df: DataFrame, cols: Seq[String], numFiles: Int,
+      curve: String = "morton"): (DataFrame, Seq[(Double, Double)]) = {
     require(numFiles > 0, "numFiles must be positive")
     require(cols.nonEmpty, "z-order needs at least one column")
     require(!df.columns.contains("__z"), "df has reserved column name: __z")
@@ -111,9 +140,15 @@ object Layout {
     val row = df.agg(aggs.head, aggs.tail: _*).head.toSeq
       .map { case null => 0.0; case v => v.asInstanceOf[Double] }
     val ranges = cols.indices.map(i => (row(2 * i), row(2 * i + 1)))
+    val dims = cols.zip(ranges).map { case (c, r) => (col(c), r) }
+    val curveValue = curve match {
+      case "morton" => zValueN(dims)
+      case "hilbert" => hilbertValueN(dims)
+      case other => sys.error(
+        s"unknown clustering curve '$other' (morton | hilbert)")
+    }
     val clustered = df
-      .withColumn("__z", zValueN(cols.zip(ranges).map {
-        case (c, r) => (col(c), r) }))
+      .withColumn("__z", curveValue)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

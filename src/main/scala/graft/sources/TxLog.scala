@@ -1967,16 +1967,20 @@ object TxLog {
   def zorderOptimize(spark: SparkSession, table: String,
       xCol: String, yCol: String, numFiles: Int,
       partition: Map[String, Any] = Map.empty): Long =
-    zorderOptimize(spark, table, Seq(xCol, yCol), numFiles, partition)
+    zorderOptimize(spark, table, Seq(xCol, yCol), numFiles, partition,
+      curve = "morton")
 
   /** [[zorderOptimize]] over ANY number of columns — the full
     * `OPTIMIZE … ZORDER BY (a, b, c, …)` surface ([[Layout.zValueN]]
     * trades per-dimension grid resolution for dimensions exactly like
-    * the published implementations).
+    * the published implementations). `curve = "hilbert"` re-clusters
+    * along the Hilbert curve instead (the liquid-clustering-class
+    * locality upgrade; [[Layout.hilbertValueN]]).
     */
   def zorderOptimize(spark: SparkSession, table: String,
       cols: Seq[String], numFiles: Int,
-      partition: Map[String, Any]): Long = {
+      partition: Map[String, Any],
+      curve: String): Long = {
     require(cols.nonEmpty, "z-order needs at least one column")
     val t = new Path(table)
     val m = manifest(spark, table)
@@ -2001,7 +2005,7 @@ object TxLog {
     // live rows: a rewrite MATERIALIZES any deletion vectors (the
     // rewritten files never carry them forward)
     val (clustered, _) = Layout.zOrderedN(
-      readLive(spark, t, m, candidates), cols, numFiles)
+      readLive(spark, t, m, candidates), cols, numFiles, curve)
     val w = writeData(clustered, table, m.partitionBy.getOrElse(Seq.empty))
     publish(spark, table, w, parent => {
       val pf = parent.map(_.files).getOrElse(Seq.empty)

@@ -62,7 +62,7 @@ class ZorderOptimizeSpec extends SparkSpec {
     val before = TxLog.read(spark, t).as[(Long, Int, Int, Int)].collect().toSet
     assert(cube() == 8, "scattered layout must not prune")
     TxLog.zorderOptimize(spark, t, Seq("x", "y", "zc"), numFiles = 8,
-      partition = Map.empty)
+      partition = Map.empty, curve = "morton")
     // a 1/64 cube intersects few of the 8 Morton boxes, and EACH single
     // axis prunes too (no dimension is sacrificed). With only 8 files
     // (~octant granularity) an exact single-axis count depends on where
