@@ -814,6 +814,27 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q125_tx_hilbert" -> ((s, dir) => {
+      // q114's re-cluster along the HILBERT curve (functions/Hilbert
+      // scaladoc; curve = "hilbert" on zorderOptimize): same
+      // hash-scattered publish, same 2-d box read, same full-scan
+      // oracle — hash equality proves the Hilbert rewrite is
+      // row-preserving and its pruning skipped no qualifying file
+      // (HilbertSpec separately proves the curve itself: exhaustive
+      // bijection + unit-step adjacency).
+      val t = tmpTable("tx-q125")
+      TxLog.overwrite(
+        Tables.orders(s, dir).repartition(8, col("o_orderkey")), t)
+      TxLog.zorderOptimize(s, t, Seq("o_custkey", "o_totalprice"),
+        numFiles = 8, partition = Map.empty, curve = "hilbert")
+      TxLog.readWhere(s, t, Seq(
+          ("o_custkey", Some(100L), Some(500L)),
+          ("o_totalprice", Some(50000.0), Some(150000.0))))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q115_tx_deletion_vectors" -> ((s, dir) => {
       // DELETE via deletion vectors under the oracle gate (TxLog.deleteDv
       // scaladoc): orders published, a scattered predicate DV-deleted —
@@ -1026,6 +1047,15 @@ object Lakehouse {
         |GROUP BY 1""".stripMargin,
 
     "q114_tx_zorder" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey >= 100 AND o_custkey <= 500
+        |  AND o_totalprice >= 50000 AND o_totalprice <= 150000
+        |GROUP BY 1""".stripMargin,
+
+    // q114's oracle verbatim: the curve changes the LAYOUT, never the rows
+    "q125_tx_hilbert" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders

@@ -2919,6 +2919,11 @@ object TxLog {
     */
   val clusterByKey = "graft.clusterBy"
 
+  /** Companion property choosing the cluster-on-write curve:
+    * "morton" (default) or "hilbert" ([[Layout.hilbertValueN]]).
+    */
+  val clusterCurveKey = "graft.clusterBy.curve"
+
   /** Apply the cluster-on-write sort if `m` declares it and every
     * declared column is present and numeric in the (physical-named)
     * frame — otherwise the frame passes through untouched (a reshaping
@@ -2944,10 +2949,15 @@ object TxLog {
       if (los.isEmpty || his.isEmpty) None else Some((los.min, his.max))
     }
     val ranges = phys.map(rangeOf)
-    if (ranges.forall(_.isDefined))
-      df.sortWithinPartitions(Layout.zValueN(
-        phys.zip(ranges.flatten).map { case (c, r) => (col(quoted(c)), r) }))
-    else // no stats yet (first write): lexicographic still tightens c1
+    if (ranges.forall(_.isDefined)) {
+      val dims = phys.zip(ranges.flatten).map { case (c, r) => (col(quoted(c)), r) }
+      val value = m.properties.getOrElse(Map.empty)
+        .getOrElse(clusterCurveKey, "morton") match {
+          case "hilbert" => Layout.hilbertValueN(dims)
+          case _ => Layout.zValueN(dims)
+        }
+      df.sortWithinPartitions(value)
+    } else // no stats yet (first write): lexicographic still tightens c1
       df.sortWithinPartitions(phys.map(c => col(quoted(c))): _*)
   }
 

@@ -51,6 +51,22 @@ class ClusterBySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("graft.clusterBy.curve=hilbert sorts writes along the Hilbert curve") {
+    val t = tmpTable()
+    TxLog.overwrite(scattered(2000).repartition(4, col("id")), t)
+    TxLog.setProperty(spark, t, TxLog.clusterByKey, "x, y")
+    TxLog.setProperty(spark, t, TxLog.clusterCurveKey, "hilbert")
+    TxLog.append(scattered(4000).filter(col("id") >= 2000)
+      .repartition(4, col("id")), t)
+    // correctness first: the hint never changes rows
+    assert(TxLog.read(spark, t).count() == 4000L)
+    // the appended files carry stats (the sort only helps if they do)
+    val m = TxLog.manifest(spark, t)
+    val appended = m.stats.getOrElse(Seq.empty)
+      .filterNot(e => TxLog.manifestAt(spark, t, 1).files.contains(e.path))
+    assert(appended.nonEmpty && appended.forall(_.stats.contains("x")))
+  }
+
   test("the property never blocks evolution or non-numeric shapes") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1L, 10, "a")).toDF("id", "x", "s"), t)
