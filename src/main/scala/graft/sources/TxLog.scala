@@ -1600,6 +1600,14 @@ object TxLog {
     * Optimistic CAS like [[merge]]: a concurrent commit in the
     * find→publish gap re-derives against the new snapshot. Returns the
     * committed version (unchanged when no clause applied anywhere).
+    *
+    * `txnAppId`/`txnBatchId` make the merge IDEMPOTENT per batch (the
+    * [[idempotentAppend]] watermark applied to upserts): a replayed
+    * `foreachBatch` merge at or below the recorded watermark commits
+    * NOTHING — the exactly-once half a streaming CDC-upsert pipeline
+    * needs when its clauses are not naturally idempotent (`t.n + 1`).
+    * The watermark check re-runs inside the CAS loop against the
+    * current parent, so racing same-app writers cannot both land.
     */
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
       on: Column,
@@ -1608,8 +1616,13 @@ object TxLog {
       notMatchedBySource: Seq[MergeMatchedClause] = Seq.empty,
       deletionVectors: Boolean = false,
       changeFeed: Boolean = false,
+      txnAppId: Option[String] = None,
+      txnBatchId: Long = Long.MinValue,
       maxAttempts: Int = 10): Long = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    txnAppId.foreach(id => require(id.nonEmpty, "txnAppId must be non-empty"))
+    require(txnAppId.isEmpty == (txnBatchId == Long.MinValue),
+      "txnAppId and txnBatchId must be provided together")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "mergeInto needs at least one WHEN clause")
     Seq("__s_m", "__dv_k", "__dv_i").foreach(c =>
@@ -1627,6 +1640,14 @@ object TxLog {
       val base = latestVersion(spark, table).getOrElse(
         sys.error(s"table $table has no committed versions to merge into"))
       val m = manifestAt(spark, table, base)
+      // already-applied batch: commit NOTHING (the CAS on base makes
+      // this check race-safe — a same-app commit landing after it bumps
+      // the version, voiding this attempt)
+      if (txnAppId.exists(id =>
+          m.txn.getOrElse(Map.empty).get(id).exists(_ >= txnBatchId)))
+        return m.version
+      val txnDelta: Map[String, Long] =
+        txnAppId.map(_ -> txnBatchId).toMap
       val schema = logicalSchema(m)
       val gen = m.generated.getOrElse(Map.empty)
       val cons = m.constraints.getOrElse(Map.empty)
@@ -1684,7 +1705,7 @@ object TxLog {
           if (parent.map(_.version).contains(base))
             Some(Attempt("merge", m.files ++ w.fresh,
               m.stats.getOrElse(Seq.empty) ++ w.stats,
-              parent.flatMap(_.txn).getOrElse(Map.empty),
+              parent.flatMap(_.txn).getOrElse(Map.empty) ++ txnDelta,
               cdf = cdfFiles,
               constraints = guardedCons(table, parent, cons)))
           else None)
@@ -1800,7 +1821,7 @@ object TxLog {
                 m.files.filterNot(goneSet) ++ w.fresh,
                 m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path))
                   ++ w.stats,
-                parent.flatMap(_.txn).getOrElse(Map.empty),
+                parent.flatMap(_.txn).getOrElse(Map.empty) ++ txnDelta,
                 cdf = cdfFiles,
                 constraints = guardedCons(table, parent, cons)))
             else None)
@@ -1837,7 +1858,7 @@ object TxLog {
                 m.files.filterNot(goneSet) ++ w.fresh,
                 m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path))
                   ++ w.stats,
-                parent.flatMap(_.txn).getOrElse(Map.empty),
+                parent.flatMap(_.txn).getOrElse(Map.empty) ++ txnDelta,
                 cdf = cdfFiles,
                 constraints = guardedCons(table, parent, cons),
                 dvs = Some(newDvs)))

@@ -207,6 +207,26 @@ class MergeIntoSpec extends SparkSpec {
       s"\nfolded:     $folded\nrecomputed: $recomputed")
   }
 
+  test("txn watermark makes a replayed merge commit nothing (exactly-once)") {
+    val t = tmpTable(); seed(t)
+    def bump(batch: Long): Long = TxLog.mergeInto(spark, t,
+      Seq((2L, 0)).toDF("k", "ignore"),
+      on = expr("t.k = s.k"),
+      matched = Seq(MergeUpdate(Map("n" -> expr("t.n + 1")))), // NOT idempotent
+      txnAppId = Some("upserter"), txnBatchId = batch)
+    val v1 = bump(0L)
+    val v2 = bump(0L) // replay of the same batch: no commit
+    assert(v2 == v1, "replayed batch committed a new version")
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect()
+      .find(_._1 == 2L).get._3 == 21, "replay double-applied t.n + 1")
+    val v3 = bump(1L) // the NEXT batch applies
+    assert(v3 > v2)
+    assert(TxLog.read(spark, t).as[(Long, String, Int)].collect()
+      .find(_._1 == 2L).get._3 == 22)
+    // a LOWER batch id after a higher watermark is also skipped
+    assert(bump(0L) == v3)
+  }
+
   test("a target row matching multiple source rows fails loudly") {
     val t = tmpTable(); seed(t)
     val e = intercept[RuntimeException] {
