@@ -156,7 +156,12 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
     * rebuilt, or the replayed ids would arrive under a fresh app
     * identity and double-append. Complete mode atomically OVERWRITES
     * the table with each batch (the snapshot-publish pattern for
-    * aggregate serving tables). First Append into a missing table
+    * aggregate serving tables). UPDATE mode with
+    * `.option("mergeKeys", "k1,k2")` UPSERTS each micro-batch through
+    * the general MERGE (star update/insert by key) under the same
+    * watermark — exactly-once streaming CDC upserts with no
+    * foreachBatch; the table's `graft.dml.*` properties choose the
+    * DV / change-feed cost shapes. First batch into a missing table
     * creates it. `writeStream.partitionBy(cols)` lays a table-CREATING
     * stream out Hive-partitioned; a stream into an existing table must
     * name the table's own layout (or none — appends inherit it).
@@ -177,8 +182,11 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
     }
     val smallBytes = parameters.get("autoCompactSmallBytes")
       .map(_.toLong).getOrElse(16L << 20)
+    val mergeKeys = parameters.get("mergeKeys")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     new TxLogSink(path, appId, outputMode, partitionColumns,
-      autoCompact, smallBytes)
+      autoCompact, smallBytes, mergeKeys)
   }
 }
 
@@ -196,7 +204,8 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
 private[streaming] class TxLogSink(table: String, appId: String,
     mode: OutputMode, partitionColumns: Seq[String] = Seq.empty,
     autoCompactMinFiles: Option[Int] = None,
-    autoCompactSmallBytes: Long = 16L << 20) extends Sink {
+    autoCompactSmallBytes: Long = 16L << 20,
+    mergeKeys: Seq[String] = Seq.empty) extends Sink {
 
   private def checkLayout(spark: SparkSession): Unit =
     if (partitionColumns.nonEmpty &&
@@ -215,6 +224,42 @@ private[streaming] class TxLogSink(table: String, appId: String,
     if (mode == OutputMode.Complete()) {
       TxLog.overwrite(batch, table, partitionBy =
         Some(partitionColumns).filter(_.nonEmpty))
+      ()
+    } else if (mode == OutputMode.Update()) {
+      // streaming UPSERT (the Delta merge-sink recipe, no foreachBatch
+      // needed): each micro-batch MERGEs by `mergeKeys` with star
+      // semantics — matched rows take every batch column, unmatched
+      // insert — under the (appId, batchId) watermark, so the
+      // at-least-once replay of a crashed batch commits NOTHING
+      // (idempotent even though an upsert re-applied would not be).
+      // DV / change-feed cost shapes follow the table's own
+      // graft.dml.* properties, exactly like SQL DML.
+      val spark = batch.sparkSession
+      require(mergeKeys.nonEmpty,
+        "graft-txlog sink in Update mode needs .option(\"mergeKeys\", \"k1,k2\")")
+      mergeKeys.foreach(k => require(batch.columns.contains(k),
+        s"mergeKeys column '$k' not in the stream (${batch.columns.mkString(", ")})"))
+      if (TxLog.latestVersion(spark, table).isEmpty)
+        TxLog.overwrite(batch.limit(0), table,
+          partitionBy = Some(partitionColumns))
+      val star = batch.columns.toSeq.map(c =>
+        c -> org.apache.spark.sql.functions.expr(s"s.`$c`")).toMap
+      val on = mergeKeys.map(k =>
+        org.apache.spark.sql.functions.expr(s"t.`$k` <=> s.`$k`"))
+        .reduce(_ && _)
+      // a batch carrying several rows per key would make the merge fail
+      // loudly (matched side) or double-insert (unmatched side): keep
+      // ONE row per key. The pick is arbitrary WITHIN a batch — a
+      // stream whose per-key order matters must pre-aggregate to final
+      // state upstream (the documented Delta dedup-then-merge recipe);
+      // replays can't diverge because the watermark skips them whole.
+      val deduped = batch.dropDuplicates(mergeKeys)
+      TxLog.mergeInto(spark, table, deduped, on,
+        matched = Seq(TxLog.MergeUpdate(star)),
+        notMatched = Seq(TxLog.MergeInsert(star)),
+        deletionVectors = TxLog.dmlDeletionVectors(spark, table),
+        changeFeed = TxLog.dmlChangeFeed(spark, table),
+        txnAppId = Some(appId), txnBatchId = batchId)
       ()
     } else {
       checkLayout(batch.sparkSession)

@@ -349,6 +349,47 @@ class TxLogStreamSpec extends SparkSpec {
       (9L, "I", 0)))
   }
 
+  test("Update-mode sink upserts by mergeKeys, exactly once") {
+    val src = tmp("txup-src"); val dst = tmp("txup-dst")
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), src)
+    val cp = Files.createTempDirectory("txup-cp").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-txlog").option("path", src).load()
+        .writeStream.format("graft-txlog")
+        .option("path", dst).option("txnAppId", "upserter")
+        .option("mergeKeys", "k")
+        .option("checkpointLocation", cp)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    run()
+    def rows(t: String): Set[(Long, String)] =
+      TxLog.read(spark, t).as[(Long, String)].collect().toSet
+    assert(rows(dst) == Set(1L -> "a", 2L -> "b"))
+    // CDC-style day 2: new state for an existing key + a new key arrive
+    // as APPENDS on the source; the sink must UPSERT, not append
+    TxLog.append(Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), src)
+    run()
+    assert(rows(dst) == Set(1L -> "a", 2L -> "B2", 3L -> "c"),
+      s"got ${rows(dst)}")
+    // wiped checkpoint: batch ids restart and the snapshot replays —
+    // the sink-side watermark must absorb it without double-applying
+    val cp2 = Files.createTempDirectory("txup-cp2").toString
+    val q2 = spark.readStream.format("graft-txlog").option("path", src).load()
+      .writeStream.format("graft-txlog")
+      .option("path", dst).option("txnAppId", "upserter")
+      .option("mergeKeys", "k")
+      .option("checkpointLocation", cp2)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    assert(rows(dst) == Set(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+
   test("exactly-once table-to-table pipe survives a checkpoint wipe") {
     val src = tmp("txpipe-src")
     val dst = tmp("txpipe-dst")
