@@ -99,7 +99,45 @@ object TxSqlDmlStrategy extends SparkStrategy {
       s"graft-txlog SQL DML: cannot assign to expression ${other.sql}")
   }
 
+  /** The table root of a session-catalog graft-txlog table, or None for
+    * anything else (other providers, temp views, missing tables) — the
+    * guard that keeps the DDL interceptions below scoped to ours.
+    */
+  private def txTableOf(
+      ident: org.apache.spark.sql.catalyst.TableIdentifier): Option[String] = {
+    val spark = SparkSession.active
+    val cat = spark.sessionState.catalog
+    if (!cat.tableExists(ident)) None
+    else {
+      val meta = cat.getTableMetadata(ident)
+      if (meta.provider.exists(_.equalsIgnoreCase("graft-txlog")))
+        meta.storage.properties.get("path")
+          .orElse(meta.storage.locationUri.map(_.toString))
+      else None
+    }
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // ALTER TABLE … SET/UNSET TBLPROPERTIES: the analyzer resolves these
+    // to v1 catalog commands (which would write METASTORE metadata our
+    // manifests never read — silent divergence); reroute them into the
+    // transactional property commits, keeping the manifest the single
+    // source of truth (read back via graft_tx_properties)
+    case c: org.apache.spark.sql.execution.command.AlterTableSetPropertiesCommand
+        if !c.isView && txTableOf(c.tableName).isDefined =>
+      val path = txTableOf(c.tableName).get
+      TxDmlExec("graft_tx_set_properties", plan.output, { spark =>
+        c.properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          TxLog.setProperty(spark, path, k, v) }
+      }) :: Nil
+
+    case c: org.apache.spark.sql.execution.command.AlterTableUnsetPropertiesCommand
+        if !c.isView && txTableOf(c.tableName).isDefined =>
+      val path = txTableOf(c.tableName).get
+      TxDmlExec("graft_tx_unset_properties", plan.output, { spark =>
+        c.propKeys.sorted.foreach(k => TxLog.unsetProperty(spark, path, k))
+      }) :: Nil
+
     case DeleteFromTable(TxTarget(rel, _), cond) =>
       val path = requireWritable(rel)
       TxDmlExec("graft_tx_delete", plan.output, { spark =>

@@ -95,6 +95,24 @@ class TxSqlDmlSpec extends SparkSpec {
       (2L, 120, "update_postimage")))
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES commits to the manifest") {
+    val (name, path) = mk()
+    spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+      s"('${TxLog.dvPropertyKey}' = 'true', 'graft.team' = 'pipeline')")
+    assert(TxLog.propertiesOf(spark, path) ==
+      Map(TxLog.dvPropertyKey -> "true", "graft.team" -> "pipeline"))
+    assert(TxLog.dmlDeletionVectors(spark, path))
+    // ... and the property immediately routes SQL DML through DVs
+    val before = TxLog.manifest(spark, path).files.toSet
+    spark.sql(s"DELETE FROM $name WHERE k = 1")
+    assert(TxLog.manifest(spark, path).files.toSet == before)
+    spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES ('graft.team')")
+    assert(TxLog.propertiesOf(spark, path).keySet ==
+      Set(TxLog.dvPropertyKey))
+    // property history is transactional like everything else
+    assert(TxLog.manifest(spark, path).action == "unset_property")
+  }
+
   test("graft_tx_properties exposes TBLPROPERTIES to SQL") {
     val (_, path) = mk()
     TxLog.setProperty(spark, path, TxLog.dvPropertyKey, "true")
