@@ -138,6 +138,36 @@ object TxSqlDmlStrategy extends SparkStrategy {
         c.propKeys.sorted.foreach(k => TxLog.unsetProperty(spark, path, k))
       }) :: Nil
 
+    // SHOW TBLPROPERTIES: the native exec reads the METASTORE, which
+    // the SET/UNSET interceptions above deliberately bypass — answer
+    // from the manifest instead so the standard read surface agrees
+    // with graft_tx_properties (the manifest is the single source of
+    // truth for transactional table metadata). Spark 4 analyzes this to
+    // the v2 ShowTableProperties over a ResolvedTable even for v1
+    // session-catalog tables.
+    case s: ShowTableProperties =>
+      val ident = s.table match {
+        case rt: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
+          Some(org.apache.spark.sql.catalyst.TableIdentifier(
+            rt.identifier.name, rt.identifier.namespace.lastOption))
+        case _ => None
+      }
+      ident.flatMap(txTableOf) match {
+        case Some(path) =>
+          TxRowsExec("graft_tx_show_properties", s.output, { spark =>
+            val props = TxLog.propertiesOf(spark, path)
+            s.propertyKey match {
+              case Some(k) =>
+                val v = props.getOrElse(k,
+                  s"Table ${ident.get.identifier} does not have property: $k")
+                // the analyzer decides the lookup form's arity
+                if (s.output.size == 1) Seq(Seq(v)) else Seq(Seq(k, v))
+              case None => props.toSeq.sorted.map { case (k, v) => Seq(k, v) }
+            }
+          }) :: Nil
+        case None => Nil
+      }
+
     case DeleteFromTable(TxTarget(rel, _), cond) =>
       val path = requireWritable(rel)
       TxDmlExec("graft_tx_delete", plan.output, { spark =>
@@ -213,6 +243,20 @@ object TxSqlDmlStrategy extends SparkStrategy {
   * more than once on a command's physical plan) and returns no rows,
   * matching the logical Command's empty output.
   */
+/** Row-RETURNING metadata exec (SHOW TBLPROPERTIES and friends): the
+  * body is a pure read of transactional metadata, so no run-once guard
+  * is needed; all output columns are strings by the commands' contract.
+  */
+case class TxRowsExec(label: String, output: Seq[Attribute],
+    body: SparkSession => Seq[Seq[String]]) extends LeafExecNode {
+  override def executeCollect(): Array[InternalRow] =
+    body(SparkSession.active).map(r => InternalRow.fromSeq(
+      r.map(org.apache.spark.unsafe.types.UTF8String.fromString))).toArray
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(executeCollect().toSeq, 1)
+  override def nodeName: String = label
+}
+
 case class TxDmlExec(label: String, output: Seq[Attribute],
     body: SparkSession => Unit) extends LeafExecNode {
   private val ran = new java.util.concurrent.atomic.AtomicBoolean(false)

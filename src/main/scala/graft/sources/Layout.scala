@@ -68,8 +68,9 @@ object Layout {
     * dimension `d` lands at position `i·n + d`), the whole code fitting
     * a non-negative long. For n = 2 this is exactly [[zValue]]'s 16-bit
     * layout; more dimensions trade per-dimension resolution for
-    * dimensions the way every published Z-order implementation does
-    * (3 → 21 bits, 4 → 15, …). Same NULL/out-of-range clamping as the
+    * dimensions the way every published Z-order implementation does,
+    * capped at the 2-d grid's 16 bits (2–3 dims → 16 bits, 4 → 15,
+    * 5 → 12, …). Same NULL/out-of-range clamping as the
     * 2-d path. The repeated normalized-cell sub-expressions collapse in
     * codegen's common-subexpression elimination — still a pure
     * projection, no UDF.

@@ -153,10 +153,58 @@ object TxLog {
     case other => other
   }
 
+  /** On-disk DELTA commit record (the Delta-protocol add/remove-action
+    * idea): instead of the full O(table-files) snapshot, a commit stores
+    * only what CHANGED relative to its immediate parent — added and
+    * removed file paths, stats for the added files, deletion-vector
+    * puts/drops — plus the small table-property fields verbatim (they
+    * are O(1), not O(files)). Every [[checkpointInterval]]-th version
+    * (and any commit whose delta would not reconstruct bit-exactly or
+    * would not be smaller) is instead written as a FULL snapshot — a
+    * checkpoint. Readers resolve version v by walking back to the
+    * nearest checkpoint and replaying the delta tail (≤ interval small
+    * reads), memoized in [[snapshotCache]]. This removes the last
+    * O(table-files) driver cost from the commit path: at the 100 TB
+    * design point (~10⁶ files) an append of 100 files writes a
+    * ~10 KB delta record, not a ~100 MB file list.
+    *
+    * `schemaJson` is None when unchanged from the parent. The
+    * discriminator is the `kind` field ("delta"); records without it
+    * parse as full [[Manifest]]s, so pre-checkpointing logs read
+    * unchanged.
+    */
+  final case class DeltaRec(kind: String, version: Long, base: Long,
+      action: String, tsMillis: Long,
+      add: Seq[String], remove: Seq[String],
+      schemaJson: Option[String] = None,
+      addStats: Option[Seq[FileEntry]] = None,
+      dvPut: Option[Seq[DvEntry]] = None,
+      dvDrop: Option[Seq[String]] = None,
+      txn: Option[Map[String, Long]] = None,
+      cdf: Option[Seq[String]] = None,
+      constraints: Option[Map[String, String]] = None,
+      partitionBy: Option[Seq[String]] = None,
+      bloomIndex: Option[Seq[String]] = None,
+      generated: Option[Map[String, String]] = None,
+      dropped: Option[Seq[String]] = None,
+      identity: Option[Map[String, IdentitySpec]] = None,
+      renames: Option[Map[String, String]] = None,
+      properties: Option[Map[String, String]] = None)
+
+  /** A full snapshot is forced every this-many versions so a reader's
+    * delta-replay tail stays short and vacuum always has a nearby
+    * checkpoint to anchor the kept range. Overridable for tests via
+    * `-Dgraft.txlog.checkpointInterval=`.
+    */
+  private[graft] def checkpointInterval: Int =
+    sys.props.get("graft.txlog.checkpointInterval").map(_.toInt).getOrElse(10)
+
   private val manifestName = raw"(\d{20})\.json".r
   private def logDir(table: Path) = new Path(table, "_txlog")
   private def manifestPath(table: Path, version: Long) =
     new Path(logDir(table), f"$version%020d.json")
+  private def lastCheckpointPath(table: Path) =
+    new Path(logDir(table), "_last_checkpoint")
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -177,15 +225,136 @@ object TxLog {
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
     versions(spark, table).lastOption
 
+  /** Memoized resolved snapshots, keyed by qualified manifest path.
+    * Manifest records are immutable per (table, version) — the one
+    * rewrite ([[vacuum]]'s delta→checkpoint materialization) preserves
+    * the resolved content — so entries never go stale; the LRU bound
+    * caps memory at ~64 full file lists. Safe across sessions (keyed by
+    * storage path, not SparkSession).
+    */
+  private val snapshotCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Manifest](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Manifest]): Boolean = size > 64
+      })
+
+  /** Drop all memoized snapshots — spec hook to prove resolution works
+    * from the on-disk records alone (e.g. after vacuum rewrote the
+    * oldest kept version).
+    */
+  private[graft] def clearSnapshotCache(): Unit = snapshotCache.clear()
+
+  private def readRawRecord(spark: SparkSession, table: Path,
+      version: Long): Either[DeltaRec, Manifest] = {
+    val p = manifestPath(table, version)
+    val f = fs(spark, p)
+    val in = f.open(p)
+    val str =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val jv = org.json4s.jackson.JsonMethods.parse(str)
+    jv \ "kind" match {
+      case org.json4s.JString("delta") => Left(jv.extract[DeltaRec])
+      case _ => Right(jv.extract[Manifest])
+    }
+  }
+
+  /** Reconstruct version `d.version`'s full snapshot from its parent's.
+    * Inverse of [[buildDelta]]; the writer verified the round-trip is
+    * bit-exact before choosing the delta encoding, so this IS the
+    * manifest that a full write would have stored.
+    */
+  private def applyDelta(parent: Manifest, d: DeltaRec): Manifest = {
+    val removed = d.remove.toSet
+    val addSet = d.add.toSet
+    val files = parent.files.filterNot(removed) ++ d.add
+    val fileSet = files.toSet
+    val stats = parent.stats.getOrElse(Seq.empty)
+      .filter(e => fileSet(e.path) && !addSet(e.path)) ++
+      d.addStats.getOrElse(Seq.empty)
+    val putPaths = d.dvPut.getOrElse(Seq.empty).map(_.path).toSet
+    val dvDropSet = d.dvDrop.getOrElse(Seq.empty).toSet
+    val dvs = parent.dvs.getOrElse(Seq.empty)
+      .filter(e => fileSet(e.path) && !dvDropSet(e.path) && !putPaths(e.path)) ++
+      d.dvPut.getOrElse(Seq.empty)
+    Manifest(d.version, d.action, files,
+      d.schemaJson.getOrElse(parent.schemaJson), d.tsMillis,
+      stats = Some(stats).filter(_.nonEmpty),
+      txn = d.txn, cdf = d.cdf, constraints = d.constraints,
+      partitionBy = d.partitionBy, bloomIndex = d.bloomIndex,
+      dvs = Some(dvs).filter(_.nonEmpty),
+      generated = d.generated, dropped = d.dropped, identity = d.identity,
+      renames = d.renames, properties = d.properties)
+  }
+
+  /** Delta-encode `m` against its immediate parent. The caller must
+    * verify `applyDelta(parent, result) == m` before writing it — the
+    * encoding covers every shape publish produces today, but exact
+    * equality (not the encoder's opinion) is the gate.
+    */
+  private def buildDelta(parent: Manifest, m: Manifest): DeltaRec = {
+    val parentFiles = parent.files.toSet
+    val mFiles = m.files.toSet
+    val add = m.files.filterNot(parentFiles)
+    val addSet = add.toSet
+    val remove = parent.files.filterNot(mFiles)
+    val parentDv = parent.dvs.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    val mDv = m.dvs.getOrElse(Seq.empty)
+    val mDvPaths = mDv.map(_.path).toSet
+    val dvPut = mDv.filter(e => !parentDv.get(e.path).contains(e))
+    val dvDrop = parent.dvs.getOrElse(Seq.empty).map(_.path)
+      .filter(p => mFiles(p) && !mDvPaths(p))
+    DeltaRec("delta", m.version, parent.version, m.action, m.tsMillis,
+      add = add, remove = remove,
+      schemaJson = Some(m.schemaJson).filter(_ != parent.schemaJson),
+      addStats = Some(m.stats.getOrElse(Seq.empty).filter(e => addSet(e.path)))
+        .filter(_.nonEmpty),
+      dvPut = Some(dvPut).filter(_.nonEmpty),
+      dvDrop = Some(dvDrop).filter(_.nonEmpty),
+      txn = m.txn, cdf = m.cdf, constraints = m.constraints,
+      partitionBy = m.partitionBy, bloomIndex = m.bloomIndex,
+      generated = m.generated, dropped = m.dropped, identity = m.identity,
+      renames = m.renames, properties = m.properties)
+  }
+
+  /** Whether version `v`'s on-disk record is a full snapshot (vs a
+    * delta). Exposed for specs and vacuum's anchoring decision.
+    */
+  private[graft] def isCheckpointOnDisk(spark: SparkSession, table: String,
+      version: Long): Boolean =
+    readRawRecord(spark, new Path(table), version).isRight
+
   private def readManifest(spark: SparkSession, table: Path, version: Long): Manifest = {
     val p = manifestPath(table, version)
     val f = fs(spark, p)
     require(f.exists(p), s"table $table has no version $version " +
       "(never committed, or vacuumed away)")
-    val in = f.open(p)
-    try Serialization.read[Manifest](
-      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
-    finally in.close()
+    resolveSnapshot(spark, table, version, f)
+  }
+
+  /** Resolve version → full snapshot: cached, or read the record and —
+    * when it is a delta — recursively resolve its parent and replay.
+    * Chain depth is ≤ [[checkpointInterval]] by construction; a missing
+    * intermediate (only possible if the log dir was mutated by hand —
+    * vacuum anchors the kept range on a checkpoint) fails loudly.
+    */
+  private def resolveSnapshot(spark: SparkSession, table: Path, version: Long,
+      f: org.apache.hadoop.fs.FileSystem): Manifest = {
+    val key = f.makeQualified(manifestPath(table, version)).toString
+    val cached = snapshotCache.get(key)
+    if (cached != null) return cached
+    val m = readRawRecord(spark, table, version) match {
+      case Right(full) => full
+      case Left(d) =>
+        val pp = manifestPath(table, d.base)
+        require(f.exists(pp), s"table $table: version $version is a delta " +
+          s"record over missing parent ${d.base} — broken log chain " +
+          "(log dir mutated outside the commit protocol?)")
+        applyDelta(resolveSnapshot(spark, table, d.base, f), d)
+    }
+    snapshotCache.put(key, m)
+    m
   }
 
   /** `DESCRIBE HISTORY`: one row per committed version — version,
@@ -1580,9 +1749,10 @@ object TxLog {
     * target's LIVE rows with `source` on `on`, then apply the first
     * applicable clause per row — `matched` to (target, source) pairs,
     * `notMatched` to source-only rows, `notMatchedBySource` to
-    * target-only rows. A target row matching MULTIPLE source rows fails
-    * loudly (the update/delete to apply would be ambiguous, and a
-    * rewrite would duplicate the row) — the standard Delta stance.
+    * target-only rows. A target row that multiple source rows would
+    * UPDATE or DELETE (a matched clause condition holding for more than
+    * one of its pairs) fails loudly — the standard Delta stance; a
+    * multi-matched row none of the matched clauses act on is fine.
     *
     * Cost shapes, in the order a 100 TB table cares about them:
     *   - '''insert-only''' (no matched/by-source clauses): one
@@ -1711,23 +1881,34 @@ object TxLog {
           else None)
         committed.foreach(v => return v)
       } else {
-        // ---- find pass: touched files + multi-match cardinality check
+        // ---- find pass: touched files + multi-match cardinality check.
+        // The ERROR is scoped the way Delta scopes it: only a target row
+        // that ≥2 source rows would actually UPDATE/DELETE (some matched
+        // clause condition holds for ≥2 of its pairs) is ambiguous. A
+        // row matched twice whose matched conditions are all false — or
+        // under clauses that never touch matched rows — merges fine.
+        // The TOUCHED-file set stays "any match at all": a matched
+        // source row must meet its target row in the acted join even
+        // when no clause fires, or it would be mistaken for NOT MATCHED
+        // and inserted as a duplicate.
+        val anyApplies: Column = matched.map(cl => hold(cl.cond))
+          .reduceOption(_ || _).getOrElse(lit(false))
         val byKey = byScanKey(m.files)
         val perFile =
           if (m.files.isEmpty) Seq.empty[(String, Long)]
           else liveKeyed(spark, t, m, m.files).alias("t")
             .join(srcM, on, "inner")
             .groupBy(col("t.__dv_k").as("__k"), col("t.__dv_i").as("__i"))
-            .agg(count(lit(1)).as("__c"))
-            .groupBy(col("__k")).agg(max(col("__c")).as("__mx"))
+            .agg(sum(when(anyApplies, lit(1L)).otherwise(lit(0L))).as("__a"))
+            .groupBy(col("__k")).agg(max(col("__a")).as("__amx"))
             .collect().toSeq
             .map(r => byKey.getOrElse(r.getString(0),
               sys.error(s"scan returned unlisted file ${r.getString(0)}"))
               -> r.getLong(1))
         if (perFile.exists(_._2 > 1L)) sys.error(
-          s"mergeInto $table: a target row matches multiple source rows — " +
-            "the clause to apply is ambiguous (and a rewrite would " +
-            "duplicate the row); de-duplicate the source on the merge keys")
+          s"mergeInto $table: an UPDATE/DELETE clause applies to a target " +
+            "row through multiple source rows — the result is ambiguous; " +
+            "de-duplicate the source on the merge keys")
         val touched = perFile.map(_._1).distinct
         // a by-source clause acts on rows that DON'T match — any file
         // can hold one, so the working set widens to the whole table
@@ -3073,6 +3254,22 @@ object TxLog {
   private val localLogLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
 
+  /** Single-process commit fallback for mounts without hard-link
+    * support: in-process lock + exists-check + rename. Restores the
+    * documented single-process-only guarantee there.
+    */
+  private def linkFallback(f: org.apache.hadoop.fs.FileSystem,
+      fc: FileContext, tmp: Path, target: Path): Unit = {
+    val lock = localLogLocks.computeIfAbsent(
+      target.getParent.toString, _ => new Object)
+    lock.synchronized {
+      if (f.exists(target))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          target.toString)
+      fc.rename(tmp, target, Options.Rename.NONE)
+    }
+  }
+
   /** The commit primitive, scheme-sensitive like the public Delta
     * LogStore split: on HDFS-like filesystems `rename(…, Rename.NONE)`
     * is checked server-side under the namespace lock — genuinely
@@ -3109,16 +3306,20 @@ object TxLog {
         val crc = new Path(target.getParent, s".${target.getName}.crc")
         if (f.exists(crc)) f.delete(crc, false)
       } catch {
+        // The JDK provider reports "no hard links on this mount"
+        // inconsistently: UnsupportedOperationException per the javadoc,
+        // but EPERM/EOPNOTSUPP from link(2) (CIFS/FAT/some NFS) surfaces
+        // as a generic FileSystemException. Treat BOTH as missing-link
+        // support and fall back — but only when the target does not
+        // exist, because a FileSystemException over an existing target
+        // could be a lost race, which must keep propagating as
+        // already-exists so publish retries against the new parent.
+        case e: java.nio.file.FileSystemException
+            if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] &&
+              !java.nio.file.Files.exists(targetNio) =>
+          linkFallback(f, fc, tmp, target)
         case _: UnsupportedOperationException =>
-          // no hard links on this mount: single-process fallback
-          val lock = localLogLocks.computeIfAbsent(
-            target.getParent.toString, _ => new Object)
-          lock.synchronized {
-            if (f.exists(target))
-              throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-                target.toString)
-            fc.rename(tmp, target, Options.Rename.NONE)
-          }
+          linkFallback(f, fc, tmp, target)
       }
     } else fc.rename(tmp, target, Options.Rename.NONE)
   }
@@ -3193,12 +3394,41 @@ object TxLog {
           .orElse(parent.flatMap(_.renames)).filter(_.nonEmpty),
         properties = att.properties
           .orElse(parent.flatMap(_.properties)).filter(_.nonEmpty))
+      // Checkpointed log: encode as a delta vs the parent when (a) not
+      // on the checkpoint cadence, (b) the delta is actually smaller
+      // than the snapshot (an overwrite replacing most files gains
+      // nothing), and (c) the reconstruction is BIT-EXACT (case-class
+      // equality) — the writer proves what the reader will compute.
+      // Otherwise write the full snapshot: a checkpoint.
+      val deltaBody: Option[String] = parent match {
+        case Some(p) if version % checkpointInterval != 0 =>
+          val d = buildDelta(p, m)
+          if (d.add.size + d.remove.size < m.files.size &&
+              applyDelta(p, d) == m) Some(Serialization.write(d))
+          else None
+        case _ => None
+      }
+      val body = deltaBody.getOrElse(Serialization.write(m))
+      val isCkpt = deltaBody.isEmpty
       val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
-      try out.write(Serialization.write(m).getBytes("UTF-8")) finally out.close()
+      try out.write(body.getBytes("UTF-8")) finally out.close()
       try {
         // rename-if-absent: the ONE atomic, mutual-exclusion step
         renameIfAbsent(fc, f, tmp, manifestPath(t, version))
+        // seed the resolver cache — the snapshot we just proved exact
+        snapshotCache.put(
+          f.makeQualified(manifestPath(t, version)).toString, m)
+        // advisory pointer (the Delta `_last_checkpoint` recipe): lets a
+        // cold reader jump straight to a recent checkpoint without
+        // probing record kinds. Best-effort and non-atomic by design —
+        // resolution only ever uses it as a hint.
+        if (isCkpt)
+          try {
+            val lc = f.create(lastCheckpointPath(t), true)
+            try lc.write(s"""{"version":$version}""".getBytes("UTF-8"))
+            finally lc.close()
+          } catch { case _: java.io.IOException => () }
         return Some(version)
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException
@@ -3243,6 +3473,31 @@ object TxLog {
       f.delete(new Path(t, rel), false)
       // a reaped data file takes its bloom sidecar dir with it
       f.delete(new Path(t, s"_bloom/$rel"), true)
+    }
+    // Chain integrity under the checkpointed log: the oldest KEPT
+    // version may be a delta record chaining through versions about to
+    // be dropped. Materialize its already-resolved snapshot as a full
+    // checkpoint IN PLACE (content-equivalent rewrite — the resolver
+    // cache stays valid) before any manifest below it disappears. A
+    // plain overwrite-rename is safe: concurrent readers see either the
+    // old delta (chain still intact at that instant) or the new
+    // checkpoint, which resolve identically.
+    if (drop.nonEmpty) keep.headOption.foreach { v =>
+      if (!isCheckpointOnDisk(spark, table, v)) {
+        val snap = readManifest(spark, t, v)
+        val fc = FileContext.getFileContext(f.makeQualified(t).toUri,
+          spark.sessionState.newHadoopConf())
+        val tmp = new Path(logDir(t), s".tmp-ckpt-$v.json")
+        val out = f.create(tmp, true)
+        try out.write(Serialization.write(snap).getBytes("UTF-8"))
+        finally out.close()
+        val target = manifestPath(t, v)
+        fc.rename(tmp, target, Options.Rename.OVERWRITE)
+        // f.create wrote a checksum sidecar for tmp; the raw rename left
+        // it orphaned and the target's (if any) stale — drop both
+        f.delete(new Path(tmp.getParent, s".${tmp.getName}.crc"), false)
+        f.delete(new Path(target.getParent, s".${target.getName}.crc"), false)
+      }
     }
     drop.foreach(v => f.delete(manifestPath(t, v), false))
     doomed

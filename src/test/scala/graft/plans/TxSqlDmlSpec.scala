@@ -113,6 +113,27 @@ class TxSqlDmlSpec extends SparkSpec {
     assert(TxLog.manifest(spark, path).action == "unset_property")
   }
 
+  test("SHOW TBLPROPERTIES answers from the manifest, not the metastore") {
+    val (name, path) = mk()
+    spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+      "('graft.team' = 'pipeline', 'graft.tier' = 'gold')")
+    // the SET bypassed the metastore; SHOW must still see both keys
+    val all = spark.sql(s"SHOW TBLPROPERTIES $name")
+      .as[(String, String)].collect().toSet
+    assert(all == Set("graft.team" -> "pipeline", "graft.tier" -> "gold"))
+    // single-key lookup form (Spark 4.1 keeps the (key, value) arity)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $name ('graft.tier')")
+      .as[(String, String)].collect().toSeq == Seq("graft.tier" -> "gold"))
+    // a missing key reports the command's message, not a stale value
+    val miss = spark.sql(s"SHOW TBLPROPERTIES $name ('graft.nope')")
+      .as[(String, String)].collect().head._2
+    assert(miss.contains("does not have property"))
+    // UNSET is visible immediately through the same surface
+    spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES ('graft.team')")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $name")
+      .as[(String, String)].collect().toSet == Set("graft.tier" -> "gold"))
+  }
+
   test("graft_tx_properties exposes TBLPROPERTIES to SQL") {
     val (_, path) = mk()
     TxLog.setProperty(spark, path, TxLog.dvPropertyKey, "true")

@@ -238,6 +238,37 @@ class MergeIntoSpec extends SparkSpec {
     assert(e.getMessage.contains("multiple source rows"))
   }
 
+  test("multi-match is fine when no update/delete clause applies to the row") {
+    // the Delta scoping: ambiguity exists only when an UPDATE/DELETE
+    // would act through ≥2 source rows — not on the mere join fanout
+    val t = tmpTable(); seed(t)
+    // (a) matched clause whose condition is false for every pair
+    TxLog.mergeInto(spark, t,
+      Seq((2L, "B1"), (2L, "B2")).toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")),
+        cond = Some(expr("s.sv = 'never'")))))
+    // (b) only a by-source clause: matched rows are untouched entirely
+    TxLog.mergeInto(spark, t,
+      Seq((2L, "B1"), (2L, "B2")).toDF("k", "sv"),
+      on = expr("t.k = s.k"),
+      notMatchedBySource = Seq(MergeUpdate(Map("v" -> lit("stale")))))
+    val rows = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(rows(2L) == "b", "multi-matched row must be untouched")
+    assert(rows.view.filterKeys(_ != 2L).values.forall(_ == "stale"),
+      "by-source clause must still update non-matching rows")
+    // (c) but a CONDITIONAL update applying through ≥2 pairs still fails
+    val e = intercept[RuntimeException] {
+      TxLog.mergeInto(spark, t,
+        Seq((2L, "B1"), (2L, "B2")).toDF("k", "sv"),
+        on = expr("t.k = s.k"),
+        matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")),
+          cond = Some(expr("s.sv like 'B%'")))))
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+  }
+
   test("merge into an empty-ish table: only inserts fire") {
     val t = tmpTable()
     TxLog.overwrite(Seq.empty[(Long, String, Int)].toDF("k", "v", "n"), t)

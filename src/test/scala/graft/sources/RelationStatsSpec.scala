@@ -57,6 +57,10 @@ class RelationStatsSpec extends SparkSpec {
     Files.write(mf.toPath, stripped.getBytes("UTF-8"))
     // the in-place rewrite invalidates ChecksumFs's sidecar; drop it
     Files.deleteIfExists(mf.toPath.resolveSibling("." + mf.getName + ".crc"))
+    // a pre-statistics manifest comes from an OLDER writer process, so
+    // this process's snapshot memo (seeded by our own publish above)
+    // would never hold it — drop the memo to match the simulated world
+    TxLog.clearSnapshotCache()
     val rel = new TxLogRelation(spark, t, None)
     assert(rel.sizeInBytes > Int.MaxValue.toLong,
       "without sizes the relation must report the safe huge default")

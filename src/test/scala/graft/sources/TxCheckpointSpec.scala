@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** The checkpointed transaction log: commits append O(changed-files)
+  * delta records, every Nth version is a full snapshot (checkpoint),
+  * readers resolve by replaying the tail from the nearest checkpoint.
+  * These specs pin (1) the on-disk cadence, (2) bit-exact resolution
+  * across a mixed DML lifecycle by differential against an
+  * every-version-checkpointed twin, (3) vacuum re-anchoring the kept
+  * range on a materialized checkpoint, and (4) the flat-commit-bytes
+  * property that is the point of the feature.
+  */
+class TxCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-ckpt").resolve("t").toString
+
+  private def withInterval[A](n: Int)(body: => A): A = {
+    val prev = sys.props.get("graft.txlog.checkpointInterval")
+    sys.props("graft.txlog.checkpointInterval") = n.toString
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.txlog.checkpointInterval") = v
+      case None => sys.props -= "graft.txlog.checkpointInterval"
+    }
+  }
+
+  private def manifestBytes(t: String, v: Long): Long =
+    new java.io.File(s"$t/_txlog/" + f"$v%020d.json").length()
+
+  test("cadence: deltas between checkpoints, full snapshot every Nth version") {
+    withInterval(5) {
+      val t = tmpTable()
+      TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t) // v1: no parent → full
+      (2 to 12).foreach(i => TxLog.append(Seq((i.toLong, "x")).toDF("k", "v"), t))
+      assert(TxLog.versions(spark, t) == (1L to 12L))
+      val kinds = (1L to 12L).map(v => v -> TxLog.isCheckpointOnDisk(spark, t, v)).toMap
+      assert(kinds(1L) && kinds(5L) && kinds(10L), "v1 + multiples of 5 are checkpoints")
+      Seq(2L, 3L, 4L, 6L, 7L, 8L, 9L, 11L, 12L).foreach(v =>
+        assert(!kinds(v), s"v$v should be a delta record"))
+      // resolution from disk alone (no in-process memo)
+      TxLog.clearSnapshotCache()
+      assert(TxLog.read(spark, t).count() == 12L)
+      assert(TxLog.readAsOf(spark, t, 7L).count() == 7L)
+      // _last_checkpoint advisory pointer names the latest checkpoint
+      val lc = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"$t/_txlog/_last_checkpoint")), "UTF-8")
+      assert(lc == """{"version":10}""")
+    }
+  }
+
+  test("an overwrite replacing most files falls back to a full snapshot") {
+    withInterval(1000) {
+      val t = tmpTable()
+      TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+      TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+      // v3 replaces every file: delta (add all + remove all) is larger
+      // than the snapshot — the size gate must choose full
+      TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), t)
+      assert(!TxLog.isCheckpointOnDisk(spark, t, 2L))
+      assert(TxLog.isCheckpointOnDisk(spark, t, 3L))
+      TxLog.clearSnapshotCache()
+      assert(TxLog.read(spark, t).as[(Long, String)].collect().toSeq ==
+        Seq((9L, "z")))
+    }
+  }
+
+  /** Run one mixed lifecycle against a table; returns it. Exercises the
+    * fields a delta record must carry: adds, removes (compact/update
+    * rewrite), DV puts (delete via DVs), properties, constraints,
+    * restore (file resurrection), schema evolution (mergeSchema append).
+    */
+  private def lifecycle(t: String): Unit = {
+    val base = (1L to 40L).map(i => (i, i % 4, s"r$i")).toDF("k", "g", "v")
+    TxLog.overwrite(base, t) //                                v1
+    TxLog.append((41L to 50L).map(i => (i, i % 4, s"r$i")).toDF("k", "g", "v"), t) // v2
+    TxLog.setProperty(spark, t, "graft.dml.deletionVectors", "true") // v3
+    TxLog.delete(spark, t, col("k") === 7L, deletionVectors = true) // v4 (DV put)
+    TxLog.addConstraint(spark, t, "k_pos", "k > 0") //         v5
+    TxLog.update(spark, t, col("k") === 8L,
+      Seq("v" -> org.apache.spark.sql.functions.lit("upd"))) // v6
+    TxLog.append((51L to 55L).map(i => (i, i % 4, s"r$i")).toDF("k", "g", "v"), t) // v7
+    TxLog.compact(spark, t) //                                 v8 (remove+add)
+    TxLog.unsetProperty(spark, t, "graft.dml.deletionVectors") // v9
+    TxLog.delete(spark, t, col("k") === 9L) //                 v10 (rewrite delete)
+    TxLog.restore(spark, t, 7L) //                             v11 (resurrect files)
+    TxLog.append((56L to 60L).map(i => (i, i % 4, s"r$i")).toDF("k", "g", "v"), t) // v12
+  }
+
+  test("differential: delta-encoded log resolves identically to an all-checkpoint log") {
+    val tAll = withInterval(1) { val t = tmpTable(); lifecycle(t); t }
+    val tDelta = withInterval(1000) { val t = tmpTable(); lifecycle(t); t }
+    TxLog.clearSnapshotCache()
+    assert(TxLog.versions(spark, tAll) == TxLog.versions(spark, tDelta))
+    // every version under interval=1000 past v1 must really be a delta
+    // record, except where the encoder's size gate forces a snapshot
+    // compact (v8) and the rewrite-delete (v10) replace most of a
+    // small table's files, so the size gate rightly picks snapshots
+    // there; everything else must be a delta record
+    assert((2L to 12L).count(v => !TxLog.isCheckpointOnDisk(spark, tDelta, v)) >= 8,
+      "the lifecycle should delta-encode nearly every commit")
+    def canon(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    TxLog.versions(spark, tAll).foreach { v =>
+      assert(canon(TxLog.readAsOf(spark, tAll, v)) ==
+        canon(TxLog.readAsOf(spark, tDelta, v)), s"version $v diverged")
+      val a = TxLog.manifestAt(spark, tAll, v)
+      val d = TxLog.manifestAt(spark, tDelta, v)
+      // resolved snapshots agree on everything environment-independent
+      assert(a.files.map(_.split('/').length) == d.files.map(_.split('/').length))
+      assert(a.action == d.action && a.schemaJson == d.schemaJson)
+      assert(a.stats.map(_.map(e => (e.rows, e.stats)).toSet) ==
+        d.stats.map(_.map(e => (e.rows, e.stats)).toSet), s"stats at $v")
+      assert(a.dvs.map(_.map(_.deleted).sorted) == d.dvs.map(_.map(_.deleted).sorted))
+      assert(a.constraints == d.constraints && a.properties == d.properties)
+    }
+    // metadata-only surfaces ride the same resolved snapshots
+    assert(TxLog.history(spark, tAll).drop("ts").collect().toSeq ==
+      TxLog.history(spark, tDelta).drop("ts").collect().toSeq)
+  }
+
+  test("vacuum materializes the oldest kept version, then resolution survives the drop") {
+    withInterval(1000) {
+      val t = tmpTable()
+      TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+      (2 to 10).foreach(i => TxLog.append(Seq((i.toLong, "x")).toDF("k", "v"), t))
+      assert(!TxLog.isCheckpointOnDisk(spark, t, 8L))
+      TxLog.vacuum(spark, t, keepVersions = 3)
+      assert(TxLog.versions(spark, t) == Seq(8L, 9L, 10L))
+      // the kept range re-anchored: v8 is now a full snapshot on disk
+      assert(TxLog.isCheckpointOnDisk(spark, t, 8L))
+      assert(!TxLog.isCheckpointOnDisk(spark, t, 9L))
+      TxLog.clearSnapshotCache() // force resolution from the disk state
+      assert(TxLog.readAsOf(spark, t, 8L).count() == 8L)
+      assert(TxLog.readAsOf(spark, t, 9L).count() == 9L)
+      assert(TxLog.read(spark, t).count() == 10L)
+      intercept[IllegalArgumentException] { TxLog.readAsOf(spark, t, 7L) }
+    }
+  }
+
+  test("commit bytes are O(changed files), not O(table files)") {
+    withInterval(10) {
+      val t = tmpTable()
+      TxLog.overwrite(Seq((0L, "seed")).toDF("k", "v"), t)
+      (1 to 39).foreach(i =>
+        TxLog.append(Seq((i.toLong, "x")).toDF("k", "v"), t, mergeSchema = false))
+      val deltas = (2L to 39L).filterNot(_ % 10 == 0)
+      val deltaSizes = deltas.map(v => manifestBytes(t, v))
+      val ckptSizes = Seq(10L, 20L, 30L).map(v => manifestBytes(t, v))
+      // flat: the 38th delta is no bigger than 1.5× the first — commit
+      // cost did not grow with the table's accumulated file count
+      assert(deltaSizes.last <= deltaSizes.head * 3 / 2,
+        s"delta record grew with table size: $deltaSizes")
+      // checkpoints DO grow with the table — that is what they are
+      assert(ckptSizes.last > ckptSizes.head,
+        s"checkpoint sizes should grow: $ckptSizes")
+      // and a late delta is far smaller than a late checkpoint
+      assert(deltaSizes.last * 4 < ckptSizes.last,
+        s"delta ${deltaSizes.last}B should be ≪ checkpoint ${ckptSizes.last}B")
+      TxLog.clearSnapshotCache()
+      assert(TxLog.read(spark, t).count() == 40L)
+    }
+  }
+
+  test("pre-checkpointing logs (all-full records, no pointer) read unchanged") {
+    // simulate an old log: interval=1 writes every version full and we
+    // delete the advisory pointer — resolution must not require it
+    withInterval(1) {
+      val t = tmpTable()
+      TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+      TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+      Files.deleteIfExists(java.nio.file.Paths.get(s"$t/_txlog/_last_checkpoint"))
+      TxLog.clearSnapshotCache()
+      assert(TxLog.read(spark, t).count() == 2L)
+      assert(TxLog.readAsOf(spark, t, 1L).count() == 1L)
+    }
+  }
+}
