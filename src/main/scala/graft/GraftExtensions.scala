@@ -37,6 +37,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // SQL DELETE/UPDATE/MERGE over graft-txlog v1 relations
     ext.injectPlannerStrategy(_ => graft.plans.TxSqlDmlStrategy)
+    // maintenance + schema DDL statements Spark's grammar lacks
+    // (OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY|DETAIL /
+    // ALTER TABLE DROP|RENAME COLUMN on graft tables); everything else
+    // delegates to Spark's parser untouched. Parser injection only
+    // works config-side (`spark.sql.extensions=graft.GraftExtensions`)
+    // — the session's parser is fixed at sessionState build, so the
+    // imperative register() below cannot retrofit it.
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     // count/min/max over a graft-txlog relation answer from the manifest
     ext.injectOptimizerRule(_ => graft.plans.TxMetadataAgg)
     // pre-CBO: runs AFTER the default optimizer batches, so it sees (and

@@ -103,7 +103,7 @@ object TxSqlDmlStrategy extends SparkStrategy {
     * anything else (other providers, temp views, missing tables) — the
     * guard that keeps the DDL interceptions below scoped to ours.
     */
-  private def txTableOf(
+  private[plans] def txTableOf(
       ident: org.apache.spark.sql.catalyst.TableIdentifier): Option[String] = {
     val spark = SparkSession.active
     val cat = spark.sessionState.catalog
@@ -118,6 +118,22 @@ object TxSqlDmlStrategy extends SparkStrategy {
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // maintenance/DDL statements parsed by GraftSqlParser (OPTIMIZE /
+    // VACUUM / RESTORE / ALTER TABLE DROP|RENAME COLUMN)
+    case g: GraftMaintenance =>
+      TxCommandExec(g.label, g.output, g.run) :: Nil
+
+    // ALTER TABLE … ADD COLUMN(S): Spark's analyzer resolves this to
+    // the v1 catalog command, which would widen only the METASTORE
+    // schema (our manifests never read it — silent divergence); route
+    // it into the transactional metadata-only schema commit instead.
+    case c: org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand
+        if txTableOf(c.table).isDefined =>
+      val path = txTableOf(c.table).get
+      TxDmlExec("graft_tx_add_columns", plan.output, { spark =>
+        TxLog.addColumns(spark, path, c.colsToAdd)
+        GraftSqlParser.syncCatalog(spark, Some(c.table), path)
+      }) :: Nil
     // ALTER TABLE … SET/UNSET TBLPROPERTIES: the analyzer resolves these
     // to v1 catalog commands (which would write METASTORE metadata our
     // manifests never read — silent divergence); reroute them into the

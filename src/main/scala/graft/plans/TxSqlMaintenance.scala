@@ -1,0 +1,249 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan}
+import org.apache.spark.sql.execution.LeafExecNode
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.TxLog
+
+/** SQL spellings for the table MAINTENANCE and schema-DDL surface —
+  * the statements a Delta-accustomed SQL-only user expects but Spark's
+  * grammar has no production for:
+  *
+  * {{{
+  *   OPTIMIZE t                               -- compact small files
+  *   OPTIMIZE t ZORDER  BY (a, b, …)          -- Morton re-clustering
+  *   OPTIMIZE t HILBERT BY (a, b, …)          -- Hilbert re-clustering
+  *   VACUUM t RETAIN n VERSIONS
+  *   RESTORE [TABLE] t TO VERSION AS OF v
+  *   DESCRIBE HISTORY t        / DESC HISTORY t
+  *   DESCRIBE DETAIL t         / DESC DETAIL t
+  *   ALTER TABLE t DROP COLUMN c              -- v1 analyzer would reject
+  *   ALTER TABLE t RENAME COLUMN a TO b       -- v1 analyzer would reject
+  * }}}
+  *
+  * Mechanism: [[GraftSqlParser]] is injected via
+  * `SparkSessionExtensions.injectParser` and pre-empts exactly these
+  * shapes, delegating EVERYTHING else (including any ALTER on a
+  * non-graft table) to Spark's parser — SQL stays a parser, not a
+  * second engine: every statement routes to the SAME TxLog operator the
+  * Scala API calls ([[TxLog.compact]] / [[TxLog.zorderOptimize]] /
+  * [[TxLog.vacuum]] / [[TxLog.restore]] / [[TxLog.history]] /
+  * [[TxLog.detail]] / [[TxLog.dropColumn]] / [[TxLog.renameColumn]]).
+  * `ALTER TABLE … ADD COLUMN` needs no parser help (Spark parses and
+  * analyzes it to the v1 command); [[TxSqlDmlStrategy]] intercepts that
+  * command at planning and routes it to [[TxLog.addColumns]].
+  *
+  * The table may be named by a session-catalog identifier (resolved to
+  * its storage path through the catalog, like the DML interceptions) or
+  * by a quoted path literal (`OPTIMIZE '/data/t'`) for path-only users.
+  *
+  * DESCRIBE HISTORY/DETAIL build their (read-only, metadata-plane)
+  * DataFrames at parse time — the same stance as the graft_tx_history /
+  * graft_tx_read table functions, which also resolve manifests during
+  * analysis. The mutating statements parse to a [[GraftMaintenance]]
+  * command node and execute only when the command runs, so EXPLAIN
+  * never compacts a table.
+  */
+case class GraftMaintenance(label: String, override val output: Seq[Attribute],
+    run: SparkSession => Seq[Seq[Any]]) extends LeafNode with Command {
+  override def producedAttributes: AttributeSet = outputSet
+}
+
+/** Physical exec for [[GraftMaintenance]]: runs the operation ONCE
+  * (Spark may call executeCollect and doExecute on the same command
+  * node) and converts the returned rows.
+  */
+case class TxCommandExec(label: String, output: Seq[Attribute],
+    run: SparkSession => Seq[Seq[Any]]) extends LeafExecNode {
+  private lazy val rows: Array[InternalRow] =
+    run(SparkSession.active).map(r => InternalRow.fromSeq(r.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    })).toArray
+  override def executeCollect(): Array[InternalRow] = rows
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(rows.toSeq, 1)
+  override def nodeName: String = label
+}
+
+object GraftSqlParser {
+
+  // one table reference: identifier chain (optionally backquoted parts)
+  // or a single-quoted path literal
+  private val ref = """((?:`[^`]+`|[\w.]+)+|'[^']+')"""
+  private val ident = """(`[^`]+`|[\w]+)"""
+
+  private val optimizeRe =
+    s"""(?is)^\\s*OPTIMIZE\\s+$ref\\s*$$""".r
+  private val optimizeByRe =
+    s"""(?is)^\\s*OPTIMIZE\\s+$ref\\s+(ZORDER|HILBERT)\\s+BY\\s*\\(([^)]*)\\)\\s*$$""".r
+  private val vacuumRe =
+    s"""(?is)^\\s*VACUUM\\s+$ref\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*$$""".r
+  private val restoreRe =
+    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*$$""".r
+  private val historyRe =
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$ref\\s*$$""".r
+  private val detailRe =
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$ref\\s*$$""".r
+  private val dropColRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+DROP\\s+COLUMN\\s+$ident\\s*$$""".r
+  private val renameColRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+RENAME\\s+COLUMN\\s+$ident\\s+TO\\s+$ident\\s*$$""".r
+
+  private def unquote(part: String): String =
+    if (part.startsWith("`")) part.stripPrefix("`").stripSuffix("`") else part
+
+  /** Resolve a statement's table reference to a graft table's storage
+    * path: a quoted literal IS the path; an identifier goes through the
+    * session catalog and must name a graft-txlog table. `strict = false`
+    * returns None for a non-graft identifier (the caller delegates to
+    * Spark's parser, preserving native behavior); `strict = true` fails
+    * loudly — the statement has no Spark fallback, so a clear message
+    * beats Spark's generic ParseException.
+    */
+  private def resolve(r: String, stmt: String,
+      strict: Boolean): Option[(String, Option[TableIdentifier])] = {
+    if (r.startsWith("'"))
+      return Some((r.stripPrefix("'").stripSuffix("'"), None))
+    val parts = r.split('.').map(unquote)
+    val tid = TableIdentifier(parts.last,
+      if (parts.length > 1) Some(parts(parts.length - 2)) else None)
+    TxSqlDmlStrategy.txTableOf(tid) match {
+      case Some(path) => Some((path, Some(tid)))
+      case None if strict => throw new IllegalArgumentException(
+        s"$stmt: '$r' is not a graft-txlog table (register it with " +
+          "CREATE TABLE … USING `graft-txlog` OPTIONS (path …), or name " +
+          "the table root as a quoted path literal)")
+      case None => None
+    }
+  }
+
+  /** After a schema-changing statement (DDL, or a RESTORE crossing a
+    * schema boundary), write the table's LIVE logical schema through to
+    * the session catalog: the catalog relation validates its stored
+    * schema against the source on every read, so a stale catalog entry
+    * would reject the very table the statement just evolved. Skipped
+    * for path-literal targets (nothing registered to drift).
+    */
+  private[plans] def syncCatalog(spark: SparkSession,
+      ident: Option[TableIdentifier], path: String): Unit =
+    ident.foreach { id =>
+      val cat = spark.sessionState.catalog
+      val live = TxLog.read(spark, path).schema
+      val meta = cat.getTableMetadata(id)
+      if (meta.dataSchema != live)
+        // alterTable, not alterTableDataSchema: the latter refuses
+        // drops/renames (they are exactly what we are recording)
+        cat.alterTable(meta.copy(schema =
+          StructType(live.fields ++ meta.partitionSchema.fields)))
+      cat.refreshTable(id)
+    }
+
+  private def longAttr(name: String): Attribute =
+    AttributeReference(name, LongType, nullable = false)()
+
+  /** Default rewrite width for `OPTIMIZE … BY`: keep the table's
+    * recorded byte volume in ~128 MB files (the same target
+    * [[TxLog.compact]] uses), falling back to the current live file
+    * count when no sizes were recorded.
+    */
+  private def targetFiles(spark: SparkSession, path: String): Int = {
+    val m = TxLog.manifest(spark, path)
+    val bytes = m.stats.getOrElse(Seq.empty).flatMap(_.bytes).sum
+    if (bytes > 0L) math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    else math.max(1, m.files.size)
+  }
+
+  /** The maintenance grammar: Some(plan) when the statement is ours. */
+  def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case optimizeByRe(r, curve, colsCsv) =>
+      resolve(r, "OPTIMIZE", strict = true).map { case (path, _) =>
+        val cols = colsCsv.split(',').map(c => unquote(c.trim)).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "OPTIMIZE … BY needs at least one column")
+        val c = curve.toLowerCase
+        GraftMaintenance("graft_optimize", Seq(longAttr("version")), { spark =>
+          Seq(Seq(TxLog.zorderOptimize(spark, path, cols,
+            targetFiles(spark, path), Map.empty,
+            curve = if (c == "hilbert") "hilbert" else "morton")))
+        })
+      }
+    case optimizeRe(r) =>
+      resolve(r, "OPTIMIZE", strict = true).map { case (path, _) =>
+        GraftMaintenance("graft_optimize", Seq(longAttr("version")),
+          spark => Seq(Seq(TxLog.compact(spark, path))))
+      }
+    case vacuumRe(r, n) =>
+      resolve(r, "VACUUM", strict = true).map { case (path, _) =>
+        GraftMaintenance("graft_vacuum", Seq(longAttr("deleted_files")),
+          spark => Seq(Seq(
+            TxLog.vacuum(spark, path, keepVersions = n.toInt).size.toLong)))
+      }
+    case restoreRe(r, v) =>
+      resolve(r, "RESTORE", strict = true).map { case (path, ident) =>
+        GraftMaintenance("graft_restore", Seq(longAttr("version")), { spark =>
+          val out = TxLog.restore(spark, path, v.toLong)
+          syncCatalog(spark, ident, path) // restore can cross a schema DDL
+          Seq(Seq(out))
+        })
+      }
+    case historyRe(r) =>
+      resolve(r, "DESCRIBE HISTORY", strict = true).map { case (path, _) =>
+        TxLog.history(SparkSession.active, path).queryExecution.logical
+      }
+    case detailRe(r) =>
+      resolve(r, "DESCRIBE DETAIL", strict = true).map { case (path, _) =>
+        TxLog.detail(SparkSession.active, path).queryExecution.logical
+      }
+    case dropColRe(r, c) =>
+      // non-strict: an ALTER on a non-graft table is Spark's statement
+      resolve(r, "ALTER TABLE", strict = false).map { case (path, ident) =>
+        val column = unquote(c)
+        GraftMaintenance("graft_drop_column", Nil, { spark =>
+          TxLog.dropColumn(spark, path, column)
+          syncCatalog(spark, ident, path)
+          Nil
+        })
+      }
+    case renameColRe(r, from, to) =>
+      resolve(r, "ALTER TABLE", strict = false).map { case (path, ident) =>
+        val (f, t) = (unquote(from), unquote(to))
+        GraftMaintenance("graft_rename_column", Nil, { spark =>
+          TxLog.renameColumn(spark, path, f, t)
+          syncCatalog(spark, ident, path)
+          Nil
+        })
+      }
+    case _ => None
+  }
+}
+
+/** Delegating parser: the graft maintenance grammar first, Spark's
+  * parser for everything else. Injected via
+  * `SparkSessionExtensions.injectParser`.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseMaintenance(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(s: String): Expression = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String): StructType =
+    delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String): StructType =
+    delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+}

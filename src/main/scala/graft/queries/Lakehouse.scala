@@ -814,6 +814,39 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q126_sql_maintenance" -> ((s, dir) => {
+      // SQL-only table maintenance + schema DDL (plans/TxSqlMaintenance
+      // scaladoc): RENAME COLUMN → OPTIMIZE → UPDATE → RESTORE → VACUUM
+      // → ADD COLUMN, every statement pure SQL text through the injected
+      // parser. The oracle sees only what the lifecycle PROMISES to
+      // leave behind: the update erased by RESTORE, the rename live in
+      // the output names, the added column all-NULL, exactly 3 manifest
+      // versions surviving VACUUM — hash equality proves each statement
+      // routed to the real transactional operator, not a no-op.
+      val t = tmpTable("tx-q126")
+      TxLog.overwrite(Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) < 1995)
+        .repartitionByRange(4, col("o_orderdate")), t) //              v1
+      TxLog.append(Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) >= 1995), t) //               v2
+      val name = "q126_" + java.util.UUID.randomUUID().toString.replace("-", "_")
+      s.sql(s"CREATE TABLE $name USING `graft-txlog` OPTIONS (path '$t')")
+      s.sql(s"ALTER TABLE $name RENAME COLUMN o_orderstatus TO status") // v3
+      s.sql(s"OPTIMIZE $name") //                                      v4
+      s.sql(s"UPDATE $name SET o_orderpriority = '9-GONE'") //         v5
+      s.sql(s"RESTORE TABLE $name TO VERSION AS OF 4") //              v6
+      s.sql(s"VACUUM $name RETAIN 2 VERSIONS") // manifests 1-4 drop
+      s.sql(s"ALTER TABLE $name ADD COLUMN bucket INT") //             v7
+      val live = TxLog.versions(s, t).size
+      s.sql(
+        s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           | CAST(count(bucket) AS BIGINT) AS bucket_vals,
+           | CAST(sum(CASE WHEN status = 'F' THEN 1 ELSE 0 END)
+           |   AS BIGINT) AS finished,
+           | CAST($live AS BIGINT) AS live_versions
+           |FROM $name GROUP BY o_orderpriority""".stripMargin)
+    }),
+
     "q125_tx_hilbert" -> ((s, dir) => {
       // q114's re-cluster along the HILBERT curve (functions/Hilbert
       // scaladoc; curve = "hilbert" on zorderOptimize): same
@@ -1053,6 +1086,16 @@ object Lakehouse {
         |WHERE o_custkey >= 100 AND o_custkey <= 500
         |  AND o_totalprice >= 50000 AND o_totalprice <= 150000
         |GROUP BY 1""".stripMargin,
+
+    // the lifecycle's net effect: whole orders (v1 ∪ v2 slices), the
+    // update erased by RESTORE, bucket all-NULL, 3 surviving versions
+    "q126_sql_maintenance" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(0 AS BIGINT) AS bucket_vals,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS finished,
+        | CAST(3 AS BIGINT) AS live_versions
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // q114's oracle verbatim: the curve changes the LAYOUT, never the rows
     "q125_tx_hilbert" ->

@@ -1538,6 +1538,49 @@ object TxLog {
     * layout, generated-column declarations/sources, CHECK-constraint
     * references, and the bloom index (auto-dropped from the property).
     */
+  /** `ALTER TABLE … ADD COLUMN(S)`: widen the manifest schema with new
+    * NULLABLE fields in one metadata-only commit — zero data files are
+    * touched; existing files simply lack the column, so every read
+    * null-fills it (the standard parquet missing-column semantics the
+    * mergeSchema append already relies on). New fields must be nullable
+    * (there is no value to backfill) and must not collide with a live
+    * logical or physical name. A name retired by [[dropColumn]] cannot
+    * be re-added: the physical column may still exist inside old files
+    * with pre-drop values, which a re-add would silently resurrect —
+    * pick a fresh name (the fail-loud stance; Delta solves this with
+    * column-mapping ids).
+    */
+  def addColumns(spark: SparkSession, table: String,
+      cols: Seq[StructField]): Long = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    cols.foreach(f => require(f.nullable,
+      s"new column '${f.name}' must be nullable - existing rows have no " +
+        "value for it"))
+    val m0 = manifest(spark, table)
+    publish(spark, table, writeNothing(spark, table, m0.schemaJson), parent => {
+      val m = parent.getOrElse(sys.error(s"table $table lost its versions"))
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val taken = (schema.fieldNames ++ logicalSchema(m).fieldNames)
+        .map(_.toLowerCase).toSet
+      val dead = m.dropped.getOrElse(Seq.empty).map(_.toLowerCase).toSet
+      cols.foreach { f =>
+        val lc = f.name.toLowerCase
+        require(!taken(lc), s"table $table already has a column '${f.name}'")
+        require(!dead(lc), s"'${f.name}' was previously dropped from " +
+          s"$table - old files may still hold its pre-drop values; " +
+          "use a fresh name")
+      }
+      require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
+        "duplicate names in the added column list")
+      val widened = StructType(schema.fields ++
+        cols.map(f => f.copy(nullable = true, metadata = Metadata.empty)))
+      Some(Attempt("add_columns", m.files, m.stats.getOrElse(Seq.empty),
+        m.txn.getOrElse(Map.empty),
+        schemaJson = Some(asNullable(widened).json),
+        constraints = m.constraints.getOrElse(Map.empty)))
+    }).get
+  }
+
   def dropColumn(spark: SparkSession, table: String, column: String): Long = {
     val m0 = manifest(spark, table)
     require(logicalSchema(m0).fieldNames.contains(column),

@@ -14,6 +14,8 @@ trait SparkSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // config-side so injectParser applies (maintenance SQL statements)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // fresh warehouse per test JVM: managed-table specs (bucketing) must
       // not trip over locations orphaned by a previous run
       .config("spark.sql.warehouse.dir",

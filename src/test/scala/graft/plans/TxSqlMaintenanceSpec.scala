@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.sources.TxLog
+
+/** The maintenance + schema-DDL SQL surface (GraftSqlParser +
+  * TxSqlDmlStrategy): OPTIMIZE / VACUUM / RESTORE / DESCRIBE
+  * HISTORY|DETAIL / ALTER TABLE ADD|DROP|RENAME COLUMN, each routed to
+  * the SAME TxLog operator the Scala API calls — a SQL-only user can
+  * now maintain and evolve a transactional table end to end.
+  */
+class TxSqlMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshTable(): (String, String) = synchronized {
+    n += 1
+    val name = s"sqlmaint_$n"
+    val path = java.nio.file.Files.createTempDirectory("graft-sqlmaint")
+      .resolve("t").toString
+    (name, path)
+  }
+
+  private def mk(): (String, String) = {
+    val (name, path) = freshTable()
+    TxLog.overwrite(Seq(
+      (1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)
+    ).toDF("k", "v", "n").repartition(2, col("k")), path)
+    spark.sql(s"CREATE TABLE $name USING `graft-txlog` OPTIONS (path '$path')")
+    (name, path)
+  }
+
+  test("OPTIMIZE compacts small files and returns the committed version") {
+    val (name, path) = mk()
+    TxLog.append(Seq((5L, "e", 50)).toDF("k", "v", "n"), path)
+    TxLog.append(Seq((6L, "f", 60)).toDF("k", "v", "n"), path)
+    val before = TxLog.manifest(spark, path).files.size
+    val out = spark.sql(s"OPTIMIZE $name").collect()
+    assert(out.length == 1 && out.head.getLong(0) > 3L,
+      "OPTIMIZE must return the new commit version")
+    assert(TxLog.manifest(spark, path).action == "compact")
+    assert(TxLog.manifest(spark, path).files.size < before)
+    assert(TxLog.read(spark, path).count() == 6L, "rows survive compaction")
+  }
+
+  test("OPTIMIZE ZORDER BY re-clusters; HILBERT BY takes the hilbert curve") {
+    val (name, path) = mk()
+    spark.sql(s"OPTIMIZE $name ZORDER BY (k, n)")
+    assert(TxLog.manifest(spark, path).action == "zorder")
+    assert(TxLog.read(spark, path).count() == 4L)
+    spark.sql(s"OPTIMIZE $name HILBERT BY (k, n)")
+    assert(TxLog.manifest(spark, path).action == "zorder")
+    assert(spark.sql(s"SELECT sum(n) FROM $name").as[Long].head() == 100L)
+  }
+
+  test("VACUUM RETAIN n VERSIONS drops history; RESTORE goes back") {
+    val (name, path) = mk()
+    spark.sql(s"UPDATE $name SET n = n + 1 WHERE k = 1") // v2
+    spark.sql(s"DELETE FROM $name WHERE k = 4") //          v3
+    // RESTORE back to v1: all four original rows
+    val restored = spark.sql(s"RESTORE TABLE $name TO VERSION AS OF 1")
+      .collect().head.getLong(0)
+    assert(restored == 4L)
+    assert(spark.sql(s"SELECT * FROM $name").count() == 4L)
+    assert(TxLog.read(spark, path).as[(Long, String, Int)].collect().toSet
+      .contains((1L, "a", 10)), "v1 content restored (pre-update)")
+    // VACUUM keeping 2 versions: v1/v2 manifests go away
+    val deleted = spark.sql(s"VACUUM $name RETAIN 2 VERSIONS")
+      .collect().head.getLong(0)
+    assert(deleted >= 0L)
+    assert(TxLog.versions(spark, path) == Seq(3L, 4L))
+    intercept[Exception] { TxLog.readAsOf(spark, path, 1L).collect() }
+    assert(spark.sql(s"SELECT * FROM $name").count() == 4L,
+      "the live snapshot survives vacuum")
+  }
+
+  test("DESCRIBE HISTORY / DESCRIBE DETAIL answer from the manifests") {
+    val (name, path) = mk()
+    spark.sql(s"DELETE FROM $name WHERE k = 4")
+    val hist = spark.sql(s"DESCRIBE HISTORY $name")
+    assert(hist.columns.toSeq == Seq("version", "action", "ts", "num_files", "rows"))
+    assert(hist.select("action").as[String].collect().toSeq ==
+      Seq("overwrite", "delete"))
+    val detail = spark.sql(s"DESC DETAIL $name").collect()
+    assert(detail.length == 1)
+    assert(detail.head.getAs[Long]("num_rows") == 3L)
+  }
+
+  test("maintenance statements accept a quoted path literal") {
+    val (_, path) = freshTable()
+    TxLog.overwrite(Seq((1L, 1), (2L, 2)).toDF("k", "n"), path)
+    TxLog.append(Seq((3L, 3)).toDF("k", "n"), path)
+    spark.sql(s"OPTIMIZE '$path'")
+    assert(TxLog.manifest(spark, path).action == "compact")
+    assert(spark.sql(s"DESCRIBE HISTORY '$path'").count() == 3L)
+  }
+
+  test("ALTER TABLE ADD COLUMN widens the schema metadata-only") {
+    val (name, path) = mk()
+    val filesBefore = TxLog.manifest(spark, path).files
+    spark.sql(s"ALTER TABLE $name ADD COLUMN extra INT")
+    assert(TxLog.manifest(spark, path).action == "add_columns")
+    assert(TxLog.manifest(spark, path).files == filesBefore,
+      "ADD COLUMN must not touch data files")
+    val got = TxLog.read(spark, path)
+    assert(got.columns.toSeq == Seq("k", "v", "n", "extra"))
+    assert(got.where(col("extra").isNull).count() == 4L, "old rows null-fill")
+    // the widened schema is live for writes
+    TxLog.append(Seq((5L, "e", 50, 99)).toDF("k", "v", "n", "extra"), path)
+    assert(TxLog.read(spark, path).where(col("extra") === 99).count() == 1L)
+    // NOT NULL adds and duplicate names fail loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $name ADD COLUMN n INT") }
+  }
+
+  test("ALTER TABLE DROP/RENAME COLUMN route to the transactional DDL") {
+    val (name, path) = mk()
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN v TO label")
+    assert(TxLog.read(spark, path).columns.toSeq == Seq("k", "label", "n"))
+    assert(TxLog.manifest(spark, path).action == "rename_column")
+    spark.sql(s"ALTER TABLE $name DROP COLUMN label")
+    assert(TxLog.read(spark, path).columns.toSeq == Seq("k", "n"))
+    assert(TxLog.manifest(spark, path).action == "drop_column")
+    assert(TxLog.read(spark, path).count() == 4L)
+  }
+
+  test("ALTER COLUMN on a non-graft table keeps Spark's native behavior") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-native").toString
+    Seq((1, "x")).toDF("a", "b").write.mode("overwrite").parquet(s"$dir/p")
+    spark.sql(s"CREATE TABLE native_parq_tbl USING parquet LOCATION '$dir/p'")
+    // v1 parquet tables do not support RENAME COLUMN — the statement
+    // must DELEGATE to Spark and surface Spark's own error, proving the
+    // parser did not hijack foreign tables
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE native_parq_tbl RENAME COLUMN b TO c") }
+    assert(e.getMessage.contains("RENAME COLUMN"))
+  }
+
+  test("OPTIMIZE on an unregistered identifier fails with a clear message") {
+    val e = intercept[Exception] { spark.sql("OPTIMIZE no_such_graft_table") }
+    assert(e.getMessage.contains("not a graft-txlog table"))
+  }
+}
