@@ -814,6 +814,26 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q127_replace_where" -> ((s, dir) => {
+      // Arbitrary-predicate replaceWhere (TxLog.replaceWhere scaladoc):
+      // one atomic commit deletes 1995's rows and inserts their
+      // restatement — the backfill shape. The oracle recomputes the net
+      // effect with a CASE; hash equality proves the predicate range
+      // was replaced exactly (no survivor inside, no casualty outside)
+      // and the insert constraint let only in-range rows in.
+      val t = tmpTable("tx-q127")
+      TxLog.overwrite(Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_orderdate")), t)
+      val restated = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
+        .withColumn("o_orderpriority", lit("5-RESTATED"))
+      TxLog.replaceWhere(restated, t, year(col("o_orderdate")) === 1995)
+      TxLog.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q126_sql_maintenance" -> ((s, dir) => {
       // SQL-only table maintenance + schema DDL (plans/TxSqlMaintenance
       // scaladoc): RENAME COLUMN → OPTIMIZE → UPDATE → RESTORE → VACUUM
@@ -1089,6 +1109,16 @@ object Lakehouse {
 
     // the lifecycle's net effect: whole orders (v1 ∪ v2 slices), the
     // update erased by RESTORE, bucket all-NULL, 3 surviving versions
+    "q127_replace_where" ->
+      """WITH base AS (
+        |  SELECT o_totalprice,
+        |    CASE WHEN year(o_orderdate) = 1995 THEN '5-RESTATED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM base GROUP BY 1""".stripMargin,
+
     "q126_sql_maintenance" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         | CAST(0 AS BIGINT) AS bucket_vals,

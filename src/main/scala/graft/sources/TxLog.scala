@@ -2565,6 +2565,84 @@ object TxLog {
       "(pathological write contention); re-run or serialize writers")
   }
 
+  /** Arbitrary-predicate `replaceWhere` (the Delta
+    * `option("replaceWhere", …)` contract): ONE atomic commit that
+    * deletes every live row matching `cond` and inserts `df`'s rows —
+    * the way a backfill replaces a date range, or a restatement
+    * replaces one key's history, without the delete+append gap where a
+    * reader could observe the range missing. Delta's insert constraint
+    * is enforced the same way: every inserted row must itself satisfy
+    * `cond` (checked in-task by the same codegen'd assert the CHECK
+    * constraints use — a row outside the predicate would silently
+    * survive the NEXT replaceWhere of the same range), else the write
+    * fails before anything commits.
+    *
+    * Cost shape = [[delete]]'s three tiers + one write: files with no
+    * match are untouched metadata, full-match files are de-referenced
+    * without being read, and only boundary files are rewritten — their
+    * surviving rows ride in the SAME fresh write as the inserts, so the
+    * whole operation is one find scan + one write regardless of table
+    * size. `changeFeed = true` records the replaced rows as delete
+    * pre-images and the inserted rows as insert post-images (kept
+    * boundary rows appear as neither — the predicate partitions every
+    * fresh file's rows into kept = non-matching vs inserted = matching).
+    * Optimistic CAS like every writer here.
+    */
+  def replaceWhere(df: DataFrame, table: String, cond: Column,
+      maxAttempts: Int = 10, changeFeed: Boolean = false): Long = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    val spark = df.sparkSession
+    val t = new Path(table)
+    (1 to maxAttempts).foreach { _ =>
+      val m = manifest(spark, table)
+      val cons = m.constraints.getOrElse(Map.empty)
+      // in-task insert-predicate guard: fail the write, not the data
+      val guarded = inbound(spark, table, df, cons)
+        .filter(org.apache.spark.sql.functions.assert_true(
+          coalesce(cond, lit(false)),
+          lit("replaceWhere: an inserted row does not satisfy the " +
+            "replacement predicate - it would silently survive the next " +
+            "replaceWhere of the same range; widen the predicate or fix " +
+            "the frame")).isNull)
+      val touched = findTouched(spark, t, m, cond)
+      val live = liveRowsOf(m)
+      val (_, rewrite) = touched.partition(h => live.get(h.rel).contains(h.matches))
+      val toWrite =
+        if (rewrite.isEmpty) guarded
+        else readLive(spark, t, m, rewrite.map(_.rel))
+          .filter(!coalesce(cond, lit(false)))
+          .unionByName(guarded)
+      val w = writeData(toWrite, table, m.partitionBy.getOrElse(Seq.empty))
+      require(w.schemaJson == m.schemaJson,
+        s"replaceWhere schema drift for $table: table has " +
+          s"${m.schemaJson}, frame has ${w.schemaJson}")
+      val cdfFiles =
+        if (!changeFeed) Seq.empty
+        else {
+          val pre = readLive(spark, t, m, touched.map(_.rel))
+            .filter(coalesce(cond, lit(false)))
+            .withColumn("_change_type", lit("delete"))
+          val post = aliasLogical(toDf(spark, t, m.schemaJson, w.fresh), m)
+            .filter(coalesce(cond, lit(false)))
+            .withColumn("_change_type", lit("insert"))
+          writeCdf(spark, table, w, pre.unionByName(post))
+        }
+      val gone = touched.map(_.rel).toSet
+      val committed = publish(spark, table, w, parent =>
+        if (parent.map(_.version).contains(m.version))
+          Some(Attempt("replaceWhere",
+            m.files.filterNot(gone) ++ w.fresh,
+            m.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
+            m.txn.getOrElse(Map.empty),
+            cdf = cdfFiles,
+            constraints = guardedCons(table, parent, cons)))
+        else None) // snapshot went stale: re-find against the new latest
+      committed.foreach(v => return v)
+    }
+    sys.error(s"replaceWhere on $table lost the commit race $maxAttempts " +
+      "times (pathological write contention); re-run or serialize writers")
+  }
+
   /** DELETE via DELETION VECTORS (the modern Delta default): no data
     * file is rewritten — the matching rows' parquet positions are
     * written to change-sized sidecar files and the manifest maps each
