@@ -814,6 +814,38 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q128_merge_identity" -> ((s, dir) => {
+      // General MERGE on a GENERATED ALWAYS AS IDENTITY table (the
+      // round-8 refusal lifted): matched customers take a balance
+      // update, NOT MATCHED rows insert WITHOUT the id column and
+      // receive fresh ids from the high-water mark inside the merge
+      // commit itself. Which inserted row got which id is
+      // layout-dependent, so the gate checks q120-style invariants —
+      // row/id counts, id range endpoints (max(custkey) + inserts), and
+      // the exact post-merge balance total proving the update applied.
+      import graft.sources.TxLog.{MergeInsert, MergeUpdate}
+      val t = tmpTable("tx-q128")
+      TxLog.overwrite(Tables.customer(s, dir).select(
+        col("c_custkey").as("row_id"), col("c_custkey").as("k"),
+        dec2(col("c_acctbal")).as("bal")), t)
+      TxLog.setIdentityColumn(s, t, "row_id")
+      val perCust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("sk")).agg(count(lit(1)).as("cnt"))
+      val source = perCust.unionByName(perCust.filter(col("cnt") > 28)
+        .select((col("sk") + 10000000L).as("sk"), col("cnt")))
+      TxLog.mergeInto(s, t, source,
+        on = expr("t.k = s.sk"),
+        matched = Seq(MergeUpdate(Map("bal" -> expr("t.bal + s.cnt")))),
+        notMatched = Seq(MergeInsert(Map("k" -> expr("s.sk"),
+          "bal" -> expr("s.cnt")))))
+      TxLog.read(s, t).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("row_id").as("n_ids"),
+        min("row_id").as("id_min"),
+        max("row_id").as("id_max"),
+        r2d(sum(col("bal"))).as("total"))
+    }),
+
     "q127_replace_where" -> ((s, dir) => {
       // Arbitrary-predicate replaceWhere (TxLog.replaceWhere scaladoc):
       // one atomic commit deletes 1995's rows and inserts their
@@ -1109,6 +1141,20 @@ object Lakehouse {
 
     // the lifecycle's net effect: whole orders (v1 ∪ v2 slices), the
     // update erased by RESTORE, bucket all-NULL, 3 surviving versions
+    "q128_merge_identity" ->
+      """WITH src AS (
+        |  SELECT o_custkey AS sk, count(*) AS cnt FROM orders GROUP BY 1),
+        |big AS (SELECT sk + 10000000 AS sk, cnt FROM src WHERE cnt > 28),
+        |allsrc AS (SELECT * FROM src UNION ALL SELECT * FROM big)
+        |SELECT
+        | CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM big) AS BIGINT) AS n_rows,
+        | CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM big) AS BIGINT) AS n_ids,
+        | CAST((SELECT min(c_custkey) FROM customer) AS BIGINT) AS id_min,
+        | CAST((SELECT max(c_custkey) FROM customer)
+        |   + (SELECT count(*) FROM big) AS BIGINT) AS id_max,
+        | CAST(round((SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer)
+        |   + (SELECT sum(cnt) FROM allsrc), 2) AS DOUBLE) AS total""".stripMargin,
+
     "q127_replace_where" ->
       """WITH base AS (
         |  SELECT o_totalprice,

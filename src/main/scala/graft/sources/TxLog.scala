@@ -1841,10 +1841,6 @@ object TxLog {
     Seq("__s_m", "__dv_k", "__dv_i").foreach(c =>
       require(!source.columns.contains(c),
         s"mergeInto source must not contain reserved column '$c'"))
-    require(identityOf(spark, table).isEmpty,
-      s"mergeInto does not assign identity columns — table $table has " +
-        "identity columns; use merge (CDC fast path) with explicit ids, " +
-        "or drop the identity declaration")
     val t = new Path(table)
     val srcM = source.withColumn("__s_m", lit(1)).alias("s")
     def hold(c: Option[Column]): Column =
@@ -1864,6 +1860,13 @@ object TxLog {
       val schema = logicalSchema(m)
       val gen = m.generated.getOrElse(Map.empty)
       val cons = m.constraints.getOrElse(Map.empty)
+      // identity columns: NOT MATCHED inserts receive fresh ids from the
+      // snapshot's high-water marks inside THIS commit (the same
+      // zipWithIndex + CAS recipe as appendWithIdentity — the version
+      // CAS below subsumes the marks CAS, since marks only move with
+      // versions); updated/kept rows keep their existing ids, and no
+      // clause may assign one (GENERATED ALWAYS semantics)
+      val idMap = m.identity.getOrElse(Map.empty)
       def checkAssign(cols: Iterable[String], what: String): Unit =
         cols.foreach { c =>
           require(schema.fieldNames.contains(c),
@@ -1872,7 +1875,15 @@ object TxLog {
           require(!gen.contains(c),
             s"mergeInto cannot assign generated column '$c' of $table — " +
               s"it derives from (${gen.getOrElse(c, "")})")
+          require(!idMap.contains(c),
+            s"mergeInto cannot assign identity column '$c' of $table — " +
+              "it is GENERATED ALWAYS AS IDENTITY")
         }
+      def advancedIds(inserted: Long): Option[Map[String, IdentitySpec]] =
+        if (idMap.isEmpty) None
+        else Some(idMap.map { case (c, sp) =>
+          c -> sp.copy(next = sp.next + sp.step * inserted) })
+      val idFreeFields = schema.fields.toSeq.filterNot(f => idMap.contains(f.name))
       (matched ++ notMatchedBySource).foreach {
         case MergeUpdate(set, _) => checkAssign(set.keys, "UPDATE SET")
         case _ => ()
@@ -1897,9 +1908,9 @@ object TxLog {
           .foldLeft(when(taggedI.head._1, lit(taggedI.head._2))) {
             case (acc, (c, tag)) => acc.when(c, lit(tag)) }
           .otherwise(lit("drop"))
-        val rows = unmatched.withColumn("__act", actI)
+        val bare = unmatched.withColumn("__act", actI)
           .filter(col("__act") =!= "drop")
-          .select(schema.fields.toSeq.map { f =>
+          .select(idFreeFields.map { f =>
             notMatched.zipWithIndex
               .foldLeft(lit(null).cast(f.dataType): Column) {
                 case (acc, (cl, j)) => when(col("__act") === s"i$j",
@@ -1907,6 +1918,9 @@ object TxLog {
                   .otherwise(acc)
               }.as(f.name)
           }: _*)
+        // identity: every fresh row is an insert, so the mark advance is
+        // just the written row count — no extra pass
+        val rows = if (idMap.isEmpty) bare else assignIdentity(bare, idMap, schema)
         val w = writeData(enforcing(regen(rows), cons), table,
           m.partitionBy.getOrElse(Seq.empty))
         val cdfFiles =
@@ -1920,7 +1934,8 @@ object TxLog {
               m.stats.getOrElse(Seq.empty) ++ w.stats,
               parent.flatMap(_.txn).getOrElse(Map.empty) ++ txnDelta,
               cdf = cdfFiles,
-              constraints = guardedCons(table, parent, cons)))
+              constraints = guardedCons(table, parent, cons),
+              identity = advancedIds(w.stats.map(_.rows).sum)))
           else None)
         committed.foreach(v => return v)
       } else {
@@ -1981,8 +1996,8 @@ object TxLog {
           matched.zipWithIndex.collect { case (MergeDelete(_), i) => s"m$i" } ++
           notMatchedBySource.zipWithIndex.collect { case (MergeDelete(_), b) => s"b$b" } :+
           "drop"
-        def outCols(df: DataFrame): DataFrame =
-          df.select(schema.fields.toSeq.map { f =>
+        def outColsOf(df: DataFrame, fields: Seq[StructField]): DataFrame =
+          df.select(fields.map { f =>
             val branches: Seq[(String, Column)] =
               matched.zipWithIndex.collect {
                 case (MergeUpdate(set, _), i) if set.contains(f.name) =>
@@ -1997,6 +2012,8 @@ object TxLog {
                 when(col("__act") === tag, v.cast(f.dataType)).otherwise(acc)
             }.as(f.name)
           }: _*)
+        def outCols(df: DataFrame): DataFrame =
+          outColsOf(df, schema.fields.toSeq)
 
         // CDF for the general merge (the shape readChangeFeed folds):
         // acted-on target rows' pre-images (update_preimage / delete),
@@ -2012,6 +2029,19 @@ object TxLog {
           notMatchedBySource.zipWithIndex.collect {
             case (MergeDelete(_), b) => s"b$b" }
         val insTags: Seq[String] = notMatched.indices.map(j => s"i$j")
+        // Identity-assigned insert rows, built ONCE and reused by the
+        // data write and the CDF write so both see the same ids (same
+        // lineage; zipWithIndex over reused shuffle output is stable
+        // across the actions, the appendWithIdentity stance). The extra
+        // count() for the mark advance is change-sized.
+        val insAssigned: Option[DataFrame] =
+          if (idMap.isEmpty || notMatched.isEmpty) None
+          else Some(assignIdentity(
+            outColsOf(acted.filter(col("__act").isin(insTags: _*)), idFreeFields),
+            idMap, schema))
+        val insertedForIds: Long =
+          if (insAssigned.isEmpty) 0L
+          else acted.filter(col("__act").isin(insTags: _*)).count()
         def cdfOf(w: Written): Seq[String] =
           if (!changeFeed) Seq.empty
           else {
@@ -2026,7 +2056,8 @@ object TxLog {
               .drop("__act")
             val post = outCols(acted.filter(col("__act").isin(updTags: _*)))
               .withColumn("_change_type", lit("update_postimage"))
-            val ins = outCols(acted.filter(col("__act").isin(insTags: _*)))
+            val ins = insAssigned
+              .getOrElse(outCols(acted.filter(col("__act").isin(insTags: _*))))
               .withColumn("_change_type", lit("insert"))
             writeCdf(spark, table, w, pre.unionByName(post).unionByName(ins))
           }
@@ -2034,7 +2065,11 @@ object TxLog {
         if (!deletionVectors) {
           // copy-on-write: rewrite the working files without the dead
           // rows, clause outputs applied; untouched files keep their DVs
-          val rows = outCols(acted.filter(!col("__act").isin(deadTags: _*)))
+          val rows = insAssigned match {
+            case None => outCols(acted.filter(!col("__act").isin(deadTags: _*)))
+            case Some(ins) => outCols(acted.filter(
+              !col("__act").isin((deadTags ++ insTags): _*))).unionByName(ins)
+          }
           val goneSet = working.toSet
           val w = writeData(enforcing(regen(rows), cons), table,
             m.partitionBy.getOrElse(Seq.empty))
@@ -2047,7 +2082,8 @@ object TxLog {
                   ++ w.stats,
                 parent.flatMap(_.txn).getOrElse(Map.empty) ++ txnDelta,
                 cdf = cdfFiles,
-                constraints = guardedCons(table, parent, cons)))
+                constraints = guardedCons(table, parent, cons),
+                identity = advancedIds(insertedForIds)))
             else None)
           committed.foreach(v => return v)
         } else {
@@ -2071,7 +2107,11 @@ object TxLog {
             notMatched.indices.map(j => s"i$j") ++
             notMatchedBySource.zipWithIndex.collect {
               case (MergeUpdate(_, _), b) => s"b$b" }
-          val rows = outCols(acted.filter(col("__act").isin(liveTags: _*)))
+          val rows = insAssigned match {
+            case None => outCols(acted.filter(col("__act").isin(liveTags: _*)))
+            case Some(ins) => outCols(acted.filter(col("__act").isin(
+              liveTags.filterNot(insTags.contains): _*))).unionByName(ins)
+          }
           val w = writeData(enforcing(regen(rows), cons), table,
             m.partitionBy.getOrElse(Seq.empty))
           val cdfFiles = cdfOf(w)
@@ -2085,7 +2125,8 @@ object TxLog {
                 parent.flatMap(_.txn).getOrElse(Map.empty) ++ txnDelta,
                 cdf = cdfFiles,
                 constraints = guardedCons(table, parent, cons),
-                dvs = Some(newDvs)))
+                dvs = Some(newDvs),
+                identity = advancedIds(insertedForIds)))
             else None)
           committed.foreach(v => return v)
         }

@@ -269,6 +269,94 @@ class MergeIntoSpec extends SparkSpec {
     assert(e.getMessage.contains("multiple source rows"))
   }
 
+  test("identity table: NOT MATCHED inserts receive fresh ids in the merge commit") {
+    for (dv <- Seq(false, true)) {
+      val t = tmpTable()
+      TxLog.overwrite(Seq((0L, 1L, "a"), (0L, 2L, "b")).toDF("id", "k", "v"), t)
+      TxLog.setIdentityColumn(spark, t, "id", start = 100L)
+      TxLog.mergeInto(spark, t,
+        Seq((2L, "B"), (9L, "I"), (10L, "J")).toDF("sk", "sv"),
+        on = expr("t.k = s.sk"),
+        matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")))),
+        notMatched = Seq(MergeInsert(Map("k" -> expr("s.sk"),
+          "v" -> expr("s.sv")))),
+        deletionVectors = dv)
+      val got = TxLog.read(spark, t).as[(Long, Long, String)].collect()
+        .map(r => r._2 -> (r._1, r._3)).toMap
+      assert(got(1L) == (0L, "a") && got(2L) == (0L, "B"),
+        s"dv=$dv: matched/kept rows keep their existing ids")
+      assert(Set(got(9L)._1, got(10L)._1) == Set(100L, 101L),
+        s"dv=$dv: inserts got fresh contiguous ids, got $got")
+      assert(TxLog.identityOf(spark, t)("id") == TxLog.IdentitySpec(1L, 102L),
+        s"dv=$dv: the commit advanced the high-water mark")
+      // a second merge continues the sequence — the mark is transactional
+      TxLog.mergeInto(spark, t, Seq((20L, "K")).toDF("sk", "sv"),
+        on = expr("t.k = s.sk"),
+        notMatched = Seq(MergeInsert(Map("k" -> expr("s.sk"),
+          "v" -> expr("s.sv")))), deletionVectors = dv)
+      assert(TxLog.read(spark, t).where(expr("k = 20")).select("id")
+        .as[Long].head() == 102L, s"dv=$dv")
+    }
+  }
+
+  test("identity table: clause assignment of the id column is rejected; CDF carries real ids") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((0L, 1L, "a")).toDF("id", "k", "v"), t)
+    TxLog.setIdentityColumn(spark, t, "id", start = 50L)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.mergeInto(spark, t, Seq((9L, "I")).toDF("sk", "sv"),
+        on = expr("t.k = s.sk"),
+        notMatched = Seq(MergeInsert(Map("id" -> lit(999L),
+          "k" -> expr("s.sk"), "v" -> expr("s.sv")))))
+    }
+    assert(e.getMessage.contains("identity column"))
+    // CDF insert post-images must carry the ids the table actually holds
+    val since = TxLog.latestVersion(spark, t).get
+    TxLog.mergeInto(spark, t, Seq((9L, "I")).toDF("sk", "sv"),
+      on = expr("t.k = s.sk"),
+      matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")))),
+      notMatched = Seq(MergeInsert(Map("k" -> expr("s.sk"),
+        "v" -> expr("s.sv")))), changeFeed = true)
+    val feedIds = TxLog.readChangeFeed(spark, t, since)
+      .where(expr("_change_type = 'insert'"))
+      .select("id").as[Long].collect().toSet
+    val tableIds = TxLog.read(spark, t).where(expr("k = 9"))
+      .select("id").as[Long].collect().toSet
+    assert(feedIds == tableIds && feedIds == Set(50L),
+      s"feed $feedIds must equal table $tableIds")
+  }
+
+  test("identity race: concurrent merge and append never share an id") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((0L, 0L, "seed")).toDF("id", "k", "v"), t)
+    TxLog.setIdentityColumn(spark, t, "id", start = 1000L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val merges = Future {
+      (1 to 3).foreach { i =>
+        TxLog.mergeInto(spark, t,
+          Seq((100L + i, s"m$i")).toDF("sk", "sv"), on = expr("t.k = s.sk"),
+          notMatched = Seq(MergeInsert(Map("k" -> expr("s.sk"),
+            "v" -> expr("s.sv")))))
+      }
+    }
+    val appends = Future {
+      (1 to 3).foreach { i =>
+        TxLog.append(Seq((200L + i, s"a$i")).toDF("k", "v"), t)
+      }
+    }
+    Await.result(merges, 120.seconds); Await.result(appends, 120.seconds)
+    pool.shutdown()
+    val ids = TxLog.read(spark, t).select("id").as[Long].collect().toSeq
+    assert(ids.size == 7 && ids.distinct.size == 7,
+      s"duplicate identity values handed out: $ids")
+    assert(TxLog.identityOf(spark, t)("id").next == 1006L,
+      "6 allocations from 1000 → next must be 1006")
+  }
+
   test("merge into an empty-ish table: only inserts fire") {
     val t = tmpTable()
     TxLog.overwrite(Seq.empty[(Long, String, Int)].toDF("k", "v", "n"), t)
