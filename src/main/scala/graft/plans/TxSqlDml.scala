@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, InSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -69,17 +69,67 @@ object TxSqlDmlStrategy extends SparkStrategy {
     rel.tablePath
   }
 
+  /** Values a DML predicate may pull in through an IN (SELECT …) before
+    * the materialization fails loudly: the list is evaluated on the
+    * driver and shipped like a broadcast, so it must stay
+    * broadcast-sized. A genuinely large key set is a MERGE's job.
+    */
+  private val maxSubqueryRows = 1000000
+
+  /** Materialize UNCORRELATED subqueries in a DML predicate: the plan
+    * arrives analyzed, so each subquery is already a resolved plan —
+    * execute it once and substitute the result (a literal for scalar
+    * subqueries and EXISTS, an IN-list for IN (SELECT …)), exactly the
+    * decorrelation-free cases. Correlated subqueries (outer references
+    * into the target row) would need a join rewrite — those still fail
+    * loudly below rather than mis-evaluate.
+    */
+  private def materializeSubqueries(e: Expression): Expression = {
+    lazy val spark = SparkSession.active
+    e.transform {
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+          if s.outerAttrs.isEmpty =>
+        val rows = Shim.ofRows(spark, s.plan).limit(2).collect()
+        require(rows.length <= 1,
+          "graft-txlog SQL DML: scalar subquery returned more than one row")
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          if (rows.isEmpty) null else rows.head.get(0), s.dataType)
+      case InSubquery(values, lq) if lq.outerAttrs.isEmpty =>
+        require(values.length == 1, "graft-txlog SQL DML: multi-column " +
+          "IN (SELECT …) predicates are not supported - concatenate the " +
+          "key columns or use MERGE")
+        val rows = Shim.ofRows(spark, lq.plan).limit(maxSubqueryRows + 1).collect()
+        require(rows.length <= maxSubqueryRows,
+          s"graft-txlog SQL DML: IN (SELECT …) materialized more than " +
+            s"$maxSubqueryRows values - a key set this large should drive " +
+            "a MERGE, not a driver-side IN-list")
+        val dt = lq.plan.output.head.dataType
+        val lits = rows.toSeq.map(r =>
+          org.apache.spark.sql.catalyst.expressions.Literal.create(r.get(0), dt))
+        if (lits.isEmpty)
+          org.apache.spark.sql.catalyst.expressions.Literal.FalseLiteral
+        else org.apache.spark.sql.catalyst.expressions.In(values.head, lits)
+      case ex: org.apache.spark.sql.catalyst.expressions.Exists
+          if ex.outerAttrs.isEmpty =>
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          !Shim.ofRows(spark, ex.plan).limit(1).isEmpty)
+    }
+  }
+
   /** Resolved attribute refs → name-based refs the TxLog APIs re-resolve
-    * against their own scans. Subqueries in DML predicates are not
-    * routable through the Column-based APIs — fail loudly rather than
-    * mis-evaluate.
+    * against their own scans. Uncorrelated subqueries are materialized
+    * first ([[materializeSubqueries]]); a surviving (correlated) one is
+    * not routable through the Column-based APIs — fail loudly rather
+    * than mis-evaluate.
     */
   private def unresolve(e: Expression, tAttrs: AttributeSet,
       sAttrs: AttributeSet): Expression = {
-    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
-      "graft-txlog SQL DML: subqueries in DML predicates are not " +
-        "supported - materialize the subquery into a temp view and MERGE")
-    e.transform {
+    val m = materializeSubqueries(e)
+    require(!m.exists(_.isInstanceOf[SubqueryExpression]),
+      "graft-txlog SQL DML: correlated subqueries in DML predicates are " +
+        "not supported - rewrite as MERGE (uncorrelated ones materialize " +
+        "automatically)")
+    m.transform {
       case a: AttributeReference if tAttrs.contains(a) =>
         UnresolvedAttribute(Seq("t", a.name))
       case a: AttributeReference if sAttrs.contains(a) =>

@@ -441,6 +441,13 @@ object Lakehouse {
            |WHEN MATCHED AND t.o_orderstatus = 'O' THEN DELETE
            |WHEN MATCHED THEN UPDATE SET o_orderpriority = '9-MERGED'
            |""".stripMargin)
+      // an UNCORRELATED IN (SELECT …) predicate: materialized by the
+      // DML layer into a broadcast-sized key list (TxSqlDml scaladoc)
+      Tables.orders(s, dir).filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_orderkey").as("k"))
+        .createOrReplaceTempView(s"${name}_sub")
+      s.sql(s"DELETE FROM $name WHERE o_orderkey IN " +
+        s"(SELECT k FROM ${name}_sub)")
       s.sql(
         s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
            | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
@@ -1447,8 +1454,10 @@ object Lakehouse {
         |    CASE WHEN o_orderkey % 97 = 0 THEN '9-MERGED'
         |         ELSE o_orderpriority END AS o_orderpriority
         |  FROM upd
-        |  WHERE NOT (o_orderkey % 97 = 0 AND o_orderstatus = 'O'))
+        |  WHERE NOT (o_orderkey % 97 = 0 AND o_orderstatus = 'O')),
+        |subdel AS (
+        |  SELECT * FROM merged WHERE NOT (o_orderkey % 101 = 0))
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
-        |FROM merged GROUP BY 1""".stripMargin)
+        |FROM subdel GROUP BY 1""".stripMargin)
 }

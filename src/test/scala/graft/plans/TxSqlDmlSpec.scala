@@ -155,13 +155,36 @@ class TxSqlDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("time-travel"))
   }
 
-  test("a subquery predicate fails loudly instead of mis-evaluating") {
+  test("uncorrelated subquery predicates materialize: IN, NOT IN, scalar, EXISTS") {
     val (name, path) = mk()
     Seq(1L, 2L).toDF("k").createOrReplaceTempView("doomed")
+    spark.sql(s"DELETE FROM $name WHERE k IN (SELECT k FROM doomed)")
+    assert(TxLog.read(spark, path).select("k").as[Long].collect().toSet ==
+      Set(3L, 4L), "IN (SELECT …) deleted exactly the subquery's keys")
+    // scalar subquery in an UPDATE assignment and predicate
+    spark.sql(s"UPDATE $name SET n = (SELECT max(k) FROM doomed) * 100 " +
+      s"WHERE k > (SELECT min(k) FROM doomed)")
+    assert(TxLog.read(spark, path).select("n").as[Int].collect().toSet ==
+      Set(200), "scalar subqueries evaluated in SET and WHERE")
+    // EXISTS (uncorrelated): true → everything matches the rest of WHERE
+    spark.sql(s"DELETE FROM $name WHERE EXISTS (SELECT 1 FROM doomed) AND k = 3")
+    assert(TxLog.read(spark, path).select("k").as[Long].collect().toSet == Set(4L))
+    // NOT IN over an empty subquery: standard SQL keeps-everything
+    spark.sql(s"DELETE FROM $name WHERE k NOT IN (SELECT k FROM doomed WHERE k < 0)")
+    assert(TxLog.read(spark, path).count() == 0L,
+      "NOT IN (empty) is true for every row")
+  }
+
+  test("a correlated subquery predicate still fails loudly") {
+    val (name, path) = mk()
+    val (other, opath) = freshTable()
+    TxLog.overwrite(Seq((1L, 5)).toDF("k", "lim"), opath)
+    spark.sql(s"CREATE TABLE $other USING `graft-txlog` OPTIONS (path '$opath')")
     val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $name WHERE k IN (SELECT k FROM doomed)")
+      spark.sql(s"DELETE FROM $name WHERE n > " +
+        s"(SELECT max(lim) FROM $other WHERE $other.k = $name.k)")
     }
-    assert(e.getMessage.contains("subqueries"))
+    assert(e.getMessage.contains("correlated"))
     assert(TxLog.read(spark, path).count() == 4L)
   }
 
