@@ -1,0 +1,241 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** PNG codec in pure JVM code — the COMPRESSED half of the real
+  * multimodal decode path ([[Bmp]] covers the uncompressed container;
+  * this closes the "real pipelines decode compressed formats" gap with
+  * zero external libraries: zlib ships in the JDK as
+  * `java.util.zip.Deflater`/`Inflater`, and everything else is the
+  * published PNG 1.2 spec). Scope: 8-bit truecolor (color type 2),
+  * non-interlaced — the dominant shape for ML image corpora — with the
+  * format's genuine machinery implemented for real:
+  *
+  *  - chunked container with per-chunk CRC-32 VALIDATION (a corrupt
+  *    IDAT fails loudly, not as garbage pixels);
+  *  - zlib-deflated scanline stream (multi-IDAT concatenation per
+  *    spec — chunk boundaries are arbitrary);
+  *  - all five scanline filters (None/Sub/Up/Average/Paeth) in the
+  *    decoder's unfilter pass; the encoder deliberately CYCLES through
+  *    them row by row so a round-trip exercises every branch rather
+  *    than the filter-0 happy path.
+  *
+  * Features mirror [[Bmp.decode]] exactly (same fixed-point luma, same
+  * 8×8-sampled 56-bit dhash), so the SQL oracle that replicates the
+  * BMP features replicates these too — which is what lets the
+  * compressed decode sit under the DuckDB hash gate (m01).
+  */
+object Png {
+
+  final case class Decoded(width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double, dhash: Long)
+
+  private val signature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def writeChunk(out: ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    def be(i: Int): Array[Byte] = Array(
+      (i >>> 24).toByte, (i >>> 16).toByte, (i >>> 8).toByte, i.toByte)
+    val tb = typ.getBytes("US-ASCII")
+    val crc = new CRC32()
+    crc.update(tb); crc.update(data)
+    out.write(be(data.length), 0, 4)
+    out.write(tb, 0, 4)
+    out.write(data, 0, data.length)
+    out.write(be(crc.getValue.toInt), 0, 4)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode an 8-bit truecolor non-interlaced PNG. `rgb(x, y)` returns
+    * (r, g, b) for the pixel at column x, row y. Row y uses filter
+    * type `y % 5` — every decoder filter branch is exercised by any
+    * image of ≥5 rows.
+    */
+  def encode(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dimensions ${width}x$height")
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        val o = y * stride + x * bpp
+        raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    // filtered scanline stream: 1 filter-type byte + filtered bytes/row
+    val filtered = new Array[Byte]((stride + 1) * height)
+    y = 0
+    while (y < height) {
+      val ft = y % 5
+      filtered(y * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = raw(y * stride + i) & 0xff
+        val left = if (i >= bpp) raw(y * stride + i - bpp) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) raw((y - 1) * stride + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        filtered(y * (stride + 1) + 1 + i) = (cur - pred).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(filtered); deflater.finish()
+    val zout = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+
+    val out = new ByteArrayOutputStream()
+    out.write(signature, 0, signature.length)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    writeChunk(out, "IHDR", ihdr)
+    // split the stream over two IDATs when possible: decoders must
+    // treat IDAT boundaries as arbitrary, so prove ours does
+    val z = zout.toByteArray
+    if (z.length > 1) {
+      writeChunk(out, "IDAT", z.take(z.length / 2))
+      writeChunk(out, "IDAT", z.drop(z.length / 2))
+    } else writeChunk(out, "IDAT", z)
+    writeChunk(out, "IEND", Array.empty)
+    out.toByteArray
+  }
+
+  private def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+
+  /** Decode an 8-bit truecolor non-interlaced PNG and compute the same
+    * features as [[Bmp.decode]]. Validates the signature, every
+    * chunk's CRC-32, the IHDR shape, and the inflated stream length;
+    * unfilters all five scanline filter types.
+    */
+  def decode(bytes: Array[Byte]): Decoded = {
+    require(bytes.length > signature.length + 12, s"not a PNG: ${bytes.length} bytes")
+    require(signature.indices.forall(i => bytes(i) == signature(i)),
+      "bad magic: not a PNG")
+    var pos = signature.length
+    var width = 0; var height = 0
+    val idat = new ByteArrayOutputStream()
+    var sawIhdr = false; var sawIend = false
+    def be(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    while (!sawIend) {
+      require(pos + 8 <= bytes.length, "truncated PNG: chunk header")
+      val len = be(pos)
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"truncated PNG: $typ needs $len bytes")
+      val crc = new CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == be(pos + 8 + len),
+        s"PNG chunk $typ failed CRC validation - corrupt payload")
+      typ match {
+        case "IHDR" =>
+          width = be(pos + 8); height = be(pos + 12)
+          val bitDepth = bytes(pos + 16) & 0xff
+          val colorType = bytes(pos + 17) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          require(bitDepth == 8 && colorType == 2,
+            s"only 8-bit truecolor supported, got depth=$bitDepth type=$colorType")
+          require(interlace == 0, "interlaced PNGs not supported")
+          require(width >= 1 && height >= 1, s"bad dimensions ${width}x$height")
+          sawIhdr = true
+        case "IDAT" =>
+          require(sawIhdr, "IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks skipped
+      }
+      pos += 12 + len
+    }
+    val bpp = 3
+    val stride = width * bpp
+    val expect = (stride + 1) * height
+    val filtered = new Array[Byte](expect)
+    val inflater = new Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    while (!inflater.finished() && got < expect)
+      got += inflater.inflate(filtered, got, expect - got)
+    inflater.end()
+    require(got == expect,
+      s"PNG pixel stream truncated: inflated $got of $expect bytes")
+    // unfilter in place into the reconstructed pixel array
+    val recon = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val ft = filtered(y * (stride + 1)) & 0xff
+      require(ft <= 4, s"bad scanline filter type $ft")
+      var i = 0
+      while (i < stride) {
+        val f = filtered(y * (stride + 1) + 1 + i) & 0xff
+        val left = if (i >= bpp) recon(y * stride + i - bpp) & 0xff else 0
+        val up = if (y > 0) recon((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) recon((y - 1) * stride + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        recon(y * stride + i) = ((f + pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    def px(x: Int, yy: Int): (Int, Int, Int) = {
+      val o = yy * stride + x * bpp
+      ((recon(o) & 0xff), (recon(o + 1) & 0xff), (recon(o + 2) & 0xff))
+    }
+    var sr, sg, sb = 0L
+    y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y); sr += r; sg += g; sb += b; x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    var dhash = 0L
+    var i = 0
+    while (i < 8) {
+      val yy = i * height / 8
+      var j = 0
+      while (j < 7) {
+        val (r0, g0, b0) = px(j * width / 8, yy)
+        val (r1, g1, b1) = px((j + 1) * width / 8, yy)
+        if (luma(r1, g1, b1) > luma(r0, g0, b0)) dhash |= 1L << (i * 7 + j)
+        j += 1
+      }
+      i += 1
+    }
+    Decoded(width, height, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, dhash)
+  }
+}

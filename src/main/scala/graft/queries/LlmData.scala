@@ -1033,7 +1033,17 @@ object LlmData {
           (col("doc_id") === col("canonical")).as("keep"))
     }),
 
-    "m01_multimodal_meta" -> ((s, dir) => BinaryColumns.extractMeta(docs(s, dir))),
+    "m01_multimodal_meta" -> ((s, dir) =>
+      // COMPRESSED-image decode under the oracle gate (multimodal/Png
+      // scaladoc): each doc's payload column carries a real PNG —
+      // zlib-deflated scanlines cycling through all five filters,
+      // CRC-validated chunks — decoded executor-side back into channel
+      // means + the 56-bit dhash, joined with the typed metadata
+      // struct. The pattern math is integer end-to-end, so the oracle
+      // recomputes every feature without touching a byte: hash equality
+      // proves deflate → unfilter → features compose exactly (the m04
+      // BMP gate, upgraded to a genuinely compressed format).
+      BinaryColumns.extractMeta(docs(s, dir))),
 
     "m02_frame_sample" -> ((s, dir) => {
       // Frame-sample + resize plumbing over the decoded assets
@@ -1307,6 +1317,53 @@ object LlmData {
         | CAST(1000 + (doc_id * 37) % 20000 AS INT) AS peak,
         | round(CAST(1000 + (doc_id * 37) % 20000 AS DOUBLE) + 1e-7, 4) + 0 AS rms
         |FROM documents""".stripMargin,
+
+    // the m04 pattern-replication gate over the PNG codec's dims
+    "m01_multimodal_meta" ->
+      """WITH dims AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    CAST(24 + doc_id % 37 AS INT) AS w,
+        |    CAST(16 + doc_id % 31 AS INT) AS h
+        |  FROM documents),
+        |pix AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    (3*x + 7*y + doc_id) % 256 AS r,
+        |    (5*x + 11*y + 2*doc_id) % 256 AS g,
+        |    (13*x + 17*y + 3*doc_id) % 256 AS b
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(range(0, w)) AS x) _x,
+        |    LATERAL (SELECT unnest(range(0, h)) AS y) _y),
+        |means AS (
+        |  SELECT doc_id,
+        |    round(avg(r) + 1e-7, 4) + 0 AS mean_r,
+        |    round(avg(g) + 1e-7, 4) + 0 AS mean_g,
+        |    round(avg(b) + 1e-7, 4) + 0 AS mean_b
+        |  FROM pix GROUP BY 1),
+        |th AS (
+        |  SELECT doc_id, i, j,
+        |    (299*((3*x0 + 7*yy + doc_id) % 256)
+        |     + 587*((5*x0 + 11*yy + 2*doc_id) % 256)
+        |     + 114*((13*x0 + 17*yy + 3*doc_id) % 256)) // 1000 AS l0,
+        |    (299*((3*x1 + 7*yy + doc_id) % 256)
+        |     + 587*((5*x1 + 11*yy + 2*doc_id) % 256)
+        |     + 114*((13*x1 + 17*yy + 3*doc_id) % 256)) // 1000 AS l1
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(range(0, 8)) AS i) _i,
+        |    LATERAL (SELECT unnest(range(0, 7)) AS j) _j,
+        |    LATERAL (SELECT (j*w) // 8 AS x0, ((j+1)*w) // 8 AS x1,
+        |                    (i*h) // 8 AS yy) _c),
+        |dh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN l1 > l0
+        |      THEN (1::BIGINT << (i*7 + j)) ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM th GROUP BY 1)
+        |SELECT d.doc_id, 'image/png' AS mime, d.w AS width, d.h AS height,
+        | m.mean_r, m.mean_g, m.mean_b, dh.dhash,
+        | d.source AS origin, d.lang AS tag,
+        | CAST(d.n_chars AS BIGINT) AS declared_size
+        |FROM dims d
+        |JOIN means m ON d.doc_id = m.doc_id
+        |JOIN dh ON d.doc_id = dh.doc_id""".stripMargin,
 
     "m04_image_dhash" ->
       """WITH dims AS (
