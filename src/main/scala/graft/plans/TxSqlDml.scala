@@ -62,6 +62,18 @@ object TxSqlDmlStrategy extends SparkStrategy {
       }
   }
 
+  /** The catalog identifier a DML target was resolved through — the
+    * LogicalRelation's CatalogTable (alias shells may or may not have
+    * been eliminated by the time the planner runs, so don't rely on
+    * SubqueryAlias). None for path-registered temp views and the like.
+    */
+  private def identOf(plan: LogicalPlan)
+      : Option[org.apache.spark.sql.catalyst.TableIdentifier] = plan match {
+    case SubqueryAlias(_, child) => identOf(child)
+    case lr: LogicalRelation => lr.catalogTable.map(_.identifier)
+    case _ => None
+  }
+
   private def requireWritable(rel: TxLogRelation): String = {
     require(!rel.isTimeTravel,
       "graft-txlog: cannot run DML through a versionAsOf time-travel " +
@@ -257,28 +269,43 @@ object TxSqlDmlStrategy extends SparkStrategy {
 
     case mit: MergeIntoTable => mit.targetTable match {
       case TxTarget(rel, tOut) =>
-        require(!mit.withSchemaEvolution,
-          "graft-txlog MERGE: WITH SCHEMA EVOLUTION is not supported - " +
-            "evolve via append(mergeSchema = true) first")
         val path = requireWritable(rel)
         val tAttrs = AttributeSet(tOut)
         val sAttrs = mit.sourceTable.outputSet
         def cl(c: Option[Expression]): Option[Column] =
           c.map(colOf(_, tAttrs, sAttrs))
         // SET * / INSERT * expand to every target column taking the
-        // same-named source column (the ANSI star contract)
-        def starSet: Map[String, Column] = rel.schema.fieldNames.map(n =>
-          n -> Shim.column(UnresolvedAttribute(Seq("s", n)))).toMap
+        // same-named source column (the ANSI star contract). WITH
+        // SCHEMA EVOLUTION: the analyzer has ALREADY expanded the stars
+        // against the TARGET schema (silently dropping source-only
+        // columns) before this strategy runs, so star-ness is
+        // unrecoverable here — instead, every UPDATE and INSERT clause
+        // additionally assigns each source-only column from its
+        // same-named source field. This matches Delta's star-evolution
+        // contract; an EXPLICIT assignment to a brand-new column cannot
+        // reach this strategy at all (the analyzer rejects the
+        // unresolvable target reference), so the augmentation is only
+        // ever visible where Delta would evolve too.
+        val evolvedExtra: Seq[String] =
+          if (!mit.withSchemaEvolution) Seq.empty
+          else mit.sourceTable.output.map(_.name).filterNot(n =>
+            rel.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+        def sCol(n: String): Column =
+          Shim.column(UnresolvedAttribute(Seq("s", n)))
+        def withEvo(set: Map[String, Column]): Map[String, Column] =
+          set ++ evolvedExtra.map(n => n -> sCol(n))
+        def starSet: Map[String, Column] =
+          withEvo(rel.schema.fieldNames.toSeq.map(n => n -> sCol(n)).toMap)
         def setOf(as: Seq[Assignment]): Map[String, Column] =
           as.map(a => nameOf(a.key) -> colOf(a.value, tAttrs, sAttrs)).toMap
         val matched = mit.matchedActions.map {
-          case UpdateAction(c, as, _) => TxLog.MergeUpdate(setOf(as), cl(c))
+          case UpdateAction(c, as, _) => TxLog.MergeUpdate(withEvo(setOf(as)), cl(c))
           case UpdateStarAction(c) => TxLog.MergeUpdate(starSet, cl(c))
           case DeleteAction(c) => TxLog.MergeDelete(cl(c))
           case other => sys.error(s"graft-txlog MERGE: unsupported matched action $other")
         }
         val notMatched = mit.notMatchedActions.map {
-          case InsertAction(c, as) => TxLog.MergeInsert(setOf(as), cl(c))
+          case InsertAction(c, as) => TxLog.MergeInsert(withEvo(setOf(as)), cl(c))
           case InsertStarAction(c) => TxLog.MergeInsert(starSet, cl(c))
           case other => sys.error(s"graft-txlog MERGE: unsupported not-matched action $other")
         }
@@ -294,7 +321,13 @@ object TxSqlDmlStrategy extends SparkStrategy {
           TxLog.mergeInto(spark, path, Shim.ofRows(spark, src), on,
             matched, notMatched, bySource,
             deletionVectors = TxLog.dmlDeletionVectors(spark, path),
-            changeFeed = TxLog.dmlChangeFeed(spark, path))
+            changeFeed = TxLog.dmlChangeFeed(spark, path),
+            evolveSchema = mit.withSchemaEvolution)
+          // evolution widened the manifest schema; write it through to
+          // the session catalog like the DDL interceptions do, or the
+          // catalog relation's stored schema would reject the table
+          if (mit.withSchemaEvolution)
+            GraftSqlParser.syncCatalog(spark, identOf(mit.targetTable), path)
           rel.unpin()
         }) :: Nil
       case _ => Nil

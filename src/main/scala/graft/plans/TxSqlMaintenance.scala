@@ -134,15 +134,24 @@ object GraftSqlParser {
     */
   private[plans] def syncCatalog(spark: SparkSession,
       ident: Option[TableIdentifier], path: String): Unit =
-    ident.foreach { id =>
+    ident.filter(spark.sessionState.catalog.tableExists).foreach { id =>
       val cat = spark.sessionState.catalog
       val live = TxLog.read(spark, path).schema
       val meta = cat.getTableMetadata(id)
-      if (meta.dataSchema != live)
-        // alterTable, not alterTableDataSchema: the latter refuses
-        // drops/renames (they are exactly what we are recording)
-        cat.alterTable(meta.copy(schema =
+      if (meta.dataSchema != live) {
+        // pure widening (schema evolution) goes through
+        // alterTableDataSchema — the only schema-change path the Hive
+        // external catalog honors; drops/renames need the full
+        // alterTable (which alterTableDataSchema refuses), honored by
+        // the in-memory catalog and metastores that accept it
+        val widened = live.fields.length >= meta.dataSchema.fields.length &&
+          live.fields.take(meta.dataSchema.fields.length).toSeq
+            .map(f => (f.name, f.dataType)) ==
+          meta.dataSchema.fields.toSeq.map(f => (f.name, f.dataType))
+        if (widened) cat.alterTableDataSchema(id, live)
+        else cat.alterTable(meta.copy(schema =
           StructType(live.fields ++ meta.partitionSchema.fields)))
+      }
       cat.refreshTable(id)
     }
 

@@ -1810,6 +1810,13 @@ object TxLog {
     *     can live anywhere — the whole table is the working set (use
     *     vectors, or a partition-scoped `on`, for big tables).
     *
+    * `evolveSchema = true` (the Delta `WITH SCHEMA EVOLUTION` knob):
+    * source columns the clauses assign but the target lacks become new
+    * nullable fields in the SAME commit — untouched files null-fill on
+    * read, and the change feed carries them (nulls in pre-images).
+    * Dropped/renamed-away names cannot be resurrected, and a source
+    * column no clause assigns does not evolve the schema.
+    *
     * Optimistic CAS like [[merge]]: a concurrent commit in the
     * find→publish gap re-derives against the new snapshot. Returns the
     * committed version (unchanged when no clause applied anywhere).
@@ -1831,7 +1838,8 @@ object TxLog {
       changeFeed: Boolean = false,
       txnAppId: Option[String] = None,
       txnBatchId: Long = Long.MinValue,
-      maxAttempts: Int = 10): Long = {
+      maxAttempts: Int = 10,
+      evolveSchema: Boolean = false): Long = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     txnAppId.foreach(id => require(id.nonEmpty, "txnAppId must be non-empty"))
     require(txnAppId.isEmpty == (txnBatchId == Long.MinValue),
@@ -1857,7 +1865,47 @@ object TxLog {
         return m.version
       val txnDelta: Map[String, Long] =
         txnAppId.map(_ -> txnBatchId).toMap
-      val schema = logicalSchema(m)
+      // WITH SCHEMA EVOLUTION (the Delta mergeSchema-for-merge knob):
+      // source columns the clauses actually ASSIGN but the target lacks
+      // widen the schema as new NULLABLE fields inside the SAME merge
+      // commit — the committed manifest's schemaJson comes from the
+      // written frame, which carries them; untouched files simply lack
+      // the columns and null-fill on read (the addColumns semantics,
+      // fused into the merge). Only assignment keys evolve — the Delta
+      // stance: star-expansion (done by the SQL layer) or an explicit
+      // assignment, never a source column every clause ignores. A name
+      // retired by dropColumn (or still present physically under a
+      // rename) cannot be resurrected — fail loudly.
+      val extraFields: Seq[StructField] =
+        if (!evolveSchema) Seq.empty
+        else {
+          val logicalNames = logicalSchema(m).fieldNames.map(_.toLowerCase).toSet
+          val physNames = DataType.fromJson(m.schemaJson)
+            .asInstanceOf[StructType].fieldNames.map(_.toLowerCase).toSet
+          val dead = m.dropped.getOrElse(Seq.empty).map(_.toLowerCase).toSet
+          val assigned: Set[String] = ((matched ++ notMatchedBySource).flatMap {
+            case MergeUpdate(set, _) => set.keys
+            case _ => Seq.empty
+          } ++ notMatched.flatMap(_.values.keys))
+            .map(_.toLowerCase).toSet -- logicalNames
+          val fields = source.schema.fields.toSeq
+            .filter(f => assigned(f.name.toLowerCase))
+          val orphans = assigned -- fields.map(_.name.toLowerCase)
+          require(orphans.isEmpty,
+            s"mergeInto schema evolution: assigned column(s) " +
+              s"${orphans.mkString(", ")} exist in neither the target nor " +
+              s"the source of $table - cannot infer a type for them")
+          fields.map { f =>
+            require(!dead(f.name.toLowerCase) && !physNames(f.name.toLowerCase),
+              s"mergeInto schema evolution cannot add '${f.name}' to " +
+                s"$table: the name was previously dropped or renamed " +
+                "away - old files may still hold its pre-drop values")
+            f.copy(dataType = asNullable(f.dataType), nullable = true,
+              metadata = Metadata.empty)
+          }
+        }
+      val extraNames = extraFields.map(_.name).toSet
+      val schema = StructType(logicalSchema(m).fields ++ extraFields)
       val gen = m.generated.getOrElse(Map.empty)
       val cons = m.constraints.getOrElse(Map.empty)
       // identity columns: NOT MATCHED inserts receive fresh ids from the
@@ -1925,9 +1973,18 @@ object TxLog {
           m.partitionBy.getOrElse(Seq.empty))
         val cdfFiles =
           if (!changeFeed) Seq.empty
-          else writeCdf(spark, table, w,
-            aliasLogical(toDf(spark, t, m.schemaJson, w.fresh), m)
-              .withColumn("_change_type", lit("insert")))
+          else {
+            // fresh files carry any evolution-added columns; reading
+            // them back with the OLD schema would silently drop those
+            // from the feed — widen the read schema to match the write
+            val readJson =
+              if (extraFields.isEmpty) m.schemaJson
+              else StructType(DataType.fromJson(m.schemaJson)
+                .asInstanceOf[StructType].fields ++ extraFields).json
+            writeCdf(spark, table, w,
+              aliasLogical(toDf(spark, t, readJson, w.fresh), m)
+                .withColumn("_change_type", lit("insert")))
+          }
         val committed = publish(spark, table, w, parent =>
           if (parent.map(_.version).contains(base))
             Some(Attempt("merge", m.files ++ w.fresh,
@@ -2007,7 +2064,12 @@ object TxLog {
               notMatchedBySource.zipWithIndex.collect {
                 case (MergeUpdate(set, _), b) if set.contains(f.name) =>
                   s"b$b" -> set(f.name) }
-            branches.foldLeft(col("t." + quoted(f.name)).cast(f.dataType)) {
+            // an evolution-added column has no target-side value: its
+            // default is NULL, not a (non-existent) t.<name> reference
+            val base =
+              if (extraNames(f.name)) lit(null).cast(f.dataType)
+              else col("t." + quoted(f.name)).cast(f.dataType)
+            branches.foldLeft(base) {
               case (acc, (tag, v)) =>
                 when(col("__act") === tag, v.cast(f.dataType)).otherwise(acc)
             }.as(f.name)
@@ -2046,7 +2108,8 @@ object TxLog {
           if (!changeFeed) Seq.empty
           else {
             val tcols = schema.fields.toSeq.map(f =>
-              col("t." + quoted(f.name)).cast(f.dataType).as(f.name))
+              (if (extraNames(f.name)) lit(null).cast(f.dataType)
+               else col("t." + quoted(f.name)).cast(f.dataType)).as(f.name))
             val pre = acted
               .filter(col("__act").isin((updTags ++ delTags): _*))
               .select(tcols :+ col("__act"): _*)

@@ -188,6 +188,25 @@ class TxSqlDmlSpec extends SparkSpec {
     assert(TxLog.read(spark, path).count() == 4L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table and the catalog sees it") {
+    val (name, path) = mk() // (k, v, n)
+    Seq((2L, "B2", 200, "zz"), (8L, "H", 800, "hh"))
+      .toDF("k", "v", "n", "extra")
+      .createOrReplaceTempView(s"${name}_evo")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $name t USING ${name}_evo s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the catalog relation agrees with the evolved manifest schema
+    val got = spark.sql(s"SELECT k, v, n, extra FROM $name ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(3))))
+    assert(got.toSeq == Seq(
+      (1L, "a", None), (2L, "B2", Some("zz")), (3L, "c", None),
+      (4L, "d", None), (8L, "H", Some("hh"))))
+    assert(TxLog.read(spark, path).columns.toSeq == Seq("k", "v", "n", "extra"))
+  }
+
   test("SQL MERGE with UPDATE SET * / INSERT *") {
     val (name, path) = mk()
     Seq((2L, "B2", 200), (8L, "H", 800)).toDF("k", "v", "n")

@@ -357,6 +357,57 @@ class MergeIntoSpec extends SparkSpec {
       "6 allocations from 1000 → next must be 1006")
   }
 
+  test("WITH SCHEMA EVOLUTION: source-only columns widen the table in the merge commit") {
+    for (dv <- Seq(false, true)) {
+      val t = tmpTable(); seed(t) // (k, v, n)
+      val v0 = TxLog.latestVersion(spark, t).get
+      TxLog.mergeInto(spark, t,
+        Seq((2L, "B", "x2"), (9L, "I", "x9")).toDF("sk", "sv", "extra"),
+        on = expr("t.k = s.sk"),
+        matched = Seq(MergeUpdate(Map("v" -> expr("s.sv"),
+          "extra" -> expr("s.extra")))),
+        notMatched = Seq(MergeInsert(Map("k" -> expr("s.sk"),
+          "v" -> expr("s.sv"), "extra" -> expr("s.extra")))),
+        deletionVectors = dv, evolveSchema = true)
+      assert(TxLog.latestVersion(spark, t).get == v0 + 1,
+        s"dv=$dv: evolution + merge must be ONE commit")
+      val got = TxLog.read(spark, t)
+      assert(got.columns.toSeq == Seq("k", "v", "n", "extra"), s"dv=$dv")
+      val byK = got.collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(3)).map(_.toString))).toMap
+      assert(byK(2L) == ("B", Some("x2")), s"dv=$dv: updated row evolved")
+      assert(byK(9L) == ("I", Some("x9")), s"dv=$dv: inserted row evolved")
+      assert(byK(1L) == ("a", None) && byK(3L) == ("c", None),
+        s"dv=$dv: untouched rows null-fill the new column")
+    }
+  }
+
+  test("schema evolution refuses resurrecting a dropped name; off by default") {
+    val t = tmpTable(); seed(t)
+    // without the flag, an unknown assignment stays a loud error
+    val e0 = intercept[IllegalArgumentException] {
+      TxLog.mergeInto(spark, t, Seq((2L, "B")).toDF("sk", "extra"),
+        on = expr("t.k = s.sk"),
+        matched = Seq(MergeUpdate(Map("extra" -> expr("s.extra")))))
+    }
+    assert(e0.getMessage.contains("no such column"))
+    TxLog.dropColumn(spark, t, "n")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.mergeInto(spark, t, Seq((2L, "B", 7)).toDF("sk", "sv", "n"),
+        on = expr("t.k = s.sk"),
+        matched = Seq(MergeUpdate(Map("v" -> expr("s.sv"), "n" -> expr("s.n")))),
+        evolveSchema = true)
+    }
+    assert(e.getMessage.contains("previously dropped"))
+    // a source column NO clause assigns does not evolve the schema
+    TxLog.mergeInto(spark, t, Seq((2L, "B", "zz")).toDF("sk", "sv", "ignored"),
+      on = expr("t.k = s.sk"),
+      matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")))),
+      evolveSchema = true)
+    assert(TxLog.read(spark, t).columns.toSeq == Seq("k", "v"),
+      "unassigned source columns must not widen the table")
+  }
+
   test("merge into an empty-ish table: only inserts fire") {
     val t = tmpTable()
     TxLog.overwrite(Seq.empty[(Long, String, Int)].toDF("k", "v", "n"), t)
