@@ -853,6 +853,39 @@ object Lakehouse {
         r2d(sum(col("bal"))).as("total"))
     }),
 
+    "q129_merge_evolve" -> ((s, dir) => {
+      // MERGE WITH SCHEMA EVOLUTION as pure SQL (TxLog.mergeInto's
+      // evolveSchema scaladoc): the source carries a column the target
+      // lacks (per-customer order count `total`); the star clauses
+      // assign it, so the merge widens the table to (k, bal, seg,
+      // total) inside the SAME commit — matched rows take source
+      // values, untouched rows null-fill the new column, inserts carry
+      // all four. The oracle recomputes the evolved state as a LEFT
+      // JOIN + anti-join UNION in DuckDB; hash equality proves the
+      // evolution wrote real values exactly where a clause acted and
+      // NULLs exactly where none did.
+      val t = tmpTable("tx-q129")
+      TxLog.overwrite(Tables.customer(s, dir).select(
+        col("c_custkey").as("k"),
+        dec2(col("c_acctbal")).cast("double").as("bal"),
+        col("c_mktsegment").as("seg")), t)
+      val perCust = Tables.orders(s, dir).groupBy(col("o_custkey").as("k"))
+        .agg(r2d(sum(dec2(col("o_totalprice")))).as("bal"),
+          count(lit(1)).as("total"))
+        .withColumn("seg", lit("MERGED"))
+      val source = perCust.unionByName(perCust.filter(col("total") > 28)
+        .withColumn("k", col("k") + 10000000L))
+      val name = "q129_" + java.util.UUID.randomUUID().toString.replace("-", "_")
+      s.sql(s"CREATE TABLE $name USING `graft-txlog` OPTIONS (path '$t')")
+      source.createOrReplaceTempView(s"${name}_src")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $name t USING ${name}_src s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      TxLog.read(s, t)
+    }),
+
     "q127_replace_where" -> ((s, dir) => {
       // Arbitrary-predicate replaceWhere (TxLog.replaceWhere scaladoc):
       // one atomic commit deletes 1995's rows and inserts their
@@ -1161,6 +1194,32 @@ object Lakehouse {
         |   + (SELECT count(*) FROM big) AS BIGINT) AS id_max,
         | CAST(round((SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer)
         |   + (SELECT sum(cnt) FROM allsrc), 2) AS DOUBLE) AS total""".stripMargin,
+
+    "q129_merge_evolve" ->
+      """WITH src0 AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS bal,
+        |    count(*) AS total
+        |  FROM orders GROUP BY 1),
+        |allsrc AS (
+        |  SELECT k, bal, total FROM src0
+        |  UNION ALL
+        |  SELECT k + 10000000, bal, total FROM src0 WHERE total > 28),
+        |upd AS (
+        |  SELECT c.c_custkey AS k,
+        |    CASE WHEN s.k IS NOT NULL THEN s.bal
+        |         ELSE CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) END AS bal,
+        |    CASE WHEN s.k IS NOT NULL THEN 'MERGED'
+        |         ELSE c.c_mktsegment END AS seg,
+        |    s.total AS total
+        |  FROM customer c LEFT JOIN allsrc s ON c.c_custkey = s.k),
+        |ins AS (
+        |  SELECT s.k, s.bal, 'MERGED' AS seg, s.total
+        |  FROM allsrc s LEFT JOIN customer c ON c.c_custkey = s.k
+        |  WHERE c.c_custkey IS NULL)
+        |SELECT k, bal, seg, CAST(total AS BIGINT) AS total FROM upd
+        |UNION ALL
+        |SELECT k, bal, seg, CAST(total AS BIGINT) AS total FROM ins""".stripMargin,
 
     "q127_replace_where" ->
       """WITH base AS (

@@ -382,6 +382,28 @@ class MergeIntoSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution + change feed: the feed carries the new column") {
+    for (dv <- Seq(false, true)) {
+      val t = tmpTable(); seed(t)
+      val v = TxLog.mergeInto(spark, t,
+        Seq((2L, "B", "x2"), (9L, "I", "x9")).toDF("sk", "sv", "extra"),
+        on = expr("t.k = s.sk"),
+        matched = Seq(MergeUpdate(Map("v" -> expr("s.sv"),
+          "extra" -> expr("s.extra")))),
+        notMatched = Seq(MergeInsert(Map("k" -> expr("s.sk"),
+          "v" -> expr("s.sv"), "extra" -> expr("s.extra")))),
+        deletionVectors = dv, changeFeed = true, evolveSchema = true)
+      val cdf = TxLog.readChangeFeed(spark, t, sinceVersion = v - 1)
+        .select(col("k"), col("v"), col("extra"), col("_change_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)), r.getString(3))).toSet
+      assert(cdf == Set(
+        (2L, "b", None, "update_preimage"), // pre-image predates the column
+        (2L, "B", Some("x2"), "update_postimage"),
+        (9L, "I", Some("x9"), "insert")), s"dv=$dv got $cdf")
+    }
+  }
+
   test("schema evolution refuses resurrecting a dropped name; off by default") {
     val t = tmpTable(); seed(t)
     // without the flag, an unknown assignment stays a loud error
