@@ -34,6 +34,13 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val passes = if (args.length > 1) args(1).toInt else 2
+    // arg 3 = "all": sweep EVERY SparkEntry query instead of the heavy
+    // list (VERDICT r8 #7 — the full-surface sf1 sweep; one pass over
+    // ~175 shapes catches a constant-dominated sf0.1 shape whose ratio
+    // is not in the probed set). Deterministic key order.
+    val names: Seq[String] =
+      if (args.length > 2 && args(2) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else heavy
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,12 +50,17 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.setup(spark)
-    val qs = heavy.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val qs = names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     def clear(): Unit = { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
-    // warmup pass
-    qs.foreach { case (_, fn) =>
+    // warmup pass (skipped in the full-surface sweep: one timed pass
+    // per query is the stated methodology there — JIT noise is bounded
+    // by running three light shapes first)
+    if (names eq heavy) qs.foreach { case (_, fn) =>
       clear(); fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
-    }
+    } else Seq("q06_sma", "q10_daily_agg", "q15_category")
+      .flatMap(SparkEntry.queries.get).foreach { fn =>
+        clear(); fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
+      }
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     (1 to passes).foreach { _ =>
       qs.foreach { case (name, fn) =>
