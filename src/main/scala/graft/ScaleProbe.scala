@@ -37,9 +37,11 @@ object ScaleProbe {
     // arg 3 = "all": sweep EVERY SparkEntry query instead of the heavy
     // list (VERDICT r8 #7 — the full-surface sf1 sweep; one pass over
     // ~175 shapes catches a constant-dominated sf0.1 shape whose ratio
-    // is not in the probed set). Deterministic key order.
+    // is not in the probed set). A comma-separated list probes exactly
+    // those keys (post-fix re-measurement). Deterministic key order.
     val names: Seq[String] =
       if (args.length > 2 && args(2) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 2) args(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       else heavy
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -47,6 +49,9 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // build-time, like Bench/Verify: the maintenance-SQL queries
+      // (q126+) need the injected PARSER, which setup() cannot add
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.setup(spark)

@@ -26,6 +26,8 @@ import graft.sources.TxLog
   *   DESCRIBE DETAIL t         / DESC DETAIL t
   *   ALTER TABLE t DROP COLUMN c              -- v1 analyzer would reject
   *   ALTER TABLE t RENAME COLUMN a TO b       -- v1 analyzer would reject
+  *   CONVERT TO GRAFT '/path' [NO STATISTICS] -- adopt parquet in place
+  *   CREATE TABLE dst SHALLOW CLONE src       -- zero-copy metadata fork
   * }}}
   *
   * Mechanism: [[GraftSqlParser]] is injected via
@@ -96,6 +98,10 @@ object GraftSqlParser {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+DROP\\s+COLUMN\\s+$ident\\s*$$""".r
   private val renameColRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+RENAME\\s+COLUMN\\s+$ident\\s+TO\\s+$ident\\s*$$""".r
+  private val convertRe =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'(\s+NO\s+STATISTICS)?\s*$""".r
+  private val cloneRe =
+    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$ref\\s+SHALLOW\\s+CLONE\\s+$ref\\s*$$""".r
 
   private def unquote(part: String): String =
     if (part.startsWith("`")) part.stripPrefix("`").stripSuffix("`") else part
@@ -220,6 +226,40 @@ object GraftSqlParser {
           Nil
         })
       }
+    case cloneRe(dst, src) =>
+      // src must already be a graft table (strict — cloning a non-graft
+      // table is CONVERT's job); dst is a path literal, or a catalog
+      // identifier that gets its default warehouse location and a
+      // USING `graft-txlog` registration after the metadata-only clone
+      resolve(src, "SHALLOW CLONE", strict = true).map { case (srcPath, _) =>
+        GraftMaintenance("graft_clone", Seq(longAttr("version")), { spark =>
+          val (dstPath, register) =
+            if (dst.startsWith("'"))
+              (dst.stripPrefix("'").stripSuffix("'"), None)
+            else {
+              val parts = dst.split('.').map(unquote)
+              val tid = TableIdentifier(parts.last,
+                if (parts.length > 1) Some(parts(parts.length - 2)) else None)
+              require(!spark.sessionState.catalog.tableExists(tid),
+                s"SHALLOW CLONE: table $dst already exists")
+              (new org.apache.hadoop.fs.Path(
+                spark.sessionState.catalog.defaultTablePath(tid)).toString,
+                Some(tid))
+            }
+          val v = TxLog.clone(spark, srcPath, dstPath)
+          register.foreach { tid =>
+            spark.sql(s"CREATE TABLE ${tid.quotedString} USING `graft-txlog` " +
+              s"OPTIONS (path '$dstPath')")
+          }
+          Seq(Seq(v))
+        })
+      }
+    case convertRe(path, noStats) =>
+      // always a PATH literal: the directory is not a graft table yet
+      // (registering it in the catalog stays CREATE TABLE … USING's job)
+      Some(GraftMaintenance("graft_convert", Seq(longAttr("version")),
+        spark => Seq(Seq(TxLog.convert(spark, path,
+          statsColumns = if (noStats != null) 0 else TxLog.maxStatsCols)))))
     case renameColRe(r, from, to) =>
       resolve(r, "ALTER TABLE", strict = false).map { case (path, ident) =>
         val (f, t) = (unquote(from), unquote(to))

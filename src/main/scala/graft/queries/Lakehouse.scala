@@ -853,6 +853,29 @@ object Lakehouse {
         r2d(sum(col("bal"))).as("total"))
     }),
 
+    "q130_tx_convert" -> ((s, dir) => {
+      // CONVERT TO GRAFT (TxLog.convert scaladoc — the Delta CONVERT TO
+      // DELTA capability): a PLAIN parquet directory (written by a
+      // stock Spark job, custkey-clustered) is adopted in place as
+      // version 1 — no data byte moves; the convert-time stats pass
+      // then drives file skipping on the custkey range below, and a
+      // post-convert DELETE proves the adopted directory is a full
+      // transactional citizen. The oracle recomputes filter+delete+agg
+      // from the raw rows — hash equality proves adoption changed
+      // nothing and the converted stats pruned no qualifying file.
+      val t = tmpTable("tx-q130")
+      Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(t) // plain parquet — no transaction log yet
+      s.sql(s"CONVERT TO GRAFT '$t'")
+      TxLog.delete(s, t, col("o_orderpriority") === lit("1-URGENT"))
+      TxLog.readWhere(s, t, Seq(("o_custkey", Some(100L), Some(800L))))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q129_merge_evolve" -> ((s, dir) => {
       // MERGE WITH SCHEMA EVOLUTION as pure SQL (TxLog.mergeInto's
       // evolveSchema scaladoc): the source carries a column the target
@@ -1194,6 +1217,14 @@ object Lakehouse {
         |   + (SELECT count(*) FROM big) AS BIGINT) AS id_max,
         | CAST(round((SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer)
         |   + (SELECT sum(cnt) FROM allsrc), 2) AS DOUBLE) AS total""".stripMargin,
+
+    "q130_tx_convert" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey >= 100 AND o_custkey <= 800
+        |  AND o_orderpriority <> '1-URGENT'
+        |GROUP BY 1""".stripMargin,
 
     "q129_merge_evolve" ->
       """WITH src0 AS (

@@ -56,27 +56,55 @@ object PqAnn {
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int, Long),
       Seq[(Int, Int, Seq[Double])]]
 
+  /** Training-sample size: ~128 points per centroid — inside the
+    * published Faiss regime (30–256 per centroid); beyond it more data
+    * adds cost, not centroid quality.
+    */
+  private def trainSampleFor(ksub: Int): Int = 128 * ksub
+
   /** Train per-subspace codebooks: (sub_id, code, ce). `m` subspaces of
-    * dim/m dims each, `ksub` centroids per subspace via MLlib k-means||
+    * dim/m dims each, `ksub` centroids per subspace via k-means
     * (euclidean — PQ quantizes subvectors as points, not directions;
     * the COSINE of the full vector is recovered because the vectors are
     * normalized before splitting and dot sums over subspaces).
+    *
+    * Scale shape (the Faiss training recipe): the fit runs over a
+    * BOUNDED deterministic hash-sample of ~[[trainSampleFor]] vectors —
+    * one cheap count + one sampled collect (a few MB), then
+    * [[LocalKmeans]] on the driver — so training cost is INDEPENDENT of
+    * corpus size. The previous shape (m sequential MLlib fits, each
+    * re-reading the full subvector explode) scheduled m × maxIter
+    * distributed jobs over the whole corpus: measured 36× on 10× data
+    * in the round-9 sf1 sweep; this is the fix. The corpus-sized work
+    * that remains is [[encode]] — one pass, inherently.
     */
   def trainCodebooks(embeddings: DataFrame, dim: Int, m: Int, ksub: Int,
                      maxIter: Int = 10, seed: Long = 42L): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val dsub = dim / m
-    val subs = subvectors(embeddings, "vec_id", "embedding", m, dsub)
+    val target = trainSampleFor(ksub)
+    val n = embeddings.count()
+    val sampled =
+      if (n <= target) embeddings
+      else {
+        // deterministic hash-gate at the target fraction (slightly over
+        // via ceil; exactness is irrelevant — any ~target-sized sample
+        // trains the same quality)
+        val gate = math.min(1000000L,
+          (target.toDouble / n * 1000000L).ceil.toLong + 1L)
+        embeddings.filter(
+          pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000L)) < gate)
+      }
+    val pts: Array[Array[Double]] = sampled
+      .select(col("vec_id"), normalize(col("embedding")).as("__nv"))
+      .orderBy("vec_id") // stable order => deterministic fit
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(pts.nonEmpty, "trainCodebooks: empty corpus")
     val rows = (0 until m).flatMap { s =>
-      val feats = subs.filter(col("sub_id") === s)
-        .select(array_to_vector(col("sv")).as("features"))
-      val model = new KMeans()
-        .setK(ksub).setSeed(seed + s).setMaxIter(maxIter)
-        .fit(feats)
-      model.clusterCenters.zipWithIndex.map {
-        case (c, code) => (s, code, c.toArray.toSeq)
+      val sub = pts.map(p => java.util.Arrays.copyOfRange(p, s * dsub, (s + 1) * dsub))
+      LocalKmeans.fit(sub, ksub, maxIter, seed + s).zipWithIndex.map {
+        case (c, code) => (s, code, c.toSeq)
       }
     }
     embeddings.sparkSession.createDataFrame(rows).toDF("sub_id", "code", "ce")

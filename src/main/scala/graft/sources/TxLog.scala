@@ -443,15 +443,30 @@ object TxLog {
     * Hadoop `Path` → `URI` quoting. A lookup-side decode alone could not
     * serve the DV anti-JOIN, which has no fallback branch.)
     */
-  private def scanKeys(rel: String): Seq[String] = {
-    val raw = last2(rel)
-    val enc = last2(new Path("/" + rel).toUri.getRawPath)
+  private def scanKeys(rel: String, t: Path): Seq[String] = {
+    // a SINGLE-segment rel (a converted table's adopted top-level file)
+    // scans back as "<tableDirName>/<file>" — prefix the table dir so
+    // the key matches what the last-two-components regexp extracts
+    val full = if (rel.contains("/")) rel else s"${t.getName}/$rel"
+    val raw = last2(full)
+    val enc = last2(new Path("/" + full).toUri.getRawPath)
     if (enc == raw) Seq(raw) else Seq(raw, enc)
   }
 
-  /** file → rel map probe-able by scan-reported keys (both spellings). */
-  private def byScanKey(files: Seq[String]): Map[String, String] =
-    files.flatMap(f => scanKeys(f).map(_ -> f)).toMap
+  /** file → rel map probe-able by scan-reported keys (both spellings).
+    * An ambiguous key (two manifest rels sharing a last-two suffix —
+    * only reachable through pathological adopted layouts) fails loudly:
+    * silently attributing one file's rows to another is the one thing a
+    * DML find pass must never do.
+    */
+  private def byScanKey(files: Seq[String], t: Path): Map[String, String] = {
+    val pairs = files.flatMap(f => scanKeys(f, t).map(_ -> f))
+    pairs.groupBy(_._1).foreach { case (k, vs) =>
+      require(vs.map(_._2).distinct.size == 1,
+        s"ambiguous scan key '$k': ${vs.map(_._2).distinct.mkString(", ")}")
+    }
+    pairs.toMap
+  }
 
   /** Sidecar codec: `GDV1` magic + row count + ULEB128 gap varints over
     * the SORTED positions — the roaring-bitmap-class trick that makes a
@@ -582,7 +597,7 @@ object TxLog {
         // matches however the scan reports the path (raw vs URI-encoded)
         val anti = dvs.flatMap { e =>
           val pos = readDvFile(spark, t, e.dv)
-          scanKeys(e.path).flatMap(k => pos.map(i => (k, i)))
+          scanKeys(e.path, t).flatMap(k => pos.map(i => (k, i)))
         }
         import spark.implicits._
         keyed.join(broadcast(anti.toDF("__dv_k", "__dv_i")),
@@ -1208,21 +1223,32 @@ object TxLog {
   }
 
   private def collectStats(spark: SparkSession, table: Path,
-      schema: StructType, relFiles: Seq[String]): Seq[FileEntry] = {
-    val skippable = schema.fields.filter(f => isSkippable(f.dataType)).take(maxStatsCols)
-    // zero skippable columns still yields per-file ROW COUNTS (a
-    // no-data-column parquet count is a footer-metadata scan): row
-    // counts must be complete for every table — delete's tier-2 and
-    // statsAggregate's count(*) both answer from them
+      schema: StructType, relFiles: Seq[String]): Seq[FileEntry] =
+    statsScan(spark, schema, relFiles.map(new Path(table, _).toString),
+      relMapper(relFiles)).map(e => e.copy(parts = partValuesOf(e.path)))
+
+  /** The shared per-file stats pass: ONE column-pruned aggregate over
+    * `absFiles` grouped by file, ≤[[maxStatsCols]] skippable columns.
+    * Zero skippable columns still yields per-file ROW COUNTS (a
+    * no-data-column parquet count is a footer-metadata scan): row
+    * counts must be complete for every table — delete's tier-2 and
+    * statsAggregate's count(*) both answer from them. `relOf` maps the
+    * scan's absolute paths back to manifest-relative entries
+    * (fresh-write and convert layouts differ).
+    */
+  private def statsScan(spark: SparkSession, schema: StructType,
+      absFiles: Seq[String], relOf: String => String,
+      statsCols: Int = maxStatsCols): Seq[FileEntry] = {
+    val skippable = schema.fields.filter(f => isSkippable(f.dataType))
+      .take(statsCols.min(maxStatsCols).max(0))
     val aggs = skippable.zipWithIndex.flatMap { case (f, i) =>
       val c = col(quoted(f.name))
       Seq(min(c).cast("string").as(s"__mn_$i"),
         max(c).cast("string").as(s"__mx_$i"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nc_$i"))
     }
-    val relOf = relMapper(relFiles)
     spark.read.schema(schema)
-      .parquet(relFiles.map(new Path(table, _).toString): _*)
+      .parquet(absFiles: _*)
       .groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .collect()
@@ -1235,7 +1261,7 @@ object TxLog {
             Option(r.getAs[String](s"__mx_$i")),
             r.getAs[Long](s"__nc_$i"))
         }.toMap
-        FileEntry(rel, r.getAs[Long]("__rows"), stats, partValuesOf(rel))
+        FileEntry(rel, r.getAs[Long]("__rows"), stats)
       }
   }
 
@@ -1670,7 +1696,7 @@ object TxLog {
           // null-safe key match, mirroring cdcApply's <=> semantics
           val cond = keys.map(k => col(quoted(k)) <=> col(s"__mk_$k"))
             .reduce(_ && _)
-          val byKey = byScanKey(m.files)
+          val byKey = byScanKey(m.files, t)
           liveKeyed(spark, t, m, m.files)
             .join(broadcast(renamedKeys), cond, "left_semi")
             .select(col("__dv_k")).distinct().collect()
@@ -1724,7 +1750,7 @@ object TxLog {
         else {
           val cond = keys.map(k => col(quoted(k)) <=> col(s"__mk_$k"))
             .reduce(_ && _)
-          val byKey = byScanKey(m.files)
+          val byKey = byScanKey(m.files, t)
           liveKeyed(spark, t, m, m.files)
             .join(broadcast(renamedKeys), cond, "left_semi")
             .select(col("__dv_k"), col("__dv_i")).collect().toSeq
@@ -2008,7 +2034,7 @@ object TxLog {
         // and inserted as a duplicate.
         val anyApplies: Column = matched.map(cl => hold(cl.cond))
           .reduceOption(_ || _).getOrElse(lit(false))
-        val byKey = byScanKey(m.files)
+        val byKey = byScanKey(m.files, t)
         val perFile =
           if (m.files.isEmpty) Seq.empty[(String, Long)]
           else liveKeyed(spark, t, m, m.files).alias("t")
@@ -2596,7 +2622,7 @@ object TxLog {
       .collect()
     // map file keys back to table-relative manifest paths (last2 is
     // unique per live file: the part name embeds its write job's UUID)
-    val byKey = byScanKey(m.files)
+    val byKey = byScanKey(m.files, t)
     hits.toSeq.map { r =>
       val rel = byKey.getOrElse(r.getString(0),
         sys.error(s"scan returned unlisted file ${r.getString(0)}"))
@@ -2776,7 +2802,7 @@ object TxLog {
         .select(col("__dv_k"), col("__dv_i"))
         .collect()
       if (matchedRows.isEmpty) return m.version
-      val byKey = byScanKey(m.files)
+      val byKey = byScanKey(m.files, t)
       val matched: Map[String, Seq[Long]] = matchedRows.toSeq
         .groupBy(r => byKey.getOrElse(r.getString(0),
           sys.error(s"scan returned unlisted file ${r.getString(0)}")))
@@ -2944,7 +2970,7 @@ object TxLog {
         .select(col("__dv_k"), col("__dv_i"))
         .collect()
       if (matchedRows.isEmpty) return m.version
-      val byKey = byScanKey(m.files)
+      val byKey = byScanKey(m.files, t)
       val matched: Map[String, Seq[Long]] = matchedRows.toSeq
         .groupBy(r => byKey.getOrElse(r.getString(0),
           sys.error(s"scan returned unlisted file ${r.getString(0)}")))
@@ -3791,6 +3817,113 @@ object TxLog {
           s"clone target $dst gained a commit while cloning")
         Some(att)
       }).get
+  }
+
+  /** CONVERT an existing plain-parquet directory into a graft-txlog
+    * table IN PLACE (the public Delta `CONVERT TO DELTA` capability):
+    * version 1 adopts the directory's parquet files by relative path —
+    * NO data byte moves or rewrites, so converting a 100 TB directory
+    * costs one recursive listing plus one column-pruned stats pass
+    * (≤[[maxStatsCols]] skippable columns; `statsColumns = 0` skips the
+    * min/max scan and records footer-cheap row counts only — stats are
+    * advisory, an entry without them is simply never skipped, but row
+    * counts must be complete). File sizes from the listing become the
+    * manifest's cost statistics, so a converted dimension
+    * auto-broadcasts like a written one. After convert the directory is
+    * a full citizen: DML, OPTIMIZE, constraints, CDF opt-in, vacuum
+    * (adopted files are table-root-relative, reaped like written ones).
+    *
+    * Heterogeneous file schemas union-merge (`mergeSchema`): files
+    * lacking a column null-fill on read — the SAME semantics
+    * schema-evolving appends already give old files. Hive-partitioned
+    * layouts (`col=value` directories) are REFUSED loudly: their
+    * partition values live in directory names, not in the files, while
+    * graft-txlog keeps partition columns inside data files — rewrite
+    * via `overwrite(spark.read.parquet(dir), dst, partitionBy = …)`.
+    *
+    * Idempotent under a lost-ack or concurrent convert of the SAME
+    * directory: if version 1 exists as a convert of exactly these
+    * files, returns it; any other existing commit fails loudly.
+    */
+  def convert(spark: SparkSession, table: String,
+      statsColumns: Int = maxStatsCols): Long = {
+    val f = fs(spark, new Path(table))
+    val t = f.makeQualified(new Path(table))
+    require(f.exists(t), s"convert: $table does not exist")
+    val tStr = t.toString
+    val relBuf = scala.collection.mutable.ArrayBuffer[String]()
+    val sizeBuf = scala.collection.mutable.Map[String, Long]()
+    val it = f.listFiles(t, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toString
+      if (p.endsWith(".parquet") && p.startsWith(tStr + "/")) {
+        val rel = p.stripPrefix(tStr + "/")
+        val segs = rel.split('/')
+        if (!segs.exists(s => s.startsWith("_") || s.startsWith("."))) {
+          require(!segs.dropRight(1).exists(_.contains("=")),
+            s"convert: $table is Hive-partitioned ('${segs.find(_.contains("="))
+              .getOrElse("")}') - partition values live in directory names, " +
+              "not in the files, while graft-txlog keeps partition columns " +
+              "inside data files; rewrite via TxLog.overwrite(" +
+              "spark.read.parquet(dir), dst, partitionBy = ...)")
+          relBuf += rel
+          sizeBuf(rel) = st.getLen
+        }
+      }
+    }
+    require(relBuf.nonEmpty, s"convert: no parquet files under $table")
+    val rels = relBuf.toSeq.sorted
+    // a prior convert of exactly this directory is an idempotent
+    // success (the lost-ack / double-call stance); ANY other history is
+    // a loud refusal — convert only adopts plain parquet directories
+    latestVersion(spark, table).foreach { v =>
+      val m = readManifest(spark, new Path(table), v)
+      require(v == 1L && m.action == "convert" && m.files.toSet == rels.toSet,
+        s"convert: $table already has committed versions - convert only " +
+          "adopts plain parquet directories")
+      return v
+    }
+    val abs = rels.map(r => new Path(t, r).toString)
+    val schema = asNullable(spark.read.option("mergeSchema", "true")
+      .parquet(abs: _*).schema).asInstanceOf[StructType]
+    // scan-path → manifest-relative: compare URI *paths* (the scan
+    // renders file:///… and percent-encodes; the listing rendered
+    // file:/… raw) — decoding both sides makes the match rendering-proof
+    val rootPath = t.toUri.getPath
+    val relOf: String => String = { a =>
+      val ap =
+        try {
+          val u = new java.net.URI(a)
+          if (u.getPath != null) u.getPath else a
+        } catch { case _: java.net.URISyntaxException => a }
+      require(ap.startsWith(rootPath + "/"),
+        s"convert stats scan returned unlisted file $a")
+      ap.stripPrefix(rootPath + "/")
+    }
+    val scanned = statsScan(spark, schema, abs, relOf, statsColumns)
+    val seen = scanned.map(_.path).toSet
+    // 0-row part files never surface in the grouped aggregate — record
+    // them so per-file row counts stay COMPLETE
+    val entries = (scanned ++ rels.filterNot(seen)
+        .map(r => FileEntry(r, 0L, Map.empty)))
+      .map(e => e.copy(bytes = sizeBuf.get(e.path)))
+      .sortBy(_.path)
+    require(entries.map(_.path).toSet == rels.toSet,
+      "convert: stats scan and listing disagree on the file set")
+    val att = Attempt("convert", rels, entries, txn = Map.empty)
+    publish(spark, table, writeNothing(spark, table, schema.json),
+      parent => if (parent.isEmpty) Some(att) else None) match {
+      case Some(v) => v
+      case None =>
+        // a concurrent (or lost-ack-retried) convert won the race: the
+        // SAME file set is the same table — idempotent success
+        val m = manifest(spark, table)
+        require(m.version == 1L && m.action == "convert" &&
+            m.files.toSet == rels.toSet,
+          s"convert: $table gained a different commit while converting")
+        m.version
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -142,4 +142,46 @@ class TxSqlMaintenanceSpec extends SparkSpec {
     val e = intercept[Exception] { spark.sql("OPTIMIZE no_such_graft_table") }
     assert(e.getMessage.contains("not a graft-txlog table"))
   }
+
+  test("CONVERT TO GRAFT adopts a plain parquet dir; NO STATISTICS skips min/max") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlconv")
+      .resolve("t").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(2, col("k")).write.parquet(dir)
+    val out = spark.sql(s"CONVERT TO GRAFT '$dir'").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+    val m = TxLog.manifest(spark, dir)
+    assert(m.action == "convert" && m.stats.get.exists(_.stats.nonEmpty))
+    assert(TxLog.read(spark, dir).count() == 3L)
+
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-sqlconv")
+      .resolve("t").toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir2)
+    spark.sql(s"CONVERT TO GRAFT '$dir2' NO STATISTICS")
+    val m2 = TxLog.manifest(spark, dir2)
+    assert(m2.stats.get.forall(_.stats.isEmpty), "NO STATISTICS skips min/max")
+    assert(m2.stats.get.map(_.rows).sum == 1L, "row counts stay complete")
+  }
+
+  test("CREATE TABLE dst SHALLOW CLONE src: path and catalog destinations") {
+    val (name, path) = mk()
+    // path-literal destination
+    val dst = java.nio.file.Files.createTempDirectory("graft-sqlclone")
+      .resolve("t").toString
+    val out = spark.sql(s"CREATE TABLE '$dst' SHALLOW CLONE $name").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+    assert(TxLog.manifest(spark, dst).action == "clone")
+    assert(TxLog.read(spark, dst).count() == 4L)
+    // catalog-identifier destination: default location + registration
+    val cname = name + "_fork"
+    spark.sql(s"CREATE TABLE $cname SHALLOW CLONE $name")
+    assert(spark.sql(s"SELECT count(*) FROM $cname").collect()(0).getLong(0) == 4L)
+    // the fork is independent: a source delete does not change it
+    spark.sql(s"DELETE FROM $name WHERE k <= 2")
+    assert(spark.sql(s"SELECT count(*) FROM $cname").collect()(0).getLong(0) == 4L)
+    // an existing destination refuses
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cname SHALLOW CLONE $name").collect())
+    assert(e.getMessage.contains("already exists"))
+  }
 }
