@@ -136,9 +136,13 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
       parameters: Map[String, String]): Source = {
     val path = pathOf(parameters)
     val fixed = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxV.foreach(v => require(v >= 1, "maxVersionsPerTrigger must be >= 1"))
     new TxLogSource(sqlContext.sparkSession, path, fixed,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      changeFeed = cdfOf(parameters))
+      changeFeed = cdfOf(parameters),
+      maxVersionsPerTrigger = maxV,
+      startingVersion = parameters.get("startingVersion").map(_.toLong))
   }
 
   /** Transactional streaming SINK:
@@ -315,15 +319,88 @@ private[streaming] object TxLogSourceOffset {
   */
 private[streaming] class TxLogSource(spark: SparkSession, table: String,
     override val schema: StructType, ignoreChanges: Boolean,
-    changeFeed: Boolean = false) extends Source {
+    changeFeed: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow latch. Implementing the trait ourselves (the
+    * DeltaSource recipe) keeps the engine consulting [[getOffset]] per
+    * micro-batch until this target is reached — the default
+    * AvailableNowSourceWrapper would freeze the FIRST (rate-capped)
+    * offer as the terminal offset and stop a paced drain after one
+    * batch.
+    */
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowTarget = TxLog.latestVersion(spark, table)
+  }
+
+  /** Highest version this source has OFFERED or PROCESSED — what
+    * `maxVersionsPerTrigger` advances from. Seeded by the engine's
+    * recovery `getBatch` (the v1 contract replays the checkpointed
+    * range through getBatch on restart, so a restarted capped stream
+    * resumes pacing from its checkpoint, not from zero).
+    */
+  private var highWater: Option[Long] = startingVersion
+
+  /** Rate-limited offer (the Delta `maxFilesPerTrigger` idea at this
+    * log's granularity): never offer more than `maxVersionsPerTrigger`
+    * versions beyond the last offered/processed point, so a deep
+    * backlog (or a multi-day catch-up on a 100 TB table) drains as
+    * bounded micro-batches instead of one giant one. Uncapped sources
+    * keep the plain latest-version offer.
+    */
+  private def offer(startV: Option[Long]): Option[Long] = synchronized {
+    TxLog.latestVersion(spark, table).map { live =>
+      // AvailableNow processes what existed at query start — later
+      // commits wait for the next run
+      val latest = availableNowTarget.fold(live)(math.min(live, _))
+      // pacing base: the engine-supplied committed offset when the
+      // admission-control path provides one (restart-correct), else the
+      // tracked high-water, else startingVersion (fresh capped stream)
+      val base = startV.orElse(highWater).orElse(startingVersion)
+      val capped = (maxVersionsPerTrigger, base) match {
+        case (Some(mx), Some(b)) => math.min(latest, b + mx)
+        case _ => latest
+      }
+      highWater = Some(highWater.fold(capped)(math.max(_, capped)))
+      capped
+    }
+  }
 
   override def getOffset: Option[Offset] =
-    TxLog.latestVersion(spark, table).map(TxLogSourceOffset(_))
+    offer(None).map(TxLogSourceOffset(_))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** Admission-control offer (the path the engine uses once the source
+    * declares SupportsAdmissionControl): same pacing as [[getOffset]],
+    * with the engine's committed `start` as the restart-correct base.
+    */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    offer(Option(start).map(TxLogSourceOffset.versionOf))
+      .map(TxLogSourceOffset(_)).orNull
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val endV = TxLogSourceOffset.versionOf(end)
-    start.map(TxLogSourceOffset.versionOf) match {
+    synchronized {
+      highWater = Some(highWater.fold(endV)(math.max(_, endV)))
+    }
+    start.map(TxLogSourceOffset.versionOf)
+        .orElse(startingVersion) match {
+      // startingVersion at/past the offered end: nothing yet (and never
+      // a snapshot — startingVersion means "changes after v" by contract)
+      case Some(startV) if startV >= endV =>
+        withSchema(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
       case None if changeFeed =>
         withSchema(TxLog.readAsOf(spark, table, endV)
           .withColumn("_change_type", lit("insert"))

@@ -418,4 +418,71 @@ class TxLogStreamSpec extends SparkSpec {
     assert(TxLog.read(spark, dst).as[(Long, String)].collect().toSeq ==
       Seq((1L, "a")), "replayed snapshot must not double-append")
   }
+
+  private def drainOpts(table: String, checkpoint: String,
+      opts: Map[String, String]): Seq[(Long, Set[(Long, String)])] = {
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, String)])]
+    val reader = opts.foldLeft(
+      spark.readStream.format("graft-txlog").option("path", table)) {
+      case (r, (k, v)) => r.option(k, v) }
+    val q = reader.load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = batch.select("k", "v").as[(Long, String)].collect().toSet
+        got.synchronized { got += ((id, rows)) }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    got.toSeq
+  }
+
+  test("maxVersionsPerTrigger paces a catch-up backlog into bounded batches") {
+    val t = tmp("txstream-paced")
+    val cp = Files.createTempDirectory("txstream-paced-cp").toString
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    drainOpts(t, cp, Map("maxVersionsPerTrigger" -> "1")) // snapshot
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+    TxLog.append(Seq((4L, "d")).toDF("k", "v"), t)
+    val run = drainOpts(t, cp, Map("maxVersionsPerTrigger" -> "1"))
+    val nonEmpty = run.filter(_._2.nonEmpty)
+    assert(nonEmpty.map(_._2).reduce(_ ++ _) ==
+      Set((2L, "b"), (3L, "c"), (4L, "d")), s"all rows must arrive: $run")
+    assert(nonEmpty.size == 3,
+      s"3-version backlog at cap 1 must drain as 3 batches, got $run")
+    // uncapped: the same backlog shape arrives as ONE batch
+    val t2 = tmp("txstream-unpaced")
+    val cp2 = Files.createTempDirectory("txstream-unpaced-cp").toString
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t2)
+    drainOpts(t2, cp2, Map.empty)
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t2)
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t2)
+    val run2 = drainOpts(t2, cp2, Map.empty).filter(_._2.nonEmpty)
+    assert(run2.size == 1 && run2.head._2 == Set((2L, "b"), (3L, "c")))
+  }
+
+  test("startingVersion streams changes after v with no initial snapshot") {
+    val t = tmp("txstream-startv")
+    val cp = Files.createTempDirectory("txstream-startv-cp").toString
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val v = TxLog.latestVersion(spark, t).get
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+    val run = drainOpts(t, cp, Map("startingVersion" -> v.toString))
+      .filter(_._2.nonEmpty)
+    assert(run.flatMap(_._2).toSet == Set((3L, "c")),
+      s"only post-v rows, no snapshot: $run")
+    // startingVersion == latest: nothing yet; a later append arrives
+    val t2 = tmp("txstream-startv2")
+    val cp2 = Files.createTempDirectory("txstream-startv2-cp").toString
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t2)
+    val v2 = TxLog.latestVersion(spark, t2).get
+    assert(drainOpts(t2, cp2,
+      Map("startingVersion" -> v2.toString)).flatMap(_._2).isEmpty)
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t2)
+    assert(drainOpts(t2, cp2, Map("startingVersion" -> v2.toString))
+      .flatMap(_._2).toSet == Set((2L, "b")))
+  }
 }
