@@ -20,8 +20,9 @@ import graft.sources.TxLog
   *   OPTIMIZE t                               -- compact small files
   *   OPTIMIZE t ZORDER  BY (a, b, …)          -- Morton re-clustering
   *   OPTIMIZE t HILBERT BY (a, b, …)          -- Hilbert re-clustering
-  *   VACUUM t RETAIN n VERSIONS
-  *   RESTORE [TABLE] t TO VERSION AS OF v
+  *   VACUUM t RETAIN n VERSIONS / RETAIN n HOURS
+  *   RESTORE [TABLE] t TO VERSION AS OF v / TO TIMESTAMP AS OF 'ts'
+  *   OPTIMIZE t WHERE p = v                   -- partition-scoped compact
   *   DESCRIBE HISTORY t        / DESC HISTORY t
   *   DESCRIBE DETAIL t         / DESC DETAIL t
   *   ALTER TABLE t DROP COLUMN c              -- v1 analyzer would reject
@@ -84,12 +85,18 @@ object GraftSqlParser {
 
   private val optimizeRe =
     s"""(?is)^\\s*OPTIMIZE\\s+$ref\\s*$$""".r
+  private val optimizeWhereRe =
+    s"""(?is)^\\s*OPTIMIZE\\s+$ref\\s+WHERE\\s+$ident\\s*=\\s*('[^']*'|[\\w.\\-]+)\\s*$$""".r
   private val optimizeByRe =
     s"""(?is)^\\s*OPTIMIZE\\s+$ref\\s+(ZORDER|HILBERT)\\s+BY\\s*\\(([^)]*)\\)\\s*$$""".r
   private val vacuumRe =
     s"""(?is)^\\s*VACUUM\\s+$ref\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*$$""".r
+  private val vacuumHoursRe =
+    s"""(?is)^\\s*VACUUM\\s+$ref\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS\\s*$$""".r
   private val restoreRe =
     s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*$$""".r
+  private val restoreTsRe =
+    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$ref\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*$$""".r
   private val historyRe =
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$ref\\s*$$""".r
   private val detailRe =
@@ -161,6 +168,16 @@ object GraftSqlParser {
       cat.refreshTable(id)
     }
 
+  /** `'2026-01-01 12:00:00'` (JDBC, JVM-default zone) or ISO-8601
+    * instant (`2026-01-01T12:00:00Z`) — the two spellings users paste.
+    */
+  private def parseTsMillis(ts: String): Long =
+    try java.sql.Timestamp.valueOf(ts).getTime
+    catch {
+      case _: IllegalArgumentException =>
+        java.time.Instant.parse(ts).toEpochMilli
+    }
+
   private def longAttr(name: String): Attribute =
     AttributeReference(name, LongType, nullable = false)()
 
@@ -189,16 +206,40 @@ object GraftSqlParser {
             curve = if (c == "hilbert") "hilbert" else "morton")))
         })
       }
+    case optimizeWhereRe(r, c, v) =>
+      // partition-scoped compaction: one equality on a partition column
+      resolve(r, "OPTIMIZE", strict = true).map { case (path, _) =>
+        val column = unquote(c)
+        val value: Any =
+          if (v.startsWith("'")) v.stripPrefix("'").stripSuffix("'") else v
+        GraftMaintenance("graft_optimize", Seq(longAttr("version")),
+          spark => Seq(Seq(TxLog.compact(spark, path,
+            partition = Map(column -> value)))))
+      }
     case optimizeRe(r) =>
       resolve(r, "OPTIMIZE", strict = true).map { case (path, _) =>
         GraftMaintenance("graft_optimize", Seq(longAttr("version")),
           spark => Seq(Seq(TxLog.compact(spark, path))))
+      }
+    case vacuumHoursRe(r, h) =>
+      resolve(r, "VACUUM", strict = true).map { case (path, _) =>
+        GraftMaintenance("graft_vacuum", Seq(longAttr("deleted_files")),
+          spark => Seq(Seq(
+            TxLog.vacuumRetainHours(spark, path, h.toDouble).size.toLong)))
       }
     case vacuumRe(r, n) =>
       resolve(r, "VACUUM", strict = true).map { case (path, _) =>
         GraftMaintenance("graft_vacuum", Seq(longAttr("deleted_files")),
           spark => Seq(Seq(
             TxLog.vacuum(spark, path, keepVersions = n.toInt).size.toLong)))
+      }
+    case restoreTsRe(r, ts) =>
+      resolve(r, "RESTORE", strict = true).map { case (path, ident) =>
+        GraftMaintenance("graft_restore", Seq(longAttr("version")), { spark =>
+          val out = TxLog.restoreToTimestamp(spark, path, parseTsMillis(ts))
+          syncCatalog(spark, ident, path) // restore can cross a schema DDL
+          Seq(Seq(out))
+        })
       }
     case restoreRe(r, v) =>
       resolve(r, "RESTORE", strict = true).map { case (path, ident) =>

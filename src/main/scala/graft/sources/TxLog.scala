@@ -651,16 +651,47 @@ object TxLog {
   def readAsOfTimestamp(spark: SparkSession, table: String,
       tsMillis: Long): DataFrame = {
     val t = new Path(table)
-    val vs = versions(spark, table)
-    val at = vs.map(v => v -> readManifest(spark, t, v))
+    val m = readManifest(spark, t, versionAtTimestamp(spark, table, tsMillis))
+    readLive(spark, t, m, m.files)
+  }
+
+  /** The LAST version committed at or before `tsMillis` — a metadata
+    * walk over the manifests' commit wall-clocks. Fails loudly when the
+    * timestamp precedes the retained history. Same-millisecond commits:
+    * the later version wins (the state a reader at that instant saw).
+    */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Long = {
+    val t = new Path(table)
+    val at = versions(spark, table).map(v => v -> readManifest(spark, t, v))
       .filter(_._2.tsMillis <= tsMillis)
     require(at.nonEmpty,
       s"table $table has no version committed at or before $tsMillis " +
         "(before retained history, or the table did not exist yet)")
-    // same-millisecond commits: the LATER version wins (it is the state
-    // a reader at that instant would have seen)
-    val m = at.maxBy { case (v, mm) => (mm.tsMillis, v) }._2
-    readLive(spark, t, m, m.files)
+    at.maxBy { case (v, mm) => (mm.tsMillis, v) }._1
+  }
+
+  /** [[restore]] to the table's state at a wall-clock instant (the
+    * Delta `RESTORE … TO TIMESTAMP AS OF` spelling).
+    */
+  def restoreToTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Long =
+    restore(spark, table, versionAtTimestamp(spark, table, tsMillis))
+
+  /** [[vacuum]] by AGE (the Delta `VACUUM … RETAIN n HOURS` contract):
+    * keeps every version committed within the last `hours`, always
+    * including the latest. Retention maps to a version count against
+    * the manifests' commit wall-clocks, then the version-count vacuum
+    * does the reaping (checkpoint re-anchoring included).
+    */
+  def vacuumRetainHours(spark: SparkSession, table: String,
+      hours: Double): Seq[String] = {
+    require(hours >= 0, "retention hours must be >= 0")
+    val cutoff = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
+    val t = new Path(table)
+    val recent = versions(spark, table)
+      .count(v => readManifest(spark, t, v).tsMillis >= cutoff)
+    vacuum(spark, table, keepVersions = math.max(1, recent))
   }
 
   /** Time travel: the table exactly as committed at `version`. */

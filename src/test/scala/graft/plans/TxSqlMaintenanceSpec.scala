@@ -184,4 +184,36 @@ class TxSqlMaintenanceSpec extends SparkSpec {
       spark.sql(s"CREATE TABLE $cname SHALLOW CLONE $name").collect())
     assert(e.getMessage.contains("already exists"))
   }
+
+  test("RESTORE TO TIMESTAMP AS OF / VACUUM RETAIN HOURS / OPTIMIZE WHERE") {
+    val (name, path) = mk() // v1
+    spark.sql(s"UPDATE $name SET v = 'X'") // v2
+    val tsV1 = new java.sql.Timestamp(
+      TxLog.manifestAt(spark, path, 1L).tsMillis).toString
+    spark.sql(s"RESTORE TABLE $name TO TIMESTAMP AS OF '$tsV1'")
+    assert(TxLog.read(spark, path).filter(col("v") === "X").count() == 0L,
+      "timestamp restore must land on v1's state")
+    // RETAIN 1000 HOURS keeps everything; RETAIN 0 HOURS keeps only latest
+    spark.sql(s"VACUUM $name RETAIN 1000 HOURS")
+    assert(TxLog.versions(spark, path).size == 3)
+    spark.sql(s"VACUUM $name RETAIN 0 HOURS")
+    assert(TxLog.versions(spark, path).size == 1)
+
+    // partition-scoped OPTIMIZE: only the named partition's files move
+    val (name2, path2) = freshTable()
+    import spark.implicits._
+    TxLog.overwrite(Seq((1L, "a", 2020), (2L, "b", 2021)).toDF("k", "v", "y"),
+      path2, partitionBy = Some(Seq("y")))
+    TxLog.append(Seq((3L, "c", 2020)).toDF("k", "v", "y"), path2)
+    TxLog.append(Seq((4L, "d", 2020)).toDF("k", "v", "y"), path2)
+    spark.sql(s"CREATE TABLE $name2 USING `graft-txlog` OPTIONS (path '$path2')")
+    val before = TxLog.manifest(spark, path2).files.toSet
+    spark.sql(s"OPTIMIZE $name2 WHERE y = 2020")
+    val after = TxLog.manifest(spark, path2).files.toSet
+    val untouched2021 = before.filter(_.contains("=2021"))
+    assert(untouched2021.subsetOf(after), "2021's files must not move")
+    assert(after.count(_.contains("=2020")) < before.count(_.contains("=2020")),
+      "2020's small files must have been packed")
+    assert(TxLog.read(spark, path2).count() == 4L)
+  }
 }
