@@ -216,4 +216,19 @@ class TxSqlMaintenanceSpec extends SparkSpec {
       "2020's small files must have been packed")
     assert(TxLog.read(spark, path2).count() == 4L)
   }
+
+  test("CREATE TABLE ... USING graft-txlog AS SELECT (CTAS) and INSERT INTO") {
+    val (name, path) = freshTable()
+    spark.sql(
+      s"""CREATE TABLE $name USING `graft-txlog` OPTIONS (path '$path')
+         |AS SELECT id AS k, concat('v', id) AS v FROM range(3)""".stripMargin)
+    assert(TxLog.latestVersion(spark, path).contains(1L), "CTAS = one commit")
+    assert(spark.sql(s"SELECT count(*) FROM $name").collect()(0).getLong(0) == 3L)
+    spark.sql(s"INSERT INTO $name SELECT id AS k, 'x' AS v FROM range(3, 5)")
+    assert(TxLog.latestVersion(spark, path).contains(2L), "INSERT = one append commit")
+    assert(TxLog.read(spark, path).count() == 5L)
+    spark.sql(s"INSERT OVERWRITE TABLE $name SELECT id AS k, 'y' AS v FROM range(2)")
+    assert(TxLog.read(spark, path).count() == 2L, "INSERT OVERWRITE replaces")
+    assert(TxLog.manifest(spark, path).action == "overwrite")
+  }
 }
