@@ -29,6 +29,8 @@ import graft.sources.TxLog
   *   ALTER TABLE t RENAME COLUMN a TO b       -- v1 analyzer would reject
   *   CONVERT TO GRAFT '/path' [NO STATISTICS] -- adopt parquet in place
   *   CREATE TABLE dst SHALLOW CLONE src       -- zero-copy metadata fork
+  *   ALTER TABLE t ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
+  *   ALTER TABLE t CLUSTER BY (a, b) / CLUSTER BY NONE
   * }}}
   *
   * Mechanism: [[GraftSqlParser]] is injected via
@@ -105,6 +107,14 @@ object GraftSqlParser {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+DROP\\s+COLUMN\\s+$ident\\s*$$""".r
   private val renameColRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+RENAME\\s+COLUMN\\s+$ident\\s+TO\\s+$ident\\s*$$""".r
+  private val addConstraintRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+ADD\\s+CONSTRAINT\\s+$ident\\s+CHECK\\s*\\((.*)\\)\\s*$$""".r
+  private val dropConstraintRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+DROP\\s+CONSTRAINT\\s+$ident\\s*$$""".r
+  private val clusterByRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+CLUSTER\\s+BY\\s*\\(([^)]*)\\)\\s*$$""".r
+  private val clusterByNoneRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+CLUSTER\\s+BY\\s+NONE\\s*$$""".r
   private val convertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'(\s+NO\s+STATISTICS)?\s*$""".r
   private val cloneRe =
@@ -256,6 +266,36 @@ object GraftSqlParser {
     case detailRe(r) =>
       resolve(r, "DESCRIBE DETAIL", strict = true).map { case (path, _) =>
         TxLog.detail(SparkSession.active, path).queryExecution.logical
+      }
+    case addConstraintRe(r, n, e) =>
+      // CHECK constraints as SQL (the Delta ALTER TABLE ADD CONSTRAINT
+      // surface): routes to the operator that scans live rows first
+      resolve(r, "ALTER TABLE", strict = false).map { case (path, _) =>
+        GraftMaintenance("graft_add_constraint", Seq(longAttr("version")),
+          spark => Seq(Seq(
+            TxLog.addConstraint(spark, path, unquote(n), e.trim))))
+      }
+    case dropConstraintRe(r, n) =>
+      resolve(r, "ALTER TABLE", strict = false).map { case (path, _) =>
+        GraftMaintenance("graft_drop_constraint", Seq(longAttr("version")),
+          spark => Seq(Seq(TxLog.dropConstraint(spark, path, unquote(n)))))
+      }
+    case clusterByNoneRe(r) =>
+      // the Delta liquid-clustering spelling, mapped onto the
+      // cluster-on-write table property
+      resolve(r, "ALTER TABLE", strict = false).map { case (path, _) =>
+        GraftMaintenance("graft_cluster_by", Seq(longAttr("version")),
+          spark => Seq(Seq(TxLog.unsetProperty(spark, path, TxLog.clusterByKey))))
+      }
+    case clusterByRe(r, colsCsv) =>
+      resolve(r, "ALTER TABLE", strict = false).map { case (path, _) =>
+        val cols = colsCsv.split(',').map(c => unquote(c.trim))
+          .filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "ALTER TABLE … CLUSTER BY needs at least " +
+          "one column (or CLUSTER BY NONE to drop the layout)")
+        GraftMaintenance("graft_cluster_by", Seq(longAttr("version")),
+          spark => Seq(Seq(TxLog.setProperty(spark, path,
+            TxLog.clusterByKey, cols.mkString(",")))))
       }
     case dropColRe(r, c) =>
       // non-strict: an ALTER on a non-graft table is Spark's statement

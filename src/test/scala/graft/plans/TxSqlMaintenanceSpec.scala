@@ -231,4 +231,28 @@ class TxSqlMaintenanceSpec extends SparkSpec {
     assert(TxLog.read(spark, path).count() == 2L, "INSERT OVERWRITE replaces")
     assert(TxLog.manifest(spark, path).action == "overwrite")
   }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT and CLUSTER BY as SQL") {
+    val (name, path) = mk()
+    spark.sql(s"ALTER TABLE $name ADD CONSTRAINT pos_n CHECK (n > 0)")
+    // enforced on the next row-adding write
+    val e = intercept[Exception](
+      TxLog.append(Seq((9L, "bad", -5)).toDF("k", "v", "n"), path))
+    assert(e.getMessage.contains("pos_n") || e.getCause != null)
+    // a violating ADD refuses (existing rows scanned)
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql(s"ALTER TABLE $name ADD CONSTRAINT small CHECK (n < 20)"))
+    assert(e2.getMessage.contains("violate"))
+    spark.sql(s"ALTER TABLE $name DROP CONSTRAINT pos_n")
+    TxLog.append(Seq((9L, "ok", -5)).toDF("k", "v", "n"), path) // now fine
+    assert(TxLog.read(spark, path).count() == 5L)
+
+    // CLUSTER BY maps onto the cluster-on-write property
+    spark.sql(s"ALTER TABLE $name CLUSTER BY (k, n)")
+    assert(TxLog.manifest(spark, path).properties
+      .getOrElse(Map.empty).get(TxLog.clusterByKey).contains("k,n"))
+    spark.sql(s"ALTER TABLE $name CLUSTER BY NONE")
+    assert(!TxLog.manifest(spark, path).properties
+      .getOrElse(Map.empty).contains(TxLog.clusterByKey))
+  }
 }
