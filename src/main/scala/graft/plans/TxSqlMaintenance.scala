@@ -360,9 +360,13 @@ object GraftSqlParser {
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseMaintenance(sqlText)
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = GraftSqlParser.parseMaintenance(sqlText)
       .getOrElse(delegate.parsePlan(sqlText))
+    // v1 time travel must be rewritten BEFORE analysis — see
+    // TxTimeTravelRule's scaladoc
+    TxTimeTravelRule(session).apply(plan)
+  }
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier =
     delegate.parseTableIdentifier(s)

@@ -255,4 +255,23 @@ class TxSqlMaintenanceSpec extends SparkSpec {
     assert(!TxLog.manifest(spark, path).properties
       .getOrElse(Map.empty).contains(TxLog.clusterByKey))
   }
+
+  test("SELECT ... FROM t VERSION AS OF / TIMESTAMP AS OF (v1 time travel)") {
+    val (name, path) = mk() // v1: 4 rows
+    spark.sql(s"DELETE FROM $name WHERE k <= 2") // v2: 2 rows
+    assert(spark.sql(s"SELECT count(*) FROM $name VERSION AS OF 1")
+      .collect()(0).getLong(0) == 4L)
+    assert(spark.sql(s"SELECT count(*) FROM $name VERSION AS OF 2")
+      .collect()(0).getLong(0) == 2L)
+    val tsV1 = new java.sql.Timestamp(
+      TxLog.manifestAt(spark, path, 1L).tsMillis).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM $name TIMESTAMP AS OF '$tsV1'")
+      .collect()(0).getLong(0) == 4L)
+    // the live read is unaffected
+    assert(spark.sql(s"SELECT count(*) FROM $name").collect()(0).getLong(0) == 2L)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $name VERSION AS OF 99").collect())
+    assert(e.getMessage.contains("99"))
+  }
 }
