@@ -253,10 +253,19 @@ object TxLog {
     val str =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
-    val jv = org.json4s.jackson.JsonMethods.parse(str)
-    jv \ "kind" match {
-      case org.json4s.JString("delta") => Left(jv.extract[DeltaRec])
-      case _ => Right(jv.extract[Manifest])
+    // streaming decode (~15x json4s — the cold-resolution hot path at a
+    // large file census; see ManifestCodec); json4s remains the loud
+    // safety net so a decoder gap can slow a read but never break one
+    try ManifestCodec.decode(str)
+    catch {
+      case e: Exception =>
+        System.err.println(s"[graft-txlog] manifest codec failed on $p " +
+          s"(${e.getMessage}) - falling back to json4s")
+        val jv = org.json4s.jackson.JsonMethods.parse(str)
+        jv \ "kind" match {
+          case org.json4s.JString("delta") => Left(jv.extract[DeltaRec])
+          case _ => Right(jv.extract[Manifest])
+        }
     }
   }
 
