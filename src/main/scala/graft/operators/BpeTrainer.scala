@@ -96,4 +96,40 @@ object BpeTrainer {
     }
     syms
   }
+
+  /** APPLY a trained tokenizer to a corpus — the other half of the
+    * tokenizer loop (train → ship merges → encode everything): per-doc
+    * word and token counts under the REAL trained tokenizer, which is
+    * what token-budgeted mixture construction (d19) and sequence
+    * packing (d18) should budget with at 100 TB, not whitespace
+    * counts.
+    *
+    * Scale shape: the expensive step (the per-word merge loop) runs
+    * once per DISTINCT word — vocabulary-sized, not corpus-sized — then
+    * an equi-join on the word carries each word's token count back to
+    * its (doc, word) occurrences and one aggregate folds per-doc
+    * totals. The merge list is driver-broadcast (the shipped artifact;
+    * KBs at these sizes). The per-word encoder applies merges
+    * sequentially in rank order — provably identical to the
+    * priority-queue formulation, because a later merge's output symbol
+    * can never participate in an earlier merge's pair.
+    *
+    * Output: (idCol, n_words, n_tokens) — n_words the corpus word
+    * occurrences, n_tokens their BPE token total.
+    */
+  def encodeCorpus(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(merges)
+    val nToks = udf((w: String) => encode(w, bc.value).size)
+    val words = docs.select(col(idCol),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = words.select("word").distinct()
+      .withColumn("__nt", nToks(col("word")))
+    words.join(vocab, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nt")).cast("long").as("n_tokens"))
+  }
 }

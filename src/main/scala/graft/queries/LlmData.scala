@@ -778,6 +778,24 @@ object LlmData {
           r4(col("lp_sum").cast("double") / col("n_tok")).as("avg_logprob"))
     }),
 
+    "t14_bpe_encode" -> ((s, dir) => {
+      // Tokenizer APPLY (BpeTrainer.encodeCorpus scaladoc): train the
+      // t13 merges, then encode the WHOLE corpus with them — per-doc
+      // word/token counts under the real trained tokenizer (what d19's
+      // token budgets should count at 100 TB). Vocabulary-sized encode
+      // + one join + one aggregate. Rows-only like t13 (the merges are
+      // sequential training state); BpeTrainerSpec gates encodeCorpus
+      // differentially against a single-node whole-pipeline reference.
+      val d = docs(s, dir)
+      val words = d
+        .select(explode(TextFns.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val merges = graft.operators.BpeTrainer.train(words, numMerges = 30)
+      graft.operators.BpeTrainer.encodeCorpus(d, merges)
+        .orderBy("doc_id")
+    }),
+
     "t13_bpe_merges" -> ((s, dir) => {
       // BPE tokenizer TRAINING (operators/BpeTrainer scaladoc): the
       // iterative pair-merge loop d27's frequency-ranked vocabulary is

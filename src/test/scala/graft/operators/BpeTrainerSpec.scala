@@ -89,4 +89,34 @@ class BpeTrainerSpec extends SparkSpec {
     }
     assert(BpeTrainer.encode("hug", merges).size < "hug</w>".length)
   }
+
+  test("encodeCorpus == single-node whole-pipeline reference") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the catalog of cats concatenates"),
+      (3L, "low lower lowest newest widest"),
+      (4L, ""),
+      (5L, "aaaa aaa aa a")
+    ).toDF("doc_id", "text")
+    val words = docs
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges = BpeTrainer.train(words, numMerges = 12, minCount = 1L)
+    val got = BpeTrainer.encodeCorpus(docs, merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference: tokenize + encode each word on the driver
+    val tok = docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty))
+    val want = tok.filter(_._2.nonEmpty).map { case (id, ws) =>
+      id -> (ws.size.toLong,
+        ws.map(w => BpeTrainer.encode(w, merges).size.toLong).sum)
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    // the trained merges actually compress: fewer tokens than chars+1
+    assert(got.values.map(_._2).sum <
+      tok.flatMap(_._2).map(_.length + 1).sum)
+  }
 }
