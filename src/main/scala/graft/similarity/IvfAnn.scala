@@ -33,21 +33,37 @@ object IvfAnn {
     */
   def trainCentroids(embeddings: DataFrame, nlist: Int,
                      maxIter: Int = 10, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // cosine k-means is undefined on zero vectors (MLlib throws); they
-    // carry no direction so they can't improve a cosine quantizer —
-    // drop them from TRAINING only (assignment still sees every row)
-    val feats = embeddings
+    // Scale shape (the Faiss training recipe, same as PqAnn): the fit
+    // runs over a BOUNDED deterministic hash-sample (~128·nlist
+    // vectors; more points add cost, not centroid quality), collected
+    // and fitted on the driver by spherical [[LocalKmeans]] — cosine
+    // k-means on unit-normalized inputs. Training cost is INDEPENDENT
+    // of corpus size; the corpus-sized pass that remains is the one
+    // list ASSIGNMENT every index build pays. Zero vectors carry no
+    // direction and are dropped from TRAINING only (assignment still
+    // sees every row).
+    val target = 128 * nlist
+    val nz = embeddings
       .filter(VecFns.norm2(VecFns.asDouble(col("embedding"))) > 0)
-      .select(array_to_vector(VecFns.asDouble(col("embedding"))).as("features"))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setDistanceMeasure("cosine")
-      .fit(feats)
-    val centers = model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i.toLong, c.toArray.toSeq)
-    }.toSeq
+    val n = nz.count()
+    val sampled =
+      if (n <= target) nz
+      else {
+        val gate = math.min(1000000L,
+          (target.toDouble / n * 1000000L).ceil.toLong + 1L)
+        nz.filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000L)) < gate)
+      }
+    val norm = {
+      val d = VecFns.asDouble(col("embedding"))
+      transform(d, x => x / sqrt(VecFns.norm2(d)))
+    }
+    val pts = sampled.select(col("vec_id"), norm.as("__nv"))
+      .orderBy("vec_id") // stable order => deterministic fit
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(pts.nonEmpty, "trainCentroids: no non-zero training vectors")
+    val centers = LocalKmeans.fit(pts, nlist, maxIter, seed, spherical = true)
+      .zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
     embeddings.sparkSession.createDataFrame(centers).toDF("cent_id", "ce")
   }
 

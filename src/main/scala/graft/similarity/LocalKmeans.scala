@@ -62,9 +62,16 @@ private[graft] object LocalKmeans {
   /** Fit `k` centroids over `pts` (each `dim` doubles). Returns k
     * centroids in a deterministic order (sorted lexicographically at
     * the end so the caller's code ids don't depend on rng history).
+    *
+    * `spherical = true` renormalizes each centroid to unit length after
+    * every update — SPHERICAL k-means (Dhillon & Modha 2001): on
+    * unit-norm inputs, Euclidean assignment (d² = 2 − 2·cos) IS cosine
+    * assignment, so the renormalized loop optimizes cosine similarity —
+    * the quantizer an IVF cosine index needs. A zero-mass centroid
+    * re-seeds like an empty cluster.
     */
   def fit(pts: Array[Array[Double]], k: Int, maxIter: Int,
-      seed: Long): Array[Array[Double]] = {
+      seed: Long, spherical: Boolean = false): Array[Array[Double]] = {
     require(pts.nonEmpty, "LocalKmeans.fit: no training points")
     val n = pts.length
     val dim = pts(0).length
@@ -110,6 +117,12 @@ private[graft] object LocalKmeans {
           val s = sums(c)
           var j = 0
           while (j < dim) { s(j) /= counts(c); j += 1 }
+          if (spherical) {
+            var n2 = 0.0; j = 0
+            while (j < dim) { n2 += s(j) * s(j); j += 1 }
+            val nrm = math.sqrt(n2)
+            if (nrm > 0) { j = 0; while (j < dim) { s(j) /= nrm; j += 1 } }
+          }
           centers(c) = s
         } else {
           // empty cluster: re-seed to the point farthest from its
