@@ -138,6 +138,44 @@ object Indicators {
       .withColumn("macd_hist", round(col("macd") - col("macd_signal") + 1e-7, 4))
   }
 
+  /** Donchian channel, Williams %R, and CCI over the trailing `period`
+    * rows — the channel/oscillator family, under the same cross-engine
+    * conventions as [[withStochastic]]/[[withMacd]]: order-independent
+    * window min/max, exact DECIMAL means, every emitted double pinned
+    * to the 4-decimal lattice with the shared nudge. Flat windows:
+    * %R pegs to −50 (the midpoint, mirroring stochastic's 50), CCI to 0
+    * (no deviation, no signal). CCI is the standard Lambert form:
+    * (v − SMA) / (0.015 · mean |v − SMA|), with the SMA lattice-pinned
+    * FIRST so the absolute deviations (and their mean) are exact
+    * decimal arithmetic on both engines. Output columns: donch_lo,
+    * donch_hi, donch_mid, will_r, cci.
+    */
+  def withChannels(df: DataFrame, w: WindowSpec, valueCol: String,
+                   period: Int): DataFrame = {
+    val wp = w.rowsBetween(-(period - 1), 0)
+    val v = col(valueCol)
+    val lo = min(v).over(wp)
+    val hi = max(v).over(wp)
+    val sma4 = round(
+      sum(v.cast("decimal(18,4)")).over(wp).cast("double") /
+        count(v).over(wp) + 1e-7, 4)
+    val out = df
+      .withColumn("donch_lo", round(lo + 1e-7, 4))
+      .withColumn("donch_hi", round(hi + 1e-7, 4))
+      .withColumn("donch_mid", round((hi + lo) / 2.0 + 1e-7, 4))
+      .withColumn("will_r", round(
+        when(hi =!= lo, (hi - v) / (hi - lo) * -100.0)
+          .otherwise(-50.0) + 1e-7, 4))
+      .withColumn("__dev4", round(abs(v - sma4) + 1e-7, 4))
+    val md4 = round(
+      sum(col("__dev4").cast("decimal(18,4)")).over(wp).cast("double") /
+        count(col("__dev4")).over(wp) + 1e-7, 4)
+    out.withColumn("cci", round(
+        when(md4 =!= 0.0, (v - sma4) / (lit(0.015) * md4))
+          .otherwise(0.0) + 1e-7, 4))
+      .drop("__dev4")
+  }
+
   /** Stochastic oscillator: %K = (value − min_p)/(max_p − min_p)·100 over
     * trailing `period` rows, %D = `dPeriod`-row mean of %K. min/max are
     * order-independent (exact cross-engine parity); %K is pinned to the

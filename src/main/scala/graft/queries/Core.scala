@@ -806,6 +806,20 @@ object Core {
           col("stoch_k"), col("stoch_d"))
     }),
 
+    "q131_channel_osc" -> ((s, dir) => {
+      // Donchian channel + Williams %R + CCI (Indicators.withChannels
+      // scaladoc) — the channel/oscillator family completing q44-q57's
+      // indicator coverage, oracle-exact via the same lattice
+      // conventions (order-independent min/max, decimal means,
+      // 4-decimal nudged rounds; CCI's SMA pinned before the absolute
+      // deviations so the deviation mean is exact decimal both sides).
+      val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+      Indicators.withChannels(ev(s, dir), w, "value", period = 20)
+        .select(col("user_id"), col("event_id"),
+          col("donch_lo"), col("donch_hi"), col("donch_mid"),
+          col("will_r"), col("cci"))
+    }),
+
     "q53_obv" -> ((s, dir) => {
       // OBV on the daily grain: direction of the day's exact average value
       // vs the previous day, volume = the day's event count. Comparisons +
@@ -2267,6 +2281,35 @@ object Core {
         |                 CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
         |   / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) + 1e-7, 4) + 0 AS vwap
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q131_channel_osc" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, ts, value,
+        |   min(value) OVER w20 AS lo, max(value) OVER w20 AS hi,
+        |   round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w20 AS DOUBLE)
+        |     / count(value) OVER w20 + 1e-7, 4) + 0 AS sma4
+        |  FROM events
+        |  WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT *, round(abs(value - sma4) + 1e-7, 4) + 0 AS dev4
+        |  FROM a),
+        |m AS (
+        |  SELECT user_id, event_id, value, lo, hi, sma4,
+        |   round(CAST(sum(CAST(dev4 AS DECIMAL(18,4))) OVER w20 AS DOUBLE)
+        |     / count(dev4) OVER w20 + 1e-7, 4) + 0 AS md4
+        |  FROM d
+        |  WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        | round(lo + 1e-7, 4) + 0 AS donch_lo,
+        | round(hi + 1e-7, 4) + 0 AS donch_hi,
+        | round((hi + lo) / 2.0 + 1e-7, 4) + 0 AS donch_mid,
+        | round(CASE WHEN hi <> lo THEN (hi - value) / (hi - lo) * -100.0
+        |            ELSE -50.0 END + 1e-7, 4) + 0 AS will_r,
+        | round(CASE WHEN md4 <> 0.0 THEN (value - sma4) / (0.015 * md4)
+        |            ELSE 0.0 END + 1e-7, 4) + 0 AS cci
+        |FROM m""".stripMargin,
 
     "q52_stochastic" ->
       """WITH a AS (
