@@ -492,6 +492,32 @@ object LlmData {
         .select(col("doc_id"), col("n_paras"), col("n_removed"),
           col("text_clean"), col("n_tok_clean"))),
 
+    "d32_chunk_windows" -> ((s, dir) => {
+      // Context-window CHUNKING (the retrieval / pretraining chunker
+      // d18's packer consumes): each document becomes fixed-size
+      // character windows with overlap — 400-char chunks on a 300-char
+      // stride, so consecutive chunks share 100 chars and no byte is
+      // lost (the last window is allowed to run short). Pure built-ins
+      // (sequence -> transform -> posexplode over SUBSTRINGS — one
+      // narrow codegen'd projection, no shuffle at all until a consumer
+      // asks for one), cost linear in corpus bytes x overlap factor.
+      // The oracle recomputes every chunk in DuckDB and md5-hashes it —
+      // boundary arithmetic is hash-exact per chunk, both engines
+      // CHARACTER-indexed on UTF-8.
+      val C = 400; val S = 300
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("n", length(col("text")))
+        .filter(col("n") > 0)
+      val k = greatest(ceil((col("n") - lit(C)).cast("double") / S)
+        .cast("int"), lit(0))
+      d.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), k),
+            i => substring(col("text"), i * S + 1, lit(C)))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          length(col("col")).cast("long").as("chunk_chars"),
+          md5(col("col")).as("chunk_md5"))
+    }),
+
     "d25_global_shuffle" -> ((s, dir) => {
       // Deterministic global training-order shuffle — the last stage of
       // the pretraining chain (mix d19/d20 → pack d18 → SHUFFLE): every
@@ -1622,6 +1648,19 @@ object LlmData {
         | CAST(coalesce(sum(CASE WHEN NOT dropit THEN len(pt) END), 0)
         |   AS BIGINT) AS n_tok_clean
         |FROM marked GROUP BY doc_id""".stripMargin,
+
+    "d32_chunk_windows" ->
+      """WITH k AS (
+        |  SELECT doc_id, text,
+        |   greatest(CAST(ceil((length(text) - 400) / 300.0) AS INT), 0) AS kk
+        |  FROM documents WHERE length(text) > 0),
+        |e AS (
+        |  SELECT doc_id, text, unnest(generate_series(0, kk)) AS i FROM k)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        | CAST(length(substr(text, CAST(i AS INT) * 300 + 1, 400)) AS BIGINT)
+        |   AS chunk_chars,
+        | md5(substr(text, CAST(i AS INT) * 300 + 1, 400)) AS chunk_md5
+        |FROM e""".stripMargin,
 
     "d25_global_shuffle" ->
       """SELECT doc_id, source,
