@@ -111,4 +111,50 @@ class ManifestCodecSpec extends AnyFunSuite {
       assert(ManifestCodec.decode(str) == viaJson4s(str), f.getName)
     }
   }
+
+  test("property: random manifests round-trip identically (300 cases)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // hostile-ish strings: unicode, quotes, backslashes, newlines,
+    // empty, long — everything a path/value/schema could legally hold
+    val str: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(20)),
+      Gen.oneOf("", "a b", "q\"uote", "back\\slash", "nl\nnl",
+        "tab\tx", "u\u00e9\u4e2d\u6587", "=eq/slash", "%20enc"),
+      Gen.listOfN(5, Gen.choose(32, 0x2FFF)).map(
+        _.map(_.toChar).mkString))
+    val colStats: Gen[ColStats] = for {
+      mn <- Gen.option(str); mx <- Gen.option(str); n <- Gen.choose(0L, 99L)
+    } yield ColStats(mn, mx, n)
+    val entry: Gen[FileEntry] = for {
+      path <- str; rows <- Gen.choose(0L, 1L << 40)
+      nS <- Gen.choose(0, 3)
+      ks <- Gen.listOfN(nS, str); vs <- Gen.listOfN(nS, colStats)
+      parts <- Gen.option(Gen.mapOfN(2, Gen.zip(str, str)))
+      bytes <- Gen.option(Gen.choose(0L, 1L << 40))
+    } yield FileEntry(path, rows, ks.zip(vs).toMap, parts, bytes)
+    val strMap = Gen.option(Gen.mapOfN(3, Gen.zip(str, str)))
+    val manifest: Gen[Manifest] = for {
+      v <- Gen.choose(1L, 1L << 30); action <- str; files <- Gen.listOfN(3, str)
+      schema <- str; ts <- Gen.choose(0L, 4L << 40)
+      stats <- Gen.option(Gen.listOfN(3, entry))
+      txn <- Gen.option(Gen.mapOfN(2, Gen.zip(str, Gen.choose(-9L, 1L << 40))))
+      cdf <- Gen.option(Gen.listOfN(2, str))
+      cons <- strMap; pby <- Gen.option(Gen.listOfN(2, str))
+      bl <- Gen.option(Gen.listOfN(2, str))
+      dvs <- Gen.option(Gen.listOfN(2, for {
+        a <- str; b <- str; d <- Gen.choose(0L, 99L) } yield DvEntry(a, b, d)))
+      gen0 <- strMap; dropped <- Gen.option(Gen.listOfN(2, str))
+      ident <- Gen.option(Gen.mapOfN(2, Gen.zip(str, for {
+        st <- Gen.choose(-5L, 5L).suchThat(_ != 0); nx <- Gen.choose(0L, 1L << 40)
+      } yield IdentitySpec(st, nx))))
+      ren <- strMap; props <- strMap
+    } yield Manifest(v, action, files, schema, ts, stats, txn, cdf, cons,
+      pby, bl, dvs, gen0, dropped, ident, ren, props)
+    val prop = Prop.forAll(manifest) { m =>
+      ManifestCodec.decode(Serialization.write(m)) == Right(m)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
