@@ -937,6 +937,44 @@ object Core {
             count(col("tr_dec")).over(w14)).as("atr_14"))
     }),
 
+    "q132_keltner" -> ((s, dir) => {
+      // Keltner channels on q57's daily bars: middle = 20-day exact
+      // DECIMAL mean of the lattice-pinned typical price (H+L+C)/3,
+      // band half-width = 2 x ATR-14 (q57's true-range mean). mid and
+      // atr are both lattice doubles, so the band sums are
+      // bit-identical cross-engine before their own nudged round —
+      // the q44/q52/q57 convention extended one composition deeper.
+      val wd = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts"), col("event_id"))
+      val bars = ev(s, dir)
+        .withColumn("day", col("ts").cast("date"))
+        .withColumn("close_v", last("value").over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy("user_id", "day")
+        .agg(max("value").as("high"), min("value").as("low"),
+          min("close_v").as("close"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val prevClose = lag(col("close"), 1).over(w)
+      val tr = when(prevClose.isNull, col("high") - col("low"))
+        .otherwise(greatest(col("high") - col("low"),
+          abs(col("high") - prevClose), abs(col("low") - prevClose)))
+      val w14 = w.rowsBetween(-13, 0)
+      val w20 = w.rowsBetween(-19, 0)
+      val withTyp = bars
+        .withColumn("tr_dec", tr.cast("decimal(18,4)"))
+        .withColumn("typ4",
+          r4e((col("high") + col("low") + col("close")) / 3.0))
+      withTyp
+        .withColumn("mid", r4e(
+          sum(col("typ4").cast("decimal(18,4)")).over(w20).cast("double") /
+            count(col("typ4")).over(w20)))
+        .withColumn("atr_14", r4e(sum(col("tr_dec")).over(w14).cast("double") /
+          count(col("tr_dec")).over(w14)))
+        .select(col("user_id"), col("day"), col("mid"), col("atr_14"),
+          r4e(col("mid") + lit(2.0) * col("atr_14")).as("kelt_up"),
+          r4e(col("mid") - lit(2.0) * col("atr_14")).as("kelt_lo"))
+    }),
+
     "q59_grouping_sets" -> ((s, dir) => {
       // Explicit GROUPING SETS via the Dataset API (the cube slice q29's
       // ROLLUP doesn't produce: per-status across all flags). Group keys
@@ -2409,6 +2447,42 @@ object Core {
         |   / count(tr_dec) OVER w14 + 1e-7, 4) + 0 AS atr_14
         |FROM t WINDOW w14 AS (PARTITION BY user_id ORDER BY day
         |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q132_keltner" ->
+      """WITH b AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |   last_value(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, day, max(value) AS high, min(value) AS low,
+        |   min(close_v) AS close
+        |  FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, day,
+        |   CAST(CASE WHEN lag(close) OVER w IS NULL THEN high - low
+        |        ELSE greatest(high - low,
+        |                      abs(high - lag(close) OVER w),
+        |                      abs(low - lag(close) OVER w)) END
+        |     AS DECIMAL(18,4)) AS tr_dec,
+        |   round((high + low + close) / 3.0 + 1e-7, 4) + 0 AS typ4
+        |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |m AS (
+        |  SELECT user_id, day,
+        |   round(CAST(sum(CAST(typ4 AS DECIMAL(18,4))) OVER w20 AS DOUBLE)
+        |     / count(typ4) OVER w20 + 1e-7, 4) + 0 AS mid,
+        |   round(CAST(sum(tr_dec) OVER w14 AS DOUBLE)
+        |     / count(tr_dec) OVER w14 + 1e-7, 4) + 0 AS atr_14
+        |  FROM t
+        |  WINDOW w20 AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |   w14 AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day, mid, atr_14,
+        | round(mid + 2.0 * atr_14 + 1e-7, 4) + 0 AS kelt_up,
+        | round(mid - 2.0 * atr_14 + 1e-7, 4) + 0 AS kelt_lo
+        |FROM m""".stripMargin,
 
     "q59_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
