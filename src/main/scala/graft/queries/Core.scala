@@ -975,6 +975,19 @@ object Core {
           r4e(col("mid") - lit(2.0) * col("atr_14")).as("kelt_lo"))
     }),
 
+    "q133_roc" -> ((s, dir) => {
+      // Rate of change: ROC-12 = (v - v_12ago) / v_12ago * 100 over each
+      // key's event series — one lag, a ratio of identical raw doubles
+      // on both engines, then the shared nudged 4dp round. NULL until a
+      // 12-back row exists; a zero base yields NULL (division blows up,
+      // not pegs — the honest convention).
+      val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
+      val prev = lag(col("value"), 12).over(w)
+      ev(s, dir).select(col("user_id"), col("event_id"),
+        r4e(when(prev.isNotNull && prev =!= 0.0,
+          (col("value") - prev) / prev * 100.0)).as("roc_12"))
+    }),
+
     "q59_grouping_sets" -> ((s, dir) => {
       // Explicit GROUPING SETS via the Dataset API (the cube slice q29's
       // ROLLUP doesn't produce: per-status across all flags). Group keys
@@ -2483,6 +2496,15 @@ object Core {
         | round(mid + 2.0 * atr_14 + 1e-7, 4) + 0 AS kelt_up,
         | round(mid - 2.0 * atr_14 + 1e-7, 4) + 0 AS kelt_lo
         |FROM m""".stripMargin,
+
+    "q133_roc" ->
+      """SELECT user_id, event_id,
+        | round(CASE WHEN lag(value, 12) OVER w IS NOT NULL
+        |             AND lag(value, 12) OVER w <> 0.0
+        |        THEN (value - lag(value, 12) OVER w)
+        |          / lag(value, 12) OVER w * 100.0 END + 1e-7, 4) + 0 AS roc_12
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "q59_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
