@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, input_file_name, lit, max, min, regexp_extract, sum, when}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, input_file_name, lit, max, min, regexp_extract, row_number, sum, when}
 import org.apache.spark.sql.types._
 import org.json4s.NoTypeHints
 import org.json4s.jackson.Serialization
@@ -2076,20 +2077,28 @@ object TxLog {
           .reduceOption(_ || _).getOrElse(lit(false))
         val byKey = byScanKey(m.files, t)
         val perFile =
-          if (m.files.isEmpty) Seq.empty[(String, Long)]
+          if (m.files.isEmpty) Seq.empty[(String, Long, Long)]
           else liveKeyed(spark, t, m, m.files).alias("t")
             .join(srcM, on, "inner")
             .groupBy(col("t.__dv_k").as("__k"), col("t.__dv_i").as("__i"))
-            .agg(sum(when(anyApplies, lit(1L)).otherwise(lit(0L))).as("__a"))
-            .groupBy(col("__k")).agg(max(col("__a")).as("__amx"))
+            .agg(sum(when(anyApplies, lit(1L)).otherwise(lit(0L))).as("__a"),
+              count(lit(1L)).as("__n"))
+            .groupBy(col("__k")).agg(max(col("__a")).as("__amx"),
+              max(col("__n")).as("__nmx"))
             .collect().toSeq
-            .map(r => byKey.getOrElse(r.getString(0),
-              sys.error(s"scan returned unlisted file ${r.getString(0)}"))
-              -> r.getLong(1))
+            .map(r => (byKey.getOrElse(r.getString(0),
+              sys.error(s"scan returned unlisted file ${r.getString(0)}")),
+              r.getLong(1), r.getLong(2)))
         if (perFile.exists(_._2 > 1L)) sys.error(
           s"mergeInto $table: an UPDATE/DELETE clause applies to a target " +
             "row through multiple source rows — the result is ambiguous; " +
             "de-duplicate the source on the merge keys")
+        // some target row joined ≥2 source pairs (all but at most one a
+        // non-acting pair, per the check above): the CoW rewrite must
+        // collapse to ONE surviving pair per target row or it would
+        // write the row once per pair (duplicating kept rows and
+        // resurrecting deleted ones)
+        val multiPair = perFile.exists(_._3 > 1L)
         val touched = perFile.map(_._1).distinct
         // a by-source clause acts on rows that DON'T match — any file
         // can hold one, so the working set widens to the whole table
@@ -2157,6 +2166,11 @@ object TxLog {
           notMatchedBySource.zipWithIndex.collect {
             case (MergeDelete(_), b) => s"b$b" }
         val insTags: Seq[String] = notMatched.indices.map(j => s"i$j")
+        // tags that ACT on a target row (fire a matched / by-source
+        // clause) — the pair that decides the row's fate
+        val actedTags: Seq[String] =
+          matched.indices.map(i => s"m$i") ++
+          notMatchedBySource.indices.map(b => s"b$b")
         // Identity-assigned insert rows, built ONCE and reused by the
         // data write and the CDF write so both see the same ids (same
         // lineage; zipWithIndex over reused shuffle output is stable
@@ -2193,10 +2207,34 @@ object TxLog {
 
         if (!deletionVectors) {
           // copy-on-write: rewrite the working files without the dead
-          // rows, clause outputs applied; untouched files keep their DVs
+          // rows, clause outputs applied; untouched files keep their DVs.
+          // Under join fanout (multiPair) collapse to one surviving pair
+          // per target position — the acting pair if any — mirroring the
+          // DV path's per-position semantics: without this a row matched
+          // by 2 source rows where ≤1 fires is written once per PAIR
+          // (a kept row duplicates; a fired delete is undone by its
+          // non-acting sibling pair rewriting the row). The window
+          // partitions on (file, row index) — bounded occupancy (= the
+          // row's pair fanout), so the extra shuffle is change-shaped,
+          // and it is skipped entirely on the common unique-key merge.
+          val actedCow =
+            if (!multiPair) acted
+            else {
+              val firing = when(col("__act").isin(actedTags: _*), lit(0))
+                .otherwise(lit(1))
+              // positional union: the join output carries duplicate
+              // column NAMES (t.k / s.k), which unionByName rejects;
+              // both branches project acted's columns in identical order
+              acted.filter(col("t.__dv_k").isNotNull)
+                .withColumn("__pick", row_number().over(Window
+                  .partitionBy(col("t.__dv_k"), col("t.__dv_i"))
+                  .orderBy(firing)))
+                .filter(col("__pick") === 1).drop("__pick")
+                .union(acted.filter(col("t.__dv_k").isNull))
+            }
           val rows = insAssigned match {
-            case None => outCols(acted.filter(!col("__act").isin(deadTags: _*)))
-            case Some(ins) => outCols(acted.filter(
+            case None => outCols(actedCow.filter(!col("__act").isin(deadTags: _*)))
+            case Some(ins) => outCols(actedCow.filter(
               !col("__act").isin((deadTags ++ insTags): _*))).unionByName(ins)
           }
           val goneSet = working.toSet
@@ -2221,9 +2259,6 @@ object TxLog {
           // and inserts land in one fresh write. Cost ∝ rows changed —
           // no working file is read beyond the scans, none rewritten.
           val tq = fs(spark, t).makeQualified(t)
-          val actedTags: Seq[String] =
-            matched.indices.map(i => s"m$i") ++
-            notMatchedBySource.indices.map(b => s"b$b")
           val positions = acted
             .filter(col("__act").isin(actedTags: _*))
             .select(col("t.__dv_k"), col("t.__dv_i")).collect().toSeq

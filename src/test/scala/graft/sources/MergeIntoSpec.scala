@@ -248,13 +248,18 @@ class MergeIntoSpec extends SparkSpec {
       on = expr("t.k = s.k"),
       matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")),
         cond = Some(expr("s.sv = 'never'")))))
+    // (a') ... and the kept row appears ONCE, not once per join pair
+    val afterA = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(afterA.length == 4, s"pair fanout duplicated rows: ${afterA.toSeq}")
+    assert(afterA.count(_._1 == 2L) == 1)
     // (b) only a by-source clause: matched rows are untouched entirely
     TxLog.mergeInto(spark, t,
       Seq((2L, "B1"), (2L, "B2")).toDF("k", "sv"),
       on = expr("t.k = s.k"),
       notMatchedBySource = Seq(MergeUpdate(Map("v" -> lit("stale")))))
-    val rows = TxLog.read(spark, t).as[(Long, String, Int)].collect()
-      .map(r => r._1 -> r._2).toMap
+    val all = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(all.length == 4, s"pair fanout duplicated rows: ${all.toSeq}")
+    val rows = all.map(r => r._1 -> r._2).toMap
     assert(rows(2L) == "b", "multi-matched row must be untouched")
     assert(rows.view.filterKeys(_ != 2L).values.forall(_ == "stale"),
       "by-source clause must still update non-matching rows")
@@ -267,6 +272,36 @@ class MergeIntoSpec extends SparkSpec {
           cond = Some(expr("s.sv like 'B%'")))))
     }
     assert(e.getMessage.contains("multiple source rows"))
+  }
+
+  test("multi-match with exactly ONE firing pair: CoW matches the DV semantics") {
+    for (dv <- Seq(false, true)) {
+      // one firing UPDATE among the pairs: exactly one post-image row,
+      // no stale sibling copy of the pre-image
+      val tu = tmpTable(); seed(tu)
+      TxLog.mergeInto(spark, tu,
+        Seq((2L, "B1"), (2L, "B2")).toDF("k", "sv"),
+        on = expr("t.k = s.k"),
+        matched = Seq(MergeUpdate(Map("v" -> expr("s.sv")),
+          cond = Some(expr("s.sv = 'B1'")))),
+        deletionVectors = dv)
+      val u = TxLog.read(spark, tu).as[(Long, String, Int)].collect()
+      assert(u.length == 4, s"dv=$dv: duplicated rows: ${u.toSeq}")
+      assert(u.filter(_._1 == 2L).toSeq == Seq((2L, "B1", 20)),
+        s"dv=$dv: expected the single fired update, got ${u.toSeq}")
+
+      // one firing DELETE among the pairs: the row is gone (the
+      // non-acting sibling pair must not rewrite it back)
+      val td = tmpTable(); seed(td)
+      TxLog.mergeInto(spark, td,
+        Seq((2L, "B1"), (2L, "B2")).toDF("k", "sv"),
+        on = expr("t.k = s.k"),
+        matched = Seq(MergeDelete(cond = Some(expr("s.sv = 'B1'")))),
+        deletionVectors = dv)
+      val d = TxLog.read(spark, td).as[(Long, String, Int)].collect()
+      assert(d.length == 3 && !d.exists(_._1 == 2L),
+        s"dv=$dv: fired delete must remove the row, got ${d.toSeq}")
+    }
   }
 
   test("identity table: NOT MATCHED inserts receive fresh ids in the merge commit") {
