@@ -180,8 +180,15 @@ object Png {
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
     var got = 0
-    while (!inflater.finished() && got < expect)
-      got += inflater.inflate(filtered, got, expect - got)
+    while (!inflater.finished() && got < expect) {
+      val n = inflater.inflate(filtered, got, expect - got)
+      // a TRUNCATED zlib stream (chunk CRCs can still pass) makes
+      // inflate return 0 wanting more input forever — fail loudly
+      // instead of spinning the task
+      require(n > 0 || !(inflater.needsInput || inflater.needsDictionary),
+        s"PNG pixel stream truncated mid-inflate: got $got of $expect bytes")
+      got += n
+    }
     inflater.end()
     require(got == expect,
       s"PNG pixel stream truncated: inflated $got of $expect bytes")

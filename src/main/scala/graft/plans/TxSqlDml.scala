@@ -279,13 +279,16 @@ object TxSqlDmlStrategy extends SparkStrategy {
         // SCHEMA EVOLUTION: the analyzer has ALREADY expanded the stars
         // against the TARGET schema (silently dropping source-only
         // columns) before this strategy runs, so star-ness is
-        // unrecoverable here — instead, every UPDATE and INSERT clause
-        // additionally assigns each source-only column from its
-        // same-named source field. This matches Delta's star-evolution
-        // contract; an EXPLICIT assignment to a brand-new column cannot
-        // reach this strategy at all (the analyzer rejects the
-        // unresolvable target reference), so the augmentation is only
-        // ever visible where Delta would evolve too.
+        // unrecoverable from the action node — it is recovered by
+        // SHAPE: an expanded star assigns EVERY target column from its
+        // same-named source attribute, and only such clauses get the
+        // source-only columns appended. An explicit partial clause
+        // (`UPDATE SET bal = s.bal`) keeps exactly its assigned set —
+        // Delta's star-only evolution contract (README): evolution
+        // never writes a column the clause didn't (star-)reference.
+        // An EXPLICIT assignment to a brand-new column cannot reach
+        // this strategy at all (the analyzer rejects the unresolvable
+        // target reference).
         val evolvedExtra: Seq[String] =
           if (!mit.withSchemaEvolution) Seq.empty
           else mit.sourceTable.output.map(_.name).filterNot(n =>
@@ -298,14 +301,31 @@ object TxSqlDmlStrategy extends SparkStrategy {
           withEvo(rel.schema.fieldNames.toSeq.map(n => n -> sCol(n)).toMap)
         def setOf(as: Seq[Assignment]): Map[String, Column] =
           as.map(a => nameOf(a.key) -> colOf(a.value, tAttrs, sAttrs)).toMap
+        def srcAttrName(e: Expression): Option[String] = e match {
+          case ar: AttributeReference if sAttrs.contains(ar) => Some(ar.name)
+          case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+            srcAttrName(c.child)
+          case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+            srcAttrName(a.child)
+          case _ => None
+        }
+        def isStarShape(as: Seq[Assignment]): Boolean =
+          as.map(a => nameOf(a.key).toLowerCase).toSet ==
+            rel.schema.fieldNames.map(_.toLowerCase).toSet &&
+          as.forall(a => srcAttrName(a.value)
+            .exists(_.equalsIgnoreCase(nameOf(a.key))))
+        def evoSet(as: Seq[Assignment]): Map[String, Column] = {
+          val s0 = setOf(as)
+          if (isStarShape(as)) withEvo(s0) else s0
+        }
         val matched = mit.matchedActions.map {
-          case UpdateAction(c, as, _) => TxLog.MergeUpdate(withEvo(setOf(as)), cl(c))
+          case UpdateAction(c, as, _) => TxLog.MergeUpdate(evoSet(as), cl(c))
           case UpdateStarAction(c) => TxLog.MergeUpdate(starSet, cl(c))
           case DeleteAction(c) => TxLog.MergeDelete(cl(c))
           case other => sys.error(s"graft-txlog MERGE: unsupported matched action $other")
         }
         val notMatched = mit.notMatchedActions.map {
-          case InsertAction(c, as) => TxLog.MergeInsert(withEvo(setOf(as)), cl(c))
+          case InsertAction(c, as) => TxLog.MergeInsert(evoSet(as), cl(c))
           case InsertStarAction(c) => TxLog.MergeInsert(starSet, cl(c))
           case other => sys.error(s"graft-txlog MERGE: unsupported not-matched action $other")
         }

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, input_file_name, lit, max, min, regexp_extract, row_number, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, count, input_file_name, lit, max, min, regexp_extract, row_number, sum, when}
 import org.apache.spark.sql.types._
 import org.json4s.NoTypeHints
 import org.json4s.jackson.Serialization
@@ -521,20 +521,32 @@ object TxLog {
     Seq.fill(n) { prev += varint(); prev }
   }
 
-  private def writeDvFile(f: org.apache.hadoop.fs.FileSystem, t: Path,
-      rel: String, positions: Seq[Long]): Unit = {
-    val out = f.create(new Path(t, rel), true)
-    try out.write(encodeDv(positions)) finally out.close()
-  }
+  private def readDvFile(spark: SparkSession, t: Path, rel: String): Seq[Long] =
+    readDvFileFs(fs(spark, t), t, rel)
 
-  private def readDvFile(spark: SparkSession, t: Path, rel: String): Seq[Long] = {
-    val f = fs(spark, t)
+  /** [[readDvFile]] against an explicit FileSystem — the spelling the
+    * EXECUTOR-side DV find pass uses (no SparkSession on executors).
+    */
+  private def readDvFileFs(f: org.apache.hadoop.fs.FileSystem, t: Path,
+      rel: String): Seq[Long] = {
     val p = new Path(t, rel)
     val len = f.getFileStatus(p).getLen.toInt
     val bytes = new Array[Byte](len)
     val in = f.open(p)
     try in.readFully(0, bytes) finally in.close()
     decodeDv(bytes)
+  }
+
+  /** Deterministic sidecar file name for a data file's vector within
+    * one commit: a task RETRY (or speculative twin) re-writes the same
+    * path with the same bytes instead of leaking a sibling, so the
+    * executor-side write is idempotent. SHA-1 of the table-relative
+    * path — commit-unique because rels are.
+    */
+  private def dvSidecarName(rel: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(rel.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString + ".dv"
   }
 
   // ---------------------------------------------------------------------
@@ -1786,18 +1798,19 @@ object TxLog {
         sys.error(s"table $table has no committed versions to merge into"))
       val m = manifestAt(spark, table, base)
       val tq = fs(spark, t).makeQualified(t)
-      val matched: Map[String, Seq[Long]] =
-        if (m.files.isEmpty) Map.empty
+      // commit dir chosen before the find pass: matched keys' old
+      // positions are aggregated per file and the sidecars written
+      // executor-side — one driver descriptor per touched file
+      val dataRel = newDataRel()
+      val plan: DvPlan =
+        if (m.files.isEmpty) DvPlan(Seq.empty, Set.empty, Seq.empty)
         else {
           val cond = keys.map(k => col(quoted(k)) <=> col(s"__mk_$k"))
             .reduce(_ && _)
-          val byKey = byScanKey(m.files, t)
-          liveKeyed(spark, t, m, m.files)
-            .join(broadcast(renamedKeys), cond, "left_semi")
-            .select(col("__dv_k"), col("__dv_i")).collect().toSeq
-            .groupBy(r => byKey.getOrElse(r.getString(0),
-              sys.error(s"scan returned unlisted file ${r.getString(0)}")))
-            .map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
+          composeDvsDist(spark, t, tq, m, dataRel,
+            liveKeyed(spark, t, m, m.files)
+              .join(broadcast(renamedKeys), cond, "left_semi")
+              .select(col("__dv_k"), col("__dv_i")))
         }
       // the appended rows: latest non-delete change per key (the old
       // rows' values are irrelevant under CDC replace semantics)
@@ -1806,17 +1819,16 @@ object TxLog {
         opCol, deleteOp)
       val cons = constraintsOf(spark, table)
       val w = writeData(inbound(spark, table, merged, cons), table,
-        m.partitionBy.getOrElse(Seq.empty))
-      val (goneSet, newDvs) = composeDvs(spark, tq, m, w, matched)
+        m.partitionBy.getOrElse(Seq.empty), dataRelOpt = Some(dataRel))
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(base))
           Some(Attempt("merge",
-            m.files.filterNot(goneSet) ++ w.fresh,
-            m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path))
+            m.files.filterNot(plan.goneSet) ++ w.fresh,
+            m.stats.getOrElse(Seq.empty).filterNot(e => plan.goneSet(e.path))
               ++ w.stats,
             parent.flatMap(_.txn).getOrElse(Map.empty),
             constraints = guardedCons(table, parent, cons),
-            dvs = Some(newDvs)))
+            dvs = Some(plan.newDvs)))
         else None)
       committed.foreach(v => return v)
     }
@@ -2154,9 +2166,14 @@ object TxLog {
 
         // CDF for the general merge (the shape readChangeFeed folds):
         // acted-on target rows' pre-images (update_preimage / delete),
-        // update post-images, and inserts — all from the SAME acted
-        // frame the commit derives from, so the feed can never disagree
-        // with the committed rows
+        // update post-images, and inserts. The feed reads `acted`, not
+        // the CoW path's collapsed `actedCow` — they agree for every
+        // CDF-visible tag because the collapse only discards NON-acting
+        // sibling pairs (tag "keep"/"drop", outside updTags/delTags/
+        // insTags; the ≥2-firing-pairs case already errored), so the
+        // feed can never disagree with the committed rows. An edit that
+        // lets a firing pair be collapsed away must switch cdfOf to the
+        // collapsed frame.
         val updTags: Seq[String] =
           matched.zipWithIndex.collect { case (MergeUpdate(_, _), i) => s"m$i" } ++
           notMatchedBySource.zipWithIndex.collect {
@@ -2214,9 +2231,14 @@ object TxLog {
           // by 2 source rows where ≤1 fires is written once per PAIR
           // (a kept row duplicates; a fired delete is undone by its
           // non-acting sibling pair rewriting the row). The window
-          // partitions on (file, row index) — bounded occupancy (= the
-          // row's pair fanout), so the extra shuffle is change-shaped,
-          // and it is skipped entirely on the common unique-key merge.
+          // partitions on (file, row index): per-partition occupancy is
+          // bounded (= the row's pair fanout), but the SHUFFLE moves the
+          // whole working-set join output — the full table when a
+          // by-source clause widens `working` to every file — so one
+          // fan-out pair anywhere pays a working-set-sized shuffle. The
+          // multiPair gate keeps that off the common unique-key merge;
+          // scoping it tighter (semi-join on multi-paired positions)
+          // would itself shuffle the working set to find them.
           val actedCow =
             if (!multiPair) acted
             else {
@@ -2259,13 +2281,14 @@ object TxLog {
           // and inserts land in one fresh write. Cost ∝ rows changed —
           // no working file is read beyond the scans, none rewritten.
           val tq = fs(spark, t).makeQualified(t)
-          val positions = acted
-            .filter(col("__act").isin(actedTags: _*))
-            .select(col("t.__dv_k"), col("t.__dv_i")).collect().toSeq
-          val matchedMap: Map[String, Seq[Long]] = positions
-            .groupBy(r => byKey.getOrElse(r.getString(0),
-              sys.error(s"scan returned unlisted file ${r.getString(0)}")))
-            .map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
+          // commit dir chosen before the find pass: acted-on target
+          // positions are aggregated per file and the sidecars written
+          // executor-side — one driver descriptor per touched file
+          val dataRel = newDataRel()
+          val plan = composeDvsDist(spark, t, tq, m, dataRel,
+            acted.filter(col("__act").isin(actedTags: _*))
+              .select(col("t.__dv_k").as("__dv_k"),
+                col("t.__dv_i").as("__dv_i")))
           val liveTags: Seq[String] =
             matched.zipWithIndex.collect { case (MergeUpdate(_, _), i) => s"m$i" } ++
             notMatched.indices.map(j => s"i$j") ++
@@ -2277,19 +2300,18 @@ object TxLog {
               liveTags.filterNot(insTags.contains): _*))).unionByName(ins)
           }
           val w = writeData(enforcing(regen(rows), cons), table,
-            m.partitionBy.getOrElse(Seq.empty))
+            m.partitionBy.getOrElse(Seq.empty), dataRelOpt = Some(dataRel))
           val cdfFiles = cdfOf(w)
-          val (goneSet, newDvs) = composeDvs(spark, tq, m, w, matchedMap)
           val committed = publish(spark, table, w, parent =>
             if (parent.map(_.version).contains(base))
               Some(Attempt("merge",
-                m.files.filterNot(goneSet) ++ w.fresh,
-                m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path))
-                  ++ w.stats,
+                m.files.filterNot(plan.goneSet) ++ w.fresh,
+                m.stats.getOrElse(Seq.empty)
+                  .filterNot(e => plan.goneSet(e.path)) ++ w.stats,
                 parent.flatMap(_.txn).getOrElse(Map.empty) ++ txnDelta,
                 cdf = cdfFiles,
                 constraints = guardedCons(table, parent, cons),
-                dvs = Some(newDvs),
+                dvs = Some(plan.newDvs),
                 identity = advancedIds(insertedForIds)))
             else None)
           committed.foreach(v => return v)
@@ -2871,34 +2893,30 @@ object TxLog {
       val m = manifest(spark, table)
       if (m.files.isEmpty) return m.version
       val tq = fs(spark, t).makeQualified(t)
-      // one scan: LIVE matching rows' (file key, position)
-      val matchedRows = liveKeyed(spark, t, m, m.files)
-        .filter(coalesce(cond, lit(false)))
-        .select(col("__dv_k"), col("__dv_i"))
-        .collect()
-      if (matchedRows.isEmpty) return m.version
-      val byKey = byScanKey(m.files, t)
-      val matched: Map[String, Seq[Long]] = matchedRows.toSeq
-        .groupBy(r => byKey.getOrElse(r.getString(0),
-          sys.error(s"scan returned unlisted file ${r.getString(0)}")))
-        .map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
       val w = writeNothing(spark, table, m.schemaJson)
+      // ONE distributed pass: LIVE matching rows' positions aggregated
+      // per file and the sidecars written executor-side — the driver
+      // collects one descriptor per touched file, never per row
+      val plan = composeDvsDist(spark, t, tq, m, w.dataRel,
+        liveKeyed(spark, t, m, m.files)
+          .filter(coalesce(cond, lit(false)))
+          .select(col("__dv_k"), col("__dv_i")))
+      if (plan.touched.isEmpty) return m.version
       val cdfFiles =
         if (!changeFeed) Seq.empty
         else writeCdf(spark, table, w,
-          readLive(spark, t, m, matched.keys.toSeq.sorted)
+          readLive(spark, t, m, plan.touched)
             .filter(coalesce(cond, lit(false)))
             .withColumn("_change_type", lit("delete")))
-      val (goneSet, newDvs) = composeDvs(spark, tq, m, w, matched)
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(m.version))
           Some(Attempt("delete",
-            m.files.filterNot(goneSet),
-            m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path)),
+            m.files.filterNot(plan.goneSet),
+            m.stats.getOrElse(Seq.empty).filterNot(e => plan.goneSet(e.path)),
             m.txn.getOrElse(Map.empty),
             cdf = cdfFiles,
             constraints = m.constraints.getOrElse(Map.empty),
-            dvs = Some(newDvs)))
+            dvs = Some(plan.newDvs)))
         else None) // snapshot went stale: re-find against the new latest
       committed.foreach(v => return v)
     }
@@ -2906,33 +2924,78 @@ object TxLog {
       "(pathological write contention); re-run or serialize writers")
   }
 
-  /** Turn per-file deleted positions into this commit's DV state:
-    * writes the sidecars (unioned with any prior vector — positions
-    * are physical parquet row indexes, stable for an immutable file)
-    * under `w.dataRel/_dv/`, drops files whose every live row is
-    * deleted outright, and returns (files to drop, the manifest's
-    * complete new DV list). The sidecars ride the commit's data dir,
-    * so an abandoned publish cleans them up with it.
+  /** The driver-visible outcome of a distributed DV find pass: the
+    * touched files (sorted rels), the files every live row of which
+    * matched (dropped from the manifest outright — no vector), and the
+    * manifest's complete new DV list. Positions never reach the driver.
     */
-  private def composeDvs(spark: SparkSession, tq: Path, m: Manifest,
-      w: Written, matched: Map[String, Seq[Long]]): (Set[String], Seq[DvEntry]) = {
+  private final case class DvPlan(touched: Seq[String], goneSet: Set[String],
+      newDvs: Seq[DvEntry])
+
+  /** Test-only probe: how many rows the last DV find pass collected to
+    * the driver — pinned by DeletionVectorSpec to equal the TOUCHED
+    * FILE count (one descriptor per file, never one per changed row).
+    */
+  private[graft] val lastDvFindCollected =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Turn the find pass's matched `(__dv_k, __dv_i)` frame into this
+    * commit's DV state WITHOUT collecting positions to the driver: the
+    * positions are aggregated per file executor-side, unioned with any
+    * prior vector (physical parquet row indexes are stable for an
+    * immutable file), encoded, and each sidecar is written FROM THE
+    * TASK under `dataRel/_dv/` — the driver collects exactly ONE
+    * descriptor row per touched file. A 1% delete on a 100 TB table
+    * therefore moves ~10⁹ positions through executors (bounded per
+    * task by one file's row count) and ~10⁵ descriptor rows through
+    * the driver, not the other way round — the Delta DV-write shape.
+    * Files whose every live row matched are dropped outright (decided
+    * in-task from the broadcast live-row counts; no sidecar written).
+    * `dataRel` must be the commit's OWN data dir, chosen before the
+    * data write ([[writeData]] appends into it), so an abandoned
+    * publish cleans the sidecars up with it; the sidecar name is a
+    * digest of the data file's rel, making task retries idempotent.
+    */
+  private def composeDvsDist(spark: SparkSession, t: Path, tq: Path,
+      m: Manifest, dataRel: String, matchedKeyed: DataFrame): DvPlan = {
+    import spark.implicits._
+    val byKey = byScanKey(m.files, t)
     val live = liveRowsOf(m)
-    val (dropWhole, dvAdd) = matched.partition { case (rel, ps) =>
-      live.get(rel).contains(ps.size.toLong) }
-    val f = fs(spark, tq)
-    val oldDv = m.dvs.getOrElse(Seq.empty).map(e => e.path -> e).toMap
-    val newEntries = dvAdd.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((rel, ps), i) =>
-        val prior = oldDv.get(rel)
-          .map(e => readDvFile(spark, tq, e.dv)).getOrElse(Seq.empty)
-        val union = (prior ++ ps).distinct.sorted
-        val dvRel = s"${w.dataRel}/_dv/$i.dv"
-        writeDvFile(f, tq, dvRel, union)
-        DvEntry(rel, dvRel, union.size.toLong)
-    }
-    val goneSet = dropWhole.keySet
-    (goneSet, m.dvs.getOrElse(Seq.empty)
-      .filterNot(e => goneSet(e.path) || dvAdd.contains(e.path)) ++ newEntries)
+    val oldDv = m.dvs.getOrElse(Seq.empty).map(e => e.path -> e.dv).toMap
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val tqStr = tq.toString
+    val perFile: Array[(String, String, Long)] = matchedKeyed
+      .groupBy(col("__dv_k"))
+      .agg(collect_list(col("__dv_i")).as("__ps"))
+      .as[(String, Seq[Long])]
+      .map { (kp: (String, Seq[Long])) =>
+        val (key, ps0) = kp
+        val rel = byKey.getOrElse(key,
+          sys.error(s"scan returned unlisted file $key"))
+        val ps = ps0.distinct
+        if (live.get(rel).contains(ps.size.toLong)) (rel, "", 0L)
+        else {
+          val base = new Path(tqStr)
+          val f = base.getFileSystem(confBc.value.value)
+          val prior = oldDv.get(rel)
+            .map(dv => readDvFileFs(f, base, dv)).getOrElse(Seq.empty)
+          val union = (prior ++ ps).distinct.sorted
+          val dvRel = s"$dataRel/_dv/${dvSidecarName(rel)}"
+          val out = f.create(new Path(base, dvRel), true)
+          try out.write(encodeDv(union)) finally out.close()
+          (rel, dvRel, union.size.toLong)
+        }
+      }
+      .collect() // ONE row per touched FILE — the only driver structure
+    lastDvFindCollected.set(perFile.length.toLong)
+    val goneSet = perFile.collect { case (rel, "", _) => rel }.toSet
+    val newEntries = perFile.toSeq.collect { case (rel, dv, n) if dv.nonEmpty =>
+      DvEntry(rel, dv, n) }.sortBy(_.path)
+    val replaced = newEntries.map(_.path).toSet
+    DvPlan(perFile.map(_._1).toSeq.sorted, goneSet,
+      m.dvs.getOrElse(Seq.empty)
+        .filterNot(e => goneSet(e.path) || replaced(e.path)) ++ newEntries)
   }
 
   /** Copy-on-write UPDATE (SQL `UPDATE SET col = expr WHERE cond`
@@ -3040,16 +3103,15 @@ object TxLog {
       }
       val tq = fs(spark, t).makeQualified(t)
       val hit = coalesce(cond, lit(false))
-      val matchedRows = liveKeyed(spark, t, m, m.files)
-        .filter(hit)
-        .select(col("__dv_k"), col("__dv_i"))
-        .collect()
-      if (matchedRows.isEmpty) return m.version
-      val byKey = byScanKey(m.files, t)
-      val matched: Map[String, Seq[Long]] = matchedRows.toSeq
-        .groupBy(r => byKey.getOrElse(r.getString(0),
-          sys.error(s"scan returned unlisted file ${r.getString(0)}")))
-        .map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
+      // commit dir chosen BEFORE the find pass: the distributed pass
+      // writes the sidecars under it executor-side (one driver
+      // descriptor per touched file), the data write appends into it
+      val dataRel = newDataRel()
+      val plan = composeDvsDist(spark, t, tq, m, dataRel,
+        liveKeyed(spark, t, m, m.files)
+          .filter(hit)
+          .select(col("__dv_k"), col("__dv_i")))
+      if (plan.touched.isEmpty) return m.version
       val gen = m.generated.getOrElse(Map.empty)
       set.foreach { case (name, _) => require(!gen.contains(name),
         s"cannot UPDATE generated column '$name' of $table — it derives " +
@@ -3066,28 +3128,27 @@ object TxLog {
       }
       // post-image rows: the matched live rows with assignments applied
       // (every row in this frame matched, so no per-row `when` needed)
-      val matchedDf = readLive(spark, t, m, matched.keys.toSeq.sorted)
+      val matchedDf = readLive(spark, t, m, plan.touched)
         .filter(hit)
       val cons = m.constraints.getOrElse(Map.empty)
       val w = writeData(enforcing(applySet(matchedDf), cons), table,
-        m.partitionBy.getOrElse(Seq.empty))
+        m.partitionBy.getOrElse(Seq.empty), dataRelOpt = Some(dataRel))
       val cdfFiles =
         if (!changeFeed) Seq.empty
         else writeCdf(spark, table, w,
           matchedDf.withColumn("_change_type", lit("update_preimage"))
             .unionByName(applySet(matchedDf)
               .withColumn("_change_type", lit("update_postimage"))))
-      val (goneSet, newDvs) = composeDvs(spark, tq, m, w, matched)
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(m.version))
           Some(Attempt("update",
-            m.files.filterNot(goneSet) ++ w.fresh,
-            m.stats.getOrElse(Seq.empty).filterNot(e => goneSet(e.path))
+            m.files.filterNot(plan.goneSet) ++ w.fresh,
+            m.stats.getOrElse(Seq.empty).filterNot(e => plan.goneSet(e.path))
               ++ w.stats,
             m.txn.getOrElse(Map.empty),
             cdf = cdfFiles,
             constraints = guardedCons(table, parent, cons),
-            dvs = Some(newDvs)))
+            dvs = Some(plan.newDvs)))
         else None)
       committed.foreach(v => return v)
     }
@@ -3315,9 +3376,15 @@ object TxLog {
     * re-derives against the new snapshot and finds nothing left to do.
     */
   private def writeNothing(spark: SparkSession, table: String,
-      schemaJson: String): Written =
-    Written(s"data/${java.util.UUID.randomUUID()}", Seq.empty, Seq.empty,
+      schemaJson: String, dataRel: Option[String] = None): Written =
+    Written(dataRel.getOrElse(newDataRel()), Seq.empty, Seq.empty,
       schemaJson)
+
+  /** A fresh commit-private data dir name. DV-writing DML picks it
+    * BEFORE the find pass so the executor-written sidecars land under
+    * the same dir the data write and the abandon cleanup use.
+    */
+  private def newDataRel(): String = s"data/${java.util.UUID.randomUUID()}"
 
   /** What a commit wants to publish, composed against the current parent.
     * `schemaJson` overrides the written frame's schema as the manifest
@@ -3490,7 +3557,8 @@ object TxLog {
   }
 
   private def writeData(df0: DataFrame, table: String,
-      partitionBy: Seq[String] = Seq.empty): Written = {
+      partitionBy: Seq[String] = Seq.empty,
+      dataRelOpt: Option[String] = None): Written = {
     val spark = df0.sparkSession
     val mOpt = latestVersion(spark, table)
       .map(readManifest(spark, new Path(table), _))
@@ -3520,11 +3588,16 @@ object TxLog {
     val df = clusterOnWrite(mOpt, ren, aligned)
     val f = fs(spark, new Path(table))
     val t = f.makeQualified(new Path(table))
-    val commitId = java.util.UUID.randomUUID().toString
-    val dataRel = s"data/$commitId"
+    // a DV-writing DML pre-chooses the dir (its find pass already put
+    // sidecars under `<dataRel>/_dv/`) — append alongside them; the
+    // fresh-file listing below filters on `.parquet`, and the `_dv`
+    // underscore prefix keeps the sidecars invisible to any scan
+    val dataRel = dataRelOpt.getOrElse(newDataRel())
     val dataDir = new Path(t, dataRel)
+    val writeMode = if (dataRelOpt.isDefined) "append" else "error"
     val schema = asNullable(df.schema).asInstanceOf[StructType]
-    if (partitionBy.isEmpty) df.write.parquet(dataDir.toString)
+    if (partitionBy.isEmpty)
+      df.write.mode(writeMode).parquet(dataDir.toString)
     else {
       partitionBy.foreach { c =>
         require(schema.fieldNames.contains(c),
@@ -3535,7 +3608,7 @@ object TxLog {
       }
       val dup = partitionBy.foldLeft(df)((acc, c) =>
         acc.withColumn(gpPrefix + c, col(quoted(c))))
-      dup.write.partitionBy(partitionBy.map(gpPrefix + _): _*)
+      dup.write.mode(writeMode).partitionBy(partitionBy.map(gpPrefix + _): _*)
         .parquet(dataDir.toString)
     }
     val it = f.listFiles(dataDir, true)

@@ -76,6 +76,34 @@ class PngSpec extends AnyFunSuite {
       .getMessage.contains("magic"))
   }
 
+  test("a truncated zlib stream behind VALID chunk CRCs fails, not hangs") {
+    // cut the deflate stream short but recompute the chunk CRC — the
+    // per-chunk integrity check passes, so only the inflate loop can
+    // catch it; before the needsInput guard this spun forever
+    val bytes = Png.encode(16, 16, Bmp.pattern(2L))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, 8)
+    var pos = 8
+    var cut = false
+    while (pos < bytes.length) {
+      val len = java.nio.ByteBuffer.wrap(bytes, pos, 4).getInt
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      if (typ == "IDAT" && !cut) {
+        val keep = math.max(1, len / 2)
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, pos + 4, 4 + keep)
+        out.write(java.nio.ByteBuffer.allocate(4).putInt(keep).array())
+        out.write(bytes, pos + 4, 4 + keep)
+        out.write(java.nio.ByteBuffer.allocate(4)
+          .putInt(crc.getValue.toInt).array())
+        cut = true
+      } else if (typ != "IDAT") out.write(bytes, pos, 12 + len)
+      pos += 12 + len
+    }
+    val e = intercept[IllegalArgumentException] { Png.decode(out.toByteArray) }
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("unsupported shapes are rejected, not mis-decoded") {
     // grayscale from ImageIO → color type 0 → loud rejection
     val img = new java.awt.image.BufferedImage(8, 8,

@@ -207,6 +207,38 @@ class TxSqlDmlSpec extends SparkSpec {
     assert(TxLog.read(spark, path).columns.toSeq == Seq("k", "v", "n", "extra"))
   }
 
+  test("WITH SCHEMA EVOLUTION leaves EXPLICIT partial clauses alone") {
+    // Delta's contract (README): only star clauses evolve. An explicit
+    // `UPDATE SET v = s.v` must neither write s.extra into updated rows
+    // nor widen the table with a column no clause referenced.
+    val (name, path) = mk() // (k, v, n)
+    Seq((2L, "B2", 200, "zz"), (8L, "H", 800, "hh"))
+      .toDF("k", "v", "n", "extra")
+      .createOrReplaceTempView(s"${name}_pev")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $name t USING ${name}_pev s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(TxLog.read(spark, path).columns.toSeq == Seq("k", "v", "n"),
+      "explicit partial UPDATE must not evolve the schema")
+    val got = TxLog.read(spark, path).as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10), (2L, "B2", 20), (3L, "c", 30),
+      (4L, "d", 40)))
+    // a star INSERT alongside the explicit UPDATE: the star still
+    // evolves, the explicit clause's updated rows take NULL there
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $name t USING ${name}_pev s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET n = s.n
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(TxLog.read(spark, path).columns.toSeq == Seq("k", "v", "n", "extra"))
+    val after = spark.sql(s"SELECT k, n, extra FROM $name ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.get(2))))
+    assert(after.toSeq == Seq((1L, 10, None), (2L, 200, None),
+      (3L, 30, None), (4L, 40, None), (8L, 800, Some("hh"))),
+      "updated row 2 must NOT receive s.extra; inserted row 8 must")
+  }
+
   test("SQL MERGE with UPDATE SET * / INSERT *") {
     val (name, path) = mk()
     Seq((2L, "B2", 200), (8L, "H", 800)).toDF("k", "v", "n")

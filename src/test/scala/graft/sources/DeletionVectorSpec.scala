@@ -82,6 +82,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(TxLog.statsAggregate(spark, t).head.getLong(0) == 90L)
   }
 
+  test("DV find pass collects ONE driver row per touched file, not per row") {
+    val t = tmpTable()
+    publish(t) // 100 rows across 4 files, g spread over every file
+    TxLog.lastDvFindCollected.set(-1L)
+    TxLog.delete(spark, t, col("g") < 5, deletionVectors = true) // 50 rows
+    val m = TxLog.manifest(spark, t)
+    assert(m.dvs.get.map(_.deleted).sum == 50L)
+    assert(TxLog.read(spark, t).count() == 50L)
+    // the scale contract: the driver saw one descriptor per touched
+    // FILE (positions were aggregated and sidecar'd executor-side) —
+    // 4 here, never the 50 changed rows
+    assert(TxLog.lastDvFindCollected.get == m.files.size.toLong)
+    // DV update path honours the same contract
+    TxLog.lastDvFindCollected.set(-1L)
+    TxLog.update(spark, t, col("g") === 7, Seq("v" -> lit("u")),
+      deletionVectors = true)
+    assert(TxLog.lastDvFindCollected.get > 0L)
+    assert(TxLog.lastDvFindCollected.get <= 4L)
+    assert(TxLog.read(spark, t).filter(col("g") === 7).count() == 10L)
+  }
+
   test("update and rewrite-delete never resurrect vectored rows") {
     val t = tmpTable()
     publish(t)
