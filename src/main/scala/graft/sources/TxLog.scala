@@ -1828,7 +1828,7 @@ object TxLog {
               ++ w.stats,
             parent.flatMap(_.txn).getOrElse(Map.empty),
             constraints = guardedCons(table, parent, cons),
-            dvs = Some(plan.newDvs)))
+            dvs = Some(plan.dvsAgainst(m))))
         else None)
       committed.foreach(v => return v)
     }
@@ -2311,7 +2311,7 @@ object TxLog {
                 parent.flatMap(_.txn).getOrElse(Map.empty) ++ txnDelta,
                 cdf = cdfFiles,
                 constraints = guardedCons(table, parent, cons),
-                dvs = Some(plan.newDvs),
+                dvs = Some(plan.dvsAgainst(m)),
                 identity = advancedIds(insertedForIds)))
             else None)
           committed.foreach(v => return v)
@@ -2707,6 +2707,58 @@ object TxLog {
     * each hit file's match count (the full-file-delete fast path needs
     * it). The per-file collect is O(files), a metadata-sized result.
     */
+  /** Logical conflict detection for a lost commit CAS: can a computed
+    * DELETE/UPDATE attempt be REBASED onto the newer `parent` instead
+    * of recomputed from scratch? True iff no table-level contract moved
+    * between `base` and `parent` (schema, constraints, partition
+    * layout, renames, generated columns, dropped-column tombstones,
+    * bloom columns) and every file the attempt MODIFIES — rewrites,
+    * drops, or vectors (`touched`) — is carried into `parent`
+    * unchanged: still listed, same deletion vector. Data files are
+    * immutable, so the base-vs-parent comparison is exact: a touched
+    * file listed in `parent` with its base vector yields the identical
+    * per-file result no matter what landed in between. Concurrent
+    * APPENDS and file-disjoint DML therefore cost each writer ONE
+    * compute (the Delta conflict-rebase shape — without this, a
+    * streaming ingest trickling appends into a 100 TB table livelocks
+    * every nightly DML into O(attempts × full-DML) recomputes).
+    *
+    * Semantics are per-file snapshot isolation (Delta's
+    * WriteSerializable stance): rows landed by the concurrent commit
+    * are outside this DML's snapshot and stay untouched — a rebased
+    * DELETE does not chase rows appended after its find scan.
+    * `identity` is deliberately NOT compared: delete/update never
+    * allocate ids, and the Attempt inherits the parent's (possibly
+    * advanced) mark. Key-based MERGE never rebases: a concurrent
+    * append can land a key the merge decided to INSERT, and rebasing
+    * would commit the duplicate.
+    */
+  private def rebasable(base: Manifest, parent: Manifest,
+      touched: Set[String]): Boolean = {
+    val bd = base.dvs.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    val pd = parent.dvs.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    val pf = parent.files.toSet
+    parent.schemaJson == base.schemaJson &&
+    parent.constraints.getOrElse(Map.empty) ==
+      base.constraints.getOrElse(Map.empty) &&
+    parent.partitionBy.getOrElse(Seq.empty) ==
+      base.partitionBy.getOrElse(Seq.empty) &&
+    parent.renames.getOrElse(Map.empty) == base.renames.getOrElse(Map.empty) &&
+    parent.generated.getOrElse(Map.empty) ==
+      base.generated.getOrElse(Map.empty) &&
+    parent.dropped.getOrElse(Seq.empty) == base.dropped.getOrElse(Seq.empty) &&
+    parent.bloomIndex.getOrElse(Seq.empty) ==
+      base.bloomIndex.getOrElse(Seq.empty) &&
+    touched.forall(f => pf(f) && bd.get(f) == pd.get(f))
+  }
+
+  /** Test-only interposition point: runs once between a DML's find
+    * pass and its first publish, so specs can land a DETERMINISTIC
+    * concurrent commit in the CAS gap (append-vs-delete rebase races,
+    * constraint-change aborts) without thread timing.
+    */
+  private[graft] var casRaceHook: () => Unit = () => ()
+
   private def findTouched(spark: SparkSession, t: Path, m: Manifest,
       cond: Column): Seq[Touched] = {
     if (m.files.isEmpty) return Seq.empty
@@ -2776,16 +2828,22 @@ object TxLog {
             .filter(coalesce(cond, lit(false)))
             .withColumn("_change_type", lit("delete")))
       val gone = touched.map(_.rel).toSet
-      val committed = publish(spark, table, w, parent =>
-        if (parent.map(_.version).contains(m.version))
-          // row-removing: constraints flow through unguarded
-          Some(Attempt("delete",
-            m.files.filterNot(gone) ++ w.fresh,
-            m.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
-            m.txn.getOrElse(Map.empty),
-            cdf = cdfFiles,
-            constraints = m.constraints.getOrElse(Map.empty)))
-        else None) // snapshot went stale: re-find against the new latest
+      casRaceHook()
+      // row-removing: constraints flow through unguarded. On a lost
+      // CAS, REBASE onto the winner when it left our touched files
+      // alone (rebasable) — concurrent appends / file-disjoint DML
+      // cost one compute each instead of a full re-derive.
+      def att(mm: Manifest) = Attempt("delete",
+        mm.files.filterNot(gone) ++ w.fresh,
+        mm.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
+        mm.txn.getOrElse(Map.empty),
+        cdf = cdfFiles,
+        constraints = mm.constraints.getOrElse(Map.empty))
+      val committed = publish(spark, table, w, {
+        case Some(p) if p.version == m.version => Some(att(m))
+        case Some(p) if rebasable(m, p, gone) => Some(att(p))
+        case _ => None // conflicting overlap: re-find against the latest
+      })
       committed.foreach(v => return v)
     }
     sys.error(s"delete from $table lost the commit race $maxAttempts times " +
@@ -2908,16 +2966,22 @@ object TxLog {
           readLive(spark, t, m, plan.touched)
             .filter(coalesce(cond, lit(false)))
             .withColumn("_change_type", lit("delete")))
-      val committed = publish(spark, table, w, parent =>
-        if (parent.map(_.version).contains(m.version))
-          Some(Attempt("delete",
-            m.files.filterNot(plan.goneSet),
-            m.stats.getOrElse(Seq.empty).filterNot(e => plan.goneSet(e.path)),
-            m.txn.getOrElse(Map.empty),
-            cdf = cdfFiles,
-            constraints = m.constraints.getOrElse(Map.empty),
-            dvs = Some(plan.newDvs)))
-        else None) // snapshot went stale: re-find against the new latest
+      val touchedSet = plan.touched.toSet
+      casRaceHook()
+      // lost CAS: rebase onto a winner that left our touched files and
+      // their vectors alone (rebasable) instead of re-deriving
+      def att(mm: Manifest) = Attempt("delete",
+        mm.files.filterNot(plan.goneSet),
+        mm.stats.getOrElse(Seq.empty).filterNot(e => plan.goneSet(e.path)),
+        mm.txn.getOrElse(Map.empty),
+        cdf = cdfFiles,
+        constraints = mm.constraints.getOrElse(Map.empty),
+        dvs = Some(plan.dvsAgainst(mm)))
+      val committed = publish(spark, table, w, {
+        case Some(p) if p.version == m.version => Some(att(m))
+        case Some(p) if rebasable(m, p, touchedSet) => Some(att(p))
+        case _ => None // conflicting overlap: re-find against the latest
+      })
       committed.foreach(v => return v)
     }
     sys.error(s"delete from $table lost the commit race $maxAttempts times " +
@@ -2930,7 +2994,18 @@ object TxLog {
     * manifest's complete new DV list. Positions never reach the driver.
     */
   private final case class DvPlan(touched: Seq[String], goneSet: Set[String],
-      newDvs: Seq[DvEntry])
+      entries: Seq[DvEntry]) {
+    /** The manifest's complete DV list when committing against `mm` —
+      * the CAS base, or a rebase parent proven safe by [[rebasable]]
+      * (which guarantees every touched file carries its base vector,
+      * so `entries`' prior-unions stay exact).
+      */
+    def dvsAgainst(mm: Manifest): Seq[DvEntry] = {
+      val replaced = entries.map(_.path).toSet
+      mm.dvs.getOrElse(Seq.empty)
+        .filterNot(e => goneSet(e.path) || replaced(e.path)) ++ entries
+    }
+  }
 
   /** Test-only probe: how many rows the last DV find pass collected to
     * the driver — pinned by DeletionVectorSpec to equal the TOUCHED
@@ -2992,10 +3067,7 @@ object TxLog {
     val goneSet = perFile.collect { case (rel, "", _) => rel }.toSet
     val newEntries = perFile.toSeq.collect { case (rel, dv, n) if dv.nonEmpty =>
       DvEntry(rel, dv, n) }.sortBy(_.path)
-    val replaced = newEntries.map(_.path).toSet
-    DvPlan(perFile.map(_._1).toSeq.sorted, goneSet,
-      m.dvs.getOrElse(Seq.empty)
-        .filterNot(e => goneSet(e.path) || replaced(e.path)) ++ newEntries)
+    DvPlan(perFile.map(_._1).toSeq.sorted, goneSet, newEntries)
   }
 
   /** Copy-on-write UPDATE (SQL `UPDATE SET col = expr WHERE cond`
@@ -3062,15 +3134,21 @@ object TxLog {
                 .withColumn("_change_type", lit("update_postimage"))))
         }
       val gone = touched.map(_.rel).toSet
-      val committed = publish(spark, table, w, parent =>
-        if (parent.map(_.version).contains(m.version))
-          Some(Attempt("update",
-            m.files.filterNot(gone) ++ w.fresh,
-            m.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
-            m.txn.getOrElse(Map.empty),
-            cdf = cdfFiles,
-            constraints = guardedCons(table, parent, cons)))
-        else None)
+      casRaceHook()
+      // lost CAS: rebase onto a winner that left our touched files
+      // alone (rebasable guarantees constraints are unchanged too, so
+      // the guardedCons stance is preserved by construction)
+      def att(mm: Manifest) = Attempt("update",
+        mm.files.filterNot(gone) ++ w.fresh,
+        mm.stats.getOrElse(Seq.empty).filterNot(e => gone(e.path)) ++ w.stats,
+        mm.txn.getOrElse(Map.empty),
+        cdf = cdfFiles,
+        constraints = guardedCons(table, Some(mm), cons))
+      val committed = publish(spark, table, w, {
+        case Some(p) if p.version == m.version => Some(att(m))
+        case Some(p) if rebasable(m, p, gone) => Some(att(p))
+        case _ => None // conflicting overlap: re-find against the latest
+      })
       committed.foreach(v => return v)
     }
     sys.error(s"update of $table lost the commit race $maxAttempts times " +
@@ -3139,17 +3217,23 @@ object TxLog {
           matchedDf.withColumn("_change_type", lit("update_preimage"))
             .unionByName(applySet(matchedDf)
               .withColumn("_change_type", lit("update_postimage"))))
-      val committed = publish(spark, table, w, parent =>
-        if (parent.map(_.version).contains(m.version))
-          Some(Attempt("update",
-            m.files.filterNot(plan.goneSet) ++ w.fresh,
-            m.stats.getOrElse(Seq.empty).filterNot(e => plan.goneSet(e.path))
-              ++ w.stats,
-            m.txn.getOrElse(Map.empty),
-            cdf = cdfFiles,
-            constraints = guardedCons(table, parent, cons),
-            dvs = Some(plan.newDvs)))
-        else None)
+      val touchedSet = plan.touched.toSet
+      casRaceHook()
+      // lost CAS: rebase onto a winner that left our touched files and
+      // their vectors alone (rebasable) instead of re-deriving
+      def att(mm: Manifest) = Attempt("update",
+        mm.files.filterNot(plan.goneSet) ++ w.fresh,
+        mm.stats.getOrElse(Seq.empty).filterNot(e => plan.goneSet(e.path))
+          ++ w.stats,
+        mm.txn.getOrElse(Map.empty),
+        cdf = cdfFiles,
+        constraints = guardedCons(table, Some(mm), cons),
+        dvs = Some(plan.dvsAgainst(mm)))
+      val committed = publish(spark, table, w, {
+        case Some(p) if p.version == m.version => Some(att(m))
+        case Some(p) if rebasable(m, p, touchedSet) => Some(att(p))
+        case _ => None // conflicting overlap: re-find against the latest
+      })
       committed.foreach(v => return v)
     }
     sys.error(s"update of $table lost the commit race $maxAttempts times " +

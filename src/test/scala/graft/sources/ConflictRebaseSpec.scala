@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.SparkSpec
+
+/** Logical conflict detection on the commit CAS: a DELETE/UPDATE that
+  * loses the race to a commit which left its touched files alone —
+  * a concurrent append, or DML on disjoint files — REBASES onto the
+  * winner instead of recomputing, so both writers pay exactly one
+  * compute. Conflicting overlap (same files, constraint changes)
+  * still re-derives. Raced deterministically via TxLog.casRaceHook,
+  * which fires once in the find→publish gap.
+  */
+class ConflictRebaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-rebase").resolve("t").toString
+
+  private def publish100(t: String): Unit =
+    TxLog.overwrite((0 until 100).map(i => (i.toLong, s"v$i", i % 10))
+      .toDF("k", "v", "g").repartition(4, col("k")), t)
+
+  /** Arm the hook to run `f` exactly once, then disarm itself. */
+  private def once(f: => Unit): Unit =
+    TxLog.casRaceHook = () => { TxLog.casRaceHook = () => (); f }
+
+  // belt-and-braces: never leak an armed hook into another suite
+  private def rtest(name: String)(body: => Unit): Unit =
+    test(name)(try body finally { TxLog.casRaceHook = () => () })
+
+  rtest("append racing a CoW delete: BOTH land with one compute each") {
+    val t = tmpTable()
+    publish100(t)
+    once { TxLog.append(Seq((500L, "new", 99)).toDF("k", "v", "g"), t) }
+    // maxAttempts = 1: without rebase, losing the CAS would throw
+    val v = TxLog.delete(spark, t, col("g") === 3, maxAttempts = 1)
+    val m = TxLog.manifest(spark, t)
+    assert(m.version == v && m.action == "delete")
+    assert(TxLog.latestVersion(spark, t).contains(3L)) // ow, append, delete
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 91) // 100 - 10 deleted + 1 appended
+    assert(!got.exists(_._3 == 3), "the delete applied")
+    assert(got.exists(_._1 == 500L), "the concurrent append's row survived")
+  }
+
+  rtest("append racing a DV delete rebases and keeps exact vectors") {
+    val t = tmpTable()
+    publish100(t)
+    once { TxLog.append(Seq((600L, "new", 99)).toDF("k", "v", "g"), t) }
+    TxLog.delete(spark, t, col("g") === 7, deletionVectors = true,
+      maxAttempts = 1)
+    val m = TxLog.manifest(spark, t)
+    assert(m.dvs.get.map(_.deleted).sum == 10L)
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 91 && !got.exists(_._3 == 7))
+    assert(got.exists(_._1 == 600L))
+  }
+
+  rtest("append racing an UPDATE (CoW and DV): appended rows unmodified") {
+    val t = tmpTable()
+    publish100(t)
+    once { TxLog.append(Seq((700L, "keep", 1)).toDF("k", "v", "g"), t) }
+    TxLog.update(spark, t, col("g") === 1 && col("k") < 100,
+      Seq("v" -> lit("upd")), maxAttempts = 1)
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 101)
+    assert(got.count(_._2 == "upd") == 10)
+    assert(got.find(_._1 == 700L).get._2 == "keep")
+    // DV flavour on top
+    once { TxLog.append(Seq((701L, "keep2", 2)).toDF("k", "v", "g"), t) }
+    TxLog.update(spark, t, col("g") === 2 && col("k") < 100,
+      Seq("v" -> lit("upd2")), deletionVectors = true, maxAttempts = 1)
+    val got2 = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got2.length == 102)
+    assert(got2.count(_._2 == "upd2") == 10)
+    assert(got2.find(_._1 == 701L).get._2 == "keep2")
+  }
+
+  rtest("file-disjoint DML rebases: two DV deletes on different partitions") {
+    val t = tmpTable()
+    TxLog.overwrite((0 until 100).map(i => (i.toLong, s"v$i", i % 4))
+      .toDF("k", "v", "p"), t, partitionBy = Some(Seq("p")))
+    // the winner deletes inside p=1's files; the loser touched only
+    // p=2's — disjoint, so the loser rebases instead of recomputing
+    once { TxLog.delete(spark, t, col("p") === 1 && col("k") < 50,
+      deletionVectors = true) }
+    TxLog.delete(spark, t, col("p") === 2 && col("k") < 50,
+      deletionVectors = true, maxAttempts = 1)
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 75) // 100 - 13 (p=1,k<50) - 12 (p=2,k<50)
+    assert(!got.exists(r => r._1 < 50 && (r._3 == 1 || r._3 == 2)))
+    assert(got.count(_._3 == 1) == 12 && got.count(_._3 == 2) == 13)
+  }
+
+  rtest("overlapping DML does NOT rebase: same-file conflict recomputes") {
+    val t = tmpTable()
+    publish100(t) // g spreads over every file: any two deletes overlap
+    once { TxLog.delete(spark, t, col("g") === 5, deletionVectors = true) }
+    val e = intercept[RuntimeException] {
+      TxLog.delete(spark, t, col("g") === 6, deletionVectors = true,
+        maxAttempts = 1)
+    }
+    assert(e.getMessage.contains("lost the commit race"))
+    // with attempts to spare, the recompute lands both deletes exactly
+    once { TxLog.delete(spark, t, col("g") === 7, deletionVectors = true) }
+    TxLog.delete(spark, t, col("g") === 6, deletionVectors = true,
+      maxAttempts = 2)
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 70)
+    assert(!got.exists(r => Set(5, 6, 7)(r._3)))
+  }
+
+  rtest("a concurrent addConstraint aborts the rebase (metadata conflict)") {
+    val t = tmpTable()
+    publish100(t)
+    once { TxLog.addConstraint(spark, t, "g_ok", "g >= 0") }
+    val e = intercept[RuntimeException] {
+      TxLog.update(spark, t, col("g") === 4, Seq("v" -> lit("x")),
+        maxAttempts = 1)
+    }
+    assert(e.getMessage.contains("lost the commit race"))
+    // a recompute enforces the new constraint and lands
+    TxLog.update(spark, t, col("g") === 4, Seq("v" -> lit("x")),
+      maxAttempts = 2)
+    assert(TxLog.read(spark, t).filter(col("v") === "x").count() == 10L)
+    assert(TxLog.constraintsOf(spark, t).contains("g_ok"))
+  }
+}
