@@ -51,6 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pre-CBO: runs AFTER the default optimizer batches, so it sees (and
     // replaces) an InferWindowGroupLimit-inserted WindowGroupLimit child
     ext.injectPreCBORule(_ => graft.plans.WindowTopKRewrite)
+    ext.injectPreCBORule(_ => graft.plans.DynamicFilePruning)
   }
 }
 

@@ -1006,6 +1006,57 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q135_tx_copy_into" -> ((s, dir) => {
+      // COPY INTO-class idempotent ingest under the oracle gate
+      // (TxLog.copyInto): orders lands in two waves; the second run
+      // ingests only the NEW files, a third run over unchanged content
+      // commits NOTHING (version pinned in-query) — the final table
+      // holds every order exactly once, hash-checked against DuckDB
+      // over the raw table. The reference's nightly extract/load re-run
+      // (data_cleaning.py:30-118) is this shape: re-listing a growing
+      // landing dir must never double-ingest.
+      val land = tmpTable("tx-q135-landing")
+      val t = tmpTable("tx-q135")
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderpriority"),
+        dec2(col("o_totalprice")).as("price"))
+      o.filter(col("o_orderkey") % 3 === 0).repartition(2)
+        .write.mode("append").parquet(land)
+      TxLog.copyInto(s, land, t)
+      o.filter(col("o_orderkey") % 3 =!= 0).repartition(3)
+        .write.mode("append").parquet(land)
+      val r2 = TxLog.copyInto(s, land, t)
+      val r3 = TxLog.copyInto(s, land, t)
+      require(r3.filesIngested == 0 && r3.version == r2.version,
+        "a copy over unchanged landing content must commit nothing")
+      TxLog.read(s, t).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2d(sum(col("price"))).as("total"))
+    }),
+
+    "q134_tx_dfp" -> ((s, dir) => {
+      // DYNAMIC file pruning under the oracle gate
+      // (plans/DynamicFilePruning, the Delta DFP shape): orders
+      // range-clustered by o_custkey through the transactional layer,
+      // then joined to a small FILTERED customer dim — no static WHERE
+      // on the fact anywhere, so q109's pushed-filter path cannot help.
+      // The dim's key set is collected at planning time and replayed
+      // through the manifest stats, planning only the low-custkey files
+      // (DynamicFilePruningSpec pins the planned-file counts); hash
+      // equality with DuckDB's full-scan join proves no qualifying row
+      // lived in a skipped file.
+      val t = tmpTable("tx-q134")
+      TxLog.overwrite(
+        Tables.orders(s, dir).repartitionByRange(8, col("o_custkey")), t)
+      val fact = s.read.format("graft-txlog").load(t)
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "MACHINERY" && col("c_custkey") <= 300)
+        .select("c_custkey")
+      fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q109_tx_sql_skipping" -> ((s, dir) => {
       // The AUTOMATIC file-skipping path under the oracle gate
       // (TxLogRelation.buildScan): orders published range-clustered by
@@ -1472,6 +1523,18 @@ object Lakehouse {
         |FROM orders
         |WHERE o_custkey >= 100 AND o_custkey <= 400
         |GROUP BY 1""".stripMargin,
+
+    "q134_tx_dfp" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY' AND c_custkey <= 300
+        |GROUP BY 1""".stripMargin,
+
+    "q135_tx_copy_into" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q108_partition_ivm" ->
       """WITH o AS (

@@ -28,6 +28,12 @@ object Ingest {
     if (schema.fieldNames.contains(corruptCol)) schema
     else schema.add(StructField(corruptCol, org.apache.spark.sql.types.StringType))
 
+  /** The quarantine-ready schema ([[corruptCol]] appended) — for
+    * callers composing their own PERMISSIVE reads ([[TxLog.copyInto]]).
+    */
+  private[sources] def corruptible(schema: StructType): StructType =
+    withCorrupt(schema)
+
   /** Schema-enforced JSON-lines read; malformed rows land in
     * `_corrupt_record` instead of failing the job.
     */

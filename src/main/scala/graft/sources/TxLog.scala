@@ -223,8 +223,51 @@ object TxLog {
     }).sorted
   }
 
-  def latestVersion(spark: SparkSession, table: String): Option[Long] =
-    versions(spark, table).lastOption
+  /** Latest committed version. Fast path: the `_last_checkpoint`
+    * advisory pointer (best-effort, written at every checkpoint
+    * commit) names a recent version — probing FORWARD from it with
+    * O(commits since that checkpoint) existence checks replaces the
+    * O(all versions) directory listing, the difference between a
+    * handful of stats and a 10⁷-entry listing on a long-lived table's
+    * EVERY snapshot resolution. The pointer is only ever a hint:
+    * unreadable, partially written, stale, or naming a vacuumed
+    * record, resolution falls back to the full listing. Contiguous
+    * version numbering (every commit = parent + 1; vacuum drops only
+    * a prefix) makes the forward probe exact.
+    */
+  def latestVersion(spark: SparkSession, table: String): Option[Long] = {
+    val t = new Path(table)
+    val f = fs(spark, t)
+    lastCheckpointHint(t, f) match {
+      case Some(h) if f.exists(manifestPath(t, h)) =>
+        var v = h
+        while (f.exists(manifestPath(t, v + 1))) v += 1
+        Some(v)
+      case _ => versions(spark, table).lastOption
+    }
+  }
+
+  private val lastCheckpointRe = """\{"version":(\d+)\}""".r
+
+  private def lastCheckpointHint(t: Path,
+      f: org.apache.hadoop.fs.FileSystem): Option[Long] =
+    try {
+      val p = lastCheckpointPath(t)
+      if (!f.exists(p)) None
+      else {
+        val len = f.getFileStatus(p).getLen.toInt
+        if (len <= 0 || len > 64) None // partial or foreign content
+        else {
+          val bytes = new Array[Byte](len)
+          val in = f.open(p)
+          try in.readFully(0, bytes) finally in.close()
+          new String(bytes, "UTF-8").trim match {
+            case lastCheckpointRe(v) => Some(v.toLong)
+            case _ => None
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Memoized resolved snapshots, keyed by qualified manifest path.
     * Manifest records are immutable per (table, version) — the one
@@ -1475,6 +1518,154 @@ object TxLog {
       if (seen.get(appId).exists(_ >= batchId)) None // lost a same-app race
       else Some(appendAttempt(table, parent, w, Map(appId -> batchId), cons))
     })
+  }
+
+  /** One COPY INTO run's outcome: the committed (or unchanged) version
+    * and what it adopted. `filesIngested == 0` means the landing held
+    * nothing new — the run committed NOTHING (no version advance, no
+    * data write).
+    */
+  final case class CopyIntoResult(version: Long, filesIngested: Long,
+      rowsIngested: Long)
+
+  /** Manifest-ledger key namespace for [[copyInto]]'s per-source-file
+    * records (rides the same `txn` map the streaming watermarks use —
+    * metadata flows through the log, so every reader/writer agrees on
+    * what was ingested without a side store).
+    */
+  private val copyLedgerPrefix = "copyInto:"
+
+  /** COPY INTO-class idempotent file ingest (the Delta `COPY INTO`
+    * contract, the reference's nightly extract/load re-run shape —
+    * data_cleaning.py:30-118 re-reads its landing dumps every run):
+    * adopt a landing DIRECTORY's data files into the table with each
+    * source file committed AT MOST ONCE across any number of runs.
+    * Every run lists the landing dir (recursively; `_`/`.`-prefixed
+    * entries skipped), diffs against the manifest's ledger of
+    * already-ingested source paths, reads ONLY the new files, and
+    * lands their rows plus the updated ledger in ONE atomic commit —
+    * so the nightly re-run over an ever-growing landing directory
+    * costs O(new files), never re-ingests, and never half-ingests
+    * (a crash before publish leaves no trace; the next run redoes
+    * exactly the new files). A second run over unchanged content
+    * commits nothing and the version does not advance.
+    *
+    * The ledger records each source file's LENGTH; a landing file that
+    * later reappears with a different length is a mutated source —
+    * that is a pipeline bug upstream, and the run fails loudly rather
+    * than guessing (Delta skips silently; a silent skip of CHANGED
+    * data loses rows, a silent re-ingest duplicates them).
+    *
+    * `format`: "parquet"/"orc" are self-describing (schema optional —
+    * when given it is ENFORCED, never inferred); "json"/"csv" REQUIRE
+    * a schema (inference is an extra full pass at 100 TB and
+    * non-deterministic under drift) and read PERMISSIVE: malformed
+    * rows are quarantined to `quarantineDir` (parquet: raw record +
+    * source batch) when provided, else the run fails on the first
+    * corrupt row — corrupt data never lands in the table either way.
+    * Constraints, generated columns, partition layout, and schema
+    * checks are the same as [[append]]'s (one write path, not two).
+    * Optimistic CAS: a concurrent copy of the SAME files makes the
+    * loser re-list and re-diff — each file still lands exactly once.
+    */
+  def copyInto(spark: SparkSession, landingDir: String, table: String,
+      format: String = "parquet", schema: Option[StructType] = None,
+      quarantineDir: Option[String] = None,
+      maxAttempts: Int = 10): CopyIntoResult = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    require(identityOf(spark, table).isEmpty,
+      s"copyInto into identity-column table $table is not supported — " +
+        "ids must be assigned, use append")
+    val land = new Path(landingDir)
+    val f = fs(spark, land)
+    (1 to maxAttempts).foreach { _ =>
+      val base = latestVersion(spark, table)
+      val ledger: Map[String, Long] = base
+        .map(v => manifestAt(spark, table, v).txn.getOrElse(Map.empty))
+        .getOrElse(Map.empty)
+        .collect { case (k, v) if k.startsWith(copyLedgerPrefix) =>
+          k.stripPrefix(copyLedgerPrefix) -> v }
+      val listed = {
+        val it = f.listFiles(land, true)
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          val hidden = st.getPath.toString
+            .substring(f.makeQualified(land).toString.length)
+            .split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+          if (st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+              !hidden)
+            buf += ((f.makeQualified(st.getPath).toString, st.getLen))
+        }
+        buf.toSeq.sortBy(_._1)
+      }
+      listed.foreach { case (p, len) =>
+        ledger.get(p).foreach(prior => require(prior == len,
+          s"copyInto $table: landing file $p was already ingested at " +
+            s"$prior bytes but is now $len — the source mutated; fix the " +
+            "landing pipeline (each file must be written once, immutably)"))
+      }
+      val freshFiles = listed.filterNot { case (p, _) => ledger.contains(p) }
+      if (freshFiles.isEmpty)
+        return CopyIntoResult(base.getOrElse(0L), 0L, 0L)
+      val paths = freshFiles.map(_._1)
+      val raw: DataFrame = format match {
+        case "parquet" =>
+          val r = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+          r.parquet(paths: _*)
+        case "orc" =>
+          val r = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+          r.orc(paths: _*)
+        case "json" | "csv" =>
+          val s = schema.getOrElse(sys.error(
+            s"copyInto($format) requires an explicit schema — inference " +
+              "is a full extra pass over the landing data"))
+          // Ingest's PERMISSIVE quarantine contract, over the fresh
+          // file list instead of one path
+          val opts = Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> Ingest.corruptCol) ++
+            (if (format == "csv") Map("header" -> "true") else Map.empty)
+          spark.read.schema(Ingest.corruptible(s)).options(opts)
+            .format(format).load(paths: _*)
+        case other => sys.error(
+          s"copyInto: unsupported landing format '$other' " +
+            "(parquet, orc, json, csv)")
+      }
+      val df =
+        if (!raw.columns.contains(Ingest.corruptCol)) raw
+        else {
+          val (valid, corrupt) = Ingest.quarantine(raw)
+          quarantineDir match {
+            case Some(q) =>
+              corrupt.select(col(Ingest.corruptCol).as("raw_record"))
+                .withColumn("copy_batch_base",
+                  lit(base.getOrElse(0L)))
+                .write.mode("append").parquet(q)
+            case None =>
+              require(corrupt.isEmpty,
+                s"copyInto $table: landing contains malformed rows and no " +
+                  "quarantineDir was given — refusing to drop data silently")
+          }
+          valid
+        }
+      val cons = constraintsOf(spark, table)
+      val w = writeData(inbound(spark, table, df, cons), table,
+        tablePartitionBy(spark, table))
+      val txnDelta = freshFiles.map { case (p, len) =>
+        (copyLedgerPrefix + p) -> len }.toMap
+      val committed = publish(spark, table, w, parent => {
+        val seen = parent.flatMap(_.txn).getOrElse(Map.empty)
+        // a concurrent copy landed one of OUR files: abandon and re-diff
+        if (freshFiles.exists { case (p, _) =>
+            seen.contains(copyLedgerPrefix + p) }) None
+        else Some(appendAttempt(table, parent, w, txnDelta, cons))
+      })
+      committed.foreach(v => return CopyIntoResult(v,
+        freshFiles.size.toLong, w.stats.map(_.rows).sum))
+    }
+    sys.error(s"copyInto $table lost the commit race $maxAttempts times " +
+      "(pathological write contention); re-run or serialize writers")
   }
 
   private def appendAttempt(table: String, parent: Option[Manifest],

@@ -138,10 +138,13 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
     val fixed = sourceSchema(sqlContext, schema, providerName, parameters)._2
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxV.foreach(v => require(v >= 1, "maxVersionsPerTrigger must be >= 1"))
+    val maxB = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    maxB.foreach(b => require(b >= 1, "maxBytesPerTrigger must be >= 1"))
     new TxLogSource(sqlContext.sparkSession, path, fixed,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       changeFeed = cdfOf(parameters),
       maxVersionsPerTrigger = maxV,
+      maxBytesPerTrigger = maxB,
       startingVersion = parameters.get("startingVersion").map(_.toLong))
   }
 
@@ -321,6 +324,7 @@ private[streaming] class TxLogSource(spark: SparkSession, table: String,
     override val schema: StructType, ignoreChanges: Boolean,
     changeFeed: Boolean = false,
     maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None,
     startingVersion: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -345,12 +349,15 @@ private[streaming] class TxLogSource(spark: SparkSession, table: String,
     */
   private var highWater: Option[Long] = startingVersion
 
-  /** Rate-limited offer (the Delta `maxFilesPerTrigger` idea at this
-    * log's granularity): never offer more than `maxVersionsPerTrigger`
-    * versions beyond the last offered/processed point, so a deep
-    * backlog (or a multi-day catch-up on a 100 TB table) drains as
-    * bounded micro-batches instead of one giant one. Uncapped sources
-    * keep the plain latest-version offer.
+  /** Rate-limited offer (the Delta `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` idea at this log's granularity): never offer
+    * more than `maxVersionsPerTrigger` versions — nor, past the first
+    * admitted version, more than `maxBytesPerTrigger` of ADDED data
+    * bytes (a soft cap, so one oversized commit still drains) — beyond
+    * the last offered/processed point. A deep backlog (or a multi-day
+    * catch-up on a 100 TB table) drains as bounded micro-batches
+    * instead of one giant one. Uncapped sources keep the plain
+    * latest-version offer.
     */
   private def offer(startV: Option[Long]): Option[Long] = synchronized {
     TxLog.latestVersion(spark, table).map { live =>
@@ -361,13 +368,47 @@ private[streaming] class TxLogSource(spark: SparkSession, table: String,
       // admission-control path provides one (restart-correct), else the
       // tracked high-water, else startingVersion (fresh capped stream)
       val base = startV.orElse(highWater).orElse(startingVersion)
-      val capped = (maxVersionsPerTrigger, base) match {
-        case (Some(mx), Some(b)) => math.min(latest, b + mx)
+      val capped = base match {
+        case Some(b) if maxVersionsPerTrigger.isDefined ||
+            maxBytesPerTrigger.isDefined => paceFrom(b, latest)
         case _ => latest
       }
       highWater = Some(highWater.fold(capped)(math.max(_, capped)))
       capped
     }
+  }
+
+  /** Admit versions from `b` (exclusive) toward `latest` while both
+    * caps allow: the version cap is hard; the byte cap is soft — a
+    * version is admitted while the budget is not yet exhausted and at
+    * least one always is, so the stream can never stall on one big
+    * commit. Byte walking is metadata-only (manifest file-size diffs,
+    * resolver-cached) and only runs when the byte cap is set.
+    */
+  private def paceFrom(b: Long, latest: Long): Long = {
+    var v = b
+    var n = 0L
+    var bytes = 0L
+    while (v < latest && maxVersionsPerTrigger.forall(n < _) &&
+        (n == 0L || maxBytesPerTrigger.forall(bytes < _))) {
+      v += 1; n += 1
+      if (maxBytesPerTrigger.isDefined) bytes += bytesAddedAt(v)
+    }
+    v
+  }
+
+  /** On-disk bytes version `v`'s commit ADDED (manifest size stats of
+    * files present in `v` but not `v − 1`); files without a recorded
+    * size count 0 — pacing is advisory, correctness never depends on it.
+    */
+  private def bytesAddedAt(v: Long): Long = {
+    val prev =
+      if (v <= 1L) Set.empty[String]
+      else TxLog.filesAt(spark, table, v - 1).toSet
+    val m = TxLog.manifestAt(spark, table, v)
+    val sizes = m.stats.getOrElse(Seq.empty).map(e => e.path -> e.bytes).toMap
+    m.files.filterNot(prev)
+      .map(f => sizes.get(f).flatten.getOrElse(0L)).sum
   }
 
   override def getOffset: Option[Offset] =

@@ -1,0 +1,129 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.SparkSpec
+import graft.sources.{TxLog, TxLogRelation}
+
+/** Dynamic file pruning (the Delta DFP shape for graft-txlog): an
+  * equi-join against a small FILTERED dimension collects the dim's key
+  * set at planning time and prunes the fact's manifest file list
+  * through the existing stats machinery — files a static WHERE could
+  * never skip, because the key set only exists after the dim's filter
+  * runs.
+  */
+class DynamicFilePruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-dfp").resolve("t").toString
+
+  /** Fact clustered on k: 8 files, each holding one contiguous k-range
+    * of 0..799 — per-file min/max stats make IN-pruning exact.
+    */
+  private def mkFact(): String = {
+    val t = tmpTable()
+    TxLog.overwrite((0 until 800).map(i => (i.toLong, s"v$i", i % 7))
+      .toDF("k", "v", "g").repartitionByRange(8, col("k")), t)
+    assert(TxLog.manifest(spark, t).files.size == 8)
+    t
+  }
+
+  test("a filtered small dim prunes fact files through the join") {
+    val t = mkFact()
+    val fact = spark.read.format("graft-txlog").load(t)
+    // dim: keys 10..19 after its filter — all inside ONE fact file
+    val dim = (0 until 200).map(i => (i.toLong, i % 20))
+      .toDF("dk", "tag").filter(col("tag") === 1 && col("dk") < 20)
+    TxLogRelation.lastScanFileCount = -1
+    DynamicFilePruning.lastInjectedKeys = -1
+    val got = fact.join(dim, fact("k") === dim("dk")).collect()
+    assert(got.length == 1) // only (k=1, dk=1): dk<20 && dk%20==1 → {1}
+    assert(DynamicFilePruning.lastInjectedKeys == 1)
+    assert(TxLogRelation.lastScanFileCount == 1,
+      s"expected 1 of 8 fact files planned, got ${TxLogRelation.lastScanFileCount}")
+  }
+
+  test("wider dim key set keeps exactly the covering files") {
+    val t = mkFact()
+    val fact = spark.read.format("graft-txlog").load(t)
+    // keys 0..99 and 700..799 → first and last fact file only
+    val dim = ((0L until 100L) ++ (700L until 800L)).toDF("dk")
+      .filter(col("dk") >= 0) // selectivity signal
+    TxLogRelation.lastScanFileCount = -1
+    val got = fact.join(dim, fact("k") === dim("dk")).count()
+    assert(got == 200L)
+    assert(TxLogRelation.lastScanFileCount == 2,
+      s"expected 2 of 8 fact files planned, got ${TxLogRelation.lastScanFileCount}")
+  }
+
+  test("LEFT SEMI prunes the probe side") {
+    val t = mkFact()
+    val fact = spark.read.format("graft-txlog").load(t)
+    val dim = Seq(5L, 6L, 7L).toDF("dk").filter(col("dk") > 0)
+    dim.createOrReplaceTempView("dfp_dim")
+    spark.read.format("graft-txlog").load(t).createOrReplaceTempView("dfp_fact")
+    TxLogRelation.lastScanFileCount = -1
+    val got = spark.sql(
+      "SELECT * FROM dfp_fact WHERE k IN (SELECT dk FROM dfp_dim)").collect()
+    assert(got.length == 3)
+    assert(TxLogRelation.lastScanFileCount == 1)
+  }
+
+  test("backs off: unfiltered dim, over-cap key set, outer join") {
+    val t = mkFact()
+    val fact = spark.read.format("graft-txlog").load(t)
+    // (a) no Filter in the dim subtree (and not a LocalRelation): the
+    // parquet-backed dim carries no selectivity signal — full scan
+    val rawDim = {
+      val d = tmpTable()
+      Seq(3L, 4L).toDF("dk").write.parquet(d)
+      spark.read.parquet(d)
+    }
+    TxLogRelation.lastScanFileCount = -1
+    assert(fact.join(rawDim, fact("k") === rawDim("dk")).count() == 2L)
+    assert(TxLogRelation.lastScanFileCount == 8, "unfiltered dim must not prune")
+    // (b) key set past the cap: an incomplete IN list would lose rows
+    spark.conf.set("spark.graft.dynamicFilePruning.maxKeys", "5")
+    try {
+      val wide = (0L until 50L).toDF("dk").filter(col("dk") >= 0)
+      TxLogRelation.lastScanFileCount = -1
+      assert(fact.join(wide, fact("k") === wide("dk")).count() == 50L)
+      assert(TxLogRelation.lastScanFileCount == 8, "over-cap must not prune")
+    } finally spark.conf.unset("spark.graft.dynamicFilePruning.maxKeys")
+    // (c) left outer: fact rows are preserved — never pruned
+    val dim = Seq(9L).toDF("dk").filter(col("dk") > 0)
+    TxLogRelation.lastScanFileCount = -1
+    assert(fact.join(dim, fact("k") === dim("dk"), "left").count() == 800L)
+    assert(TxLogRelation.lastScanFileCount == 8, "outer join must not prune")
+    // (d) kill switch
+    spark.conf.set("spark.graft.dynamicFilePruning", "false")
+    try {
+      TxLogRelation.lastScanFileCount = -1
+      assert(fact.join(dim, fact("k") === dim("dk")).count() == 1L)
+      assert(TxLogRelation.lastScanFileCount == 8)
+    } finally spark.conf.unset("spark.graft.dynamicFilePruning")
+  }
+
+  test("empty filtered dim short-circuits the fact scan") {
+    val t = mkFact()
+    val fact = spark.read.format("graft-txlog").load(t)
+    val dim = Seq(1L).toDF("dk").filter(col("dk") < 0) // empty after filter
+    assert(fact.join(dim, fact("k") === dim("dk")).count() == 0L)
+  }
+
+  test("results are identical with pruning on and off (row-level truth)") {
+    val t = mkFact()
+    val fact = spark.read.format("graft-txlog").load(t)
+    val dim = (0 until 100).map(i => (i * 7L, i)).toDF("dk", "i")
+      .filter(col("i") % 3 === 0)
+    val on = fact.join(dim, fact("k") === dim("dk")).collect().toSet
+    spark.conf.set("spark.graft.dynamicFilePruning", "false")
+    val off =
+      try fact.join(dim, fact("k") === dim("dk")).collect().toSet
+      finally spark.conf.unset("spark.graft.dynamicFilePruning")
+    assert(on == off && on.nonEmpty)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+
+/** COPY INTO-class idempotent ingest (TxLog.copyInto, q135): a landing
+  * directory's files adopted into the table with each source file
+  * committed at most once across runs — the ledger rides the manifest,
+  * a no-op run commits nothing, corrupt rows quarantine or fail.
+  */
+class CopyIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-copy").resolve("t").toString
+
+  test("each landing file lands exactly once across re-runs") {
+    val land = tmpDir("landing")
+    val t = tmpTable()
+    // batch 1: two part files
+    (0 until 50).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+      .repartition(2).write.mode("append").parquet(land)
+    val r1 = TxLog.copyInto(spark, land, t)
+    assert(r1.filesIngested == 2 && r1.rowsIngested == 50)
+    assert(TxLog.read(spark, t).count() == 50L)
+    // re-run over unchanged landing: commits NOTHING
+    val r2 = TxLog.copyInto(spark, land, t)
+    assert(r2.filesIngested == 0 && r2.version == r1.version)
+    assert(TxLog.latestVersion(spark, t).contains(r1.version))
+    // batch 2 arrives alongside batch 1: only the new file is read
+    (50 until 80).map(i => (i.toLong, s"b$i")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(land)
+    val r3 = TxLog.copyInto(spark, land, t)
+    assert(r3.filesIngested == 1 && r3.rowsIngested == 30)
+    assert(r3.version == r1.version + 1)
+    val got = TxLog.read(spark, t).as[(Long, String)].collect()
+    assert(got.length == 80 && got.map(_._1).toSet == (0L until 80L).toSet)
+    // the ledger is IN the manifest: every source file recorded once
+    val ledger = TxLog.manifest(spark, t).txn.getOrElse(Map.empty)
+      .keys.filter(_.startsWith("copyInto:"))
+    assert(ledger.size == 3)
+  }
+
+  test("a mutated landing file fails loudly instead of guessing") {
+    val land = tmpDir("landing-mut")
+    val t = tmpTable()
+    Seq((1L, "x")).toDF("k", "v").coalesce(1).write.mode("append").parquet(land)
+    TxLog.copyInto(spark, land, t)
+    // overwrite the same file name with different content/length
+    val part = new java.io.File(land).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val tmp = tmpDir("landing-tmp")
+    Seq((2L, "mutated-longer-content"), (3L, "even-longer-padding-row"))
+      .toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val newPart = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(newPart.toPath, part.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.copyInto(spark, land, t)
+    }
+    assert(e.getMessage.contains("mutated"))
+  }
+
+  test("corrupt json rows quarantine when routed, fail when not") {
+    val land = tmpDir("landing-json")
+    val t = tmpTable()
+    val q = tmpDir("quarantine")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(land, "a.json"),
+      """{"k": 1, "v": "ok"}
+        |not json at all
+        |{"k": 2, "v": "fine"}""".stripMargin.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    // no quarantine dir: refuse to drop data silently
+    intercept[IllegalArgumentException] {
+      TxLog.copyInto(spark, land, t, format = "json", schema = Some(schema))
+    }
+    assert(TxLog.latestVersion(spark, t).isEmpty, "nothing may land")
+    // routed: valid rows land, the corrupt one is preserved in parquet
+    val r = TxLog.copyInto(spark, land, t, format = "json",
+      schema = Some(schema), quarantineDir = Some(q))
+    assert(r.rowsIngested == 2)
+    assert(TxLog.read(spark, t).count() == 2L)
+    val quarantined = spark.read.parquet(q)
+    assert(quarantined.count() == 1L)
+    assert(quarantined.select("raw_record").as[String].head
+      .contains("not json"))
+  }
+
+  test("constraints and schema drift guard the copy like any append") {
+    val land = tmpDir("landing-cons")
+    val t = tmpTable()
+    Seq((1L, "a")).toDF("k", "v").coalesce(1).write.mode("append").parquet(land)
+    TxLog.copyInto(spark, land, t)
+    TxLog.addConstraint(spark, t, "k_pos", "k > 0")
+    // a violating landing file fails before anything commits
+    Seq((-5L, "bad")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(land)
+    val before = TxLog.latestVersion(spark, t).get
+    intercept[Exception] { TxLog.copyInto(spark, land, t) }
+    assert(TxLog.latestVersion(spark, t).contains(before))
+    assert(TxLog.read(spark, t).count() == 1L)
+  }
+}

@@ -169,6 +169,29 @@ class TxCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("_last_checkpoint guides latestVersion; corrupt/stale hints fall back") {
+    withInterval(5) {
+      val t = tmpTable()
+      TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+      (2 to 12).foreach(i => TxLog.append(Seq((i.toLong, "x")).toDF("k", "v"), t))
+      // pointer names v10; the forward probe must find v12
+      assert(TxLog.latestVersion(spark, t).contains(12L))
+      val lcPath = java.nio.file.Paths.get(s"$t/_txlog/_last_checkpoint")
+      // corrupt pointer: resolution falls back to the listing
+      Files.write(lcPath, "garbage".getBytes("UTF-8"))
+      assert(TxLog.latestVersion(spark, t).contains(12L))
+      // stale-but-valid pointer (names an old checkpoint): probe walks up
+      Files.write(lcPath, """{"version":5}""".getBytes("UTF-8"))
+      assert(TxLog.latestVersion(spark, t).contains(12L))
+      // pointer naming a MISSING version: falls back to the listing
+      Files.write(lcPath, """{"version":99}""".getBytes("UTF-8"))
+      assert(TxLog.latestVersion(spark, t).contains(12L))
+      // and commits on top still work (publish reads latest through this)
+      TxLog.append(Seq((13L, "y")).toDF("k", "v"), t)
+      assert(TxLog.read(spark, t).count() == 13L)
+    }
+  }
+
   test("pre-checkpointing logs (all-full records, no pointer) read unchanged") {
     // simulate an old log: interval=1 writes every version full and we
     // delete the advisory pointer — resolution must not require it

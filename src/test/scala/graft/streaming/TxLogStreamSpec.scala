@@ -464,6 +464,34 @@ class TxLogStreamSpec extends SparkSpec {
     assert(run2.size == 1 && run2.head._2 == Set((2L, "b"), (3L, "c")))
   }
 
+  test("maxBytesPerTrigger paces the backlog by ADDED data bytes") {
+    val t = tmp("txstream-bytes")
+    val cp = Files.createTempDirectory("txstream-bytes-cp").toString
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    drainOpts(t, cp, Map.empty) // consume the snapshot
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+    TxLog.append(Seq((4L, "d")).toDF("k", "v"), t)
+    // each parquet append is hundreds of bytes: a 1-byte budget admits
+    // exactly one version per batch (soft cap — the first always lands)
+    val run = drainOpts(t, cp, Map("maxBytesPerTrigger" -> "1"))
+      .filter(_._2.nonEmpty)
+    assert(run.map(_._2).reduce(_ ++ _) ==
+      Set((2L, "b"), (3L, "c"), (4L, "d")), s"all rows must arrive: $run")
+    assert(run.size == 3,
+      s"3-version backlog at 1 byte/trigger must drain as 3 batches: $run")
+    // a budget larger than the whole backlog drains it in one batch
+    val t2 = tmp("txstream-bytes2")
+    val cp2 = Files.createTempDirectory("txstream-bytes2-cp").toString
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t2)
+    drainOpts(t2, cp2, Map.empty)
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t2)
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t2)
+    val run2 = drainOpts(t2, cp2,
+      Map("maxBytesPerTrigger" -> (64L << 20).toString)).filter(_._2.nonEmpty)
+    assert(run2.size == 1 && run2.head._2 == Set((2L, "b"), (3L, "c")))
+  }
+
   test("startingVersion streams changes after v with no initial snapshot") {
     val t = tmp("txstream-startv")
     val cp = Files.createTempDirectory("txstream-startv-cp").toString
