@@ -50,9 +50,18 @@ object ParagraphDedup {
     * four 8-char md5 slices concatenated — fixed width, so minima and
     * equality behave identically to the tuple form but shuffle cheaper).
     */
-  def signatures(documents: DataFrame, paraSize: Int): DataFrame = {
+  def signatures(documents: DataFrame, paraSize: Int): DataFrame =
+    signaturesOfChunks(paragraphs(documents, paraSize))
+
+  /** [[signatures]] from an already-chunked (doc_id, para_idx, ptoks)
+    * frame — lets [[removeBoilerplate]] tokenize the corpus ONCE and
+    * feed both its chunk and signature branches from the same frame.
+    * Sub-3-token chunks carry no 3-shingle and are filtered here.
+    */
+  private def signaturesOfChunks(chunks: DataFrame): DataFrame = {
     val d = md5(col("s").cast("binary"))
-    paragraphs(documents, paraSize)
+    chunks
+      .filter(size(col("ptoks")) >= 3)
       .select(col("doc_id"), col("para_idx"),
         explode(HashFns.shingles3(col("ptoks"))).as("s"))
       .groupBy("doc_id", "para_idx")
@@ -104,7 +113,16 @@ object ParagraphDedup {
     * (boilerplate signatures only — the `__nd >= minDocs` survivors),
     * one equi-join back, and a per-doc reassembly aggregate whose state
     * is bounded by the document's own length (the same cost class as
-    * having read the document). Nothing is all-pairs.
+    * having read the document). Nothing is all-pairs. The two branches
+    * (reassembly chunks, signatures) each tokenize the corpus — MEASURED
+    * cheaper at sf0.1 than caching the shared chunk frame (columnar
+    * encoding of token arrays cost more than the saved pass: 5.0–5.4 s
+    * cached vs 3.9–4.6 s recomputed, fresh JVMs); the small signature
+    * frame IS cached (used by both the hot-set aggregate and the
+    * mark join). Fresh-JVM times are stable — the 8× median/min spread
+    * seen in shared-JVM bench passes is allocation-pressure
+    * interference from neighboring queries, not a plan property
+    * (SCALING.md round-11 addendum).
     */
   def removeBoilerplate(documents: DataFrame, paraSize: Int = 20,
       minDocs: Int = 2): DataFrame = {
