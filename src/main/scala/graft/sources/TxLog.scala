@@ -564,11 +564,9 @@ object TxLog {
     Seq.fill(n) { prev += varint(); prev }
   }
 
-  private def readDvFile(spark: SparkSession, t: Path, rel: String): Seq[Long] =
-    readDvFileFs(fs(spark, t), t, rel)
-
-  /** [[readDvFile]] against an explicit FileSystem — the spelling the
-    * EXECUTOR-side DV find pass uses (no SparkSession on executors).
+  /** Decode one DV sidecar against an explicit FileSystem — every use
+    * is EXECUTOR-side (no SparkSession there): the DML find pass's
+    * prior-union and the read path's anti-join fan-out.
     */
   private def readDvFileFs(f: org.apache.hadoop.fs.FileSystem, t: Path,
       rel: String): Seq[Long] = {
@@ -640,12 +638,23 @@ object TxLog {
       col(quoted(c)).as(ren.getOrElse(c, c))): _*)
   }
 
+  /** How many deleted positions the read path will still BROADCAST for
+    * the anti-join (tuple rows are ~50 B → ~50 MB at the cap). Above
+    * it, the anti-join shuffles instead — still change-proportional,
+    * never driver-resident.
+    */
+  private val dvBroadcastMaxPositions = 1000000L
+
   /** `files` (non-empty) read with the file key (`last2`) and parquet
     * row position attached as `__dv_k`/`__dv_i`, `m`'s deletion
-    * vectors for those files anti-joined out against the BROADCAST
-    * position set (DVs are change-sized, not table-sized — the whole
-    * point is that the delete wrote KBs of positions instead of
-    * rewriting GBs of parquet), and columns under their LOGICAL names.
+    * vectors for those files anti-joined out, and columns under their
+    * LOGICAL names. The sidecars are DECODED ON EXECUTORS (one task
+    * row per sidecar fans out to its positions) — the driver holds
+    * only the manifest's DV entry list, so a heavily-vectored 100 TB
+    * table plans its reads without materializing a single position
+    * driver-side. Small vector sets (≤ [[dvBroadcastMaxPositions]],
+    * known exactly from the manifest's per-file deleted counts)
+    * broadcast for a shuffle-free anti-join; larger ones shuffle.
     */
   private def liveKeyed(spark: SparkSession, t: Path, m: Manifest,
       files: Seq[String]): DataFrame = {
@@ -658,15 +667,26 @@ object TxLog {
     val lively =
       if (dvs.isEmpty) keyed
       else {
+        import spark.implicits._
         // positions appear under BOTH key spellings so the anti-join
         // matches however the scan reports the path (raw vs URI-encoded)
-        val anti = dvs.flatMap { e =>
-          val pos = readDvFile(spark, t, e.dv)
-          scanKeys(e.path, t).flatMap(k => pos.map(i => (k, i)))
-        }
-        import spark.implicits._
-        keyed.join(broadcast(anti.toDF("__dv_k", "__dv_i")),
-          Seq("__dv_k", "__dv_i"), "left_anti")
+        val pairs: Seq[(String, String)] =
+          dvs.flatMap(e => scanKeys(e.path, t).map(k => (k, e.dv)))
+        val confBc = spark.sparkContext.broadcast(
+          new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+        val tqStr = fs(spark, t).makeQualified(t).toString
+        val pos = spark.createDataset(pairs)
+          .flatMap { (kd: (String, String)) =>
+            val base = new Path(tqStr)
+            val fx = base.getFileSystem(confBc.value.value)
+            readDvFileFs(fx, base, kd._2).map(i => (kd._1, i))
+          }
+          .toDF("__dv_k", "__dv_i")
+        val posJ =
+          if (dvs.map(_.deleted).sum <= dvBroadcastMaxPositions)
+            broadcast(pos)
+          else pos
+        keyed.join(posJ, Seq("__dv_k", "__dv_i"), "left_anti")
       }
     aliasLogical(lively, m)
   }
