@@ -28,6 +28,7 @@ import graft.sources.TxLog
   *   ALTER TABLE t DROP COLUMN c              -- v1 analyzer would reject
   *   ALTER TABLE t RENAME COLUMN a TO b       -- v1 analyzer would reject
   *   CONVERT TO GRAFT '/path' [NO STATISTICS] -- adopt parquet in place
+  *   COPY INTO t FROM '/landing' [FILEFORMAT = PARQUET|ORC]
   *   CREATE TABLE dst SHALLOW CLONE src       -- zero-copy metadata fork
   *   ALTER TABLE t ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
   *   ALTER TABLE t CLUSTER BY (a, b) / CLUSTER BY NONE
@@ -119,6 +120,8 @@ object GraftSqlParser {
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'(\s+NO\s+STATISTICS)?\s*$""".r
   private val cloneRe =
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$ref\\s+SHALLOW\\s+CLONE\\s+$ref\\s*$$""".r
+  private val copyIntoRe =
+    s"""(?is)^\\s*COPY\\s+INTO\\s+$ref\\s+FROM\\s+'([^']+)'(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?\\s*$$""".r
 
   private def unquote(part: String): String =
     if (part.startsWith("`")) part.stripPrefix("`").stripSuffix("`") else part
@@ -205,6 +208,24 @@ object GraftSqlParser {
 
   /** The maintenance grammar: Some(plan) when the statement is ours. */
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case copyIntoRe(r, from, fmt) =>
+      // COPY INTO t FROM '<landing>' [FILEFORMAT = PARQUET|ORC] — the
+      // idempotent-ingest operator as SQL (json/csv need an explicit
+      // schema, which SQL cannot carry: use the Scala API for those)
+      resolve(r, "COPY INTO", strict = true).map { case (path, ident) =>
+        val format = Option(fmt).map(_.toLowerCase).getOrElse("parquet")
+        require(format == "parquet" || format == "orc",
+          s"COPY INTO (SQL) supports FILEFORMAT = PARQUET | ORC, not " +
+            s"'$fmt' — json/csv require an explicit schema; use " +
+            "TxLog.copyInto(..., schema = Some(...))")
+        GraftMaintenance("graft_copy_into",
+          Seq(longAttr("version"), longAttr("files_ingested"),
+            longAttr("rows_ingested")), { spark =>
+          val res = TxLog.copyInto(spark, from, path, format = format)
+          syncCatalog(spark, ident, path) // refresh the cached relation
+          Seq(Seq(res.version, res.filesIngested, res.rowsIngested))
+        })
+      }
     case optimizeByRe(r, curve, colsCsv) =>
       resolve(r, "OPTIMIZE", strict = true).map { case (path, _) =>
         val cols = colsCsv.split(',').map(c => unquote(c.trim)).filter(_.nonEmpty).toSeq

@@ -138,6 +138,24 @@ class TxSqlMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("RENAME COLUMN"))
   }
 
+  test("COPY INTO ingests a landing dir idempotently from SQL") {
+    val (name, path) = mk() // 4 rows
+    val land = java.nio.file.Files.createTempDirectory("graft-sqlcopy").toString
+    Seq((10L, "x", 100), (11L, "y", 110)).toDF("k", "v", "n")
+      .coalesce(1).write.mode("append").parquet(land)
+    val r1 = spark.sql(s"COPY INTO $name FROM '$land'").collect().head
+    assert(r1.getLong(1) == 1L && r1.getLong(2) == 2L) // 1 file, 2 rows
+    assert(spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) == 6L)
+    // re-run: nothing new, nothing committed
+    val r2 = spark.sql(s"COPY INTO $name FROM '$land'").collect().head
+    assert(r2.getLong(1) == 0L && r2.getLong(0) == r1.getLong(0))
+    // json without a schema is a clear loud error, not silent inference
+    val e = intercept[Exception] {
+      spark.sql(s"COPY INTO $name FROM '$land' FILEFORMAT = JSON")
+    }
+    assert(e.getMessage.contains("FILEFORMAT"))
+  }
+
   test("OPTIMIZE on an unregistered identifier fails with a clear message") {
     val e = intercept[Exception] { spark.sql("OPTIMIZE no_such_graft_table") }
     assert(e.getMessage.contains("not a graft-txlog table"))
