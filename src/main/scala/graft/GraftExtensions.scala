@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.txReadTableFunction)
     ext.injectTableFunction(GraftExtensions.txCdfTableFunction)
     ext.injectTableFunction(GraftExtensions.txPartitionsTableFunction)
+    ext.injectTableFunction(GraftExtensions.txFilesTableFunction)
     ext.injectTableFunction(GraftExtensions.txPropertiesTableFunction)
     ext.injectTableFunction(GraftExtensions.txHistoryTableFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
@@ -402,6 +403,32 @@ object GraftExtensions {
     (FunctionIdentifier("graft_tx_partitions"), txPartitionsInfo,
       txPartitionsBuilder)
 
+  private val txFilesInfo = new ExpressionInfo(
+    graft.sources.TxLog.getClass.getName, null, "graft_tx_files",
+    "graft_tx_files(path[, version]) - the table's file census: one row " +
+      "per live file with rows, bytes, partition values, per-column " +
+      "min/max/null stats, and deletion-vector facts; served from the " +
+      "checkpoint's parquet census when one exists (distributed), else " +
+      "from the manifest — compaction candidates, per-partition file " +
+      "accounting, and DV debt as plain SQL", "")
+
+  private def txFilesBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val fn = "graft_tx_files"
+    require(exprs.length == 1 || exprs.length == 2,
+      s"$fn(path[, version]) takes 1 or 2 arguments")
+    val version =
+      if (exprs.length < 2) None else Some(longLit(exprs(1), fn, "version"))
+    graft.sources.TxLog.fileCensus(activeSession,
+      strLit(exprs(0), fn, "path"), version).queryExecution.logical
+  }
+
+  val txFilesTableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_tx_files"), txFilesInfo, txFilesBuilder)
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     Shim.registerFunction(spark, "graft_dot", dotInfo,
@@ -422,6 +449,8 @@ object GraftExtensions {
       txCdfBuilder)
     Shim.registerTableFunction(spark, "graft_tx_partitions",
       txPartitionsInfo, txPartitionsBuilder)
+    Shim.registerTableFunction(spark, "graft_tx_files",
+      txFilesInfo, txFilesBuilder)
     Shim.registerTableFunction(spark, "graft_tx_properties",
       txPropertiesInfo, txPropertiesBuilder)
     Shim.registerTableFunction(spark, "graft_tx_history",

@@ -140,6 +140,12 @@ object DynamicFilePruning extends Rule[LogicalPlan] with PredicateHelper {
     if (!prunableAt(fact, factKey)) return None
     if (!filteredDim(dim)) return None
     if (factKey.dataType != dimKey.dataType) return None
+    // the dim executes TWICE (key collect here, the join at runtime):
+    // a non-deterministic dim (rand() filter, shuffling sample) could
+    // produce a key set that disagrees with its join-time rows and the
+    // injected IN would wrongly drop matching fact rows — never prune
+    if (dim.exists(_.expressions.exists(e =>
+        !e.deterministic || e.exists(!_.deterministic)))) return None
     if (dim.stats.sizeInBytes > dimLimitBytes) return None
     dimKeys(dim, dimKey).flatMap { keys =>
       val cond: Expression =

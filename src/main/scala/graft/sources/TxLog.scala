@@ -95,6 +95,19 @@ object TxLog {
     */
   final case class DvEntry(path: String, dv: String, deleted: Long)
 
+  /** One row of the PARQUET checkpoint census ([[fileCensus]]): a
+    * checkpoint manifest's per-file facts in columnar form, readable
+    * DISTRIBUTED. The JSON manifest stays the commit gate and the
+    * source of truth; the census is an additive sidecar for file-grain
+    * operations at 10⁶–10⁷ files (compaction-candidate scans,
+    * per-partition file accounting) where iterating a driver-resident
+    * list stops scaling.
+    */
+  final case class CensusRow(path: String, rows: Option[Long],
+      bytes: Option[Long], parts: Option[Map[String, String]],
+      stats: Map[String, ColStats],
+      dv: Option[String], dv_deleted: Option[Long])
+
   /** An IDENTITY column's allocation state (the Delta `GENERATED ALWAYS
     * AS IDENTITY` concept): appends that omit the column receive the
     * contiguous ids `[next, next + step·(n−1)]` and the commit advances
@@ -206,6 +219,8 @@ object TxLog {
     new Path(logDir(table), f"$version%020d.json")
   private def lastCheckpointPath(table: Path) =
     new Path(logDir(table), "_last_checkpoint")
+  private def censusPath(table: Path, version: Long) =
+    new Path(logDir(table), f"$version%020d.checkpoint.parquet")
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -442,6 +457,75 @@ object TxLog {
         "size_bytes", "num_rows", "num_deletion_vectors", "partition_by",
         "bloom_index", "num_constraints", "num_generated",
         "num_identity", "num_renames")
+  }
+
+  private def censusRowsOf(m: Manifest): Seq[CensusRow] = {
+    val statsBy = m.stats.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    val dvBy = m.dvs.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    m.files.map { p =>
+      val e = statsBy.get(p)
+      CensusRow(p, e.map(_.rows), e.flatMap(_.bytes), e.flatMap(_.parts),
+        e.map(_.stats).getOrElse(Map.empty),
+        dvBy.get(p).map(_.dv), dvBy.get(p).map(_.deleted))
+    }
+  }
+
+  /** Write the PARQUET checkpoint census next to a just-published
+    * checkpoint manifest — one columnar row per live file, under
+    * `_txlog/<v>.checkpoint.parquet/`. Size-gated
+    * (`spark.graft.checkpointCensus.minFiles`, default 1000): small
+    * tables gain nothing and must not pay a Spark write job per fifth
+    * commit. Best-effort by design: a failed or missing census never
+    * affects correctness ([[fileCensus]] falls back to the manifest),
+    * and the JSON record remains the commit gate. Spark's job-commit
+    * protocol makes the dir appear complete-or-absent (`_SUCCESS`
+    * checked on read).
+    */
+  private def writeCensus(spark: SparkSession, t: Path, version: Long,
+      m: Manifest): Unit =
+    try {
+      val minFiles = spark.conf
+        .get("spark.graft.checkpointCensus.minFiles", "1000").toInt
+      if (m.files.size < minFiles) return
+      import spark.implicits._
+      val rows = censusRowsOf(m)
+      val parts = math.max(1, rows.size / 1000000)
+      spark.createDataset(rows).repartition(parts)
+        .write.mode("overwrite").parquet(censusPath(t, version).toString)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The file census of `version` (default: latest) as a DATAFRAME —
+    * path, rows, bytes, partition values, per-column min/max/null
+    * stats, and deletion-vector facts, one row per live file. Reads
+    * the checkpoint's parquet census when one exists (distributed — at
+    * 10⁷ files the census is ~GBs the driver never holds); any version
+    * without one (delta records, small tables under the census gate,
+    * pre-census logs) is served from its manifest identically. The
+    * operational surface for file-grain questions — compaction
+    * candidates (`bytes < threshold`), per-partition file counts,
+    * DV debt (`sum(dv_deleted)`) — also exposed to SQL as
+    * `graft_tx_files('<path>')`.
+    */
+  def fileCensus(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val t = new Path(table)
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      sys.error(s"table $table has no committed versions"))
+    val m = manifestAt(spark, table, v)
+    val f = fs(spark, t)
+    val dir = censusPath(t, v)
+    val fromDisk: Option[DataFrame] =
+      try {
+        if (f.exists(new Path(dir, "_SUCCESS")))
+          Some(spark.read.parquet(dir.toString))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val df = fromDisk.getOrElse(spark.createDataset(censusRowsOf(m)).toDF())
+    // fixed column order either way (parquet round-trips field order,
+    // but pin it so both paths are interchangeable by position too)
+    df.select(col("path"), col("rows"), col("bytes"), col("parts"),
+      col("stats"), col("dv"), col("dv_deleted"))
   }
 
   def history(spark: SparkSession, table: String): DataFrame = {
@@ -4113,16 +4197,20 @@ object TxLog {
         // seed the resolver cache — the snapshot we just proved exact
         snapshotCache.put(
           f.makeQualified(manifestPath(t, version)).toString, m)
-        // advisory pointer (the Delta `_last_checkpoint` recipe): lets a
-        // cold reader jump straight to a recent checkpoint without
-        // probing record kinds. Best-effort and non-atomic by design —
-        // resolution only ever uses it as a hint.
-        if (isCkpt)
+        // advisory pointer (the Delta `_last_checkpoint` recipe): lets
+        // [[latestVersion]] probe forward from a recent version instead
+        // of listing the whole log dir. Best-effort and non-atomic by
+        // design — resolution only ever uses it as a hint.
+        if (isCkpt) {
           try {
             val lc = f.create(lastCheckpointPath(t), true)
             try lc.write(s"""{"version":$version}""".getBytes("UTF-8"))
             finally lc.close()
           } catch { case _: java.io.IOException => () }
+          // parquet census sidecar (the Delta parquet-checkpoint idea):
+          // additive, best-effort, size-gated — JSON stays the gate
+          writeCensus(spark, t, version, m)
+        }
         return Some(version)
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException
@@ -4193,7 +4281,11 @@ object TxLog {
         f.delete(new Path(target.getParent, s".${target.getName}.crc"), false)
       }
     }
-    drop.foreach(v => f.delete(manifestPath(t, v), false))
+    drop.foreach { v =>
+      f.delete(manifestPath(t, v), false)
+      // a dropped checkpoint takes its parquet census sidecar with it
+      f.delete(censusPath(t, v), true)
+    }
     doomed
   }
 

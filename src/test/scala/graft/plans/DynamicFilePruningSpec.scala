@@ -107,6 +107,23 @@ class DynamicFilePruningSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dynamicFilePruning")
   }
 
+  test("a non-deterministic dim never prunes (it executes twice)") {
+    val t = mkFact()
+    val fact = spark.read.format("graft-txlog").load(t)
+    // parquet-backed so the rand() filter SURVIVES optimization (an
+    // inline LocalRelation dim gets its filter constant-folded once at
+    // optimize time, which is deterministic — and safe — thereafter)
+    val d = tmpTable()
+    (0L until 20L).toDF("dk").write.parquet(d)
+    val dim = spark.read.parquet(d)
+      .filter(org.apache.spark.sql.functions.rand(7L) >= 0) // true, but ND
+    TxLogRelation.lastScanFileCount = -1
+    assert(fact.join(dim, fact("k") === dim("dk")).count() == 20L)
+    assert(TxLogRelation.lastScanFileCount == 8,
+      "a rand() dim filter must disable pruning — the key collect and " +
+        "the join would see different draws")
+  }
+
   test("empty filtered dim short-circuits the fact scan") {
     val t = mkFact()
     val fact = spark.read.format("graft-txlog").load(t)

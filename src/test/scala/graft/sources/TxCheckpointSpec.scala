@@ -169,6 +169,63 @@ class TxCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("parquet checkpoint census: distributed file facts ≡ the manifest") {
+    withInterval(2) {
+      spark.conf.set("spark.graft.checkpointCensus.minFiles", "1")
+      try {
+        val t = tmpTable()
+        TxLog.overwrite((0 until 40).map(i => (i.toLong, s"v$i"))
+          .toDF("k", "v").repartition(4, col("k")), t) // v1: checkpoint
+        TxLog.append(Seq((100L, "x")).toDF("k", "v"), t) // v2: checkpoint
+        TxLog.delete(spark, t, col("k") < 5, deletionVectors = true) // v3: delta
+        TxLog.append(Seq((101L, "y")).toDF("k", "v"), t) // v4: checkpoint
+        val m = TxLog.manifest(spark, t)
+        assert(m.version == 4L)
+        assert(Files.exists(java.nio.file.Paths.get(
+          s"$t/_txlog/" + f"${4L}%020d" + ".checkpoint.parquet/_SUCCESS")))
+        val census = TxLog.fileCensus(spark, t).collect()
+        assert(census.length == m.files.size)
+        val byPath = census.map(r => r.getString(0) -> r).toMap
+        val stats = m.stats.get.map(e => e.path -> e).toMap
+        m.files.foreach { p =>
+          val r = byPath(p)
+          assert(r.getLong(1) == stats(p).rows, s"rows of $p")
+          assert(r.getLong(2) == stats(p).bytes.get, s"bytes of $p")
+        }
+        // the DV survives into the census
+        val dvDebt = TxLog.fileCensus(spark, t)
+          .agg(org.apache.spark.sql.functions.sum("dv_deleted")).head.getLong(0)
+        assert(dvDebt == m.dvs.get.map(_.deleted).sum)
+        // a DELTA version (no census dir) serves from its manifest
+        val c3 = TxLog.fileCensus(spark, t, Some(3L))
+        assert(c3.count().toInt == TxLog.filesAt(spark, t, 3L).size)
+        // the SQL TVF — compaction-candidate shape included
+        assert(spark.sql(s"SELECT count(*) FROM graft_tx_files('$t')")
+          .head.getLong(0) == m.files.size.toLong)
+        assert(spark.sql(s"SELECT path FROM graft_tx_files('$t') " +
+          "WHERE bytes < 100000000").count() == m.files.size.toLong)
+        // vacuum reaps dropped censuses with their manifests
+        TxLog.vacuum(spark, t, keepVersions = 1)
+        assert(!Files.exists(java.nio.file.Paths.get(
+          s"$t/_txlog/" + f"${2L}%020d" + ".checkpoint.parquet")))
+        assert(TxLog.fileCensus(spark, t).count() == m.files.size.toLong)
+      } finally spark.conf.unset("spark.graft.checkpointCensus.minFiles")
+    }
+  }
+
+  test("census is size-gated and never required: small tables skip it") {
+    withInterval(2) {
+      val t = tmpTable() // default minFiles = 1000: no census written
+      TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+      TxLog.append(Seq((2L, "b")).toDF("k", "v"), t) // v2: checkpoint
+      assert(!Files.exists(java.nio.file.Paths.get(
+        s"$t/_txlog/" + f"${2L}%020d" + ".checkpoint.parquet")))
+      // fileCensus serves from the manifest all the same
+      assert(TxLog.fileCensus(spark, t).count() ==
+        TxLog.manifest(spark, t).files.size.toLong)
+    }
+  }
+
   test("_last_checkpoint guides latestVersion; corrupt/stale hints fall back") {
     withInterval(5) {
       val t = tmpTable()
