@@ -29,6 +29,7 @@ import graft.sources.TxLog
   *   ALTER TABLE t RENAME COLUMN a TO b       -- v1 analyzer would reject
   *   CONVERT TO GRAFT '/path' [NO STATISTICS] -- adopt parquet in place
   *   COPY INTO t FROM '/landing' [FILEFORMAT = PARQUET|ORC]
+  *   REORG TABLE t APPLY (PURGE)              -- materialize DVs only
   *   CREATE TABLE dst SHALLOW CLONE src       -- zero-copy metadata fork
   *   ALTER TABLE t ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
   *   ALTER TABLE t CLUSTER BY (a, b) / CLUSTER BY NONE
@@ -122,6 +123,8 @@ object GraftSqlParser {
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$ref\\s+SHALLOW\\s+CLONE\\s+$ref\\s*$$""".r
   private val copyIntoRe =
     s"""(?is)^\\s*COPY\\s+INTO\\s+$ref\\s+FROM\\s+'([^']+)'(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?\\s*$$""".r
+  private val reorgPurgeRe =
+    s"""(?is)^\\s*REORG\\s+TABLE\\s+$ref\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*$$""".r
 
   private def unquote(part: String): String =
     if (part.startsWith("`")) part.stripPrefix("`").stripSuffix("`") else part
@@ -225,6 +228,13 @@ object GraftSqlParser {
           syncCatalog(spark, ident, path) // refresh the cached relation
           Seq(Seq(res.version, res.filesIngested, res.rowsIngested))
         })
+      }
+    case reorgPurgeRe(r) =>
+      // materialize deletion vectors WITHOUT a full compaction — cost
+      // proportional to the vectored files only
+      resolve(r, "REORG TABLE", strict = true).map { case (path, _) =>
+        GraftMaintenance("graft_reorg_purge", Seq(longAttr("version")),
+          spark => Seq(Seq(TxLog.purgeDvs(spark, path))))
       }
     case optimizeByRe(r, curve, colsCsv) =>
       resolve(r, "OPTIMIZE", strict = true).map { case (path, _) =>

@@ -2715,6 +2715,53 @@ object TxLog {
     }).get
   }
 
+  /** `REORG TABLE … APPLY (PURGE)` (the public Delta spelling):
+    * materialize every deletion vector by rewriting ONLY the files
+    * that carry one — each vectored file's live rows land in fresh
+    * files, the old file is de-referenced, and the committed manifest
+    * carries no vectors. The targeted middle ground between letting DV
+    * debt accumulate (every read pays the anti-join) and a full
+    * OPTIMIZE (which rewrites small UN-vectored files too): cost is
+    * proportional to the vectored files, not the table. Row-preserving
+    * (live rows only move), so constraints flow through unguarded;
+    * a concurrent commit that removed or re-vectored a planned file
+    * aborts (same CAS stance as [[compact]]); a vector-free table
+    * returns unchanged without writing.
+    */
+  def purgeDvs(spark: SparkSession, table: String): Long = {
+    val t = new Path(table)
+    val m = manifest(spark, table)
+    val vectored = m.dvs.getOrElse(Seq.empty).map(_.path)
+    if (vectored.isEmpty) return m.version
+    val gone = vectored.toSet
+    // readLive anti-joins the vectors out; the rewrite IS the purge
+    val w = writeData(readLive(spark, t, m, vectored), table,
+      m.partitionBy.getOrElse(Seq.empty))
+    publish(spark, table, w, parent => {
+      val pf = parent.map(_.files).getOrElse(Seq.empty)
+      if (!gone.subsetOf(pf.toSet))
+        throw new java.util.ConcurrentModificationException(
+          s"purge of $table aborted: a concurrent commit removed " +
+            "file(s) planned for rewrite")
+      requireDvsUnchanged(table, "purge", gone, m, parent)
+      parent.foreach { p =>
+        require(p.schemaJson == w.schemaJson,
+          s"purge schema drift for $table (concurrent overwrite?)")
+      }
+      val parentStats = parent.flatMap(_.stats).getOrElse(Seq.empty)
+      Some(Attempt("purge",
+        pf.filterNot(gone) ++ w.fresh,
+        parentStats.filterNot(e => gone(e.path)) ++ w.stats,
+        parent.flatMap(_.txn).getOrElse(Map.empty),
+        constraints = parent.flatMap(_.constraints).getOrElse(Map.empty),
+        // the planned vectors were materialized by the rewrite; a
+        // vector a CONCURRENT commit put on some other file since the
+        // plan survives untouched (dropping it would lose that delete)
+        dvs = Some(parent.flatMap(_.dvs).getOrElse(Seq.empty)
+          .filterNot(e => gone(e.path)))))
+    }).get
+  }
+
   /** Transactional `OPTIMIZE … ZORDER BY (x, y)` (the Delta layout
     * maintenance command): rewrite the table's files — or ONE
     * partition's, the nightly maintenance-window shape — re-clustered

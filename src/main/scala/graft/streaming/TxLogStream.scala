@@ -140,11 +140,14 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
     maxV.foreach(v => require(v >= 1, "maxVersionsPerTrigger must be >= 1"))
     val maxB = parameters.get("maxBytesPerTrigger").map(_.toLong)
     maxB.foreach(b => require(b >= 1, "maxBytesPerTrigger must be >= 1"))
+    val maxF = parameters.get("maxFilesPerTrigger").map(_.toLong)
+    maxF.foreach(n => require(n >= 1, "maxFilesPerTrigger must be >= 1"))
     new TxLogSource(sqlContext.sparkSession, path, fixed,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       changeFeed = cdfOf(parameters),
       maxVersionsPerTrigger = maxV,
       maxBytesPerTrigger = maxB,
+      maxFilesPerTrigger = maxF,
       startingVersion = parameters.get("startingVersion").map(_.toLong))
   }
 
@@ -325,6 +328,7 @@ private[streaming] class TxLogSource(spark: SparkSession, table: String,
     changeFeed: Boolean = false,
     maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None,
     startingVersion: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -370,7 +374,8 @@ private[streaming] class TxLogSource(spark: SparkSession, table: String,
       val base = startV.orElse(highWater).orElse(startingVersion)
       val capped = base match {
         case Some(b) if maxVersionsPerTrigger.isDefined ||
-            maxBytesPerTrigger.isDefined => paceFrom(b, latest)
+            maxBytesPerTrigger.isDefined ||
+            maxFilesPerTrigger.isDefined => paceFrom(b, latest)
         case _ => latest
       }
       highWater = Some(highWater.fold(capped)(math.max(_, capped)))
@@ -378,37 +383,44 @@ private[streaming] class TxLogSource(spark: SparkSession, table: String,
     }
   }
 
-  /** Admit versions from `b` (exclusive) toward `latest` while both
-    * caps allow: the version cap is hard; the byte cap is soft — a
-    * version is admitted while the budget is not yet exhausted and at
-    * least one always is, so the stream can never stall on one big
-    * commit. Byte walking is metadata-only (manifest file-size diffs,
-    * resolver-cached) and only runs when the byte cap is set.
+  /** Admit versions from `b` (exclusive) toward `latest` while the
+    * caps allow: the version cap is hard; the byte and file caps are
+    * soft — a version is admitted while its budget is not yet
+    * exhausted and at least one always is, so the stream can never
+    * stall on one big commit. Added-work walking is metadata-only
+    * (manifest file diffs, resolver-cached) and only runs when a
+    * byte/file cap is set.
     */
   private def paceFrom(b: Long, latest: Long): Long = {
     var v = b
     var n = 0L
     var bytes = 0L
+    var files = 0L
     while (v < latest && maxVersionsPerTrigger.forall(n < _) &&
-        (n == 0L || maxBytesPerTrigger.forall(bytes < _))) {
+        (n == 0L || (maxBytesPerTrigger.forall(bytes < _) &&
+          maxFilesPerTrigger.forall(files < _)))) {
       v += 1; n += 1
-      if (maxBytesPerTrigger.isDefined) bytes += bytesAddedAt(v)
+      if (maxBytesPerTrigger.isDefined || maxFilesPerTrigger.isDefined) {
+        val (nf, nb) = addedAt(v)
+        files += nf; bytes += nb
+      }
     }
     v
   }
 
-  /** On-disk bytes version `v`'s commit ADDED (manifest size stats of
-    * files present in `v` but not `v − 1`); files without a recorded
-    * size count 0 — pacing is advisory, correctness never depends on it.
+  /** (file count, on-disk bytes) version `v`'s commit ADDED (manifest
+    * diffs vs `v − 1`); files without a recorded size count 0 bytes —
+    * pacing is advisory, correctness never depends on it.
     */
-  private def bytesAddedAt(v: Long): Long = {
+  private def addedAt(v: Long): (Long, Long) = {
     val prev =
       if (v <= 1L) Set.empty[String]
       else TxLog.filesAt(spark, table, v - 1).toSet
     val m = TxLog.manifestAt(spark, table, v)
     val sizes = m.stats.getOrElse(Seq.empty).map(e => e.path -> e.bytes).toMap
-    m.files.filterNot(prev)
-      .map(f => sizes.get(f).flatten.getOrElse(0L)).sum
+    val added = m.files.filterNot(prev)
+    (added.size.toLong,
+      added.map(f => sizes.get(f).flatten.getOrElse(0L)).sum)
   }
 
   override def getOffset: Option[Offset] =

@@ -118,6 +118,39 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got2.length == 81 && !got2.exists(_._3 == 2))
   }
 
+  test("REORG APPLY (PURGE) materializes vectors, touching ONLY vectored files") {
+    val t = tmpTable()
+    publish(t) // 4 files
+    // vector exactly one file's rows: delete a contiguous k-range that
+    // hashes into... simpler: delete by k list small enough to hit a
+    // subset, then check untouched files survive by identity
+    TxLog.delete(spark, t, col("k").isin(0L, 1L, 2L), deletionVectors = true)
+    val before = TxLog.manifest(spark, t)
+    val vectored = before.dvs.get.map(_.path).toSet
+    assert(vectored.nonEmpty && vectored.size < before.files.size,
+      "premise: some but not all files carry a vector")
+    val v = TxLog.purgeDvs(spark, t)
+    val after = TxLog.manifest(spark, t)
+    assert(after.version == v && after.action == "purge")
+    assert(after.dvs.forall(_.isEmpty), "no vector survives the purge")
+    // un-vectored files kept by IDENTITY; vectored ones replaced
+    val keptUntouched = before.files.filterNot(vectored)
+    assert(keptUntouched.forall(after.files.contains))
+    assert(vectored.forall(f => !after.files.contains(f)))
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 97 && !got.exists(_._1 <= 2L))
+    // idempotent: a vector-free purge commits nothing
+    assert(TxLog.purgeDvs(spark, t) == v)
+    // SQL spelling
+    val t2 = tmpTable()
+    publish(t2)
+    TxLog.delete(spark, t2, col("g") === 1, deletionVectors = true)
+    val out = spark.sql(s"REORG TABLE '$t2' APPLY (PURGE)").collect()
+    assert(out.head.getLong(0) == TxLog.latestVersion(spark, t2).get)
+    assert(TxLog.manifest(spark, t2).dvs.forall(_.isEmpty))
+    assert(TxLog.read(spark, t2).count() == 90L)
+  }
+
   test("SQL relation applies vectors; the metadata-agg rule keeps the scan") {
     val t = tmpTable()
     publish(t)

@@ -492,6 +492,22 @@ class TxLogStreamSpec extends SparkSpec {
     assert(run2.size == 1 && run2.head._2 == Set((2L, "b"), (3L, "c")))
   }
 
+  test("maxFilesPerTrigger paces the backlog by ADDED file count") {
+    val t = tmp("txstream-files")
+    val cp = Files.createTempDirectory("txstream-files-cp").toString
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    drainOpts(t, cp, Map.empty) // consume the snapshot
+    // each append lands 2 files; a cap of 2 admits one version per batch
+    TxLog.append(Seq((2L, "b"), (3L, "c")).toDF("k", "v").repartition(2), t)
+    TxLog.append(Seq((4L, "d"), (5L, "e")).toDF("k", "v").repartition(2), t)
+    val run = drainOpts(t, cp, Map("maxFilesPerTrigger" -> "2"))
+      .filter(_._2.nonEmpty)
+    assert(run.map(_._2).reduce(_ ++ _) ==
+      Set((2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    assert(run.size == 2,
+      s"2-version/4-file backlog at 2 files/trigger must drain as 2 batches: $run")
+  }
+
   test("startingVersion streams changes after v with no initial snapshot") {
     val t = tmp("txstream-startv")
     val cp = Files.createTempDirectory("txstream-startv-cp").toString
