@@ -1006,6 +1006,26 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q136_tx_purge" -> ((s, dir) => {
+      // REORG APPLY (PURGE) under the oracle gate (TxLog.purgeDvs): a
+      // DV delete leaves vectors; the purge rewrites ONLY the vectored
+      // files and the committed manifest is vector-free (asserted
+      // in-query). Hash equality with DuckDB's plain WHERE recompute
+      // proves the materialization is row-exact — no deleted row
+      // resurrects, no live row is lost.
+      val t = tmpTable("tx-q136")
+      TxLog.overwrite(Tables.orders(s, dir)
+        .repartitionByRange(6, col("o_custkey")), t)
+      TxLog.delete(s, t, col("o_orderpriority") === "1-URGENT" &&
+        col("o_custkey") <= 500, deletionVectors = true)
+      val v = TxLog.purgeDvs(s, t)
+      require(TxLog.manifestAt(s, t, v).dvs.forall(_.isEmpty),
+        "purge must leave no vector")
+      TxLog.read(s, t).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q135_tx_copy_into" -> ((s, dir) => {
       // COPY INTO-class idempotent ingest under the oracle gate
       // (TxLog.copyInto): orders lands in two waves; the second run
@@ -1535,6 +1555,13 @@ object Lakehouse {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q136_tx_purge" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE NOT (o_orderpriority = '1-URGENT' AND o_custkey <= 500)
+        |GROUP BY 1""".stripMargin,
 
     "q108_partition_ivm" ->
       """WITH o AS (

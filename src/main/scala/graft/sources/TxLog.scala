@@ -2676,7 +2676,15 @@ object TxLog {
         val byPath = partedEntries(table, m)
         m.files.filter(p => partMatches(schema, byPath(p), partition))
       }
-    val sized = candidates.map(rel => rel -> f.getFileStatus(new Path(t, rel)).getLen)
+    // size from the MANIFEST's recorded cost statistics — zero
+    // filesystem RPCs on the common path (one getFileStatus per
+    // candidate is 10⁷ round-trips on a big table); only entries
+    // predating size recording (pre-stats manifests, adopted layouts)
+    // fall back to a live stat
+    val recorded = m.stats.getOrElse(Seq.empty)
+      .flatMap(e => e.bytes.map(e.path -> _)).toMap
+    val sized = candidates.map(rel => rel -> recorded.getOrElse(rel,
+      f.getFileStatus(new Path(t, rel)).getLen))
     val small = sized.filter(_._2 < smallFileBytes)
     if (small.size < 2) return m.version
     val smallSet = small.map(_._1).toSet
