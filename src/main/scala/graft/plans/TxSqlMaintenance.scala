@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan}
 import org.apache.spark.sql.execution.LeafExecNode
-import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.TxLog
@@ -20,7 +20,7 @@ import graft.sources.TxLog
   *   OPTIMIZE t                               -- compact small files
   *   OPTIMIZE t ZORDER  BY (a, b, …)          -- Morton re-clustering
   *   OPTIMIZE t HILBERT BY (a, b, …)          -- Hilbert re-clustering
-  *   VACUUM t RETAIN n VERSIONS / RETAIN n HOURS
+  *   VACUUM t RETAIN n VERSIONS [DRY RUN] / RETAIN n HOURS
   *   RESTORE [TABLE] t TO VERSION AS OF v / TO TIMESTAMP AS OF 'ts'
   *   OPTIMIZE t WHERE p = v                   -- partition-scoped compact
   *   DESCRIBE HISTORY t        / DESC HISTORY t
@@ -95,6 +95,8 @@ object GraftSqlParser {
     s"""(?is)^\\s*OPTIMIZE\\s+$ref\\s+(ZORDER|HILBERT)\\s+BY\\s*\\(([^)]*)\\)\\s*$$""".r
   private val vacuumRe =
     s"""(?is)^\\s*VACUUM\\s+$ref\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*$$""".r
+  private val vacuumDryRe =
+    s"""(?is)^\\s*VACUUM\\s+$ref\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s+DRY\\s+RUN\\s*$$""".r
   private val vacuumHoursRe =
     s"""(?is)^\\s*VACUUM\\s+$ref\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS\\s*$$""".r
   private val restoreRe =
@@ -267,6 +269,14 @@ object GraftSqlParser {
         GraftMaintenance("graft_vacuum", Seq(longAttr("deleted_files")),
           spark => Seq(Seq(
             TxLog.vacuumRetainHours(spark, path, h.toDouble).size.toLong)))
+      }
+    case vacuumDryRe(r, n) =>
+      // what the reap WOULD delete, one path per row, nothing touched
+      resolve(r, "VACUUM", strict = true).map { case (path, _) =>
+        GraftMaintenance("graft_vacuum_dry",
+          Seq(AttributeReference("path", StringType, nullable = false)()),
+          spark => TxLog.vacuumDryRun(spark, path, keepVersions = n.toInt)
+            .map(Seq(_)))
       }
     case vacuumRe(r, n) =>
       resolve(r, "VACUUM", strict = true).map { case (path, _) =>

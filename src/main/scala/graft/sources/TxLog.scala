@@ -4290,10 +4290,23 @@ object TxLog {
     * is the owning table's vacuum's call, never the clone's). Returns
     * the deleted data-file paths (table-relative).
     */
-  def vacuum(spark: SparkSession, table: String, keepVersions: Int): Seq[String] = {
+  /** What [[vacuum]] WOULD delete, without deleting anything — the
+    * Delta `VACUUM … DRY RUN` contract: the exact doomed file list
+    * (data, change-data, DV sidecars) for the operator to review
+    * before committing to an irreversible reap. Pure metadata walk.
+    */
+  def vacuumDryRun(spark: SparkSession, table: String,
+      keepVersions: Int): Seq[String] =
+    vacuumPlan(spark, table, keepVersions)._1
+
+  /** (doomed files, versions to drop, versions kept) of a
+    * keep-the-last-K vacuum — shared by [[vacuum]] and
+    * [[vacuumDryRun]] so the dry run can never disagree with the reap.
+    */
+  private def vacuumPlan(spark: SparkSession, table: String,
+      keepVersions: Int): (Seq[String], Seq[Long], Seq[Long]) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val t = new Path(table)
-    val f = fs(spark, t)
     val all = versions(spark, table)
     val (drop, keep) = all.splitAt((all.size - keepVersions).max(0))
     // a version owns its data files, its change-data files AND its
@@ -4306,6 +4319,13 @@ object TxLog {
     val doomed = drop.flatMap(v => owned(readManifest(spark, t, v)))
       .distinct.filterNot(keptFiles)
       .filterNot(isBorrowed)
+    (doomed, drop, keep)
+  }
+
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int): Seq[String] = {
+    val t = new Path(table)
+    val f = fs(spark, t)
+    val (doomed, drop, keep) = vacuumPlan(spark, table, keepVersions)
     doomed.foreach { rel =>
       f.delete(new Path(t, rel), false)
       // a reaped data file takes its bloom sidecar dir with it

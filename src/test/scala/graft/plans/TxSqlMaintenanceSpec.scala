@@ -138,6 +138,24 @@ class TxSqlMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("RENAME COLUMN"))
   }
 
+  test("VACUUM DRY RUN lists the doomed files without touching disk") {
+    val (name, path) = mk()
+    TxLog.overwrite(Seq((9L, "z", 90)).toDF("k", "v", "n"), path) // v2
+    val dry = spark.sql(s"VACUUM $name RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(dry.nonEmpty, "v1's files are doomed")
+    dry.foreach(rel => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, rel)),
+      s"dry run must not delete $rel"))
+    assert(TxLog.versions(spark, path) == Seq(1L, 2L), "no version dropped")
+    // the real vacuum deletes EXACTLY the dry run's list
+    val reaped = spark.sql(s"VACUUM $name RETAIN 1 VERSIONS")
+      .head.getLong(0)
+    assert(reaped == dry.size.toLong)
+    dry.foreach(rel => assert(
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(path, rel))))
+  }
+
   test("COPY INTO ingests a landing dir idempotently from SQL") {
     val (name, path) = mk() // 4 rows
     val land = java.nio.file.Files.createTempDirectory("graft-sqlcopy").toString
