@@ -59,6 +59,8 @@ private[sources] object ManifestCodec {
         opt[Seq[DvEntry]]("dvPut"),
         opt[Seq[String]]("dvDrop"),
         opt[Map[String, Long]]("txn"),
+        opt[Map[String, Long]]("txnPut"),
+        opt[Seq[String]]("txnDrop"),
         opt[Seq[String]]("cdf"),
         opt[Map[String, String]]("constraints"),
         opt[Seq[String]]("partitionBy"),
@@ -99,10 +101,10 @@ private[sources] object ManifestCodec {
     case "version" | "base" | "tsMillis" => p.getLongValue: java.lang.Long
     case "kind" | "action" | "schemaJson" => p.getText
     case "files" | "add" | "remove" | "cdf" | "partitionBy" |
-         "bloomIndex" | "dropped" | "dvDrop" => stringArray(p)
+         "bloomIndex" | "dropped" | "dvDrop" | "txnDrop" => stringArray(p)
     case "stats" | "addStats" => entryArray(p)
     case "dvs" | "dvPut" => dvArray(p)
-    case "txn" => longMap(p)
+    case "txn" | "txnPut" => longMap(p)
     case "constraints" | "generated" | "renames" | "properties" =>
       stringMap(p)
     case "identity" => identityMap(p)

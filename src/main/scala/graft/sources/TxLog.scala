@@ -194,7 +194,13 @@ object TxLog {
       addStats: Option[Seq[FileEntry]] = None,
       dvPut: Option[Seq[DvEntry]] = None,
       dvDrop: Option[Seq[String]] = None,
+      // `txn` VERBATIM is the pre-round-11 encoding, still read (and
+      // preferred when present); new records carry only the DIFF —
+      // with [[copyInto]]'s per-source-file ledger riding this map, a
+      // verbatim copy would make every commit O(files ever ingested)
       txn: Option[Map[String, Long]] = None,
+      txnPut: Option[Map[String, Long]] = None,
+      txnDrop: Option[Seq[String]] = None,
       cdf: Option[Seq[String]] = None,
       constraints: Option[Map[String, String]] = None,
       partitionBy: Option[Seq[String]] = None,
@@ -346,10 +352,19 @@ object TxLog {
     val dvs = parent.dvs.getOrElse(Seq.empty)
       .filter(e => fileSet(e.path) && !dvDropSet(e.path) && !putPaths(e.path)) ++
       d.dvPut.getOrElse(Seq.empty)
+    // txn: an old-style record carries the map verbatim; a new-style
+    // one carries the diff vs the parent (no writer ever SHRANK the
+    // map except via an explicit drop, so inherit+apply is exact — and
+    // the writer's bit-equality gate re-proves it per record)
+    val txn = d.txn.orElse {
+      Some(parent.txn.getOrElse(Map.empty)
+        -- d.txnDrop.getOrElse(Seq.empty)
+        ++ d.txnPut.getOrElse(Map.empty)).filter(_.nonEmpty)
+    }
     Manifest(d.version, d.action, files,
       d.schemaJson.getOrElse(parent.schemaJson), d.tsMillis,
       stats = Some(stats).filter(_.nonEmpty),
-      txn = d.txn, cdf = d.cdf, constraints = d.constraints,
+      txn = txn, cdf = d.cdf, constraints = d.constraints,
       partitionBy = d.partitionBy, bloomIndex = d.bloomIndex,
       dvs = Some(dvs).filter(_.nonEmpty),
       generated = d.generated, dropped = d.dropped, identity = d.identity,
@@ -380,7 +395,17 @@ object TxLog {
         .filter(_.nonEmpty),
       dvPut = Some(dvPut).filter(_.nonEmpty),
       dvDrop = Some(dvDrop).filter(_.nonEmpty),
-      txn = m.txn, cdf = m.cdf, constraints = m.constraints,
+      txnPut = Some({
+        val pTxn = parent.txn.getOrElse(Map.empty)
+        m.txn.getOrElse(Map.empty)
+          .filter { case (k, v) => !pTxn.get(k).contains(v) }
+      }).filter(_.nonEmpty),
+      txnDrop = Some {
+        val mTxn = m.txn.getOrElse(Map.empty)
+        parent.txn.getOrElse(Map.empty).keys
+          .filterNot(mTxn.contains).toSeq.sorted
+      }.filter(_.nonEmpty),
+      cdf = m.cdf, constraints = m.constraints,
       partitionBy = m.partitionBy, bloomIndex = m.bloomIndex,
       generated = m.generated, dropped = m.dropped, identity = m.identity,
       renames = m.renames, properties = m.properties)

@@ -76,6 +76,8 @@ class ManifestCodecSpec extends AnyFunSuite {
       dvPut = Some(Seq(DvEntry("f.parquet", "_dv/x.bin", 2L))),
       dvDrop = Some(Seq("g.parquet")),
       txn = Some(Map("a" -> 1L)),
+      txnPut = Some(Map("copyInto:/land/f1.parquet" -> 123L)),
+      txnDrop = Some(Seq("stale-app")),
       cdf = Some(Seq("data/u3/_cdf/c.parquet")),
       constraints = Some(Map("c" -> "k > 0")),
       partitionBy = Some(Seq("y")),

@@ -169,6 +169,37 @@ class TxCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("the copyInto ledger rides delta records as a DIFF, not verbatim") {
+    withInterval(1000) {
+      val t = tmpTable()
+      val land = Files.createTempDirectory("graft-ckpt-land").toString
+      (0 until 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(3).write.mode("append").parquet(land)
+      TxLog.copyInto(spark, land, t) // v1 full: 3 ledger keys
+      TxLog.append(Seq((100L, "x")).toDF("k", "v"), t) // v2 delta
+      val rec2 = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"$t/_txlog/" + f"${2L}%020d.json")), "UTF-8")
+      assert(!rec2.contains("copyInto:"),
+        "an append's delta record must not re-serialize the ingest ledger")
+      // the resolved snapshot still carries the full ledger
+      TxLog.clearSnapshotCache()
+      assert(TxLog.manifest(spark, t).txn.getOrElse(Map.empty)
+        .count(_._1.startsWith("copyInto:")) == 3)
+      // a later copy's delta carries ONLY its new file's ledger entry
+      (10 until 15).map(i => (i.toLong, s"w$i")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(land)
+      TxLog.copyInto(spark, land, t) // v3 delta
+      val rec3 = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"$t/_txlog/" + f"${3L}%020d.json")), "UTF-8")
+      assert("copyInto:".r.findAllIn(rec3).size == 1,
+        s"v3's delta must carry exactly its ONE new ledger entry")
+      TxLog.clearSnapshotCache()
+      assert(TxLog.manifest(spark, t).txn.getOrElse(Map.empty)
+        .count(_._1.startsWith("copyInto:")) == 4)
+      assert(TxLog.read(spark, t).count() == 16L)
+    }
+  }
+
   test("parquet checkpoint census: distributed file facts ≡ the manifest") {
     withInterval(2) {
       spark.conf.set("spark.graft.checkpointCensus.minFiles", "1")
