@@ -114,6 +114,32 @@ class ConflictRebaseSpec extends SparkSpec {
     assert(!got.exists(r => Set(5, 6, 7)(r._3)))
   }
 
+  rtest("threaded: appends racing a DELETE all land, nothing lost") {
+    val t = tmpTable()
+    publish100(t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val appends = (0 until 3).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            TxLog.append(Seq((900L + i, s"t$i", 99)).toDF("k", "v", "g"), t)
+        })
+      }
+      val del = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long =
+          TxLog.delete(spark, t, col("g") === 3 && col("k") < 100,
+            deletionVectors = true, maxAttempts = 10)
+      })
+      appends.foreach(_.get())
+      del.get()
+    } finally pool.shutdown()
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 93, s"100 - 10 deleted + 3 appended, got ${got.length}")
+    assert(!got.exists(r => r._3 == 3 && r._1 < 100), "the delete applied")
+    assert(Seq(900L, 901L, 902L).forall(k => got.exists(_._1 == k)),
+      "every concurrent append survived")
+  }
+
   rtest("a concurrent addConstraint aborts the rebase (metadata conflict)") {
     val t = tmpTable()
     publish100(t)
