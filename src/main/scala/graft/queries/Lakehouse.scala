@@ -1006,6 +1006,29 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q137_tx_dfp_sql" -> ((s, dir) => {
+      // q134's dynamic file pruning through the SQL spelling a user
+      // actually writes — `WHERE key IN (SELECT …)` on a CATALOG
+      // table: the rule prunes from the still-inline ListQuery before
+      // the subquery rewrite, so the fact's manifest file list shrinks
+      // at planning time with no WHERE on the fact anywhere. Oracle =
+      // DuckDB's semi join over the full tables.
+      val t = tmpTable("tx-q137")
+      TxLog.overwrite(
+        Tables.orders(s, dir).repartitionByRange(8, col("o_custkey")), t)
+      val name = "q137_" + java.util.UUID.randomUUID().toString.replace("-", "_")
+      s.sql(s"CREATE TABLE $name USING `graft-txlog` OPTIONS (path '$t')")
+      Tables.customer(s, dir).createOrReplaceTempView(s"${name}_cust")
+      s.sql(
+        s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+           |FROM $name
+           |WHERE o_custkey IN (
+           |  SELECT c_custkey FROM ${name}_cust
+           |  WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 400)
+           |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
     "q136_tx_purge" -> ((s, dir) => {
       // REORG APPLY (PURGE) under the oracle gate (TxLog.purgeDvs): a
       // DV delete leaves vectors; the purge rewrites ONLY the vectored
@@ -1555,6 +1578,15 @@ object Lakehouse {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q137_tx_dfp_sql" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 400)
+        |GROUP BY 1""".stripMargin,
 
     "q136_tx_purge" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

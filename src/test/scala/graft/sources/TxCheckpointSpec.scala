@@ -235,6 +235,10 @@ class TxCheckpointSpec extends SparkSpec {
           .head.getLong(0) == m.files.size.toLong)
         assert(spark.sql(s"SELECT path FROM graft_tx_files('$t') " +
           "WHERE bytes < 100000000").count() == m.files.size.toLong)
+        // a TORN census (no _SUCCESS) is ignored — manifest fallback
+        Files.deleteIfExists(java.nio.file.Paths.get(
+          s"$t/_txlog/" + f"${4L}%020d" + ".checkpoint.parquet/_SUCCESS"))
+        assert(TxLog.fileCensus(spark, t).count() == m.files.size.toLong)
         // vacuum reaps dropped censuses with their manifests
         TxLog.vacuum(spark, t, keepVersions = 1)
         assert(!Files.exists(java.nio.file.Paths.get(
