@@ -1,29 +1,58 @@
 package graft.plans
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, In, InSubquery, IsNotNull, ListQuery, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GenericInternalRow, GreaterThanOrEqual, In, InSet, InSubquery, IsNotNull, LessThanOrEqual, ListQuery, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 
 import graft.sources.TxLogRelation
 
 /** Dynamic file pruning for `graft-txlog` fact scans — the Delta DFP
   * move re-expressed for a v1 relation: under an equi-join whose OTHER
   * side is a small, filtered dimension (it would broadcast anyway),
-  * the dimension's distinct join-key values are collected at PLANNING
-  * time and replayed onto the fact side as an `IN` filter placed
-  * directly above the fact's [[LogicalRelation]]. From there the
+  * the dimension is EXECUTED ONCE at planning time, its rows frozen
+  * into a [[LocalRelation]] that replaces the dim subtree, and its
+  * distinct join-key values replayed onto the fact side as a predicate
+  * placed directly above the fact's [[LogicalRelation]]. From there the
   * EXISTING static machinery does the work: `TxLogRelation.buildScan`
   * prunes the manifest's file list through per-file min/max stats and
-  * bloom sidecars, and the parquet reader gets the IN for row-group
-  * skipping. On the star shapes this engine targets (orders filtered
-  * by priority joining a date-clustered 100 TB lineitem), this is the
-  * difference between scanning the table and scanning the qualifying
-  * slice — a static `WHERE` can never express it because the key set
-  * only exists after the dimension's own filter runs.
+  * bloom sidecars, and the parquet reader gets the predicate for
+  * row-group skipping. On the star shapes this engine targets (orders
+  * filtered by priority joining a date-clustered 100 TB lineitem),
+  * this is the difference between scanning the table and scanning the
+  * qualifying slice — a static `WHERE` can never express it because
+  * the key set only exists after the dimension's own filter runs.
+  *
+  * The injected predicate is TIERED by distinct-key count, so a wide
+  * dim never makes the rule back off to a full scan:
+  *  - ≤ `maxKeys` (default 1000): a literal `IN` list — exact file,
+  *    row-group, AND row-level pruning; plan size stays bounded.
+  *  - ≤ `summaryMaxKeys` (default 100000): a single [[InSet]] node —
+  *    hash-set row eval, pushed to the scan as a `sources.In` whose
+  *    file pruning runs the one-sort window prune
+  *    (`TxLog.pruneByValueSet`: O(files × log keys) + capped bloom
+  *    probes), so a 10⁴–10⁵-key dim — the common 100 TB star shape —
+  *    still prunes EXACTLY instead of scanning.
+  *  - above that: min/max RANGE bounds over the key set — a sound
+  *    superset predicate (the join still filters rows) that prunes
+  *    through the stats machinery and parquet row-group bounds.
+  *
+  * Freezing the dim is a REQUIREMENT of the rewrite, not an
+  * optimization: the runtime join consumes the exact rows the key set
+  * was derived from, so a mutable dim source (a growing directory, an
+  * external JDBC table) can never surface join keys the injected
+  * predicate already dropped — the planning-time collect and the join
+  * agree by construction. It also halves the dim's cost (Delta's DFP
+  * executes the dim twice). A dim whose row count exceeds `maxRows`
+  * (default 10⁶ — broadcast-sized dims sit far below it) cannot be
+  * frozen, and the rule backs off entirely.
   *
   * Eligibility is deliberately conservative — the rewrite must never
   * lose rows or explode planning cost:
@@ -40,18 +69,17 @@ import graft.sources.TxLogRelation
   *    graft-txlog `LogicalRelation` reachable through Project/Filter
   *    shells only — the injected filter lands where
   *    `PhysicalOperation` collects scan filters.
-  *  - the distinct key set is capped (`spark.graft.dynamicFilePruning
-  *    .maxKeys`, default 1000): one row past the cap and the rewrite
-  *    backs off, because an INCOMPLETE key list would wrongly drop
-  *    fact rows. NULL keys are dropped — an equi-join never matches
-  *    them.
+  *  - float/double keys are excluded (the join normalizes -0.0/NaN
+  *    inside its keys; a driver-built IN does not — an injected
+  *    `In(k, -0.0)` would wrongly drop a +0.0 fact row), as are
+  *    binary keys (array equality isn't value-based driver-side).
+  *    NULL keys are dropped from the predicate — an equi-join never
+  *    matches them.
   *
   * Runs as a PRE-CBO rule (a Once batch after the operator-optimization
   * fixed point): executing the dim subplan inside a fixed-point batch
   * would re-fire on every iteration, and the injected filter needs no
-  * further optimization — it is born fully pushed. The dimension
-  * executes one extra time (once here, once in the join); that is the
-  * same trade Delta's DFP makes, bounded by the broadcast threshold.
+  * further optimization — it is born fully pushed.
   * Disable with `spark.graft.dynamicFilePruning = false`.
   */
 object DynamicFilePruning extends Rule[LogicalPlan] with PredicateHelper {
@@ -61,11 +89,22 @@ object DynamicFilePruning extends Rule[LogicalPlan] with PredicateHelper {
     */
   @volatile private[graft] var lastInjectedKeys: Int = -1
 
+  /** Test observability: predicate tier of the last rewrite —
+    * "in" (literal list), "set" (InSet), "range" (min/max bounds).
+    */
+  @volatile private[graft] var lastTier: String = ""
+
   private def enabled: Boolean =
     conf.getConfString("spark.graft.dynamicFilePruning", "true").toBoolean
 
   private def maxKeys: Int =
     conf.getConfString("spark.graft.dynamicFilePruning.maxKeys", "1000").toInt
+
+  private def summaryMaxKeys: Int = conf.getConfString(
+    "spark.graft.dynamicFilePruning.summaryMaxKeys", "100000").toInt
+
+  private def maxRows: Int = conf.getConfString(
+    "spark.graft.dynamicFilePruning.maxRows", "1000000").toInt
 
   private def dimLimitBytes: Long = {
     val t = conf.autoBroadcastJoinThreshold
@@ -85,6 +124,18 @@ object DynamicFilePruning extends Rule[LogicalPlan] with PredicateHelper {
       } => f
       case l: LocalRelation => l
     }.isDefined
+
+  /** Key types the rule prunes on: atomic, minus float/double (the
+    * -0.0/NaN normalization hazard) and binary (reference equality
+    * driver-side). Every admitted type's INTERNAL representation is
+    * `Comparable`, which the range tier relies on.
+    */
+  private def prunableKeyType(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        StringType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
 
   /** Inject `cond` directly above the fact's graft-txlog relation —
     * but only if `key` survives untouched to that depth (bare output
@@ -106,21 +157,9 @@ object DynamicFilePruning extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** Collect the dim side's distinct non-null keys; None = over the
-    * cap (an incomplete list must not prune) or the collect failed
-    * (planning must never die for an optimization).
-    */
-  private def dimKeys(dim: LogicalPlan, key: Attribute): Option[Seq[Any]] =
-    try {
-      val rows = Shim.ofRows(SparkSession.active, Project(Seq(key), dim))
-        .distinct().limit(maxKeys + 1).collect()
-      if (rows.length > maxKeys) None
-      else Some(rows.toSeq.map(_.get(0)).filter(_ != null))
-    } catch { case scala.util.control.NonFatal(_) => None }
-
   /** Structural pre-check (no execution): is `key` a bare output
     * attribute of a graft-txlog relation under Project/Filter shells?
-    * Everything else in [[prune]] runs a job — this must gate it, so
+    * Everything else in the rewrite runs a job — this must gate it, so
     * non-txlog joins never pay a planning-time collect.
     */
   private def prunableAt(p: LogicalPlan, key: Attribute): Boolean = p match {
@@ -132,35 +171,99 @@ object DynamicFilePruning extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** The shared core: gate, collect the dim keys, inject the IN above
-    * the fact's relation. None = ineligible or backed off.
+  /** Execute the dim ONCE and collect its full row multiset (internal
+    * rows, exactly `dim.output`-shaped — what the frozen LocalRelation
+    * holds). None = over the row cap or the collect failed; the caller
+    * then backs off entirely (a dim it cannot freeze might disagree
+    * with the frozen key list at runtime).
+    */
+  private def freeze(dim: LogicalPlan): Option[Array[InternalRow]] =
+    try {
+      val rows = Shim.ofRows(SparkSession.active, dim).limit(maxRows + 1)
+        .queryExecution.executedPlan.executeCollect()
+      if (rows.length > maxRows) None else Some(rows)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distinct key values (internal representation, insertion-ordered
+    * for plan determinism) at `ordinal` of the frozen rows; NULLs are
+    * dropped — an equi-join never matches them.
+    */
+  private def distinctKeys(rows: Array[InternalRow], ordinal: Int,
+      dt: DataType): Seq[Any] = {
+    val seen = mutable.LinkedHashSet.empty[Any]
+    rows.foreach { r =>
+      if (!r.isNullAt(ordinal)) seen += r.get(ordinal, dt)
+    }
+    seen.toSeq
+  }
+
+  /** The tiered fact-side predicate for a distinct key set (internal
+    * values). None = the range tier hit a non-Comparable value
+    * (admitted types never do — pure defensiveness).
+    */
+  private def keyPredicate(factKey: Attribute,
+      keys: Seq[Any]): Option[Expression] = {
+    val dt = factKey.dataType
+    if (keys.isEmpty) { lastTier = "in"; Some(Literal.FalseLiteral) }
+    else if (keys.size <= maxKeys) {
+      lastTier = "in"
+      Some(In(factKey, keys.map(v => Literal(v, dt))))
+    } else if (keys.size <= summaryMaxKeys) {
+      lastTier = "set"
+      Some(InSet(factKey, keys.toSet))
+    } else try {
+      lastTier = "range"
+      def cmp(a: Any, b: Any) = a.asInstanceOf[Comparable[Any]].compareTo(b)
+      var lo = keys.head; var hi = keys.head
+      keys.foreach { k =>
+        if (cmp(k, lo) < 0) lo = k
+        if (cmp(k, hi) > 0) hi = k
+      }
+      Some(And(GreaterThanOrEqual(factKey, Literal(lo, dt)),
+        LessThanOrEqual(factKey, Literal(hi, dt))))
+    } catch { case _: ClassCastException => None }
+  }
+
+  /** The shared core: gate, freeze the dim, inject the tiered
+    * predicate above the fact's relation. None = ineligible or backed
+    * off; Some((newFact, frozenDimRows)) otherwise — the caller MUST
+    * substitute the frozen rows for the dim subtree (the injection's
+    * soundness assumes the join consumes exactly these rows).
     */
   private def injectedFact(fact: LogicalPlan, factKey: Attribute,
-      dim: LogicalPlan, dimKey: Attribute): Option[LogicalPlan] = {
+      dim: LogicalPlan, dimKey: Attribute)
+      : Option[(LogicalPlan, Array[InternalRow])] = {
     if (!prunableAt(fact, factKey)) return None
     if (!filteredDim(dim)) return None
-    if (factKey.dataType != dimKey.dataType) return None
-    // the dim executes TWICE (key collect here, the join at runtime):
+    if (factKey.dataType != dimKey.dataType ||
+      !prunableKeyType(factKey.dataType)) return None
     // a non-deterministic dim (rand() filter, shuffling sample) could
-    // produce a key set that disagrees with its join-time rows and the
-    // injected IN would wrongly drop matching fact rows — never prune
+    // freeze a row set that disagrees with what its own recomputation
+    // would produce — the frozen rows would be A valid draw, but specs
+    // and users expect the written plan's draw; never prune
     if (dim.exists(_.expressions.exists(e =>
         !e.deterministic || e.exists(!_.deterministic)))) return None
     if (dim.stats.sizeInBytes > dimLimitBytes) return None
-    dimKeys(dim, dimKey).flatMap { keys =>
-      val cond: Expression =
-        if (keys.isEmpty) Literal.FalseLiteral // equi-match is empty
-        else In(factKey, keys.map(v => Literal.create(v, factKey.dataType)))
-      injectAtRelation(fact, factKey, cond)
-        .map { nf => lastInjectedKeys = keys.size; nf }
+    val ordinal = dim.output.indexWhere(_.exprId == dimKey.exprId)
+    if (ordinal < 0) return None
+    freeze(dim).flatMap { rows =>
+      val keys = distinctKeys(rows, ordinal, dimKey.dataType)
+      keyPredicate(factKey, keys).flatMap { cond =>
+        injectAtRelation(fact, factKey, cond)
+          .map { nf => lastInjectedKeys = keys.size; (nf, rows) }
+      }
     }
   }
 
   private def prune(j: Join, fact: LogicalPlan, factKey: Attribute,
       dim: LogicalPlan, dimKey: Attribute, factIsLeft: Boolean)
       : Option[Join] =
-    injectedFact(fact, factKey, dim, dimKey).map { newFact =>
-      if (factIsLeft) j.copy(left = newFact) else j.copy(right = newFact)
+    injectedFact(fact, factKey, dim, dimKey).map { case (newFact, rows) =>
+      // the dim executed once, at freeze — hand the runtime join the
+      // SAME rows (attributes preserved, so the condition resolves)
+      val frozen = LocalRelation(dim.output, rows.toIndexedSeq)
+      if (factIsLeft) j.copy(left = newFact, right = frozen)
+      else j.copy(left = frozen, right = newFact)
     }
 
   def apply(plan: LogicalPlan): LogicalPlan = {
@@ -194,16 +297,33 @@ object DynamicFilePruning extends Rule[LogicalPlan] with PredicateHelper {
 
       // `k IN (SELECT …)`: at pre-CBO time the semi join doesn't exist
       // yet (RewritePredicateSubquery runs later) — prune from the
-      // still-inline ListQuery. Uncorrelated single-column lists only;
-      // NOT IN arrives as Not(InSubquery) and never matches here.
+      // still-inline ListQuery, and freeze ITS plan too (distinct
+      // values INCLUDING null: IN is null-sensitive but
+      // multiplicity-insensitive). Uncorrelated single-column lists
+      // only; NOT IN arrives as Not(InSubquery) and never matches here.
       case f @ Filter(cond, child) =>
-        val injected = splitConjunctivePredicates(cond).iterator.flatMap {
-          case InSubquery(Seq(a: Attribute), lq: ListQuery)
-              if lq.outerAttrs.isEmpty && lq.plan.output.size == 1 =>
-            injectedFact(child, a, lq.plan, lq.plan.output.head).iterator
-          case _ => Iterator.empty
+        var newChild = child
+        var rewrote = false
+        val newConjs = splitConjunctivePredicates(cond).map {
+          case isq @ InSubquery(Seq(a: Attribute), lq: ListQuery)
+              if !rewrote && lq.outerAttrs.isEmpty &&
+                lq.plan.output.size == 1 =>
+            injectedFact(newChild, a, lq.plan, lq.plan.output.head) match {
+              case Some((nf, rows)) =>
+                rewrote = true; newChild = nf
+                val dt = lq.plan.output.head.dataType
+                val seen = mutable.LinkedHashSet.empty[Any]
+                rows.foreach(r =>
+                  seen += (if (r.isNullAt(0)) null else r.get(0, dt)))
+                val frozen = seen.toIndexedSeq.map(v =>
+                  new GenericInternalRow(Array(v)): InternalRow)
+                isq.copy(query =
+                  lq.copy(plan = LocalRelation(lq.plan.output, frozen)))
+              case None => isq
+            }
+          case other => other
         }
-        if (injected.hasNext) f.copy(child = injected.next()) else f
+        if (rewrote) Filter(newConjs.reduce(And), newChild) else f
     }
   }
 }

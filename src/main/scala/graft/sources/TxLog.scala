@@ -1302,6 +1302,86 @@ object TxLog {
     }
   }
 
+  /** The subset of `files` that may contain ANY of `values` for
+    * `column` — the big-IN prune. Feeding a large IN list through the
+    * per-value path ([[pruneByConjuncts]] once per value) is
+    * O(values × files); this is one sort plus O(files × log values)
+    * with EXACTLY the per-value path's evidence semantics: render each
+    * value in the column's domain, sort under the stats ordering
+    * ([[cmp]]: numeric parse for numerics, lexicographic otherwise),
+    * and per file binary-search for any value inside the file's
+    * [min, max] window — a value lands in the window iff its per-value
+    * min=max conjunct would have kept the file. Files whose window
+    * does hold candidates are additionally probed against the column's
+    * bloom sidecar (where indexed), restricted to the IN-WINDOW values
+    * and capped at `bloomProbeCap` probes per file — past the cap the
+    * file is kept unprobed, so driver cost stays bounded no matter how
+    * large the IN list (the dynamic-file-pruning path hands this
+    * 10⁴–10⁵-key dim sets). Missing or unparsable evidence always
+    * keeps the file; `values` must be non-null and rendered in the
+    * stats domain (numeric / string / date — the [[TxLogRelation]]
+    * caller gates the type).
+    */
+  private[graft] def pruneByValueSet(spark: SparkSession, table: String,
+      m: Manifest, column: String, dt: DataType, values: Seq[Any],
+      files: Seq[String], bloomProbeCap: Int = 64): Seq[String] = {
+    if (values.isEmpty) return files
+    val numeric = dt.isInstanceOf[NumericType]
+    // (sort key, original value), sorted under the stats ordering; a
+    // value that fails to render/parse disables pruning (keep all)
+    val sorted: Array[(AnyRef, Any)] =
+      try values.iterator.map { v =>
+        val r = v.toString
+        ((if (numeric) BigDecimal(r) else r): AnyRef, v)
+      }.toArray.sortBy(_._1)(
+        if (numeric) Ordering.by((k: AnyRef) => k.asInstanceOf[BigDecimal])
+        else Ordering.by((k: AnyRef) => k.asInstanceOf[String]))
+      catch { case scala.util.control.NonFatal(_) => return files }
+    val keys: Array[AnyRef] = sorted.map(_._1)
+    def lt(a: AnyRef, b: AnyRef): Boolean =
+      if (numeric) a.asInstanceOf[BigDecimal] < b.asInstanceOf[BigDecimal]
+      else a.asInstanceOf[String] < b.asInstanceOf[String]
+    // first index with keys(i) >= bound (strict=false) / > bound (strict)
+    def bound(b: AnyRef, strict: Boolean): Int = {
+      var lo = 0; var hi = keys.length
+      while (lo < hi) { val mid = (lo + hi) >>> 1
+        val below = if (strict) !lt(b, keys(mid)) else lt(keys(mid), b)
+        if (below) lo = mid + 1 else hi = mid }
+      lo
+    }
+    val byPath = m.stats.getOrElse(Seq.empty).map(e => e.path -> e).toMap
+    val bloomed = m.bloomIndex.getOrElse(Seq.empty).contains(column)
+    lazy val qualified =
+      fs(spark, new Path(table)).makeQualified(new Path(table))
+    // bloom verdict for candidate index window [lo, hi): over the cap
+    // keeps the file unprobed — bounded work beats a perfect answer
+    def mayHold(rel: String, lo: Int, hi: Int): Boolean =
+      !bloomed || hi - lo > bloomProbeCap ||
+        bloomMightContain(spark, qualified, rel, column, dt,
+          sorted.view.slice(lo, hi).map(_._2).toSeq)
+    files.filter { p =>
+      byPath.get(p) match {
+        case None => mayHold(p, 0, keys.length) // no stats entry at all
+        case Some(entry) =>
+          evidenceFor(entry, column) match {
+            case Some(ColStats(Some(mn), Some(mx), _)) =>
+              val (lo, hi) =
+                try {
+                  val loK: AnyRef = if (numeric) BigDecimal(mn) else mn
+                  val hiK: AnyRef = if (numeric) BigDecimal(mx) else mx
+                  (bound(loK, strict = false), bound(hiK, strict = true))
+                } catch { // unparsable stats: all values are candidates
+                  case scala.util.control.NonFatal(_) => (0, keys.length)
+                }
+              lo < hi && mayHold(p, lo, hi)
+            case Some(ColStats(None, None, _)) =>
+              false // all-NULL file: an equality probe can never hit
+            case _ => mayHold(p, 0, keys.length) // half-written/missing
+          }
+      }
+    }
+  }
+
   def readWhere(spark: SparkSession, table: String,
       bounds: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
     require(bounds.nonEmpty, "readWhere needs at least one column bound")

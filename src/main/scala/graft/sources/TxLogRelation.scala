@@ -134,6 +134,19 @@ class TxLogRelation(spark: SparkSession, table: String,
       case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
       case LessThan(a, v)           => Some(c(a) < lit(v))
       case LessThanOrEqual(a, v)    => Some(c(a) <= lit(v))
+      // a big IN (the dynamic-file-pruning rule injects up to 10⁵ keys)
+      // becomes ONE InSet node instead of 10⁵ literal children: hash-set
+      // row eval, and the inner scan's own pushdown re-translates it for
+      // parquet row-group skipping
+      case In(a, vs) if vs.length > TxLogRelation.bigInThreshold =>
+        schema.fields.find(_.name == a).map { fld =>
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(fld.dataType)
+          org.apache.spark.sql.graftshim.Shim.column(
+            org.apache.spark.sql.catalyst.expressions.InSet(
+              org.apache.spark.sql.graftshim.Shim.expression(c(a)),
+              vs.iterator.map(conv).toSet))
+        }
       case In(a, vs)                => Some(c(a).isin(vs.toSeq: _*))
       case IsNull(a)                => Some(c(a).isNull)
       case IsNotNull(a)             => Some(c(a).isNotNull)
@@ -197,36 +210,54 @@ class TxLogRelation(spark: SparkSession, table: String,
       case IsNotNull(a) => Some((TxLog.physOfAt(m, a), false))
       case _ => None
     }
-    // In(a, vs): a file survives if ANY listed value may match
-    val inKept: Seq[Seq[String]] = filters.toSeq.flatMap {
-      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
-        domain(a, vs.head).map { case (n, dt) =>
-          vs.toSeq.flatMap(v => TxLog.pruneByConjuncts(m, schema,
-            Seq((n, dt, Some(v.toString), Some(v.toString))))).distinct
-        }
-      case _ => None
+    // In(a, vs): a file survives if ANY listed value may match. Small
+    // lists run the per-value conjunct loop; big lists (the DFP rule
+    // injects up to 10⁵ keys) take the one-sort window prune, whose
+    // cost is O(files × log values) with capped in-window bloom probes
+    val (smallIns, bigIns) = filters.toSeq.collect {
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) => (a, vs)
+    }.partition(_._2.length <= TxLogRelation.bigInThreshold)
+    val inKept: Seq[Seq[String]] = smallIns.flatMap { case (a, vs) =>
+      domain(a, vs.head).map { case (n, dt) =>
+        vs.toSeq.flatMap(v => TxLog.pruneByConjuncts(m, schema,
+          Seq((n, dt, Some(v.toString), Some(v.toString))))).distinct
+      }
     }
     val base = TxLog.pruneByConjuncts(m, schema, bounds, nullness)
     val statsKept = inKept.foldLeft(base)((acc, keep) => acc.filter(keep.toSet))
+    val afterBigIns = bigIns.foldLeft(statsKept) { case (acc, (a, vs)) =>
+      // stats-domain columns only: the window compare needs the same
+      // rendering the stats store (timestamps are excluded for exactly
+      // the reason documented above)
+      domain(a, vs.head) match {
+        case Some((n, dt)) =>
+          TxLog.pruneByValueSet(spark, table, m, n, dt, vs.toSeq, acc)
+        case None => acc
+      }
+    }
     // equality/IN conjuncts on bloom-indexed columns additionally probe
     // the per-file sidecar filters — point-lookup pruning where min/max
-    // stats cannot help (untyped nulls never reach the probes)
+    // stats cannot help (untyped nulls never reach the probes). Big INs
+    // already ran their capped, window-restricted probes above.
     val probes = filters.toSeq.flatMap {
       case EqualTo(a, v) if v != null =>
         schema.fields.find(_.name == a).map(f =>
           (TxLog.physOfAt(m, a), f.dataType, Seq(v)))
-      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) &&
+          vs.length <= TxLogRelation.bigInThreshold =>
         schema.fields.find(_.name == a).map(f =>
           (TxLog.physOfAt(m, a), f.dataType, vs.toSeq))
       case _ => None
     }
-    TxLog.bloomPrune(spark, table, m, statsKept, probes)
+    TxLog.bloomPrune(spark, table, m, afterBigIns, probes)
   }
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val kept = prunedFiles(filters)
     TxLogRelation.lastScanFileCount = kept.size
+    TxLogRelation.scanCounts.merge(table, Integer.valueOf(1),
+      (a, b) => Integer.valueOf(a.intValue + b.intValue))
     val snap = TxLog.readFilesAsOf(spark, table, pin(), kept)
     val filtered = filters.flatMap(toColumn).foldLeft(snap)(_.filter(_))
     // zero requiredColumns (COUNT(*)) is an empty projection: Spark
@@ -256,4 +287,17 @@ private[graft] object TxLogRelation {
     * FileIndex for `df.inputFiles` to count).
     */
   @volatile var lastScanFileCount: Int = -1
+
+  /** IN lists longer than this take the one-sort window prune
+    * ([[TxLog.pruneByValueSet]]) instead of the per-value conjunct loop,
+    * and become a single `InSet` node instead of a literal list.
+    */
+  val bigInThreshold: Int = 64
+
+  /** Test observability: [[TxLogRelation!.buildScan]] invocations per
+    * table path — lets specs assert a dynamic-file-pruning dim was
+    * executed exactly once (at planning, for the frozen LocalRelation)
+    * rather than re-scanned by the runtime join.
+    */
+  val scanCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 }
