@@ -28,7 +28,7 @@ import graft.sources.TxLog
   *   ALTER TABLE t DROP COLUMN c              -- v1 analyzer would reject
   *   ALTER TABLE t RENAME COLUMN a TO b       -- v1 analyzer would reject
   *   CONVERT TO GRAFT '/path' [NO STATISTICS] -- adopt parquet in place
-  *   COPY INTO t FROM '/landing' [FILEFORMAT = PARQUET|ORC]
+  *   COPY INTO t FROM '/landing' [FILEFORMAT = PARQUET|ORC|JSON|CSV]
   *   REORG TABLE t APPLY (PURGE)              -- materialize DVs only
   *   CREATE TABLE dst SHALLOW CLONE src       -- zero-copy metadata fork
   *   ALTER TABLE t ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
@@ -214,19 +214,29 @@ object GraftSqlParser {
   /** The maintenance grammar: Some(plan) when the statement is ours. */
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
     case copyIntoRe(r, from, fmt) =>
-      // COPY INTO t FROM '<landing>' [FILEFORMAT = PARQUET|ORC] — the
-      // idempotent-ingest operator as SQL (json/csv need an explicit
-      // schema, which SQL cannot carry: use the Scala API for those)
+      // COPY INTO t FROM '<landing>' [FILEFORMAT = PARQUET|ORC|JSON|CSV]
+      // — the idempotent-ingest operator as SQL. json/csv need a
+      // schema: the TARGET table's declared (manifest) schema IS the
+      // schema, so an existing table ingests them directly; only a
+      // never-committed target still fails loudly (nothing declares
+      // the shape, and inference is a full extra landing pass).
       resolve(r, "COPY INTO", strict = true).map { case (path, ident) =>
         val format = Option(fmt).map(_.toLowerCase).getOrElse("parquet")
-        require(format == "parquet" || format == "orc",
-          s"COPY INTO (SQL) supports FILEFORMAT = PARQUET | ORC, not " +
-            s"'$fmt' — json/csv require an explicit schema; use " +
-            "TxLog.copyInto(..., schema = Some(...))")
+        require(Set("parquet", "orc", "json", "csv")(format),
+          s"COPY INTO (SQL) supports FILEFORMAT = PARQUET | ORC | " +
+            s"JSON | CSV, not '$fmt'")
         GraftMaintenance("graft_copy_into",
           Seq(longAttr("version"), longAttr("files_ingested"),
             longAttr("rows_ingested")), { spark =>
-          val res = TxLog.copyInto(spark, from, path, format = format)
+          val schema =
+            if (format != "json" && format != "csv") None
+            else Some(TxLog.latestVersion(spark, path).map(v =>
+              TxLog.logicalSchemaAt(spark, path, v)).getOrElse(sys.error(
+              s"COPY INTO (SQL, $format): target $path has no committed " +
+                "schema to read the landing with — commit the table " +
+                "first, or use TxLog.copyInto(..., schema = Some(...))")))
+          val res =
+            TxLog.copyInto(spark, from, path, format = format, schema = schema)
           syncCatalog(spark, ident, path) // refresh the cached relation
           Seq(Seq(res.version, res.filesIngested, res.rowsIngested))
         })

@@ -1776,11 +1776,22 @@ object TxLog {
     * checks are the same as [[append]]'s (one write path, not two).
     * Optimistic CAS: a concurrent copy of the SAME files makes the
     * loser re-list and re-diff — each file still lands exactly once.
+    *
+    * `options` are reader format options (Delta COPY INTO's
+    * FORMAT_OPTIONS): csv defaults to `header = true` — override with
+    * `options = Map("header" -> "false")` for headerless landings
+    * (otherwise each file's first DATA row would be consumed as a
+    * header). The PERMISSIVE/corrupt-column pair is the quarantine
+    * contract and cannot be overridden. Quarantine rows are written
+    * AFTER the winning commit (tagged with the pre-commit base
+    * version), so a lost CAS retry never duplicates quarantine output
+    * and no quarantine rows exist for attempts that never committed.
     */
   def copyInto(spark: SparkSession, landingDir: String, table: String,
       format: String = "parquet", schema: Option[StructType] = None,
       quarantineDir: Option[String] = None,
-      maxAttempts: Int = 10): CopyIntoResult = {
+      maxAttempts: Int = 10,
+      options: Map[String, String] = Map.empty): CopyIntoResult = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     require(identityOf(spark, table).isEmpty,
       s"copyInto into identity-column table $table is not supported — " +
@@ -1822,47 +1833,52 @@ object TxLog {
       val raw: DataFrame = format match {
         case "parquet" =>
           val r = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-          r.parquet(paths: _*)
+          r.options(options).parquet(paths: _*)
         case "orc" =>
           val r = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-          r.orc(paths: _*)
+          r.options(options).orc(paths: _*)
         case "json" | "csv" =>
           val s = schema.getOrElse(sys.error(
             s"copyInto($format) requires an explicit schema — inference " +
               "is a full extra pass over the landing data"))
           // Ingest's PERMISSIVE quarantine contract, over the fresh
-          // file list instead of one path
-          val opts = Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> Ingest.corruptCol) ++
-            (if (format == "csv") Map("header" -> "true") else Map.empty)
+          // file list instead of one path; user options sit between
+          // the csv header default (overridable) and the quarantine
+          // pair (not)
+          val opts =
+            (if (format == "csv") Map("header" -> "true")
+             else Map.empty[String, String]) ++
+            options ++
+            Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> Ingest.corruptCol)
           spark.read.schema(Ingest.corruptible(s)).options(opts)
             .format(format).load(paths: _*)
         case other => sys.error(
           s"copyInto: unsupported landing format '$other' " +
             "(parquet, orc, json, csv)")
       }
-      val df =
-        if (!raw.columns.contains(Ingest.corruptCol)) raw
+      // corrupt rows are STAGED here and written only after the winning
+      // publish: a lost CAS retries this whole attempt, and a write
+      // here would append the same corrupt records once per attempt
+      val (df, corruptStaged): (DataFrame, Option[DataFrame]) =
+        if (!raw.columns.contains(Ingest.corruptCol)) (raw, None)
         else {
           val (valid, corrupt) = Ingest.quarantine(raw)
           quarantineDir match {
-            case Some(q) =>
-              corrupt.select(col(Ingest.corruptCol).as("raw_record"))
-                .withColumn("copy_batch_base",
-                  lit(base.getOrElse(0L)))
-                .write.mode("append").parquet(q)
+            case Some(_) => (valid, Some(corrupt))
             case None =>
               require(corrupt.isEmpty,
                 s"copyInto $table: landing contains malformed rows and no " +
                   "quarantineDir was given — refusing to drop data silently")
+              (valid, None)
           }
-          valid
         }
       val cons = constraintsOf(spark, table)
       val w = writeData(inbound(spark, table, df, cons), table,
         tablePartitionBy(spark, table))
       val txnDelta = freshFiles.map { case (p, len) =>
         (copyLedgerPrefix + p) -> len }.toMap
+      casRaceHook()
       val committed = publish(spark, table, w, parent => {
         val seen = parent.flatMap(_.txn).getOrElse(Map.empty)
         // a concurrent copy landed one of OUR files: abandon and re-diff
@@ -1870,8 +1886,15 @@ object TxLog {
             seen.contains(copyLedgerPrefix + p) }) None
         else Some(appendAttempt(table, parent, w, txnDelta, cons))
       })
-      committed.foreach(v => return CopyIntoResult(v,
-        freshFiles.size.toLong, w.stats.map(_.rows).sum))
+      committed.foreach { v =>
+        corruptStaged.foreach { corrupt =>
+          corrupt.select(col(Ingest.corruptCol).as("raw_record"))
+            .withColumn("copy_batch_base", lit(base.getOrElse(0L)))
+            .write.mode("append").parquet(quarantineDir.get)
+        }
+        return CopyIntoResult(v,
+          freshFiles.size.toLong, w.stats.map(_.rows).sum)
+      }
     }
     sys.error(s"copyInto $table lost the commit race $maxAttempts times " +
       "(pathological write contention); re-run or serialize writers")
@@ -3512,8 +3535,28 @@ object TxLog {
             .map(dv => readDvFileFs(f, base, dv)).getOrElse(Seq.empty)
           val union = (prior ++ ps).distinct.sorted
           val dvRel = s"$dataRel/_dv/${dvSidecarName(rel)}"
-          val out = f.create(new Path(base, dvRel), true)
+          // write-to-temp + rename-if-absent, never create(overwrite)
+          // at the final path: a speculative twin or zombie attempt
+          // that is still running when the winning collect() returns
+          // could otherwise TRUNCATE a published sidecar mid-rewrite
+          // and hand a post-commit reader a torn .dv file. The name is
+          // a rel-digest and the content deterministic (same snapshot,
+          // same positions, sorted), so "already exists" IS success —
+          // any attempt's file is byte-identical
+          val target = new Path(base, dvRel)
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId).getOrElse(0L)
+          val tmp = new Path(base, s"$dvRel.a$attempt.tmp")
+          val out = f.create(tmp, true)
           try out.write(encodeDv(union)) finally out.close()
+          try {
+            val fc = FileContext.getFileContext(base.toUri, confBc.value.value)
+            renameIfAbsent(fc, f, tmp, target)
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException =>
+              f.delete(tmp, false) // a twin attempt won with the same bytes
+          }
           (rel, dvRel, union.size.toLong)
         }
       }
@@ -4397,8 +4440,10 @@ object TxLog {
     */
   /** What [[vacuum]] WOULD delete, without deleting anything — the
     * Delta `VACUUM … DRY RUN` contract: the exact doomed file list
-    * (data, change-data, DV sidecars) for the operator to review
-    * before committing to an irreversible reap. Pure metadata walk.
+    * (data, change-data, DV sidecars, and the dropped versions'
+    * `.checkpoint.parquet` census dirs under `_txlog`) for the operator to
+    * review before committing to an irreversible reap. Pure metadata
+    * walk.
     */
   def vacuumDryRun(spark: SparkSession, table: String,
       keepVersions: Int): Seq[String] =
@@ -4421,9 +4466,20 @@ object TxLog {
       m.files ++ m.cdf.getOrElse(Seq.empty) ++
         m.dvs.getOrElse(Seq.empty).map(_.dv)
     val keptFiles = keep.flatMap(v => owned(readManifest(spark, t, v))).toSet
+    // each dropped version's parquet checkpoint census dir goes with it
+    // (vacuum deletes them alongside the manifests) — the dry run must
+    // report them too, or it under-reports the reap
+    val census = {
+      val f = fs(spark, t)
+      val root = f.makeQualified(t).toString
+      drop.map(censusPath(t, _)).filter(f.exists).map { p =>
+        val q = f.makeQualified(p).toString
+        if (q.startsWith(root + "/")) q.substring(root.length + 1) else q
+      }
+    }
     val doomed = drop.flatMap(v => owned(readManifest(spark, t, v)))
       .distinct.filterNot(keptFiles)
-      .filterNot(isBorrowed)
+      .filterNot(isBorrowed) ++ census
     (doomed, drop, keep)
   }
 
@@ -4432,9 +4488,13 @@ object TxLog {
     val f = fs(spark, t)
     val (doomed, drop, keep) = vacuumPlan(spark, table, keepVersions)
     doomed.foreach { rel =>
-      f.delete(new Path(t, rel), false)
-      // a reaped data file takes its bloom sidecar dir with it
-      f.delete(new Path(t, s"_bloom/$rel"), true)
+      // census dirs ride the doomed list for DRY RUN visibility but are
+      // reaped (recursively) with their manifests below
+      if (!rel.startsWith("_txlog/")) {
+        f.delete(new Path(t, rel), false)
+        // a reaped data file takes its bloom sidecar dir with it
+        f.delete(new Path(t, s"_bloom/$rel"), true)
+      }
     }
     // Chain integrity under the checkpointed log: the oldest KEPT
     // version may be a delta record chaining through versions about to

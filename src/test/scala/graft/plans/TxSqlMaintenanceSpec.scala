@@ -156,6 +156,29 @@ class TxSqlMaintenanceSpec extends SparkSpec {
       !java.nio.file.Files.exists(java.nio.file.Paths.get(path, rel))))
   }
 
+  test("DRY RUN reports dropped versions' census dirs (reap parity)") {
+    val (name, path) = freshTable()
+    spark.conf.set("spark.graft.checkpointCensus.minFiles", "1")
+    try {
+      TxLog.overwrite(Seq((0L, "s", 0)).toDF("k", "v", "n"), path)
+      // reach the 10th version, whose checkpoint writes a parquet census
+      (1 to 10).foreach(i =>
+        TxLog.append(Seq((i.toLong, s"r$i", i)).toDF("k", "v", "n"), path))
+      spark.sql(s"CREATE TABLE $name USING `graft-txlog` OPTIONS (path '$path')")
+      val censusRel = "_txlog/%020d.checkpoint.parquet".format(10)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, censusRel)), "census written at v10")
+      val dry = spark.sql(s"VACUUM $name RETAIN 1 VERSIONS DRY RUN")
+        .collect().map(_.getString(0)).toSeq
+      assert(dry.contains(censusRel),
+        s"dry run must report the doomed census dir; got ${dry.mkString(", ")}")
+      val reaped = spark.sql(s"VACUUM $name RETAIN 1 VERSIONS").head.getLong(0)
+      assert(reaped == dry.size.toLong, "the reap deletes the dry list exactly")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, censusRel)))
+    } finally spark.conf.unset("spark.graft.checkpointCensus.minFiles")
+  }
+
   test("COPY INTO ingests a landing dir idempotently from SQL") {
     val (name, path) = mk() // 4 rows
     val land = java.nio.file.Files.createTempDirectory("graft-sqlcopy").toString
@@ -167,11 +190,21 @@ class TxSqlMaintenanceSpec extends SparkSpec {
     // re-run: nothing new, nothing committed
     val r2 = spark.sql(s"COPY INTO $name FROM '$land'").collect().head
     assert(r2.getLong(1) == 0L && r2.getLong(0) == r1.getLong(0))
-    // json without a schema is a clear loud error, not silent inference
+    // json/csv read with the TARGET's declared schema; this fresh
+    // landing is parquet bytes, so every row is malformed and — with
+    // no quarantine — the run refuses loudly instead of dropping data
+    val land2 = java.nio.file.Files.createTempDirectory("graft-sqlcopy2").toString
+    Seq((12L, "z", 120)).toDF("k", "v", "n")
+      .coalesce(1).write.mode("append").parquet(land2)
     val e = intercept[Exception] {
-      spark.sql(s"COPY INTO $name FROM '$land' FILEFORMAT = JSON")
+      spark.sql(s"COPY INTO $name FROM '$land2' FILEFORMAT = JSON").collect()
     }
-    assert(e.getMessage.contains("FILEFORMAT"))
+    assert(e.getMessage.contains("malformed"))
+    // an unknown format is still a parse-time error
+    val e2 = intercept[Exception] {
+      spark.sql(s"COPY INTO $name FROM '$land' FILEFORMAT = AVRO")
+    }
+    assert(e2.getMessage.contains("FILEFORMAT"))
   }
 
   test("OPTIMIZE on an unregistered identifier fails with a clear message") {

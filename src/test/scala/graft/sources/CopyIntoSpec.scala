@@ -96,6 +96,75 @@ class CopyIntoSpec extends SparkSpec {
       .contains("not json"))
   }
 
+  test("a lost CAS retry never duplicates quarantine rows") {
+    val land = tmpDir("landing-race")
+    val t = tmpTable()
+    val q = tmpDir("quarantine-race")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(land, "a.json"),
+      """{"k": 1, "v": "ok"}
+        |broken row
+        |{"k": 2, "v": "fine"}""".stripMargin.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    // interpose a CONCURRENT copy of the same landing between caller
+    // A's staging and its publish: A loses the ledger race, retries,
+    // finds nothing fresh, and must NOT have appended quarantine rows
+    // for its abandoned attempt
+    TxLog.casRaceHook = () => {
+      TxLog.casRaceHook = () => ()
+      TxLog.copyInto(spark, land, t, format = "json",
+        schema = Some(schema), quarantineDir = Some(q))
+    }
+    try {
+      val r = TxLog.copyInto(spark, land, t, format = "json",
+        schema = Some(schema), quarantineDir = Some(q))
+      assert(r.filesIngested == 0, "the interposed copy landed the file")
+    } finally TxLog.casRaceHook = () => ()
+    assert(TxLog.read(spark, t).count() == 2L)
+    // exactly ONE quarantine record for the one corrupt row — the old
+    // pre-publish write would have appended it once per attempt
+    assert(spark.read.parquet(q).count() == 1L)
+  }
+
+  test("csv format options: headerless landings via header=false") {
+    val land = tmpDir("landing-csv")
+    val t = tmpTable()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(land, "a.csv"),
+      "1,alpha\n2,beta\n3,gamma\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val r = TxLog.copyInto(spark, land, t, format = "csv",
+      schema = Some(schema), options = Map("header" -> "false"))
+    // with the header=true default the first DATA row would be eaten
+    assert(r.rowsIngested == 3)
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+  }
+
+  test("SQL COPY INTO csv/json reads with the target table's schema") {
+    val t = tmpTable()
+    Seq((1L, "seed")).toDF("k", "v").write.format("graft-txlog").save(t)
+    spark.sql(s"CREATE TABLE copy_sql_csv USING `graft-txlog` " +
+      s"OPTIONS (path '$t')")
+    try {
+      val land = tmpDir("landing-sqlcsv")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(land, "a.csv"),
+        "k,v\n2,two\n3,three\n".getBytes("UTF-8"))
+      val res = spark.sql(
+        s"COPY INTO copy_sql_csv FROM '$land' FILEFORMAT = CSV").collect()
+      assert(res.head.getLong(1) == 1L) // files_ingested
+      assert(res.head.getLong(2) == 2L) // rows_ingested
+      assert(spark.table("copy_sql_csv").count() == 3L)
+      // idempotent re-run through SQL too
+      val res2 = spark.sql(
+        s"COPY INTO copy_sql_csv FROM '$land' FILEFORMAT = CSV").collect()
+      assert(res2.head.getLong(1) == 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS copy_sql_csv")
+  }
+
   test("constraints and schema drift guard the copy like any append") {
     val land = tmpDir("landing-cons")
     val t = tmpTable()
