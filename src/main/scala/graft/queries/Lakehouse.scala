@@ -1100,6 +1100,55 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q138_tx_readd" -> ((s, dir) => {
+      // Column re-add after drop under the oracle gate (TxLog.addColumns
+      // name-mapping scaladoc): even-key orders published WITH an o_flag
+      // column (o_orderkey % 5), the column dropped (metadata-only),
+      // then RE-ADDED under the same name — a fresh physical binding
+      // (o_flag__2) through the rename map — and the odd-key half
+      // appended carrying o_flag = o_orderkey % 3. flag_sum hash-proves
+      // the mapping both ways: a resurrected pre-drop %5 value or a
+      // lost %3 value shifts the sum; the oracle models the re-added
+      // column as NULL over every pre-add row.
+      val t = tmpTable("tx-q138")
+      val o = Tables.orders(s, dir)
+      TxLog.overwrite(o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_flag", col("o_orderkey") % 5), t)
+      TxLog.dropColumn(s, t, "o_flag")
+      TxLog.addColumns(s, t, Seq(
+        org.apache.spark.sql.types.StructField("o_flag",
+          org.apache.spark.sql.types.LongType)))
+      TxLog.append(o.filter(col("o_orderkey") % 2 =!= 0)
+        .withColumn("o_flag", col("o_orderkey") % 3), t)
+      TxLog.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_flag")).as("flag_sum"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
+    "q139_tx_dfp_wide" -> ((s, dir) => {
+      // q134's dynamic file pruning with a dim whose key set EXCEEDS
+      // the literal-IN cap (1101 distinct c_custkey at sf0.01 vs
+      // maxKeys = 1000): the rule's summary tier injects ONE InSet
+      // node instead of backing off, and file pruning runs the
+      // one-sort window prune (TxLog.pruneByValueSet) against the
+      // manifest stats — the 100 TB star shape where a 10⁴–10⁵-key
+      // dim must still prune. Hash equality with DuckDB's full-scan
+      // join proves the set-summary path loses no qualifying row.
+      val t = tmpTable("tx-q139")
+      TxLog.overwrite(
+        Tables.orders(s, dir).repartitionByRange(8, col("o_custkey")), t)
+      val fact = s.read.format("graft-txlog").load(t)
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_custkey").between(100, 1200))
+        .select("c_custkey")
+      fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q109_tx_sql_skipping" -> ((s, dir) => {
       // The AUTOMATIC file-skipping path under the oracle gate
       // (TxLogRelation.buildScan): orders published range-clustered by
@@ -1586,6 +1635,19 @@ object Lakehouse {
         |WHERE o_custkey IN (
         |  SELECT c_custkey FROM customer
         |  WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 400)
+        |GROUP BY 1""".stripMargin,
+
+    "q138_tx_readd" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN o_orderkey % 2 <> 0 THEN o_orderkey % 3 END) AS BIGINT) AS flag_sum,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q139_tx_dfp_wide" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey BETWEEN 100 AND 1200
         |GROUP BY 1""".stripMargin,
 
     "q136_tx_purge" ->

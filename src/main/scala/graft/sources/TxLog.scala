@@ -1973,7 +1973,8 @@ object TxLog {
     * CHECK-constraint references — same rule as [[dropColumn]]); the
     * bloom index needs no release (it is physical-keyed and probes
     * translate). The new name must not collide with any current
-    * logical name or dropped-name tombstone.
+    * logical name; a dropped-name tombstone MAY be reused (the retired
+    * physical stays unprojected, so old values cannot resurface).
     */
   def renameColumn(spark: SparkSession, table: String,
       from: String, to: String): Long = {
@@ -1987,10 +1988,10 @@ object TxLog {
           s"table $table has no column '$from' (schema: ${ls.fieldNames.mkString(", ")})")
         require(!ls.fieldNames.contains(to),
           s"table $table already has a column '$to'")
-        require(!m.dropped.getOrElse(Seq.empty)
-            .exists(_.equalsIgnoreCase(to)),
-          s"'$to' is a dropped-column tombstone of $table — old files " +
-            "still hold values under that name; pick another")
+        // renaming TO a dropped-column tombstone is safe under column
+        // mapping: the retired PHYSICAL name stays out of the schema,
+        // so no read ever projects the old files' values — the new
+        // logical label binds to `from`'s physical column only
         val lc = from.toLowerCase
         require(!m.partitionBy.getOrElse(Seq.empty).contains(from),
           s"'$from' is a partition column of $table — re-partition first")
@@ -2032,10 +2033,13 @@ object TxLog {
     * ever projects them. At 100 TB this is the difference between a
     * catalog edit and rewriting the table.
     *
-    * The dropped NAME is tombstoned: re-adding it via schema evolution
-    * is refused (old files still hold values under that name — without
-    * column mapping, re-adding would resurrect them as the new
-    * column's history; the public Delta caveat, enforced loudly).
+    * The dropped NAME is tombstoned: WRITE-side schema evolution
+    * (append(mergeSchema), merge WITH SCHEMA EVOLUTION) refuses to
+    * re-introduce it — those paths bind incoming columns by name, and
+    * old files still hold values under that name. [[addColumns]] (and
+    * SQL `ALTER TABLE … ADD COLUMN`) CAN re-add it: the explicit DDL
+    * assigns a fresh physical binding through the rename map, so the
+    * old values stay invisible (see addColumns).
     * Columns load-bearing elsewhere must be released first: partition
     * layout, generated-column declarations/sources, CHECK-constraint
     * references, and the bloom index (auto-dropped from the property).
@@ -2046,11 +2050,17 @@ object TxLog {
     * null-fills it (the standard parquet missing-column semantics the
     * mergeSchema append already relies on). New fields must be nullable
     * (there is no value to backfill) and must not collide with a live
-    * logical or physical name. A name retired by [[dropColumn]] cannot
-    * be re-added: the physical column may still exist inside old files
-    * with pre-drop values, which a re-add would silently resurrect —
-    * pick a fresh name (the fail-loud stance; Delta solves this with
-    * column-mapping ids).
+    * logical or physical name.
+    *
+    * A name retired by [[dropColumn]] CAN be re-added: it comes back
+    * under a FRESH PHYSICAL binding (`name__N`, the first free slot)
+    * plus a rename-map entry physical → logical — the same
+    * column-mapping machinery [[renameColumn]] uses (Delta's
+    * name-mapping move, ids by another spelling). Old files still hold
+    * bytes under the RETIRED physical name, which no read ever
+    * projects again — the re-added column null-fills over every
+    * pre-add file, while time travel to a pre-drop version still sees
+    * the original values through that version's own schema.
     */
   def addColumns(spark: SparkSession, table: String,
       cols: Seq[StructField]): Long = {
@@ -2068,18 +2078,33 @@ object TxLog {
       cols.foreach { f =>
         val lc = f.name.toLowerCase
         require(!taken(lc), s"table $table already has a column '${f.name}'")
-        require(!dead(lc), s"'${f.name}' was previously dropped from " +
-          s"$table - old files may still hold its pre-drop values; " +
-          "use a fresh name")
       }
       require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
         "duplicate names in the added column list")
+      // tombstoned names re-add under a fresh physical binding; `used`
+      // covers every name any live-readable file can carry (current
+      // physicals+logicals, plus every retired physical — renames never
+      // change a physical, so no other column name exists on disk)
+      val used = scala.collection.mutable.Set.empty[String] ++ taken ++ dead
+      val mapped: Seq[(StructField, Option[String])] = cols.map { f =>
+        if (!dead(f.name.toLowerCase)) { used += f.name.toLowerCase; (f, None) }
+        else {
+          var i = 2
+          while (used.contains(s"${f.name.toLowerCase}__$i")) i += 1
+          val p = s"${f.name}__$i"
+          used += p.toLowerCase
+          (f.copy(name = p), Some(f.name))
+        }
+      }
       val widened = StructType(schema.fields ++
-        cols.map(f => f.copy(nullable = true, metadata = Metadata.empty)))
+        mapped.map(_._1).map(f => f.copy(nullable = true, metadata = Metadata.empty)))
+      val remaps = mapped.collect { case (pf, Some(logical)) => pf.name -> logical }
       Some(Attempt("add_columns", m.files, m.stats.getOrElse(Seq.empty),
         m.txn.getOrElse(Map.empty),
         schemaJson = Some(asNullable(widened).json),
-        constraints = m.constraints.getOrElse(Map.empty)))
+        constraints = m.constraints.getOrElse(Map.empty),
+        renames =
+          if (remaps.isEmpty) None else Some(renamesOfM(m) ++ remaps)))
     }).get
   }
 
@@ -2829,6 +2854,7 @@ object TxLog {
     // holding k partitions' rows emits k files — packing quality is
     // per-task, the manifest semantics are exact either way
     val w = writeData(packed, table, m.partitionBy.getOrElse(Seq.empty))
+    casRaceHook()
     publish(spark, table, w, parent => {
       val pf = parent.map(_.files).getOrElse(Seq.empty)
       if (!smallSet.subsetOf(pf.toSet))
@@ -2957,6 +2983,7 @@ object TxLog {
     val (clustered, _) = Layout.zOrderedN(
       readLive(spark, t, m, candidates), cols, numFiles, curve)
     val w = writeData(clustered, table, m.partitionBy.getOrElse(Seq.empty))
+    casRaceHook()
     publish(spark, table, w, parent => {
       val pf = parent.map(_.files).getOrElse(Seq.empty)
       if (!candSet.subsetOf(pf.toSet))

@@ -140,6 +140,35 @@ class ConflictRebaseSpec extends SparkSpec {
       "every concurrent append survived")
   }
 
+  rtest("append racing an OPTIMIZE: both land, the compaction never recomputes") {
+    val t = tmpTable()
+    publish100(t)
+    TxLog.append(Seq((200L, "frag", 5)).toDF("k", "v", "g"), t) // fragment
+    val planned = TxLog.manifest(spark, t).files.size
+    once { TxLog.append(Seq((800L, "racer", 9)).toDF("k", "v", "g"), t) }
+    // compact's compose recomposes onto the append's manifest inside the
+    // SAME publish — data written once, no retry loop to re-enter
+    val v = TxLog.compact(spark, t)
+    val m = TxLog.manifest(spark, t)
+    assert(m.version == v && m.action == "compact")
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 102, "compacted rows + both appends survive")
+    assert(got.exists(_._1 == 800L), "the racing append's row survived")
+    assert(m.files.size < planned, "the compaction actually packed files")
+  }
+
+  rtest("append racing OPTIMIZE ZORDER: both land with one compute each") {
+    val t = tmpTable()
+    publish100(t)
+    once { TxLog.append(Seq((900L, "racer", 3)).toDF("k", "v", "g"), t) }
+    val v = TxLog.zorderOptimize(spark, t, "k", "g", numFiles = 2)
+    val m = TxLog.manifest(spark, t)
+    assert(m.version == v && m.action == "zorder")
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 101)
+    assert(got.exists(_._1 == 900L), "the racing append's row survived")
+  }
+
   rtest("a concurrent addConstraint aborts the rebase (metadata conflict)") {
     val t = tmpTable()
     publish100(t)

@@ -48,6 +48,47 @@ class DropColumnSpec extends SparkSpec {
     assert(TxLog.read(spark, t).schema.fieldNames.toSeq == Seq("k", "v", "y"))
   }
 
+  test("ADD COLUMN re-adds a dropped name under a fresh physical binding") {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "x"), t)
+    val wide = TxLog.latestVersion(spark, t).get
+    TxLog.dropColumn(spark, t, "x")
+    // re-add the SAME name: metadata-only, old values must NOT resurface
+    TxLog.addColumns(spark, t, Seq(StructField("x", IntegerType)))
+    val got = TxLog.read(spark, t)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "x"))
+    assert(got.select("x").collect().forall(_.isNullAt(0)),
+      "pre-drop values must stay invisible under the re-added name")
+    // new writes land under the fresh binding and read back
+    TxLog.append(Seq((3L, "c", 33)).toDF("k", "v", "x"), t)
+    assert(TxLog.read(spark, t).as[(Long, String, Option[Int])]
+      .collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(33))))
+    // time travel to the pre-drop version still sees the ORIGINAL values
+    assert(TxLog.readAsOf(spark, t, wide).as[(Long, String, Int)]
+      .collect().toSet == Set((1L, "a", 10), (2L, "b", 20)))
+    // the binding is genuinely fresh: physical x__2 aliased to logical x
+    val m = TxLog.manifest(spark, t)
+    assert(m.renames.getOrElse(Map.empty).get("x__2").contains("x"))
+    // drop the re-add and re-add AGAIN: the next free slot binds
+    TxLog.dropColumn(spark, t, "x")
+    TxLog.addColumns(spark, t, Seq(StructField("x", IntegerType)))
+    assert(TxLog.read(spark, t).select("x").collect().forall(_.isNullAt(0)))
+    assert(TxLog.manifest(spark, t).renames.getOrElse(Map.empty)
+      .get("x__3").contains("x"))
+  }
+
+  test("rename TO a dropped name binds the new label, nothing resurrects") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a", 10)).toDF("k", "v", "x"), t)
+    TxLog.dropColumn(spark, t, "x")
+    TxLog.renameColumn(spark, t, "v", "x")
+    val got = TxLog.read(spark, t)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "x"))
+    assert(got.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("load-bearing columns must be released first") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1L, "a", 10, 20)).toDF("k", "v", "x", "x2"), t,
