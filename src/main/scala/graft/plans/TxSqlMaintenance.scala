@@ -33,6 +33,7 @@ import graft.sources.TxLog
   *   CREATE TABLE dst SHALLOW CLONE src       -- zero-copy metadata fork
   *   ALTER TABLE t ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
   *   ALTER TABLE t CLUSTER BY (a, b) / CLUSTER BY NONE
+  *   ALTER TABLE t ALTER COLUMN c TYPE dt     -- metadata-only widening
   * }}}
   *
   * Mechanism: [[GraftSqlParser]] is injected via
@@ -111,6 +112,8 @@ object GraftSqlParser {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+DROP\\s+COLUMN\\s+$ident\\s*$$""".r
   private val renameColRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+RENAME\\s+COLUMN\\s+$ident\\s+TO\\s+$ident\\s*$$""".r
+  private val alterColTypeRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+$ident\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+(.+?)\\s*$$""".r
   private val addConstraintRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+ADD\\s+CONSTRAINT\\s+$ident\\s+CHECK\\s*\\((.*)\\)\\s*$$""".r
   private val dropConstraintRe =
@@ -356,6 +359,18 @@ object GraftSqlParser {
           TxLog.dropColumn(spark, path, column)
           syncCatalog(spark, ident, path)
           Nil
+        })
+      }
+    case alterColTypeRe(r, c, ty) =>
+      // metadata-only type widening — parse the DDL type eagerly so an
+      // unparseable type fails at the statement, not inside the commit
+      resolve(r, "ALTER TABLE", strict = false).map { case (path, ident) =>
+        val column = unquote(c)
+        val to = org.apache.spark.sql.types.DataType.fromDDL(ty.trim)
+        GraftMaintenance("graft_alter_column", Seq(longAttr("version")), { spark =>
+          val v = TxLog.alterColumnType(spark, path, column, to)
+          syncCatalog(spark, ident, path)
+          Seq(Seq(v))
         })
       }
     case cloneRe(dst, src) =>

@@ -1149,6 +1149,31 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q140_tx_widen" -> ((s, dir) => {
+      // Metadata-only TYPE WIDENING under the oracle gate
+      // (TxLog.alterColumnType scaladoc): even-key orders published
+      // with o_key32 = CAST(o_orderkey AS INT) — int32 pages on disk —
+      // the column widened int→long (a catalog edit, zero files
+      // rewritten), then the odd-key half appended carrying
+      // o_key32 = o_orderkey + 3·10⁹, values only a LONG can hold.
+      // key_sum hash-proves the scan-time promotion is value-exact on
+      // every pre-widen file while post-widen rows land wide; the
+      // oracle models the final column as one BIGINT expression.
+      val t = tmpTable("tx-q140")
+      val o = Tables.orders(s, dir)
+      TxLog.overwrite(o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_key32", col("o_orderkey").cast("int")), t)
+      TxLog.alterColumnType(s, t, "o_key32",
+        org.apache.spark.sql.types.LongType)
+      TxLog.append(o.filter(col("o_orderkey") % 2 =!= 0)
+        .withColumn("o_key32", col("o_orderkey") + lit(3000000000L)), t)
+      TxLog.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_key32")).as("key_sum"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q109_tx_sql_skipping" -> ((s, dir) => {
       // The AUTOMATIC file-skipping path under the oracle gate
       // (TxLogRelation.buildScan): orders published range-clustered by
@@ -1649,6 +1674,13 @@ object Lakehouse {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_custkey BETWEEN 100 AND 1200
         |GROUP BY 1""".stripMargin,
+
+    "q140_tx_widen" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey
+        |   ELSE o_orderkey + 3000000000 END) AS BIGINT) AS key_sum,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q136_tx_purge" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -1636,7 +1636,8 @@ object TxLog {
       return appendWithIdentity(df, table, mergeSchema)
     }
     val cons = constraintsOf(spark, table)
-    val w = writeData(inbound(spark, table, df, cons), table,
+    val w = writeData(
+      inbound(spark, table, upcastToTable(spark, table, df), cons), table,
       tablePartitionBy(spark, table))
     publish(spark, table, w, parent =>
       Some(appendAttempt(table, parent, w, Map.empty, cons, mergeSchema))).get
@@ -1659,7 +1660,8 @@ object TxLog {
       val schema = logicalSchema(m)
       val cons = m.constraints.getOrElse(Map.empty)
       val w = writeData(
-        inbound(spark, table, assignIdentity(df, idMap, schema), cons),
+        inbound(spark, table,
+          assignIdentity(upcastToTable(spark, table, df), idMap, schema), cons),
         table, tablePartitionBy(spark, table))
       val n = w.stats.map(_.rows).sum
       val committed = publish(spark, table, w, parent => {
@@ -1720,7 +1722,8 @@ object TxLog {
       .flatMap(_.txn.getOrElse(Map.empty).get(appId)).exists(_ >= batchId)
     if (done) return None
     val cons = constraintsOf(spark, table)
-    val w = writeData(inbound(spark, table, df, cons), table,
+    val w = writeData(
+      inbound(spark, table, upcastToTable(spark, table, df), cons), table,
       tablePartitionBy(spark, table))
     publish(spark, table, w, parent => {
       val seen = parent.flatMap(_.txn).getOrElse(Map.empty)
@@ -2148,6 +2151,140 @@ object TxLog {
         dropped = Some((m.dropped.getOrElse(Seq.empty) :+ p :+ column)
           .distinct),
         renames = Some(renamesOfM(m) - p)))
+    }).get
+  }
+
+  /** The lossless type widenings Spark 4's parquet readers perform
+    * NATIVELY on narrower physical pages (each pair verified
+    * empirically in TypeWideningSpec — the reader matrix, not a wish
+    * list): integral up-casts, byte/short/int→double, float→double,
+    * int/long→decimal with enough integer digits, and decimal→decimal
+    * growing both the integer-digit budget and the scale. Everything
+    * else (long→double loses precision beyond 2⁵³; byte/short→decimal
+    * the reader refuses; any narrowing or cross-family change) is NOT
+    * widenable — [[alterColumnType]] refuses it and a rewrite through
+    * overwrite is the honest path.
+    */
+  private[graft] def canWiden(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision - t.scale >= f.precision - f.scale &&
+          t.scale >= f.scale && (t.precision, t.scale) != (f.precision, f.scale)
+      case _ => false
+    }
+
+  /** Write-head schema-enforcement upcast (the Delta stance): frame
+    * columns whose type widens LOSSLESSLY into the table's declared
+    * type ([[canWiden]]) are cast up before writing, so after
+    * `alterColumnType(int→long)` an existing int-producing pipeline
+    * keeps appending — and every file lands with the TABLE's type,
+    * keeping new stats and bloom sidecars type-consistent. Anything
+    * outside the widening matrix is left for the schema check to
+    * refuse loudly.
+    */
+  private def upcastToTable(spark: SparkSession, table: String,
+      df: DataFrame): DataFrame = {
+    if (latestVersion(spark, table).isEmpty) return df
+    val byName = logicalSchema(manifest(spark, table)).fields
+      .map(f => f.name -> f.dataType).toMap
+    val needs = df.schema.fields.exists(f =>
+      byName.get(f.name).exists(t => t != f.dataType && canWiden(f.dataType, t)))
+    if (!needs) df
+    else df.select(df.schema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some(t) if t != f.dataType && canWiden(f.dataType, t) =>
+          col(quoted(f.name)).cast(t).as(f.name)
+        case _ => col(quoted(f.name))
+      }
+    }: _*)
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t` as a METADATA-ONLY commit
+    * (the Delta type-widening capability): the manifest schema's field
+    * widens to `to` and READS promote old files' narrower physical
+    * values at scan time — Spark 4's parquet readers perform the
+    * widening conversions natively (int32 pages surface as
+    * long/double/decimal, float as double; filter pushdown included).
+    * No file is rewritten: at 100 TB an int→long key migration is a
+    * catalog edit, not a table rewrite. Only the widenings the readers
+    * actually support are accepted ([[canWiden]]); narrowing or
+    * cross-family changes are refused loudly.
+    *
+    * Metadata fallout, settled here rather than discovered later:
+    *  - per-file STATS stay valid for integral/decimal/→double
+    *    widenings (both sides of the stats compare parse through
+    *    BigDecimal, and the narrow values are exactly representable in
+    *    the wide domain) and are STRIPPED for float→double — a float's
+    *    shortest-repr render re-parsed as double can land on the wrong
+    *    side of the true widened value, and pruning never bets on a
+    *    maybe (skipping degrades for that column; answers stay exact);
+    *  - a BLOOM index on the column is SHED: sidecar hashes are typed,
+    *    so a wide-typed probe cannot find the narrow-hashed entries —
+    *    re-declare the index to rebuild on future writes;
+    *  - appends UPCAST matching narrower frames at the write head
+    *    ([[upcastToTable]]), so existing pipelines keep working and new
+    *    files always land wide;
+    *  - time travel and the change feed read each version under its
+    *    own schema (the feed's union coerces across the change);
+    *  - load-bearing declarations must be released first (partition
+    *    layout, identity, generated target/source, CHECK references) —
+    *    their expressions were validated under the old type.
+    */
+  def alterColumnType(spark: SparkSession, table: String, column: String,
+      to: DataType): Long = {
+    val m0 = manifest(spark, table)
+    require(logicalSchema(m0).fieldNames.contains(column),
+      s"table $table has no column '$column' (schema: ${logicalSchema(m0).fieldNames.mkString(", ")})")
+    publish(spark, table, writeNothing(spark, table, m0.schemaJson), parent => {
+      val m = parent.getOrElse(sys.error(s"table $table lost its versions"))
+      val ls = logicalSchema(m)
+      require(ls.fieldNames.contains(column),
+        s"column '$column' vanished from $table concurrently")
+      val from = ls(column).dataType
+      require(from != to,
+        s"column '$column' of $table already has type ${to.simpleString}")
+      require(canWiden(from, to),
+        s"cannot alter '$column' from ${from.simpleString} to " +
+          s"${to.simpleString}: only lossless widenings the parquet " +
+          "readers support are metadata-only (byte→short/int/long/double, " +
+          "short→int/long/double, int→long/double/decimal(≥10 int digits), " +
+          "long→decimal(≥20), float→double, decimal→wider decimal); " +
+          "rewrite through overwrite for anything else")
+      val lc = column.toLowerCase
+      require(!m.partitionBy.getOrElse(Seq.empty).contains(column),
+        s"'$column' is a partition column of $table — re-partition first")
+      require(!m.identity.getOrElse(Map.empty).contains(column),
+        s"'$column' is an identity column — its allocation arithmetic " +
+          "is fixed at long")
+      val gen = m.generated.getOrElse(Map.empty)
+      require(!gen.contains(column),
+        s"'$column' is a generated column — drop that declaration first")
+      gen.foreach { case (c, sql) => require(!referencesOf(sql).contains(lc),
+        s"generated column '$c' derives from '$column' — its expression " +
+          s"was validated under ${from.simpleString}; drop it first") }
+      m.constraints.getOrElse(Map.empty).foreach { case (n, sql) =>
+        require(!referencesOf(sql).contains(lc),
+          s"CHECK constraint '$n' references '$column' — drop it first") }
+      val p = physOf(m, column)
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      val widened = StructType(schema.fields.map(f =>
+        if (f.name == p) f.copy(dataType = to) else f))
+      val stats0 = m.stats.getOrElse(Seq.empty)
+      val stats =
+        if (from == FloatType) stats0.map(e => e.copy(stats = e.stats - p))
+        else stats0
+      Some(Attempt("alter_column", m.files, stats,
+        m.txn.getOrElse(Map.empty),
+        schemaJson = Some(widened.json),
+        constraints = m.constraints.getOrElse(Map.empty),
+        bloomIndex = Some(m.bloomIndex.getOrElse(Seq.empty)
+          .filterNot(_ == p))))
     }).get
   }
 
@@ -3779,17 +3916,25 @@ object TxLog {
       sinceVersion: Long): DataFrame = {
     val t = new Path(table)
     val from = readManifest(spark, t, sinceVersion)
-    val later = versions(spark, table).filter(_ > sinceVersion)
+    val later = versions(spark, table).filter(_ > sinceVersion).sorted
       .map(readManifest(spark, t, _))
-    later.filterNot(_.action == "append").foreach(m =>
-      sys.error(s"readAppendsSince($sinceVersion): version ${m.version} is " +
-        s"'${m.action}', not an append — the file-set diff is only a row " +
-        "diff across append-only history; re-baseline from a snapshot read"))
+    // per-version walk, not an endpoints diff: a row-preserving rewrite
+    // in the range (OPTIMIZE, REORG PURGE) introduces files that are
+    // NOT new rows — attribute each file to the commit that added it
+    // and take only the append versions' additions
+    var prev = from.files.toSet
+    val added = Seq.newBuilder[String]
+    later.foreach { m =>
+      if (m.action == "append") added ++= m.files.filterNot(prev)
+      else if (!rowPreservingActions(m.action))
+        sys.error(s"readAppendsSince($sinceVersion): version ${m.version} " +
+          s"is '${m.action}', not an append — its rewrites change the row " +
+          "set; re-baseline from a snapshot read")
+      prev = m.files.toSet
+    }
     later.lastOption match {
       case None => aliasLogical(toDf(spark, t, from.schemaJson, Seq.empty), from)
-      case Some(to) =>
-        val base = from.files.toSet
-        aliasLogical(toDf(spark, t, to.schemaJson, to.files.filterNot(base)), to)
+      case Some(to) => aliasLogical(toDf(spark, t, to.schemaJson, added.result()), to)
     }
   }
 
@@ -3902,6 +4047,25 @@ object TxLog {
           properties = Some(m.properties.getOrElse(Map.empty) - key)))
       }).get
 
+  /** Commits whose LIVE row set is provably identical to their
+    * parent's (Delta's `dataChange = false` class): bin-packing /
+    * clustering rewrites, DV materialization (those rows died in an
+    * earlier commit that recorded its own changes), and every
+    * metadata-only schema / property / constraint change. The change
+    * feed emits nothing for them and the streaming source skips them
+    * WITHOUT `ignoreChanges` — a nightly OPTIMIZE must never kill the
+    * table's streaming consumers or force them onto the
+    * skip-real-changes escape hatch.
+    */
+  private[graft] val rowPreservingActions: Set[String] = Set(
+    "compact", "zorder", "purge",
+    "addConstraint", "dropConstraint",
+    "set_bloom_index", "drop_bloom_index",
+    "set_generated", "drop_generated",
+    "set_identity", "drop_identity",
+    "drop_column", "rename_column", "add_columns", "alter_column",
+    "set_property", "unset_property")
+
   /** Row-level change data feed (the public Delta CDF shape): every
     * change committed in `(sinceVersion, untilVersion]`, as table rows
     * plus `_change_type` (`insert` / `delete` / `update_preimage` /
@@ -3942,15 +4106,11 @@ object TxLog {
           val schema = logicalSchema(m).add("_change_type", StringType)
           Some(spark.read.schema(schema)
             .parquet(cdfFiles.map(new Path(t, _).toString): _*))
-        // row-preserving commits (OPTIMIZE bin-packing/z-order,
-        // constraint / property / schema-metadata changes) have a
-        // provably EMPTY row-change set — the feed skips them without
+        // row-preserving commits (OPTIMIZE bin-packing/z-order, REORG
+        // PURGE, constraint / property / schema-metadata changes) have
+        // a provably EMPTY row-change set — the feed skips them without
         // needing anything recorded (Delta's dataChange=false files)
-        case ("compact" | "zorder" | "addConstraint" | "dropConstraint"
-            | "set_bloom_index" | "drop_bloom_index" | "set_generated"
-            | "drop_generated" | "set_identity" | "drop_identity"
-            | "drop_column" | "rename_column"
-            | "set_property" | "unset_property", None) => None
+        case (a, None) if rowPreservingActions(a) => None
         case (_, None) if skipUnrecorded => None
         case (other, None) => sys.error(
           s"readChangeFeed: version $v is '$other' with no recorded change " +
@@ -4375,7 +4535,12 @@ object TxLog {
       val version = parent.map(_.version).getOrElse(0L) + 1
       val m = Manifest(version, att.action, att.files,
         att.schemaJson.getOrElse(w.schemaJson),
-        System.currentTimeMillis(),
+        // in-commit timestamps are MONOTONIC per table (the Delta ICT
+        // guarantee): a clock-skewed writer can never stamp a child at
+        // or before its parent, so TIMESTAMP AS OF / RETAIN n HOURS
+        // always resolve consistently with the commit order
+        math.max(System.currentTimeMillis(),
+          parent.map(_.tsMillis + 1).getOrElse(0L)),
         stats = Some(att.stats).filter(_.nonEmpty),
         txn = Some(att.txn).filter(_.nonEmpty),
         cdf = Some(att.cdf).filter(_.nonEmpty),

@@ -483,11 +483,15 @@ private[streaming] class TxLogSource(spark: SparkSession, table: String,
       val m = TxLog.manifestAt(spark, table, v)
       val cur = m.files.toSet
       if (m.action == "append") out ++= m.files.filterNot(prev)
-      else if (!ignoreChanges) sys.error(
-        s"graft-txlog stream on $table: version $v is '${m.action}', not an " +
-          "append - its rewrites would re-emit old rows as phantom inserts; " +
-          "restart from a fresh checkpoint to re-snapshot, or set " +
-          ".option(\"ignoreChanges\", \"true\") to skip non-append commits")
+      // row-preserving commits (OPTIMIZE, REORG PURGE, metadata-only
+      // DDL — Delta's dataChange=false class) emit nothing and need no
+      // escape hatch: a nightly compaction must never kill the stream
+      else if (!TxLog.rowPreservingActions(m.action) && !ignoreChanges)
+        sys.error(
+          s"graft-txlog stream on $table: version $v is '${m.action}', not " +
+            "an append - its rewrites would re-emit old rows as phantom " +
+            "inserts; restart from a fresh checkpoint to re-snapshot, or " +
+            "set .option(\"ignoreChanges\", \"true\") to skip them")
       prev = cur
     }
     out.result()

@@ -51,4 +51,30 @@ class TableDetailSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no version committed at or before"))
   }
+
+  test("in-commit timestamps stay monotonic under writer clock skew") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    val v1 = TxLog.manifest(spark, t).version
+    // fabricate a clock-skewed predecessor: stamp v1 an hour in the
+    // future by editing its log record in place (what a fast-clocked
+    // writer on another host would have committed)
+    val future = System.currentTimeMillis() + 3600L * 1000
+    val p = java.nio.file.Paths.get(t, "_txlog", "%020d.json".format(v1))
+    val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    java.nio.file.Files.write(p, raw.replaceFirst(
+      "\"tsMillis\":\\d+", "\"tsMillis\":" + future).getBytes("UTF-8"))
+    TxLog.clearSnapshotCache() // the memo holds the pre-edit stamp
+    assert(TxLog.manifest(spark, t).tsMillis == future)
+    // the next commit must stamp STRICTLY AFTER its parent, however
+    // slow this host's clock — TIMESTAMP AS OF resolves in commit order
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+    val m2 = TxLog.manifest(spark, t)
+    assert(m2.tsMillis == future + 1,
+      "child clamps to parent+1 when the local clock lags the parent")
+    assert(TxLog.readAsOfTimestamp(spark, t, future)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(TxLog.readAsOfTimestamp(spark, t, future + 1)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
 }

@@ -71,6 +71,29 @@ class TxLogStreamSpec extends SparkSpec {
       feed.inputFiles.length < TxLog.read(spark, t).inputFiles.length)
   }
 
+  test("row-preserving commits never interrupt the stream (dataChange=false)") {
+    val t = tmp("txstream-optimize")
+    val cp = Files.createTempDirectory("txstream-opt-cp").toString
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    drain(t, cp) // consume the snapshot
+    // fragment, then a nightly OPTIMIZE plus metadata DDL land between
+    // the stream's reads — none of them carries a row change
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+    TxLog.compact(spark, t)
+    TxLog.setProperty(spark, t, "graft.note", "x")
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+    TxLog.addColumns(spark, t, Seq(org.apache.spark.sql.types.StructField(
+      "extra", org.apache.spark.sql.types.LongType)))
+    val got = drain(t, cp) // NO ignoreChanges — must not fail
+    assert(got.map(_._2).fold(Set.empty[(Long, String)])(_ ++ _) ==
+      Set((2L, "b"), (3L, "c")),
+      s"only the appended rows, no phantom re-emits from the rewrite: $got")
+    // the batch-side spelling walks the same per-version attribution
+    val sinceAll = TxLog.readAppendsSince(spark, t, 1L)
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(sinceAll == Set((2L, "b"), (3L, "c")))
+  }
+
   test("a non-append commit fails the stream; ignoreChanges skips it") {
     import org.apache.spark.sql.functions.col
     val t = tmp("txstream-rewrite")
