@@ -82,6 +82,27 @@ class TxLogSpec extends SparkSpec {
       Seq((9L, "z")))
   }
 
+  test("vacuum reaps on executors above the distribute threshold") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v").repartitionByRange(4, col("k")), t)
+    TxLog.setBloomIndex(spark, t, Seq("k")) // sidecars must go with files
+    TxLog.overwrite(Seq((9L, "z")).toDF("k", "v"), t)
+    val saved = TxLog.vacuumDistributeThreshold
+    TxLog.vacuumDistributeThreshold = 1 // force the distributed path
+    try {
+      val deleted = TxLog.vacuum(spark, t, keepVersions = 1)
+      assert(deleted.count(!_.startsWith("_txlog/")) >= 4)
+      val f = new java.io.File(t)
+      deleted.foreach(rel => assert(!new java.io.File(f, rel).exists(), rel))
+      deleted.filterNot(_.startsWith("_txlog/")).foreach(rel =>
+        assert(!new java.io.File(f, s"_bloom/$rel").exists(), s"_bloom/$rel"))
+      assert(TxLog.read(spark, t).as[(Long, String)].collect().toSeq ==
+        Seq((9L, "z")))
+    } finally TxLog.vacuumDistributeThreshold = saved
+  }
+
   test("vacuum keeps files shared between dropped and kept versions") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t) // v1
