@@ -23,6 +23,7 @@ import graft.sources.TxLog
   *   VACUUM t RETAIN n VERSIONS [DRY RUN] / RETAIN n HOURS
   *   RESTORE [TABLE] t TO VERSION AS OF v / TO TIMESTAMP AS OF 'ts'
   *   OPTIMIZE t WHERE p = v                   -- partition-scoped compact
+  *   OPTIMIZE t WHERE p = v ZORDER BY (a, b)  -- partition-scoped recluster
   *   DESCRIBE HISTORY t        / DESC HISTORY t
   *   DESCRIBE DETAIL t         / DESC DETAIL t
   *   ALTER TABLE t DROP COLUMN c              -- v1 analyzer would reject
@@ -94,6 +95,8 @@ object GraftSqlParser {
     s"""(?is)^\\s*OPTIMIZE\\s+$ref\\s+WHERE\\s+$ident\\s*=\\s*('[^']*'|[\\w.\\-]+)\\s*$$""".r
   private val optimizeByRe =
     s"""(?is)^\\s*OPTIMIZE\\s+$ref\\s+(ZORDER|HILBERT)\\s+BY\\s*\\(([^)]*)\\)\\s*$$""".r
+  private val optimizeWhereByRe =
+    s"""(?is)^\\s*OPTIMIZE\\s+$ref\\s+WHERE\\s+$ident\\s*=\\s*('[^']*'|[\\w.\\-]+)\\s+(ZORDER|HILBERT)\\s+BY\\s*\\(([^)]*)\\)\\s*$$""".r
   private val vacuumRe =
     s"""(?is)^\\s*VACUUM\\s+$ref\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*$$""".r
   private val vacuumDryRe =
@@ -260,6 +263,24 @@ object GraftSqlParser {
           Seq(Seq(TxLog.zorderOptimize(spark, path, cols,
             targetFiles(spark, path), Map.empty,
             curve = if (c == "hilbert") "hilbert" else "morton")))
+        })
+      }
+    case optimizeWhereByRe(r, c, v, curve, colsCsv) =>
+      // partition-scoped re-clustering (the Delta
+      // `OPTIMIZE t WHERE part = v ZORDER BY (…)` maintenance-window
+      // shape): only the matching partition's files rewrite
+      resolve(r, "OPTIMIZE", strict = true).map { case (path, _) =>
+        val column = unquote(c)
+        val value: Any =
+          if (v.startsWith("'")) v.stripPrefix("'").stripSuffix("'") else v
+        val cols = colsCsv.split(',').map(x => unquote(x.trim))
+          .filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "OPTIMIZE … BY needs at least one column")
+        val cl = curve.toLowerCase
+        GraftMaintenance("graft_optimize", Seq(longAttr("version")), { spark =>
+          Seq(Seq(TxLog.zorderOptimize(spark, path, cols,
+            targetFiles(spark, path), Map(column -> value),
+            curve = if (cl == "hilbert") "hilbert" else "morton")))
         })
       }
     case optimizeWhereRe(r, c, v) =>

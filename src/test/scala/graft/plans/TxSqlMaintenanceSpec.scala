@@ -284,6 +284,17 @@ class TxSqlMaintenanceSpec extends SparkSpec {
     assert(after.count(_.contains("=2020")) < before.count(_.contains("=2020")),
       "2020's small files must have been packed")
     assert(TxLog.read(spark, path2).count() == 4L)
+
+    // partition-scoped RE-CLUSTERING: WHERE composes with ZORDER BY
+    TxLog.append(Seq((5L, "e", 2020), (6L, "f", 2020)).toDF("k", "v", "y"),
+      path2)
+    val pre = TxLog.manifest(spark, path2).files.toSet
+    spark.sql(s"OPTIMIZE $name2 WHERE y = 2020 ZORDER BY (k)")
+    val m3 = TxLog.manifest(spark, path2)
+    assert(m3.action == "zorder")
+    assert(pre.filter(_.contains("=2021")).subsetOf(m3.files.toSet),
+      "2021's files must not move under a 2020-scoped ZORDER")
+    assert(TxLog.read(spark, path2).count() == 6L)
   }
 
   test("CREATE TABLE ... USING graft-txlog AS SELECT (CTAS) and INSERT INTO") {

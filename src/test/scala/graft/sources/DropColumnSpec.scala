@@ -79,6 +79,23 @@ class DropColumnSpec extends SparkSpec {
       .get("x__3").contains("x"))
   }
 
+  test("SQL ADD COLUMNS re-adds a tombstoned name under a fresh binding") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a", 10)).toDF("k", "v", "x"), t)
+    spark.sql("DROP TABLE IF EXISTS readd_sql")
+    spark.sql(s"CREATE TABLE readd_sql USING `graft-txlog` OPTIONS (path '$t')")
+    try {
+      spark.sql("ALTER TABLE readd_sql DROP COLUMN x")
+      spark.sql("ALTER TABLE readd_sql ADD COLUMNS (x INT)")
+      val got = spark.table("readd_sql")
+      assert(got.schema.fieldNames.toSeq == Seq("k", "v", "x"))
+      assert(got.select("x").collect().forall(_.isNullAt(0)),
+        "pre-drop values must stay invisible through the SQL spelling")
+      assert(TxLog.manifest(spark, t).renames.getOrElse(Map.empty)
+        .get("x__2").contains("x"))
+    } finally spark.sql("DROP TABLE IF EXISTS readd_sql")
+  }
+
   test("rename TO a dropped name binds the new label, nothing resurrects") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1L, "a", 10)).toDF("k", "v", "x"), t)
