@@ -4066,6 +4066,20 @@ object TxLog {
     "drop_column", "rename_column", "add_columns", "alter_column",
     "set_property", "unset_property")
 
+  /** The row-preserving commits that nonetheless CHANGE the read
+    * schema. The batch change feed handles them (each version reads
+    * under its own schema, the union coerces), but a STREAMING source's
+    * schema is fixed at query start — silently passing a rename would
+    * null-fill the old name and a widened column would cast back down
+    * (overflow wraps), so the stream fails loudly on these instead and
+    * a restart re-snapshots under the new schema (the Delta streaming
+    * contract for schema change). `add_columns` is NOT here: a new
+    * column is projected away by the fixed schema, which loses nothing
+    * the stream ever promised.
+    */
+  private[graft] val schemaChangingActions: Set[String] = Set(
+    "drop_column", "rename_column", "alter_column")
+
   /** Row-level change data feed (the public Delta CDF shape): every
     * change committed in `(sinceVersion, untilVersion]`, as table rows
     * plus `_change_type` (`insert` / `delete` / `update_preimage` /

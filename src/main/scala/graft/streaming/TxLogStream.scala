@@ -463,6 +463,18 @@ private[streaming] class TxLogSource(spark: SparkSession, table: String,
         // version, planned from its manifest file list
         withSchema(TxLog.readAsOf(spark, table, endV))
       case Some(startV) if changeFeed =>
+        // the batch feed handles schema-changing versions (each reads
+        // under its own schema), but THIS stream's schema is fixed at
+        // start — fail loudly rather than null-fill through the rename
+        // or cast a widened column back down
+        if (!ignoreChanges) ((startV + 1) to endV).foreach { v =>
+          val a = TxLog.manifestAt(spark, table, v).action
+          if (TxLog.schemaChangingActions(a)) sys.error(
+            s"graft-txlog CDF stream on $table: version $v is '$a' — the " +
+              "table's schema changed under a stream whose schema is fixed " +
+              "at start; restart from a fresh checkpoint to pick up the " +
+              "new schema")
+        }
         withSchema(TxLog.readChangeFeed(spark, table, startV, Some(endV),
           skipUnrecorded = ignoreChanges))
       case Some(startV) =>
@@ -485,7 +497,18 @@ private[streaming] class TxLogSource(spark: SparkSession, table: String,
       if (m.action == "append") out ++= m.files.filterNot(prev)
       // row-preserving commits (OPTIMIZE, REORG PURGE, metadata-only
       // DDL — Delta's dataChange=false class) emit nothing and need no
-      // escape hatch: a nightly compaction must never kill the stream
+      // escape hatch: a nightly compaction must never kill the stream.
+      // Schema-CHANGING metadata commits still fail it loudly — the
+      // stream's schema is fixed at start, and silently re-selecting
+      // through it would null-fill a renamed/dropped name or cast a
+      // widened column back down
+      else if (TxLog.schemaChangingActions(m.action) && !ignoreChanges)
+        sys.error(
+          s"graft-txlog stream on $table: version $v is '${m.action}' — " +
+            "the table's schema changed under a stream whose schema is " +
+            "fixed at start; restart from a fresh checkpoint to pick up " +
+            "the new schema (or .option(\"ignoreChanges\", \"true\") " +
+            "to project through the old one)")
       else if (!TxLog.rowPreservingActions(m.action) && !ignoreChanges)
         sys.error(
           s"graft-txlog stream on $table: version $v is '${m.action}', not " +

@@ -94,6 +94,23 @@ class TxLogStreamSpec extends SparkSpec {
     assert(sinceAll == Set((2L, "b"), (3L, "c")))
   }
 
+  test("a schema-changing metadata commit still fails the fixed-schema stream") {
+    val t = tmp("txstream-rename")
+    val cp = Files.createTempDirectory("txstream-ren-cp").toString
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    drain(t, cp)
+    // a rename is row-preserving but re-labels the column the stream's
+    // fixed schema selects — passing silently would null-fill it
+    TxLog.renameColumn(spark, t, "v", "w")
+    TxLog.append(Seq((2L, "b")).toDF("k", "w"), t)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(t, cp)
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("schema changed"), s"unexpected failure: $msg")
+  }
+
   test("a non-append commit fails the stream; ignoreChanges skips it") {
     import org.apache.spark.sql.functions.col
     val t = tmp("txstream-rewrite")
