@@ -189,6 +189,30 @@ class TypeWideningSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS widen_sql")
   }
 
+  test("DML after widening: rewrites land wide on both CoW and DV paths") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .repartitionByRange(3, col("k")), t)
+    TxLog.alterColumnType(spark, t, "k", LongType)
+    // copy-on-write UPDATE touches a narrow file; the rewrite reads
+    // promoted longs and writes the TABLE's type
+    TxLog.update(spark, t, col("k") === 2L,
+      Seq("v" -> org.apache.spark.sql.functions.lit("B")))
+    // DV DELETE on another narrow file
+    TxLog.delete(spark, t, col("k") === 3L, deletionVectors = true)
+    // merge upserts through the widened key
+    import org.apache.spark.sql.functions.expr
+    TxLog.mergeInto(spark, t, Seq((1L, "A2"), (4L, "d")).toDF("k", "v"),
+      expr("t.k = s.k"),
+      matched = Seq(TxLog.MergeUpdate(Map("v" -> expr("s.v")))),
+      notMatched = Seq(TxLog.MergeInsert(Map(
+        "k" -> expr("s.k"), "v" -> expr("s.v")))))
+    val got = TxLog.read(spark, t)
+    assert(got.schema("k").dataType == LongType)
+    assert(got.as[(Long, String)].collect().toSet ==
+      Set((1L, "A2"), (2L, "B"), (4L, "d")))
+  }
+
   test("the change feed skips the widening version and coerces across it") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1, "a")).toDF("k", "v"), t)
