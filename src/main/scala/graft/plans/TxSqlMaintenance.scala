@@ -31,6 +31,7 @@ import graft.sources.TxLog
   *   CONVERT TO GRAFT '/path' [NO STATISTICS] -- adopt parquet in place
   *   COPY INTO t FROM '/landing' [FILEFORMAT = PARQUET|ORC|JSON|CSV]
   *   REORG TABLE t APPLY (PURGE)              -- materialize DVs only
+  *   GENERATE symlink_format_manifest FOR TABLE t -- external-reader manifests
   *   CREATE TABLE dst SHALLOW CLONE src       -- zero-copy metadata fork
   *   ALTER TABLE t ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
   *   ALTER TABLE t CLUSTER BY (a, b) / CLUSTER BY NONE
@@ -133,6 +134,8 @@ object GraftSqlParser {
     s"""(?is)^\\s*COPY\\s+INTO\\s+$ref\\s+FROM\\s+'([^']+)'(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?\\s*$$""".r
   private val reorgPurgeRe =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+$ref\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*$$""".r
+  private val generateRe =
+    s"""(?is)^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$ref\\s*$$""".r
 
   private def unquote(part: String): String =
     if (part.startsWith("`")) part.stripPrefix("`").stripSuffix("`") else part
@@ -253,6 +256,14 @@ object GraftSqlParser {
       resolve(r, "REORG TABLE", strict = true).map { case (path, _) =>
         GraftMaintenance("graft_reorg_purge", Seq(longAttr("version")),
           spark => Seq(Seq(TxLog.purgeDvs(spark, path))))
+      }
+    case generateRe(r) =>
+      // symlink manifests for external (Presto/Trino-class) readers —
+      // one row per written manifest file
+      resolve(r, "GENERATE", strict = true).map { case (path, _) =>
+        GraftMaintenance("graft_generate",
+          Seq(AttributeReference("manifest", StringType, nullable = false)()),
+          spark => TxLog.generateSymlinkManifest(spark, path).map(Seq(_)))
       }
     case optimizeByRe(r, curve, colsCsv) =>
       resolve(r, "OPTIMIZE", strict = true).map { case (path, _) =>

@@ -3181,6 +3181,58 @@ object TxLog {
     m.partitionBy.getOrElse(sys.error(
       s"table $table is not partitioned — overwrite(partitionBy = Some(cols)) first"))
 
+  /** `GENERATE symlink_format_manifest FOR TABLE t` (the Delta interop
+    * command): writes `_symlink_format_manifest/…/manifest` text files
+    * listing the CURRENT snapshot's data files as fully-qualified URIs,
+    * one per line — the format Presto/Trino/Athena-class external
+    * engines read to query the table without understanding the log.
+    * Partitioned tables get one manifest per live partition
+    * (`p=v/manifest`, hive-layout dirs); unpartitioned tables a single
+    * `manifest`. The output dir is REPLACED each run — a partition
+    * whose files all vanished since the last generation must not leave
+    * a stale manifest behind. Generation REFUSES while the table
+    * carries deletion vectors (a symlink reader sees raw parquet and
+    * would resurrect the deleted rows — the Delta rule; run
+    * `REORG TABLE … APPLY (PURGE)` first). Returns the written
+    * manifest paths, table-relative.
+    *
+    * Cost: one O(files) pass over the driver-resident manifest plus
+    * one small text file per partition; zero data files opened. NOT
+    * auto-maintained — re-run after commits (Delta's manual mode).
+    */
+  def generateSymlinkManifest(spark: SparkSession,
+      table: String): Seq[String] = {
+    val t = new Path(table)
+    val f = fs(spark, t)
+    val m = manifest(spark, table)
+    require(m.dvs.forall(_.isEmpty),
+      s"generateSymlinkManifest on $table: the table carries deletion " +
+        "vectors — a symlink reader reads raw parquet and would " +
+        "resurrect the deleted rows; REORG TABLE … APPLY (PURGE) first")
+    val outDir = new Path(t, "_symlink_format_manifest")
+    f.delete(outDir, true)
+    val groups: Seq[(String, Seq[String])] =
+      m.partitionBy.filter(_.nonEmpty) match {
+        case None => Seq("" -> m.files)
+        case Some(pcols) =>
+          val byPath = partedEntries(table, m)
+          m.files.groupBy { rel =>
+            val parts = byPath(rel).parts.get
+            pcols.map(c => s"$c=${parts(c)}").mkString("/")
+          }.toSeq.sortBy(_._1)
+      }
+    groups.map { case (dir, files) =>
+      val rel = if (dir.isEmpty) "_symlink_format_manifest/manifest"
+        else s"_symlink_format_manifest/$dir/manifest"
+      val lines = files.sorted
+        .map(r => f.makeQualified(new Path(t, r)).toString)
+      val out = f.create(new Path(t, rel), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      rel
+    }
+  }
+
   /** `SHOW PARTITIONS`: one row per live partition with its file count
     * and row count — answered entirely from the manifest (metadata-only,
     * O(files) driver work, no data access). Partition values come back
