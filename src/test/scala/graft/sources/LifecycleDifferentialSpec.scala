@@ -27,7 +27,15 @@ class LifecycleDifferentialSpec extends SparkSpec {
     Files.createTempDirectory("graft-chaos").resolve("t").toString
 
   test("50 seeded random operations track the reference model exactly") {
-    val rnd = new scala.util.Random(20260815L)
+    runLifecycle(seed = 20260815L, ops = 50)
+  }
+
+  test("a second seed exercises a different op interleaving") {
+    runLifecycle(seed = 424242L, ops = 40)
+  }
+
+  private def runLifecycle(seed: Long, ops: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
     val t = tmpTable()
     // model state: key -> value; vName = current logical name of the
     // value column; wide = has k been widened int->long yet
@@ -53,12 +61,12 @@ class LifecycleDifferentialSpec extends SparkSpec {
         .as[(Long, String)].collect().toMap
 
     // seed commit: k starts NARROW (int) so the widening op is real
-    val seed = freshKeys(4).map(k => k -> s"v$k")
-    TxLog.overwrite(df(seed).repartitionByRange(2, keyCol), t)
-    model = seed.toMap
+    val first = freshKeys(4).map(k => k -> s"v$k")
+    TxLog.overwrite(df(first).repartitionByRange(2, keyCol), t)
+    model = first.toMap
     history :+= (TxLog.manifest(spark, t).version, model)
 
-    (1 to 50).foreach { i =>
+    (1 to ops).foreach { i =>
       val op = rnd.nextInt(12)
       op match {
         case 0 | 1 => // append 1-4 fresh keys

@@ -108,6 +108,17 @@ class TypeWideningSpec extends SparkSpec {
       Set(1.5d, 2.5d))
   }
 
+  test("metadata answers keep working after integral widening") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((3, "a"), (9, "b")).toDF("k", "v"), t)
+    TxLog.alterColumnType(spark, t, "k", LongType)
+    // the stored narrow-rendered stats fold back under the WIDE type
+    val got = TxLog.statsAggregate(spark, t, Seq("k")).collect()(0)
+    assert(got.getLong(0) == 2L)
+    assert(got.getLong(1) == 3L && got.getLong(2) == 9L,
+      "min/max round-trip through the widened domain")
+  }
+
   test("widening sheds the column's bloom index (typed sidecar hashes)") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), t)
