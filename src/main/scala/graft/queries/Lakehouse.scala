@@ -1174,6 +1174,33 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q141_tx_symlink" -> ((s, dir) => {
+      // GENERATE symlink_format_manifest under the oracle gate
+      // (TxLog.generateSymlinkManifest scaladoc): orders published
+      // PARTITIONED by o_orderpriority, manifests generated, and the
+      // aggregate computed by reading ONLY the manifest lines as raw
+      // parquet — exactly what an external Presto/Trino-class engine
+      // does. Hash equality with DuckDB's full-table aggregate proves
+      // the manifests list precisely the live snapshot (a missing file
+      // drops rows, a stale one duplicates them). A delete first, so
+      // the manifests must reflect post-DML liveness, not the original
+      // publish.
+      val t = tmpTable("tx-q141")
+      TxLog.overwrite(Tables.orders(s, dir), t,
+        partitionBy = Some(Seq("o_orderpriority")))
+      TxLog.delete(s, t, col("o_orderkey") % 10 === 3)
+      val manifests = TxLog.generateSymlinkManifest(s, t)
+      val files = manifests.flatMap { rel =>
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(t, rel)), "UTF-8")
+          .split("\n").toSeq.filter(_.nonEmpty)
+      }
+      s.read.parquet(files: _*)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q109_tx_sql_skipping" -> ((s, dir) => {
       // The AUTOMATIC file-skipping path under the oracle gate
       // (TxLogRelation.buildScan): orders published range-clustered by
@@ -1674,6 +1701,11 @@ object Lakehouse {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_custkey BETWEEN 100 AND 1200
         |GROUP BY 1""".stripMargin,
+
+    "q141_tx_symlink" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 10 <> 3 GROUP BY 1""".stripMargin,
 
     "q140_tx_widen" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -140,7 +140,15 @@ object TxLog {
       dropped: Option[Seq[String]] = None,
       identity: Option[Map[String, IdentitySpec]] = None,
       renames: Option[Map[String, String]] = None,
-      properties: Option[Map[String, String]] = None)
+      properties: Option[Map[String, String]] = None,
+      // READER features this version requires (the Delta protocol-table
+      // concept): a build that does not understand one of these would
+      // silently MIS-READ the table (ignore the rename map and return
+      // physical names, skip the deletion vectors and resurrect rows) —
+      // json4s drops unknown FIELDS silently, so the requirement list
+      // is what turns "future manifest meets old code" into a loud
+      // refusal instead of wrong answers. None = plain parquet + log.
+      features: Option[Seq[String]] = None)
 
   /** Stats are collected for at most this many leading skippable
     * columns: min/max strings for a 1000-column table would bloat every
@@ -209,7 +217,11 @@ object TxLog {
       dropped: Option[Seq[String]] = None,
       identity: Option[Map[String, IdentitySpec]] = None,
       renames: Option[Map[String, String]] = None,
-      properties: Option[Map[String, String]] = None)
+      properties: Option[Map[String, String]] = None,
+      // reader-feature requirements, carried VERBATIM per record (like
+      // partitionBy) — a delta from a future build can then declare a
+      // requirement this build must refuse rather than mis-replay
+      features: Option[Seq[String]] = None)
 
   /** A full snapshot is forced every this-many versions so a reader's
     * delta-replay tail stays short and vacuum always has a nearby
@@ -334,6 +346,30 @@ object TxLog {
     }
   }
 
+  /** The reader features a snapshot's state requires (the Delta
+    * protocol-table concept, spelled as named features): a build
+    * missing one would return WRONG ANSWERS, not errors — ignore the
+    * rename map and surface physical column names, or skip the
+    * deletion vectors and resurrect deleted rows. Derived from state,
+    * never free-floating: drop the last vector and the requirement
+    * drops with it. Write-only capabilities (constraints, identity,
+    * generated columns, type widening) are deliberately NOT reader
+    * features — a plain reader returns exact answers without them.
+    */
+  private def requiredReaderFeatures(m: Manifest): Option[Seq[String]] = {
+    val fs = Seq(
+      m.renames.filter(_.nonEmpty).map(_ => "column-mapping"),
+      m.dvs.filter(_.nonEmpty).map(_ => "deletion-vectors")).flatten.sorted
+    Some(fs).filter(_.nonEmpty)
+  }
+
+  /** Features THIS build can honor on the read path. A manifest (or a
+    * future build's delta record) requiring anything else fails the
+    * read loudly — see [[resolveSnapshot]].
+    */
+  private[graft] val supportedReaderFeatures: Set[String] =
+    Set("column-mapping", "deletion-vectors")
+
   /** Reconstruct version `d.version`'s full snapshot from its parent's.
     * Inverse of [[buildDelta]]; the writer verified the round-trip is
     * bit-exact before choosing the delta encoding, so this IS the
@@ -368,7 +404,8 @@ object TxLog {
       partitionBy = d.partitionBy, bloomIndex = d.bloomIndex,
       dvs = Some(dvs).filter(_.nonEmpty),
       generated = d.generated, dropped = d.dropped, identity = d.identity,
-      renames = d.renames, properties = d.properties)
+      renames = d.renames, properties = d.properties,
+      features = d.features)
   }
 
   /** Delta-encode `m` against its immediate parent. The caller must
@@ -408,7 +445,8 @@ object TxLog {
       cdf = m.cdf, constraints = m.constraints,
       partitionBy = m.partitionBy, bloomIndex = m.bloomIndex,
       generated = m.generated, dropped = m.dropped, identity = m.identity,
-      renames = m.renames, properties = m.properties)
+      renames = m.renames, properties = m.properties,
+      features = m.features)
   }
 
   /** Whether version `v`'s on-disk record is a full snapshot (vs a
@@ -446,6 +484,18 @@ object TxLog {
           "(log dir mutated outside the commit protocol?)")
         applyDelta(resolveSnapshot(spark, table, d.base, f), d)
     }
+    // protocol gate: a version requiring a reader feature this build
+    // does not implement must refuse LOUDLY here — every read, DML
+    // find-pass, and maintenance plan resolves through this point, and
+    // proceeding would return wrong answers, not errors (unknown JSON
+    // fields decode silently; the requirement list is the tripwire)
+    val unknown = m.features.getOrElse(Seq.empty)
+      .filterNot(supportedReaderFeatures)
+    require(unknown.isEmpty,
+      s"table $table version $version requires reader feature(s) " +
+        s"[${unknown.mkString(", ")}] this graft build does not " +
+        "support — reading would silently return wrong results; " +
+        "upgrade graft (or RESTORE to a version before the feature)")
     snapshotCache.put(key, m)
     m
   }
@@ -4599,7 +4649,7 @@ object TxLog {
         case None => return abandon()
       }
       val version = parent.map(_.version).getOrElse(0L) + 1
-      val m = Manifest(version, att.action, att.files,
+      val m0 = Manifest(version, att.action, att.files,
         att.schemaJson.getOrElse(w.schemaJson),
         // in-commit timestamps are MONOTONIC per table (the Delta ICT
         // guarantee): a clock-skewed writer can never stamp a child at
@@ -4633,6 +4683,9 @@ object TxLog {
           .orElse(parent.flatMap(_.renames)).filter(_.nonEmpty),
         properties = att.properties
           .orElse(parent.flatMap(_.properties)).filter(_.nonEmpty))
+      // stamp the reader features THIS version's state requires, so a
+      // build without them refuses to read instead of mis-reading
+      val m = m0.copy(features = requiredReaderFeatures(m0))
       // Checkpointed log: encode as a delta vs the parent when (a) not
       // on the checkpoint cadence, (b) the delta is actually smaller
       // than the snapshot (an overwrite replacing most files gains
