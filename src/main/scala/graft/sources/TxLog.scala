@@ -3231,6 +3231,13 @@ object TxLog {
     m.partitionBy.getOrElse(sys.error(
       s"table $table is not partitioned — overwrite(partitionBy = Some(cols)) first"))
 
+  /** Table property that regenerates symlink manifests after EVERY
+    * commit (Delta's `compatibility.symlinkFormatManifest.enabled`).
+    * Skipped while deletion vectors exist — the post-commit hook must
+    * not fail a DV write; run PURGE then GENERATE to re-sync.
+    */
+  val symlinkAutoKey = "graft.symlink.autoGenerate"
+
   /** `GENERATE symlink_format_manifest FOR TABLE t` (the Delta interop
     * command): writes `_symlink_format_manifest/…/manifest` text files
     * listing the CURRENT snapshot's data files as fully-qualified URIs,
@@ -3271,16 +3278,39 @@ object TxLog {
             pcols.map(c => s"$c=${parts(c)}").mkString("/")
           }.toSeq.sortBy(_._1)
       }
-    groups.map { case (dir, files) =>
+    val entries: Seq[(String, Seq[String])] = groups.map { case (dir, files) =>
       val rel = if (dir.isEmpty) "_symlink_format_manifest/manifest"
         else s"_symlink_format_manifest/$dir/manifest"
-      val lines = files.sorted
-        .map(r => f.makeQualified(new Path(t, r)).toString)
-      val out = f.create(new Path(t, rel), true)
+      rel -> files.sorted.map(r => f.makeQualified(new Path(t, r)).toString)
+    }
+    def write(fx: org.apache.hadoop.fs.FileSystem, base: Path,
+        rel: String, lines: Seq[String]): Unit = {
+      val out = fx.create(new Path(base, rel), true)
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      rel
     }
+    // one small file per partition: below the threshold the driver
+    // writes them directly; a 10⁴–10⁵-partition table fans the writes
+    // out to executors (same stance as vacuum's distributed reap —
+    // manifest writes are idempotent overwrites, so task retries are
+    // safe)
+    if (entries.size < vacuumDistributeThreshold) {
+      entries.foreach { case (rel, lines) => write(f, t, rel, lines) }
+    } else {
+      val confBc = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      val tq = f.makeQualified(t).toString
+      import spark.implicits._
+      spark.createDataset(entries)
+        .repartition(math.max(1, math.min(
+          spark.sparkContext.defaultParallelism, entries.size / 100)))
+        .foreachPartition { (it: Iterator[(String, Seq[String])]) =>
+          val base = new Path(tq)
+          val fx = base.getFileSystem(confBc.value.value)
+          it.foreach { case (rel, lines) => write(fx, base, rel, lines) }
+        }
+    }
+    entries.map(_._1)
   }
 
   /** `SHOW PARTITIONS`: one row per live partition with its file count
@@ -4724,6 +4754,17 @@ object TxLog {
           // parquet census sidecar (the Delta parquet-checkpoint idea):
           // additive, best-effort, size-gated — JSON stays the gate
           writeCensus(spark, t, version, m)
+        }
+        // opt-in symlink auto-generation (the Delta
+        // `compatibility.symlinkFormatManifest` property): external
+        // readers track every commit without a manual GENERATE. Runs
+        // AFTER the commit is durable — a generation failure surfaces
+        // loudly but can never lose the commit; full regeneration,
+        // priced per commit (set the property only on tables whose
+        // external readers need it fresh).
+        if (m.properties.exists(_.get(symlinkAutoKey).contains("true"))
+            && m.dvs.forall(_.isEmpty)) {
+          generateSymlinkManifest(spark, table)
         }
         return Some(version)
       } catch {

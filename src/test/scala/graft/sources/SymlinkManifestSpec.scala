@@ -71,6 +71,32 @@ class SymlinkManifestSpec extends SparkSpec {
       "post-purge manifests expose exactly the live rows")
   }
 
+  test("the auto-generate property regenerates on every commit") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    TxLog.setProperty(spark, t, TxLog.symlinkAutoKey, "true")
+    // the property commit itself generated; an append refreshes it
+    val m1 = lines(t, "_symlink_format_manifest/manifest")
+    assert(m1.nonEmpty)
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), t)
+    val m2 = lines(t, "_symlink_format_manifest/manifest")
+    assert(m2.size == m1.size + 1, "the post-commit hook refreshed")
+    assert(spark.read.parquet(m2: _*).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a REAL vector write skips regeneration (must not fail the commit)
+    // so the manifest goes stale — documented; purge re-syncs it
+    TxLog.delete(spark, t, col("k") === 1L, deletionVectors = true)
+    assert(TxLog.manifest(spark, t).dvs.exists(_.nonEmpty))
+    assert(lines(t, "_symlink_format_manifest/manifest") == m2,
+      "stale by design under DVs — never fail or mislead the DV commit")
+    // purge materializes the vector AND, with the property set, re-syncs
+    TxLog.purgeDvs(spark, t)
+    assert(spark.read.parquet(
+      lines(t, "_symlink_format_manifest/manifest"): _*)
+      .as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+  }
+
   test("SQL: GENERATE symlink_format_manifest FOR TABLE t") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
