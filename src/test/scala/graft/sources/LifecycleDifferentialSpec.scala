@@ -34,6 +34,75 @@ class LifecycleDifferentialSpec extends SparkSpec {
     runLifecycle(seed = 424242L, ops = 40)
   }
 
+  test("35 random ops over a PARTITIONED table track the model") {
+    // the hive-layout machinery under random interleaving: dynamic
+    // partition overwrite, metadata-only partition drop, and
+    // partition-scoped compaction/z-order layered over row DML
+    val rnd = new scala.util.Random(77177L)
+    val t = tmpTable()
+    var model = Map.empty[Long, (String, Int)] // k -> (v, g)
+    var nextKey = 0L
+    def fresh(n: Int, g: Int): Seq[(Long, String, Int)] = {
+      val rows = (0 until n).map(i => (nextKey + i, s"v${nextKey + i}", g))
+      nextKey += n
+      rows
+    }
+    def readBack(): Map[Long, (String, Int)] =
+      TxLog.read(spark, t).as[(Long, String, Int)].collect()
+        .map { case (k, v, g) => k -> (v, g) }.toMap
+    val first = (0 until 4).flatMap(g => fresh(3, g))
+    TxLog.overwrite(first.toDF("k", "v", "g"), t,
+      partitionBy = Some(Seq("g")))
+    model = first.map { case (k, v, g) => k -> (v, g) }.toMap
+
+    (1 to 35).foreach { i =>
+      rnd.nextInt(7) match {
+        case 0 | 1 => // append into random partitions
+          val rows = fresh(1 + rnd.nextInt(3), rnd.nextInt(4)) ++
+            fresh(1, rnd.nextInt(4))
+          TxLog.append(rows.toDF("k", "v", "g"), t)
+          model ++= rows.map { case (k, v, g) => k -> (v, g) }
+        case 2 => // dynamic partition overwrite of one g
+          val g = rnd.nextInt(4)
+          val rows = fresh(2, g)
+          TxLog.overwritePartitions(rows.toDF("k", "v", "g"), t)
+          model = model.filter(_._2._2 != g) ++
+            rows.map { case (k, v, gg) => k -> (v, gg) }
+        case 3 => // metadata-only partition drop (empty drop is loud? skip)
+          val g = rnd.nextInt(4)
+          if (model.values.exists(_._2 == g)) {
+            TxLog.dropPartitions(spark, t, Map("g" -> g))
+            model = model.filter(_._2._2 != g)
+          }
+        case 4 => // row DML across partitions
+          val m0 = 2 + rnd.nextInt(3); val r = rnd.nextInt(m0)
+          if (rnd.nextBoolean()) {
+            TxLog.delete(spark, t, col("k") % m0 === r,
+              deletionVectors = rnd.nextBoolean())
+            model = model.filter { case (k, _) => k % m0 != r }
+          } else {
+            TxLog.update(spark, t, col("k") % m0 === r,
+              Seq("v" -> org.apache.spark.sql.functions
+                .concat(col("v"), org.apache.spark.sql.functions.lit("u"))))
+            model = model.map { case (k, (v, g)) =>
+              k -> (if (k % m0 == r) (v + "u", g) else (v, g)) }
+          }
+        case 5 => // partition-scoped compaction
+          TxLog.compact(spark, t, partition = Map("g" -> rnd.nextInt(4)))
+        case 6 => // partition-scoped z-order
+          TxLog.zorderOptimize(spark, t, Seq("k"), numFiles = 1,
+            Map("g" -> rnd.nextInt(4)), curve = "morton")
+      }
+      assert(readBack() == model, s"partitioned divergence after op $i")
+    }
+    // the partition listing agrees with the model
+    val parts = TxLog.partitions(spark, t).collect()
+      .map(r => r.getString(0).toInt -> r.getLong(2)).toMap
+    val wantParts = model.values.groupBy(_._2).map { case (g, vs) =>
+      g -> vs.size.toLong }
+    assert(parts == wantParts, s"SHOW PARTITIONS diverged: $parts vs $wantParts")
+  }
+
   private def runLifecycle(seed: Long, ops: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     val t = tmpTable()
