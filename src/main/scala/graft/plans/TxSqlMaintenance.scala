@@ -36,6 +36,7 @@ import graft.sources.TxLog
   *   ALTER TABLE t ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
   *   ALTER TABLE t CLUSTER BY (a, b) / CLUSTER BY NONE
   *   ALTER TABLE t ALTER COLUMN c TYPE dt     -- metadata-only widening
+  *   ALTER TABLE t ALTER COLUMN c SET DEFAULT e / DROP DEFAULT
   * }}}
   *
   * Mechanism: [[GraftSqlParser]] is injected via
@@ -118,6 +119,10 @@ object GraftSqlParser {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+RENAME\\s+COLUMN\\s+$ident\\s+TO\\s+$ident\\s*$$""".r
   private val alterColTypeRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+$ident\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+(.+?)\\s*$$""".r
+  private val setDefaultRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+$ident\\s+SET\\s+DEFAULT\\s+(.+?)\\s*$$""".r
+  private val dropDefaultRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+$ident\\s+DROP\\s+DEFAULT\\s*$$""".r
   private val addConstraintRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$ref\\s+ADD\\s+CONSTRAINT\\s+$ident\\s+CHECK\\s*\\((.*)\\)\\s*$$""".r
   private val dropConstraintRe =
@@ -392,6 +397,21 @@ object GraftSqlParser {
           syncCatalog(spark, ident, path)
           Nil
         })
+      }
+    case setDefaultRe(r, c, e) =>
+      // write-time column default (applies when an appending frame
+      // OMITS the column); validated inside setColumnDefault
+      resolve(r, "ALTER TABLE", strict = false).map { case (path, _) =>
+        val column = unquote(c)
+        GraftMaintenance("graft_set_default", Seq(longAttr("version")),
+          spark => Seq(Seq(
+            TxLog.setColumnDefault(spark, path, column, e.trim))))
+      }
+    case dropDefaultRe(r, c) =>
+      resolve(r, "ALTER TABLE", strict = false).map { case (path, _) =>
+        val column = unquote(c)
+        GraftMaintenance("graft_drop_default", Seq(longAttr("version")),
+          spark => Seq(Seq(TxLog.dropColumnDefault(spark, path, column))))
       }
     case alterColTypeRe(r, c, ty) =>
       // metadata-only type widening — parse the DDL type eagerly so an

@@ -1173,6 +1173,85 @@ object TxLog {
   /** The row-adding writers' shared inbound pipeline: generated columns
     * computed/validated, then CHECK constraints enforced.
     */
+  /** Property-key prefix for column DEFAULT declarations
+    * (`graft.default.<column>` → SQL expression). Riding the
+    * properties map means restore, clone, and TBLPROPERTIES carry them
+    * with zero extra machinery.
+    */
+  private[graft] val defaultKeyPrefix = "graft.default."
+
+  /** The declared column defaults (logical column → SQL expr). */
+  def defaultsOf(spark: SparkSession, table: String): Map[String, String] =
+    latestVersion(spark, table).map(_ => manifest(spark, table))
+      .flatMap(_.properties).getOrElse(Map.empty)
+      .collect { case (k, v) if k.startsWith(defaultKeyPrefix) =>
+        k.stripPrefix(defaultKeyPrefix) -> v }
+
+  /** Declare a DEFAULT for `column` (`ALTER TABLE … ALTER COLUMN c SET
+    * DEFAULT e`, the Delta/ANSI surface): every row-adding write that
+    * OMITS the column from its frame gets it computed (cast to the
+    * declared type) instead of refused — a provided column always wins,
+    * including explicit NULLs (a default is a fallback for absence,
+    * never a rewrite of intent; the standard write-time semantics —
+    * existing rows are untouched and read whatever they stored).
+    * The expression must parse, be deterministic (a per-row
+    * nondeterministic default makes retried writes diverge), and the
+    * column must not be GENERATED (computed by declaration) or
+    * IDENTITY (always assigned).
+    */
+  def setColumnDefault(spark: SparkSession, table: String,
+      column: String, exprSql: String): Long = {
+    val e = org.apache.spark.sql.functions.expr(exprSql) // parse eagerly
+    // resolve against a columnless frame: a default is a CONSTANT
+    // expression (the Delta rule — it can reference no columns), and
+    // determinism is only knowable after resolution (an unresolved
+    // function reports deterministic)
+    val analyzed =
+      try spark.range(1).select(e).queryExecution.analyzed
+      catch { case a: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"default for '$column' must be a constant expression " +
+            s"(no column references): ($exprSql) — ${a.getMessage}")
+      }
+    require(analyzed.expressions.forall(_.deterministic),
+      s"default for '$column' must be deterministic — ($exprSql) is not; " +
+        "a retried write would land different values")
+    val m = manifest(spark, table)
+    val ls = logicalSchema(m)
+    require(ls.fieldNames.contains(column),
+      s"table $table has no column '$column' (schema: ${ls.fieldNames.mkString(", ")})")
+    require(!m.generated.getOrElse(Map.empty).contains(column),
+      s"'$column' is a generated column — it is computed by its " +
+        "declaration; a default would conflict")
+    require(!m.identity.getOrElse(Map.empty).contains(column),
+      s"'$column' is an identity column — values are always assigned")
+    setProperty(spark, table, defaultKeyPrefix + column, exprSql)
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c DROP DEFAULT` (no-op if absent). */
+  def dropColumnDefault(spark: SparkSession, table: String,
+      column: String): Long =
+    unsetProperty(spark, table, defaultKeyPrefix + column)
+
+  /** Fill declared defaults for columns ABSENT from an appending frame,
+    * then restore the table's column order so the written schema
+    * matches the stored one byte-for-byte.
+    */
+  private def withDefaults(spark: SparkSession, table: String,
+      df: DataFrame): DataFrame = {
+    val defs = defaultsOf(spark, table)
+    val missing = defs.filterNot { case (c, _) => df.columns.contains(c) }
+    if (missing.isEmpty) return df
+    val schema = logicalSchema(manifest(spark, table))
+    val filled = missing.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, sql)) =>
+      d.withColumn(c,
+        org.apache.spark.sql.functions.expr(sql).cast(schema(c).dataType))
+    }
+    val inOrder = schema.fieldNames.filter(filled.columns.contains) ++
+      filled.columns.filterNot(schema.fieldNames.contains)
+    filled.select(inOrder.toSeq.map(c => col(quoted(c))): _*)
+  }
+
   private def inbound(spark: SparkSession, table: String, df: DataFrame,
       cons: Map[String, String]): DataFrame = {
     val gen = generatedOf(spark, table)
@@ -1687,8 +1766,9 @@ object TxLog {
     }
     val cons = constraintsOf(spark, table)
     val w = writeData(
-      inbound(spark, table, upcastToTable(spark, table, df), cons), table,
-      tablePartitionBy(spark, table))
+      inbound(spark, table,
+        upcastToTable(spark, table, withDefaults(spark, table, df)), cons),
+      table, tablePartitionBy(spark, table))
     publish(spark, table, w, parent =>
       Some(appendAttempt(table, parent, w, Map.empty, cons, mergeSchema))).get
   }
@@ -1711,7 +1791,8 @@ object TxLog {
       val cons = m.constraints.getOrElse(Map.empty)
       val w = writeData(
         inbound(spark, table,
-          assignIdentity(upcastToTable(spark, table, df), idMap, schema), cons),
+          assignIdentity(upcastToTable(spark, table,
+            withDefaults(spark, table, df)), idMap, schema), cons),
         table, tablePartitionBy(spark, table))
       val n = w.stats.map(_.rows).sum
       val committed = publish(spark, table, w, parent => {
@@ -1773,8 +1854,9 @@ object TxLog {
     if (done) return None
     val cons = constraintsOf(spark, table)
     val w = writeData(
-      inbound(spark, table, upcastToTable(spark, table, df), cons), table,
-      tablePartitionBy(spark, table))
+      inbound(spark, table,
+        upcastToTable(spark, table, withDefaults(spark, table, df)), cons),
+      table, tablePartitionBy(spark, table))
     publish(spark, table, w, parent => {
       val seen = parent.flatMap(_.txn).getOrElse(Map.empty)
       if (seen.get(appId).exists(_ >= batchId)) None // lost a same-app race
