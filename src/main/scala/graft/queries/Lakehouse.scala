@@ -1174,6 +1174,26 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q142_tx_default" -> ((s, dir) => {
+      // Column DEFAULTs under the oracle gate (TxLog.setColumnDefault
+      // scaladoc): even-key orders published WITH o_flag =
+      // o_orderkey % 5, a constant default of 7 declared, then the
+      // odd-key half appended WITHOUT the column — filled at the write
+      // head. flag_sum hash-catches a missed fill (nulls drop the sum)
+      // and a default overwriting provided values alike.
+      val t = tmpTable("tx-q142")
+      val o = Tables.orders(s, dir)
+      TxLog.overwrite(o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_flag", col("o_orderkey") % 5), t)
+      TxLog.setColumnDefault(s, t, "o_flag", "7")
+      TxLog.append(o.filter(col("o_orderkey") % 2 =!= 0), t)
+      TxLog.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_flag")).as("flag_sum"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q141_tx_symlink" -> ((s, dir) => {
       // GENERATE symlink_format_manifest under the oracle gate
       // (TxLog.generateSymlinkManifest scaladoc): orders published
@@ -1701,6 +1721,13 @@ object Lakehouse {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_custkey BETWEEN 100 AND 1200
         |GROUP BY 1""".stripMargin,
+
+    "q142_tx_default" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 5
+        |   ELSE 7 END) AS BIGINT) AS flag_sum,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q141_tx_symlink" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
