@@ -1213,6 +1213,12 @@ object TxLog {
           s"default for '$column' must be a constant expression " +
             s"(no column references): ($exprSql) — ${a.getMessage}")
       }
+    // the range(1) scaffold exposes an 'id' column — an expression that
+    // resolved only by capturing it (e.g. "id + 1") is NOT constant and
+    // would re-resolve frame-dependently at write time
+    require(analyzed.expressions.forall(_.references.isEmpty),
+      s"default for '$column' must be a constant expression " +
+        s"(no column references): ($exprSql)")
     require(analyzed.expressions.forall(_.deterministic),
       s"default for '$column' must be deterministic — ($exprSql) is not; " +
         "a retried write would land different values")
@@ -1240,15 +1246,22 @@ object TxLog {
   private def withDefaults(spark: SparkSession, table: String,
       df: DataFrame): DataFrame = {
     val defs = defaultsOf(spark, table)
-    val missing = defs.filterNot { case (c, _) => df.columns.contains(c) }
+    // column-name comparison follows the session's resolution rules:
+    // under the (default) case-insensitive analysis a frame supplying
+    // O_FLAG satisfies a default declared on o_flag — filling it anyway
+    // would land a duplicate/ambiguous column
+    val cs = spark.sessionState.conf.caseSensitiveAnalysis
+    def has(cols: Array[String], c: String): Boolean =
+      if (cs) cols.contains(c) else cols.exists(_.equalsIgnoreCase(c))
+    val missing = defs.filterNot { case (c, _) => has(df.columns, c) }
     if (missing.isEmpty) return df
     val schema = logicalSchema(manifest(spark, table))
     val filled = missing.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, sql)) =>
       d.withColumn(c,
         org.apache.spark.sql.functions.expr(sql).cast(schema(c).dataType))
     }
-    val inOrder = schema.fieldNames.filter(filled.columns.contains) ++
-      filled.columns.filterNot(schema.fieldNames.contains)
+    val inOrder = schema.fieldNames.filter(f => has(filled.columns, f)) ++
+      filled.columns.filterNot(f => has(schema.fieldNames, f))
     filled.select(inOrder.toSeq.map(c => col(quoted(c))): _*)
   }
 
@@ -1917,10 +1930,14 @@ object TxLog {
     * `options = Map("header" -> "false")` for headerless landings
     * (otherwise each file's first DATA row would be consumed as a
     * header). The PERMISSIVE/corrupt-column pair is the quarantine
-    * contract and cannot be overridden. Quarantine rows are written
-    * AFTER the winning commit (tagged with the pre-commit base
-    * version), so a lost CAS retry never duplicates quarantine output
-    * and no quarantine rows exist for attempts that never committed.
+    * contract and cannot be overridden. Quarantine rows are STAGED
+    * before the commit under a hidden attempt-unique
+    * `_staged/attempt_*` dir (invisible to quarantine readers) and
+    * PROMOTED into `quarantineDir` only after the winning publish —
+    * a lost CAS deletes its own staging (no duplicates), and a crash
+    * after publish can no longer lose the capture: the rows sit
+    * durably under `_staged/` awaiting manual promotion (the one
+    * remaining, now recoverable, window).
     */
   def copyInto(spark: SparkSession, landingDir: String, table: String,
       format: String = "parquet", schema: Option[StructType] = None,
@@ -2013,6 +2030,18 @@ object TxLog {
         tablePartitionBy(spark, table))
       val txnDelta = freshFiles.map { case (p, len) =>
         (copyLedgerPrefix + p) -> len }.toMap
+      // stage the corrupt rows BEFORE the commit, attempt-tagged: the
+      // capture is durable from here on (a crash after publish leaves
+      // it recoverable under _staged/ instead of lost), while promotion
+      // below keeps the visible quarantine effectively-once
+      val stagedDir: Option[Path] = corruptStaged.map { corrupt =>
+        val d = new Path(quarantineDir.get,
+          s"_staged/attempt_${java.util.UUID.randomUUID}")
+        corrupt.select(col(Ingest.corruptCol).as("raw_record"))
+          .withColumn("copy_batch_base", lit(base.getOrElse(0L)))
+          .write.mode("append").parquet(d.toString)
+        d
+      }
       casRaceHook()
       val committed = publish(spark, table, w, parent => {
         val seen = parent.flatMap(_.txn).getOrElse(Map.empty)
@@ -2022,14 +2051,24 @@ object TxLog {
         else Some(appendAttempt(table, parent, w, txnDelta, cons))
       })
       committed.foreach { v =>
-        corruptStaged.foreach { corrupt =>
-          corrupt.select(col(Ingest.corruptCol).as("raw_record"))
-            .withColumn("copy_batch_base", lit(base.getOrElse(0L)))
-            .write.mode("append").parquet(quarantineDir.get)
+        stagedDir.foreach { d =>
+          val qf = fs(spark, d)
+          val qroot = new Path(quarantineDir.get)
+          qf.listStatus(d).filter(_.isFile).foreach { st =>
+            val name = st.getPath.getName
+            // attempt-id prefix keeps promoted names unique across
+            // batches; rename is a metadata move, never a data copy
+            if (!name.startsWith("_") && !name.startsWith("."))
+              qf.rename(st.getPath, new Path(qroot, s"${d.getName}_$name"))
+          }
+          qf.delete(d, true)
         }
         return CopyIntoResult(v,
           freshFiles.size.toLong, w.stats.map(_.rows).sum)
       }
+      // lost the race: drop this attempt's staging before re-diffing —
+      // the retry recomputes (and restages) its own corrupt rows
+      stagedDir.foreach(d => fs(spark, d).delete(d, true))
     }
     sys.error(s"copyInto $table lost the commit race $maxAttempts times " +
       "(pathological write contention); re-run or serialize writers")
@@ -2323,16 +2362,29 @@ object TxLog {
   private def upcastToTable(spark: SparkSession, table: String,
       df: DataFrame): DataFrame = {
     if (latestVersion(spark, table).isEmpty) return df
-    val byName = logicalSchema(manifest(spark, table)).fields
-      .map(f => f.name -> f.dataType).toMap
+    val cs = spark.sessionState.conf.caseSensitiveAnalysis
+    val fields = logicalSchema(manifest(spark, table)).fields
+    val byName = fields.map(f => f.name -> f).toMap
+    // case-insensitive fallback mirrors the analyzer's resolution; a
+    // frame column matching only by case is CANONICALIZED to the
+    // table's spelling (the Delta write behavior) so the byte-exact
+    // schema check downstream compares apples to apples
+    def lookup(n: String): Option[org.apache.spark.sql.types.StructField] =
+      byName.get(n).orElse(if (cs) None
+        else fields.find(_.name.equalsIgnoreCase(n)))
     val needs = df.schema.fields.exists(f =>
-      byName.get(f.name).exists(t => t != f.dataType && canWiden(f.dataType, t)))
+      lookup(f.name).exists(tf => tf.name != f.name ||
+        (tf.dataType != f.dataType && canWiden(f.dataType, tf.dataType))))
     if (!needs) df
     else df.select(df.schema.fields.toSeq.map { f =>
-      byName.get(f.name) match {
-        case Some(t) if t != f.dataType && canWiden(f.dataType, t) =>
-          col(quoted(f.name)).cast(t).as(f.name)
-        case _ => col(quoted(f.name))
+      lookup(f.name) match {
+        case Some(tf) =>
+          val widened =
+            tf.dataType != f.dataType && canWiden(f.dataType, tf.dataType)
+          val c = if (widened) col(quoted(f.name)).cast(tf.dataType)
+                  else col(quoted(f.name))
+          if (widened || tf.name != f.name) c.as(tf.name) else c
+        case None => col(quoted(f.name))
       }
     }: _*)
   }
@@ -3355,9 +3407,15 @@ object TxLog {
         case None => Seq("" -> m.files)
         case Some(pcols) =>
           val byPath = partedEntries(table, m)
+          // parts values are stored UNESCAPED; the manifest directory is
+          // consumed by external Hive-layout readers, so each segment must
+          // be re-escaped (a raw '/', '=' or '%' in a value would otherwise
+          // nest a bogus directory and misattribute the partition)
+          val esc = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName _
           m.files.groupBy { rel =>
             val parts = byPath(rel).parts.get
-            pcols.map(c => s"$c=${parts(c)}").mkString("/")
+            pcols.map(c => s"${esc(c)}=${esc(parts(c))}").mkString("/")
           }.toSeq.sortBy(_._1)
       }
     val entries: Seq[(String, Seq[String])] = groups.map { case (dir, files) =>
@@ -4817,9 +4875,31 @@ object TxLog {
       val tmp = new Path(logDir(t), s".tmp-${w.dataRel.drop(5)}-$attempt.json")
       val out = f.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-      try {
-        // rename-if-absent: the ONE atomic, mutual-exclusion step
-        renameIfAbsent(fc, f, tmp, manifestPath(t, version))
+      // the CAS try wraps ONLY the rename: post-commit hooks run after
+      // it, so a hook's FileAlreadyExistsException (e.g. from a
+      // manifest or census write) can never be misread as a lost
+      // commit race and re-enter the retry loop (double-commit)
+      val landed: Boolean =
+        try {
+          // rename-if-absent: the ONE atomic, mutual-exclusion step
+          renameIfAbsent(fc, f, tmp, manifestPath(t, version))
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException
+               | _: java.nio.file.FileAlreadyExistsException
+              if attempt < 20 =>
+            f.delete(tmp, false) // definitely lost the race; retry
+            false
+          case _: java.io.IOException if attempt < 20 =>
+            f.delete(tmp, false)
+            // ambiguous failure: the rename may have landed (lost ack) —
+            // if the target now exists with OUR data dir, we won;
+            // else someone else owns `version` (or nothing landed): retry
+            winner(version)
+        }
+      if (landed) {
+        // commit is durable from here — hook failures surface loudly
+        // to the caller but can never lose or duplicate the commit
         // seed the resolver cache — the snapshot we just proved exact
         snapshotCache.put(
           f.makeQualified(manifestPath(t, version)).toString, m)
@@ -4839,26 +4919,14 @@ object TxLog {
         }
         // opt-in symlink auto-generation (the Delta
         // `compatibility.symlinkFormatManifest` property): external
-        // readers track every commit without a manual GENERATE. Runs
-        // AFTER the commit is durable — a generation failure surfaces
-        // loudly but can never lose the commit; full regeneration,
-        // priced per commit (set the property only on tables whose
-        // external readers need it fresh).
+        // readers track every commit without a manual GENERATE. Full
+        // regeneration, priced per commit (set the property only on
+        // tables whose external readers need it fresh).
         if (m.properties.exists(_.get(symlinkAutoKey).contains("true"))
             && m.dvs.forall(_.isEmpty)) {
           generateSymlinkManifest(spark, table)
         }
         return Some(version)
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException
-             | _: java.nio.file.FileAlreadyExistsException if attempt < 20 =>
-          f.delete(tmp, false) // definitely lost the race; retry
-        case _: java.io.IOException if attempt < 20 =>
-          f.delete(tmp, false)
-          // ambiguous failure: the rename may have landed (lost ack) —
-          // if the target now exists with OUR data dir, we won
-          if (winner(version)) return Some(version)
-          // else: someone else owns `version` (or nothing landed); retry
       }
     }
     sys.error("unreachable")

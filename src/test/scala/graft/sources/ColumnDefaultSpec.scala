@@ -63,6 +63,27 @@ class ColumnDefaultSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       TxLog.setColumnDefault(spark, t, "nope", "1")
     }.getMessage.contains("no column"))
+    // the validation scaffold exposes an 'id' column — an expression
+    // capturing it is NOT constant and must be refused, not deferred
+    // to a frame-dependent write-time resolution
+    assert(intercept[IllegalArgumentException] {
+      TxLog.setColumnDefault(spark, t, "x", "id + 1")
+    }.getMessage.contains("constant"))
+  }
+
+  test("a frame column matching the default case-insensitively wins") {
+    val t = tmpTable()
+    TxLog.overwrite(Seq((1L, 10)).toDF("k", "x"), t)
+    TxLog.setColumnDefault(spark, t, "x", "7")
+    // Spark resolution is case-insensitive by default: a frame
+    // supplying X satisfies the default on x — filling it anyway
+    // would land a duplicate/ambiguous column. The provided column
+    // wins and is canonicalized to the table's spelling.
+    TxLog.append(Seq((2L, 99)).toDF("k", "X"), t)
+    assert(TxLog.read(spark, t).as[(Long, Int)].collect().toSet ==
+      Set((1L, 10), (2L, 99)))
+    assert(TxLog.read(spark, t).columns.toSeq == Seq("k", "x"),
+      "the table's canonical column case is preserved")
   }
 
   test("SQL: ALTER COLUMN SET DEFAULT / DROP DEFAULT") {

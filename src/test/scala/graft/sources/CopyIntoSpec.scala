@@ -94,6 +94,12 @@ class CopyIntoSpec extends SparkSpec {
     assert(quarantined.count() == 1L)
     assert(quarantined.select("raw_record").as[String].head
       .contains("not json"))
+    // the pre-commit staging promoted and cleaned itself: a successful
+    // run leaves no attempt dirs behind under _staged/
+    val staged = java.nio.file.Paths.get(q, "_staged")
+    assert(!java.nio.file.Files.exists(staged) ||
+      !java.nio.file.Files.list(staged).iterator().hasNext,
+      "staging must promote-and-clean on the winning commit")
   }
 
   test("a lost CAS retry never duplicates quarantine rows") {
@@ -125,6 +131,11 @@ class CopyIntoSpec extends SparkSpec {
     // exactly ONE quarantine record for the one corrupt row — the old
     // pre-publish write would have appended it once per attempt
     assert(spark.read.parquet(q).count() == 1L)
+    // the losing attempt deleted its own staging on retry
+    val staged = java.nio.file.Paths.get(q, "_staged")
+    assert(!java.nio.file.Files.exists(staged) ||
+      !java.nio.file.Files.list(staged).iterator().hasNext,
+      "a lost attempt's staging must not linger")
   }
 
   test("csv format options: headerless landings via header=false") {

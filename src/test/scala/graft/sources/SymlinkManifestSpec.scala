@@ -54,6 +54,23 @@ class SymlinkManifestSpec extends SparkSpec {
     assert(spark.read.parquet(lines(t, w2.head): _*).count() == 1L)
   }
 
+  test("hive-special characters in partition values escape in the dir") {
+    val t = tmpTable()
+    // '/', '=', '%' in a raw value would nest a bogus directory or
+    // corrupt the k=v parse for an external Hive-layout reader
+    TxLog.overwrite(Seq((1L, "a/b"), (2L, "x=y"), (3L, "p%q"))
+      .toDF("k", "p"), t, partitionBy = Some(Seq("p")))
+    val w = TxLog.generateSymlinkManifest(spark, t)
+    assert(w.toSet == Set(
+      "_symlink_format_manifest/p=a%2Fb/manifest",
+      "_symlink_format_manifest/p=x%3Dy/manifest",
+      "_symlink_format_manifest/p=p%25q/manifest"))
+    // exactly one directory level per partition — nothing nested
+    w.foreach(rel => assert(rel.split('/').length == 3, rel))
+    val all = w.flatMap(rel => lines(t, rel))
+    assert(spark.read.parquet(all: _*).count() == 3L)
+  }
+
   test("deletion vectors refuse generation; purge unblocks it") {
     val t = tmpTable()
     TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
