@@ -5263,13 +5263,28 @@ object TxLog {
     new Path(t,
       s"_bloom/$rel/${java.net.URLEncoder.encode(column, "UTF-8")}.bloom")
 
+  /** Test-only probe: how the last bloom sidecar build wrote its files
+    * ("driver" below the threshold, "distributed" above) — pinned by
+    * BloomIndexSpec's threshold-forced case.
+    */
+  private[graft] val lastBloomBuildMode =
+    new java.util.concurrent.atomic.AtomicReference[String]("none")
+
   /** Build + write the per-file sidecar filters for `cols` over
     * `relFiles`. ONE column-pruned scan of exactly the indexed columns
-    * (grouped by file — a mergeable `BloomFilterAggregate` per column);
-    * only the sketches reach the driver, O(files-in-commit × ~0.1% of
-    * file size). `expectedRows` sizes the filters (an underestimate
-    * degrades fpp, never correctness — Bloom filters cannot
-    * false-negative).
+    * (grouped by file — a mergeable `BloomFilterAggregate` per column).
+    * Below [[vacuumDistributeThreshold]] files the driver collects the
+    * sketches and writes the sidecars (bounded: files-in-commit × ~0.1%
+    * of file size). ABOVE it — a [[setBloomIndex]] backfill of a large
+    * table, or a huge overwrite/COPY INTO on an indexed one — the
+    * sidecars are written FROM THE AGGREGATING TASKS (attempt-unique
+    * temp + rename, the composeDvsDist recipe): at 10⁶ files the driver
+    * would otherwise hold ~100 GB of filter bytes and issue 10⁶
+    * sequential create RPCs. Task retries are idempotent: the filter
+    * bytes are deterministic for a file's rows (bitset ORs), so any
+    * landed sidecar is equivalent. `expectedRows` sizes the filters (an
+    * underestimate degrades fpp, never correctness — Bloom filters
+    * cannot false-negative).
     */
   private def buildBlooms(spark: SparkSession, t: Path, schema: StructType,
       relFiles: Seq[String], expectedRows: Long, cols: Seq[String]): Unit = {
@@ -5278,19 +5293,65 @@ object TxLog {
     val aggs = present.map(c =>
       BloomFns.bloomAgg(col(quoted(c)), expectedRows.max(1L), bloomFpp)
         .as(s"__bf_$c"))
-    val relOf = relMapper(relFiles)
-    val rows = spark.read.schema(schema)
+    // keyed by last-two path components (both raw and URI-encoded
+    // spellings): backfill file lists span MANY data/<uuid> dirs, which
+    // the single-dir relMapper cannot handle
+    val byKey = byScanKey(relFiles, t)
+    val grouped = spark.read.schema(schema)
       .parquet(relFiles.map(new Path(t, _).toString): _*)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
     val f = fs(spark, t)
-    rows.foreach { r =>
-      val rel = relOf(r.getString(0))
-      present.zipWithIndex.foreach { case (c, i) =>
-        Option(r.get(i + 1)).foreach { bytes =>
-          val out = f.create(bloomPathOf(t, rel, c), true)
-          try out.write(bytes.asInstanceOf[Array[Byte]]) finally out.close()
+    if (relFiles.size < vacuumDistributeThreshold) {
+      lastBloomBuildMode.set("driver")
+      grouped.collect().foreach { r =>
+        val rel = byKey.getOrElse(last2(r.getString(0)),
+          sys.error(s"bloom scan returned unlisted file ${r.getString(0)}"))
+        present.zipWithIndex.foreach { case (c, i) =>
+          Option(r.get(i + 1)).foreach { bytes =>
+            val out = f.create(bloomPathOf(t, rel, c), true)
+            try out.write(bytes.asInstanceOf[Array[Byte]]) finally out.close()
+          }
+        }
+      }
+    } else {
+      lastBloomBuildMode.set("distributed")
+      val confBc = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      val byKeyBc = spark.sparkContext.broadcast(byKey)
+      val tqStr = f.makeQualified(t).toString
+      val presentL = present.toIndexedSeq
+      grouped.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val base = new Path(tqStr)
+          val fx = base.getFileSystem(confBc.value.value)
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId).getOrElse(0L)
+          it.foreach { r =>
+            val rel = byKeyBc.value.getOrElse(last2(r.getString(0)),
+              sys.error(s"bloom scan returned unlisted file ${r.getString(0)}"))
+            presentL.zipWithIndex.foreach { case (c, i) =>
+              Option(r.get(i + 1)).foreach { bytes =>
+                val target = bloomPathOf(base, rel, c)
+                val tmp = new Path(target.getParent,
+                  s".${target.getName}.a$attempt.tmp")
+                val out = fx.create(tmp, true)
+                try out.write(bytes.asInstanceOf[Array[Byte]])
+                finally out.close()
+                // a backfill may legitimately REPLACE a stale sidecar
+                // (re-declared after type widening shed the index):
+                // delete-then-rename; a speculative twin's just-landed
+                // file carries equivalent bytes, so either winner is
+                // correct and "already there" is success
+                if (fx.exists(target)) fx.delete(target, false)
+                if (!fx.rename(tmp, target)) {
+                  if (!fx.exists(target))
+                    sys.error(s"bloom sidecar rename failed for $target")
+                  fx.delete(tmp, false)
+                }
+              }
+            }
+          }
         }
       }
     }

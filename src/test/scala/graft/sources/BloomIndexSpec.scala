@@ -42,6 +42,57 @@ class BloomIndexSpec extends SparkSpec {
     assert(pruned.as[(Long, String)].collect().toSeq == Seq((17L, "v17")))
   }
 
+  test("backfill spans multiple commits' data dirs") {
+    val t = tmpTable()
+    // three commits → three data/<uuid> dirs; the backfill must map
+    // every scanned file back to its rel across all of them
+    TxLog.overwrite((0L until 300L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(2, col("k")), t)
+    TxLog.append((300L until 600L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(2, col("k")), t)
+    TxLog.append((600L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(2, col("k")), t)
+    TxLog.setBloomIndex(spark, t, Seq("k"))
+    assert(TxLog.lastBloomBuildMode.get() == "driver")
+    val pruned = TxLog.readWhere(spark, t, Seq(("k", Some(777L), Some(777L))))
+    assert(pruned.inputFiles.length <= 2,
+      s"bloom kept ${pruned.inputFiles.length} of 6 files")
+    assert(pruned.as[(Long, String)].collect().toSeq == Seq((777L, "v777")))
+  }
+
+  test("above the threshold the sidecars are written from executors") {
+    val t = tmpTable()
+    publishScattered(t)
+    TxLog.append((1000L until 2000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(8, col("k")), t)
+    val saved = TxLog.vacuumDistributeThreshold
+    TxLog.vacuumDistributeThreshold = 4 // force the distributed path
+    try {
+      TxLog.setBloomIndex(spark, t, Seq("k"))
+      assert(TxLog.lastBloomBuildMode.get() == "distributed")
+    } finally TxLog.vacuumDistributeThreshold = saved
+    // every live file got its sidecar (no torn/missing writes)…
+    val m = TxLog.manifest(spark, t)
+    m.files.foreach { rel =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(t, "_bloom", rel, "k.bloom")), rel)
+    }
+    // …no temp leftovers…
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(t, "_bloom"))
+    try {
+      val it = walk.iterator()
+      while (it.hasNext) {
+        val p = it.next().toString
+        assert(!p.endsWith(".tmp"), s"attempt-temp must not linger: $p")
+      }
+    } finally walk.close()
+    // …and the index prunes exactly as the driver-built one does
+    val pruned = TxLog.readWhere(spark, t, Seq(("k", Some(17L), Some(17L))))
+    assert(pruned.inputFiles.length <= 4,
+      s"bloom kept ${pruned.inputFiles.length} of 16 files")
+    assert(pruned.as[(Long, String)].collect().toSeq == Seq((17L, "v17")))
+  }
+
   test("appends inherit the index: fresh files get sidecars automatically") {
     val t = tmpTable()
     publishScattered(t)
