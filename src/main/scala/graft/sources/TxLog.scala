@@ -3220,6 +3220,7 @@ object TxLog {
     // readLive anti-joins the vectors out; the rewrite IS the purge
     val w = writeData(readLive(spark, t, m, vectored), table,
       m.partitionBy.getOrElse(Seq.empty))
+    casRaceHook()
     publish(spark, table, w, parent => {
       val pf = parent.map(_.files).getOrElse(Seq.empty)
       if (!gone.subsetOf(pf.toSet))
@@ -4611,9 +4612,18 @@ object TxLog {
       df.sortWithinPartitions(phys.map(c => col(quoted(c))): _*)
   }
 
+  /** Test-only probe: total [[writeData]] invocations — specs pin a
+    * maintenance op racing a concurrent commit to exactly ONE data
+    * write (the rebase composes inside [[publish]]; losing a CAS must
+    * never re-run the rewrite).
+    */
+  private[graft] val dataWriteCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def writeData(df0: DataFrame, table: String,
       partitionBy: Seq[String] = Seq.empty,
       dataRelOpt: Option[String] = None): Written = {
+    dataWriteCount.incrementAndGet()
     val spark = df0.sparkSession
     val mOpt = latestVersion(spark, table)
       .map(readManifest(spark, new Path(table), _))

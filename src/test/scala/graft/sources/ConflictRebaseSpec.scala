@@ -148,7 +148,12 @@ class ConflictRebaseSpec extends SparkSpec {
     once { TxLog.append(Seq((800L, "racer", 9)).toDF("k", "v", "g"), t) }
     // compact's compose recomposes onto the append's manifest inside the
     // SAME publish — data written once, no retry loop to re-enter
+    val before = TxLog.dataWriteCount.get()
     val v = TxLog.compact(spark, t)
+    // exactly TWO data writes total: the racer's append + the ONE
+    // compaction rewrite (a recompute would make it three)
+    assert(TxLog.dataWriteCount.get() - before == 2L,
+      "the compaction must pay exactly one rewrite under the race")
     val m = TxLog.manifest(spark, t)
     assert(m.version == v && m.action == "compact")
     val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
@@ -161,12 +166,52 @@ class ConflictRebaseSpec extends SparkSpec {
     val t = tmpTable()
     publish100(t)
     once { TxLog.append(Seq((900L, "racer", 3)).toDF("k", "v", "g"), t) }
+    val before = TxLog.dataWriteCount.get()
     val v = TxLog.zorderOptimize(spark, t, "k", "g", numFiles = 2)
+    assert(TxLog.dataWriteCount.get() - before == 2L,
+      "racer append + one zorder rewrite, never a recompute")
     val m = TxLog.manifest(spark, t)
     assert(m.version == v && m.action == "zorder")
     val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
     assert(got.length == 101)
     assert(got.exists(_._1 == 900L), "the racing append's row survived")
+  }
+
+  rtest("append racing REORG PURGE: both land with one compute each") {
+    val t = tmpTable()
+    publish100(t)
+    TxLog.delete(spark, t, col("k") < 10L, deletionVectors = true)
+    assert(TxLog.manifest(spark, t).dvs.exists(_.nonEmpty))
+    once { TxLog.append(Seq((901L, "racer", 3)).toDF("k", "v", "g"), t) }
+    val before = TxLog.dataWriteCount.get()
+    val v = TxLog.purgeDvs(spark, t)
+    assert(TxLog.dataWriteCount.get() - before == 2L,
+      "racer append + one purge rewrite, never a recompute")
+    val m = TxLog.manifest(spark, t)
+    assert(m.version == v && m.action == "purge")
+    assert(m.dvs.forall(_.isEmpty), "every vector materialized")
+    val got = TxLog.read(spark, t).as[(Long, String, Int)].collect()
+    assert(got.length == 91, "90 surviving rows + the racing append")
+    assert(got.exists(_._1 == 901L), "the racing append's row survived")
+  }
+
+  rtest("a DV landing on a planned file aborts the OPTIMIZE loudly") {
+    val t = tmpTable()
+    publish100(t)
+    TxLog.append(Seq((200L, "frag", 5)).toDF("k", "v", "g"), t)
+    // the racer vectors rows INSIDE files the compaction planned to
+    // rewrite: composing would shed the racer's vector and resurrect
+    // its deleted rows — this is the one maintenance race that must
+    // recompute, and it must say so rather than land wrong data
+    once { TxLog.delete(spark, t, col("k") === 5L, deletionVectors = true) }
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.compact(spark, t)
+    }
+    // a re-run (fresh plan over the new snapshot) lands fine
+    val v = TxLog.compact(spark, t)
+    assert(TxLog.manifest(spark, t).version == v)
+    assert(!TxLog.read(spark, t).as[(Long, String, Int)].collect()
+      .exists(_._1 == 5L), "the racer's delete survived the compaction")
   }
 
   rtest("a concurrent addConstraint aborts the rebase (metadata conflict)") {
