@@ -1194,6 +1194,34 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q143_tx_gen_derive" -> ((s, dir) => {
+      // Generated-column PREDICATE DERIVATION under the oracle gate
+      // (GeneratedDerivation scaladoc): the q118 table shape — orders
+      // partitioned by a GENERATED o_year — queried through the SQL
+      // relation with a filter on the RAW o_orderdate ONLY. The
+      // reference's own views filter raw trade_date over derived
+      // year/month layouts (reference sql/hive_schemas.sql:236-251);
+      // o_orderdate is a TIMESTAMP, whose stats are excluded from the
+      // bounds compare, so every pruned partition here is pruned by
+      // the derived o_year bounds alone (GeneratedPruningSpec pins the
+      // planned-file counts). Hash equality with DuckDB's full-scan
+      // WHERE proves no qualifying row lived in a skipped partition.
+      val t = tmpTable("tx-q143")
+      val o = Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      TxLog.overwrite(o, t, partitionBy = Some(Seq("o_year")))
+      TxLog.setGeneratedColumn(s, t, "o_year",
+        "CAST(year(o_orderdate) AS INT)")
+      s.read.format("graft-txlog").load(t)
+        .filter(col("o_orderdate") >=
+            lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <=
+            lit("1996-12-31 23:59:59.999").cast("timestamp"))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q141_tx_symlink" -> ((s, dir) => {
       // GENERATE symlink_format_manifest under the oracle gate
       // (TxLog.generateSymlinkManifest scaladoc): orders published
@@ -1733,6 +1761,15 @@ object Lakehouse {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 10 <> 3 GROUP BY 1""".stripMargin,
+
+    "q143_tx_gen_derive" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59.999'
+        |GROUP BY 1""".stripMargin,
 
     "q140_tx_widen" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -178,9 +178,64 @@ class TxLogRelation(spark: SparkSession, table: String,
     * strings render identically on both sides. Missing evidence always
     * keeps the file.
     */
-  private def prunedFiles(filters: Array[Filter]): Seq[String] = {
+  /** Conjuncts DERIVED from filters on a GENERATED column's source
+    * ([[GeneratedDerivation]]): `WHERE o_orderdate BETWEEN a AND b` on
+    * a table generated-partitioned by `o_year = year(o_orderdate)`
+    * implies `o_year BETWEEN year(a) AND year(b)` — the conjunct that
+    * makes the partition layout prune for raw-source queries. Derived
+    * filters feed ONLY the manifest-level pruning (rows already satisfy
+    * them by construction — the write path computed the column).
+    */
+  private def derivedGenerated(m: TxLog.Manifest,
+      filters: Array[Filter]): Array[Filter] = {
+    val gen = m.generated.getOrElse(Map.empty)
+    if (gen.isEmpty || filters.isEmpty) return Array.empty
+    gen.toSeq.flatMap { case (g, exprSql) =>
+      GeneratedDerivation.classify(spark, exprSql).toSeq.flatMap {
+        case (src0, shape) =>
+          schema.fields.find(_.name.equalsIgnoreCase(src0)).toSeq.flatMap { sf =>
+            val src = sf.name
+            def f1(v: Any): Option[Any] = GeneratedDerivation
+              .derive(spark, exprSql, src, sf.dataType, Seq(v)).map(_.head)
+            val eqs = filters.toSeq.collect {
+              case EqualTo(a, v) if a == src && v != null => v }
+              .flatMap(v => f1(v).map(d => EqualTo(g, d)))
+            val ins = filters.toSeq.collect {
+              case In(a, vs) if a == src && vs.nonEmpty &&
+                vs.forall(_ != null) => vs }
+              .flatMap(vs => GeneratedDerivation
+                .derive(spark, exprSql, src, sf.dataType, vs.toSeq)
+                .map(ds => In(g, ds.distinct.toArray)))
+            val los = filters.toSeq.collect {
+              case GreaterThan(a, v) if a == src && v != null => v
+              case GreaterThanOrEqual(a, v) if a == src && v != null => v }
+            val his = filters.toSeq.collect {
+              case LessThan(a, v) if a == src && v != null => v
+              case LessThanOrEqual(a, v) if a == src && v != null => v }
+            // strict source bounds widen to INCLUSIVE generated bounds:
+            // f is only nondecreasing, so src > v still allows g = f(v)
+            val ranges = shape match {
+              case GeneratedDerivation.Monotone =>
+                los.flatMap(v => f1(v).map(d => GreaterThanOrEqual(g, d))) ++
+                his.flatMap(v => f1(v).map(d => LessThanOrEqual(g, d)))
+              case GeneratedDerivation.SamePeriod(fmt)
+                  if los.nonEmpty && his.nonEmpty && los.size == 1 &&
+                    his.size == 1 && GeneratedDerivation.samePeriod(
+                      spark, fmt, src, sf.dataType, los.head, his.head) =>
+                f1(los.head).map(d => GreaterThanOrEqual(g, d)).toSeq ++
+                f1(his.head).map(d => LessThanOrEqual(g, d)).toSeq
+              case _ => Seq.empty[Filter]
+            }
+            eqs ++ ins ++ ranges
+          }
+      }
+    }.toArray
+  }
+
+  private def prunedFiles(filters0: Array[Filter]): Seq[String] = {
     import org.apache.spark.sql.types._
     val m = TxLog.manifestAt(spark, table, pin())
+    val filters = filters0 ++ derivedGenerated(m, filters0)
     // filters reference LOGICAL names; stats/bloom evidence is keyed by
     // PHYSICAL names — translate for the metadata lookups
     def domain(name: String, v: Any): Option[(String, DataType)] = {
