@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // replaces) an InferWindowGroupLimit-inserted WindowGroupLimit child
     ext.injectPreCBORule(_ => graft.plans.WindowTopKRewrite)
     ext.injectPreCBORule(_ => graft.plans.DynamicFilePruning)
+    // exact row counts from the manifest, in place before the
+    // CostBasedJoinReorder batch consumes leaf statistics
+    ext.injectPreCBORule(_ => graft.plans.TxRelationStats)
   }
 }
 

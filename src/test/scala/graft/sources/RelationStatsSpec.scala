@@ -65,4 +65,22 @@ class RelationStatsSpec extends SparkSpec {
     assert(rel.sizeInBytes > Int.MaxValue.toLong,
       "without sizes the relation must report the safe huge default")
   }
+
+  test("the optimized plan carries the exact manifest row count") {
+    val t = tmpTable()
+    TxLog.overwrite((1L to 321L).map(i => (i, s"v$i")).toDF("k", "v"), t)
+    val df = spark.read.format("graft-txlog").load(t).filter(col("k") > 0L)
+    val stats = df.queryExecution.optimizedPlan.collectLeaves().map(_.stats)
+    assert(stats.exists(_.rowCount.contains(BigInt(321))),
+      s"expected the exact manifest count, got ${stats.map(_.rowCount)}")
+    // a deletion-vectored snapshot would OVERCOUNT from the manifest:
+    // it must stay unwrapped (no rowCount) rather than guess
+    TxLog.delete(spark, t, col("k") <= 21L, deletionVectors = true)
+    val df2 = spark.read.format("graft-txlog").load(t)
+    val stats2 =
+      df2.queryExecution.optimizedPlan.collectLeaves().map(_.stats)
+    assert(stats2.forall(_.rowCount.isEmpty),
+      "a DV'd snapshot must never report a (wrong) exact count")
+    assert(df2.count() == 300L)
+  }
 }
