@@ -142,13 +142,17 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
     maxB.foreach(b => require(b >= 1, "maxBytesPerTrigger must be >= 1"))
     val maxF = parameters.get("maxFilesPerTrigger").map(_.toLong)
     maxF.foreach(n => require(n >= 1, "maxFilesPerTrigger must be >= 1"))
+    val tracking = parameters.get("schemaTrackingLocation")
+    tracking.foreach(loc =>
+      SchemaTracking.advance(sqlContext.sparkSession, loc, path, fixed))
     new TxLogSource(sqlContext.sparkSession, path, fixed,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       changeFeed = cdfOf(parameters),
       maxVersionsPerTrigger = maxV,
       maxBytesPerTrigger = maxB,
       maxFilesPerTrigger = maxF,
-      startingVersion = parameters.get("startingVersion").map(_.toLong))
+      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      schemaTracked = tracking.isDefined)
   }
 
   /** Transactional streaming SINK:
@@ -323,13 +327,74 @@ private[streaming] object TxLogSourceOffset {
   * (compact, constraint changes) as nothing. A rewrite with no
   * recorded changes fails the stream loudly unless `ignoreChanges`.
   */
+/** Opt-in schema-tracking restart (the Delta `schemaTrackingLocation`
+  * surface): a stream carrying this option records the source schema
+  * it serves under; when a restart finds the table evolved, an
+  * ADDITIVE or WIDENING transition (every tracked column still present
+  * under its name, same or widenable type) is AUTHORIZED — the tracked
+  * record advances and the stream resumes under the new schema, with
+  * pre-evolution history null-filling new columns and narrow files
+  * promoting natively. Renames, drops, and narrowings still refuse
+  * loudly (resuming through them silently re-shapes rows the stream
+  * already promised; Delta gates those behind a further per-stream
+  * opt-in) — a fresh checkpoint remains the remedy there. Without the
+  * option, behavior is unchanged: any schema-changing version in range
+  * fails the fixed-schema stream (the correct default).
+  */
+private[streaming] object SchemaTracking {
+  private def file(loc: String) = new org.apache.hadoop.fs.Path(
+    loc, "graft_source_schema.json")
+
+  def advance(spark: SparkSession, loc: String, table: String,
+      serving: StructType): Unit = {
+    val p = file(loc)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tracked: Option[StructType] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          out.toByteArray
+        } finally in.close()
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(new String(bytes, "UTF-8")).asInstanceOf[StructType])
+      }
+    tracked match {
+      case Some(t) if t == serving => () // steady state: nothing to record
+      case Some(t) =>
+        val ok = t.fields.forall { tf =>
+          serving.fields.find(_.name == tf.name).exists(sf =>
+            sf.dataType == tf.dataType ||
+              TxLog.canWiden(tf.dataType, sf.dataType))
+        }
+        if (!ok) sys.error(
+          s"graft-txlog stream on $table: the tracked source schema at " +
+            s"$loc cannot evolve into the table's current schema — a " +
+            "column was renamed, dropped, or narrowed since the stream " +
+            "last ran; resuming would silently re-shape already-promised " +
+            "rows. Start from a fresh checkpoint to re-snapshot")
+        write(fs, p, serving)
+      case None => write(fs, p, serving)
+    }
+  }
+
+  private def write(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, s: StructType): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.json.getBytes("UTF-8")) finally out.close()
+  }
+}
+
 private[streaming] class TxLogSource(spark: SparkSession, table: String,
     override val schema: StructType, ignoreChanges: Boolean,
     changeFeed: Boolean = false,
     maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
-    startingVersion: Option[Long] = None) extends Source
+    startingVersion: Option[Long] = None,
+    schemaTracked: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   /** Trigger.AvailableNow latch. Implementing the trait ourselves (the
@@ -469,11 +534,12 @@ private[streaming] class TxLogSource(spark: SparkSession, table: String,
         // or cast a widened column back down
         if (!ignoreChanges) ((startV + 1) to endV).foreach { v =>
           val a = TxLog.manifestAt(spark, table, v).action
-          if (TxLog.schemaChangingActions(a)) sys.error(
+          if (TxLog.schemaChangingActions(a) && !trackedOk(v)) sys.error(
             s"graft-txlog CDF stream on $table: version $v is '$a' — the " +
               "table's schema changed under a stream whose schema is fixed " +
               "at start; restart from a fresh checkpoint to pick up the " +
-              "new schema")
+              "new schema (or resume with schemaTrackingLocation if the " +
+              "change was additive)")
         }
         withSchema(TxLog.readChangeFeed(spark, table, startV, Some(endV),
           skipUnrecorded = ignoreChanges))
@@ -502,13 +568,15 @@ private[streaming] class TxLogSource(spark: SparkSession, table: String,
       // stream's schema is fixed at start, and silently re-selecting
       // through it would null-fill a renamed/dropped name or cast a
       // widened column back down
-      else if (TxLog.schemaChangingActions(m.action) && !ignoreChanges)
+      else if (TxLog.schemaChangingActions(m.action) && !ignoreChanges &&
+          !trackedOk(v))
         sys.error(
           s"graft-txlog stream on $table: version $v is '${m.action}' — " +
             "the table's schema changed under a stream whose schema is " +
             "fixed at start; restart from a fresh checkpoint to pick up " +
-            "the new schema (or .option(\"ignoreChanges\", \"true\") " +
-            "to project through the old one)")
+            "the new schema, resume with schemaTrackingLocation if the " +
+            "change was additive, or .option(\"ignoreChanges\", \"true\") " +
+            "to project through the old one")
       else if (!TxLog.rowPreservingActions(m.action) && !ignoreChanges)
         sys.error(
           s"graft-txlog stream on $table: version $v is '${m.action}', not " +
@@ -518,6 +586,24 @@ private[streaming] class TxLogSource(spark: SparkSession, table: String,
       prev = cur
     }
     out.result()
+  }
+
+  /** With schema tracking on: is version `v`'s schema change one the
+    * SERVING schema subsumes? Every column of the schema AT v must be
+    * present under its own name with a same-or-widenable type — then
+    * rows of every in-range version align exactly through
+    * [[withSchema]] (old files null-fill added columns, narrow
+    * physical pages promote natively). A change the serving schema
+    * cannot subsume (a mid-run rename/drop, or a widen the restart has
+    * not yet observed) still fails loudly — the restart path is where
+    * tracking advances.
+    */
+  private def trackedOk(v: Long): Boolean = schemaTracked && {
+    val at = TxLog.logicalSchemaAt(spark, table, v)
+    at.fields.forall { f =>
+      schema.fields.find(_.name == f.name).exists(sf =>
+        sf.dataType == f.dataType || TxLog.canWiden(f.dataType, sf.dataType))
+    }
   }
 
   /** The stream's schema is fixed at start; an evolved table's new

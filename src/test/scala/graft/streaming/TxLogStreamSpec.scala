@@ -111,6 +111,87 @@ class TxLogStreamSpec extends SparkSpec {
     assert(msg.contains("schema changed"), s"unexpected failure: $msg")
   }
 
+  /** Drain with schemaTrackingLocation set, collecting rows generically
+    * (the serving schema may differ between runs).
+    */
+  private def drainTracked(table: String, checkpoint: String,
+      tracking: String): Seq[Seq[Any]] = {
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = spark.readStream.format("graft-txlog").option("path", table)
+      .option("schemaTrackingLocation", tracking)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(_.toSeq.toList)
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    got.toSeq
+  }
+
+  test("schema tracking: ADD COLUMN, restart resumes with null-filled history") {
+    val t = tmp("txstream-track-add")
+    val cp = Files.createTempDirectory("txstream-ta-cp").toString
+    val loc = Files.createTempDirectory("txstream-ta-loc").toString
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    assert(drainTracked(t, cp, loc).toSet == Set(List(1L, "a")))
+    // unprocessed pre-evolution append, then the evolution + new rows
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t)
+    TxLog.addColumns(spark, t, Seq(org.apache.spark.sql.types.StructField(
+      "extra", org.apache.spark.sql.types.LongType)))
+    TxLog.append(Seq((3L, "c", 9L)).toDF("k", "v", "extra"), t)
+    // restart: serves the EVOLVED schema; the pre-evolution file
+    // null-fills the new column; nothing reprocesses
+    val got = drainTracked(t, cp, loc).toSet
+    assert(got == Set(List(2L, "b", null), List(3L, "c", 9L)),
+      s"expected null-filled history + evolved rows, got $got")
+  }
+
+  test("schema tracking: a widen in range resumes; without tracking it fails") {
+    val t = tmp("txstream-track-widen")
+    val cp = Files.createTempDirectory("txstream-tw-cp").toString
+    val loc = Files.createTempDirectory("txstream-tw-loc").toString
+    TxLog.overwrite(Seq((1L, "a", 10)).toDF("k", "v", "x"), t)
+    assert(drainTracked(t, cp, loc).toSet == Set(List(1L, "a", 10)))
+    TxLog.append(Seq((2L, "b", 20)).toDF("k", "v", "x"), t) // unprocessed
+    TxLog.alterColumnType(spark, t, "x",
+      org.apache.spark.sql.types.LongType) // schema-changing: alter_column
+    TxLog.append(Seq((3L, "c", 5L)).toDF("k", "v", "x"), t)
+    // a restart WITHOUT tracking from the SAME checkpoint still fails
+    // loudly on the in-range alter_column — the default contract (the
+    // failed attempt commits no batch, so the position is unchanged)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(t, cp)
+    }
+    val msg0 = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg0.contains("schema changed"), s"unexpected failure: $msg0")
+    // the tracked restart resumes: the narrow pre-widen file promotes,
+    // the post-widen rows arrive as committed
+    val got = drainTracked(t, cp, loc).toSet
+    assert(got == Set(List(2L, "b", 20L), List(3L, "c", 5L)),
+      s"expected promoted + post-widen rows, got $got")
+  }
+
+  test("schema tracking refuses a rename at restart (fresh checkpoint remedy)") {
+    val t = tmp("txstream-track-ren")
+    val cp = Files.createTempDirectory("txstream-tr-cp").toString
+    val loc = Files.createTempDirectory("txstream-tr-loc").toString
+    TxLog.overwrite(Seq((1L, "a")).toDF("k", "v"), t)
+    drainTracked(t, cp, loc)
+    TxLog.renameColumn(spark, t, "v", "w")
+    TxLog.append(Seq((2L, "b")).toDF("k", "w"), t)
+    val e = intercept[Exception] { drainTracked(t, cp, loc) }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("cannot evolve"),
+      s"a rename must refuse the tracked resume loudly: $msg")
+  }
+
   test("a non-append commit fails the stream; ignoreChanges skips it") {
     import org.apache.spark.sql.functions.col
     val t = tmp("txstream-rewrite")
