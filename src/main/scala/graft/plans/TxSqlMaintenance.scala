@@ -29,7 +29,8 @@ import graft.sources.TxLog
   *   ALTER TABLE t DROP COLUMN c              -- v1 analyzer would reject
   *   ALTER TABLE t RENAME COLUMN a TO b       -- v1 analyzer would reject
   *   CONVERT TO GRAFT '/path' [NO STATISTICS] -- adopt parquet in place
-  *   COPY INTO t FROM '/landing' [FILEFORMAT = PARQUET|ORC|JSON|CSV]
+  *   COPY INTO t FROM '/landing' [FILEFORMAT = …] [PATTERN = 'glob']
+  *                                [FILES = ('f1', 'f2', …)]
   *   REORG TABLE t APPLY (PURGE)              -- materialize DVs only
   *   GENERATE symlink_format_manifest FOR TABLE t -- external-reader manifests
   *   CREATE TABLE dst SHALLOW CLONE src       -- zero-copy metadata fork
@@ -136,7 +137,7 @@ object GraftSqlParser {
   private val cloneRe =
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$ref\\s+SHALLOW\\s+CLONE\\s+$ref\\s*$$""".r
   private val copyIntoRe =
-    s"""(?is)^\\s*COPY\\s+INTO\\s+$ref\\s+FROM\\s+'([^']+)'(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?\\s*$$""".r
+    s"""(?is)^\\s*COPY\\s+INTO\\s+$ref\\s+FROM\\s+'([^']+)'(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FILES\\s*=\\s*\\(([^)]*)\\))?\\s*$$""".r
   private val reorgPurgeRe =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+$ref\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*$$""".r
   private val generateRe =
@@ -227,8 +228,9 @@ object GraftSqlParser {
 
   /** The maintenance grammar: Some(plan) when the statement is ours. */
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case copyIntoRe(r, from, fmt) =>
+    case copyIntoRe(r, from, fmt, pat, fileList) =>
       // COPY INTO t FROM '<landing>' [FILEFORMAT = PARQUET|ORC|JSON|CSV]
+      //   [PATTERN = '<glob>'] [FILES = ('f1', 'f2', …)]
       // — the idempotent-ingest operator as SQL. json/csv need a
       // schema: the TARGET table's declared (manifest) schema IS the
       // schema, so an existing table ingests them directly; only a
@@ -239,6 +241,11 @@ object GraftSqlParser {
         require(Set("parquet", "orc", "json", "csv")(format),
           s"COPY INTO (SQL) supports FILEFORMAT = PARQUET | ORC | " +
             s"JSON | CSV, not '$fmt'")
+        val files = Option(fileList).map(_.split(',').toSeq
+          .map(s => unquote(s.trim.stripPrefix("'").stripSuffix("'")))
+          .filter(_.nonEmpty))
+        files.foreach(fl => require(fl.nonEmpty,
+          "COPY INTO (SQL): FILES = () names no files"))
         GraftMaintenance("graft_copy_into",
           Seq(longAttr("version"), longAttr("files_ingested"),
             longAttr("rows_ingested")), { spark =>
@@ -250,7 +257,8 @@ object GraftSqlParser {
                 "schema to read the landing with — commit the table " +
                 "first, or use TxLog.copyInto(..., schema = Some(...))")))
           val res =
-            TxLog.copyInto(spark, from, path, format = format, schema = schema)
+            TxLog.copyInto(spark, from, path, format = format,
+              schema = schema, pattern = Option(pat), files = files)
           syncCatalog(spark, ident, path) // refresh the cached relation
           Seq(Seq(res.version, res.filesIngested, res.rowsIngested))
         })

@@ -1065,11 +1065,18 @@ object Lakehouse {
         dec2(col("o_totalprice")).as("price"))
       o.filter(col("o_orderkey") % 3 === 0).repartition(2)
         .write.mode("append").parquet(land)
-      TxLog.copyInto(s, land, t)
+      // decoy rows in a sub-dir the PATTERN must exclude (a landing
+      // zone shared with another feed — the Delta PATTERN use case):
+      // ingesting them would duplicate a third of the orders and fail
+      // the hash gate
+      o.filter(col("o_orderkey") % 3 === 0).repartition(1)
+        .write.mode("append").parquet(s"$land/junk")
+      val pat = Some("part-*")
+      TxLog.copyInto(s, land, t, pattern = pat)
       o.filter(col("o_orderkey") % 3 =!= 0).repartition(3)
         .write.mode("append").parquet(land)
-      val r2 = TxLog.copyInto(s, land, t)
-      val r3 = TxLog.copyInto(s, land, t)
+      val r2 = TxLog.copyInto(s, land, t, pattern = pat)
+      val r3 = TxLog.copyInto(s, land, t, pattern = pat)
       require(r3.filesIngested == 0 && r3.version == r2.version,
         "a copy over unchanged landing content must commit nothing")
       TxLog.read(s, t).groupBy(col("o_orderpriority"))

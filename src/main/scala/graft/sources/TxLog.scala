@@ -1943,11 +1943,18 @@ object TxLog {
       format: String = "parquet", schema: Option[StructType] = None,
       quarantineDir: Option[String] = None,
       maxAttempts: Int = 10,
-      options: Map[String, String] = Map.empty): CopyIntoResult = {
+      options: Map[String, String] = Map.empty,
+      pattern: Option[String] = None,
+      files: Option[Seq[String]] = None): CopyIntoResult = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     require(identityOf(spark, table).isEmpty,
       s"copyInto into identity-column table $table is not supported — " +
         "ids must be assigned, use append")
+    // the Delta COPY INTO source selectors: PATTERN globs the landing
+    // listing, FILES names exact landing-relative paths — one way of
+    // choosing the source set at a time
+    require(pattern.isEmpty || files.isEmpty,
+      "copyInto: PATTERN and FILES are mutually exclusive")
     val land = new Path(landingDir)
     val f = fs(spark, land)
     (1 to maxAttempts).foreach { _ =>
@@ -1957,20 +1964,38 @@ object TxLog {
         .getOrElse(Map.empty)
         .collect { case (k, v) if k.startsWith(copyLedgerPrefix) =>
           k.stripPrefix(copyLedgerPrefix) -> v }
-      val listed = {
-        val it = f.listFiles(land, true)
-        val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-        while (it.hasNext) {
-          val st = it.next()
-          val name = st.getPath.getName
-          val hidden = st.getPath.toString
-            .substring(f.makeQualified(land).toString.length)
-            .split('/').exists(s => s.startsWith("_") || s.startsWith("."))
-          if (st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
-              !hidden)
-            buf += ((f.makeQualified(st.getPath).toString, st.getLen))
-        }
-        buf.toSeq.sortBy(_._1)
+      val listed: Seq[(String, Long)] = files match {
+        case Some(rels) =>
+          // FILES: the caller names the landing files exactly — a
+          // missing one is a pipeline bug upstream; fail loudly
+          // (getFileStatus throws) rather than silently ingest fewer
+          rels.distinct.sorted.map { rel =>
+            val p = new Path(land, rel)
+            val st = f.getFileStatus(p)
+            require(st.isFile,
+              s"copyInto $table: FILES entry '$rel' is not a file")
+            (f.makeQualified(p).toString, st.getLen)
+          }
+        case None =>
+          val glob = pattern.map(new org.apache.hadoop.fs.GlobPattern(_))
+          val landQ = f.makeQualified(land).toString
+          val it = f.listFiles(land, true)
+          val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+          while (it.hasNext) {
+            val st = it.next()
+            val name = st.getPath.getName
+            val relp = st.getPath.toString
+              .substring(landQ.length).stripPrefix("/")
+            val hidden = relp.split('/')
+              .exists(s => s.startsWith("_") || s.startsWith("."))
+            // PATTERN matches the LANDING-RELATIVE path (the Delta
+            // contract: 'part-*.json', 'dt=2024*/...')
+            if (st.isFile && !name.startsWith("_") &&
+                !name.startsWith(".") && !hidden &&
+                glob.forall(_.matches(relp)))
+              buf += ((f.makeQualified(st.getPath).toString, st.getLen))
+          }
+          buf.toSeq.sortBy(_._1)
       }
       listed.foreach { case (p, len) =>
         ledger.get(p).foreach(prior => require(prior == len,

@@ -138,6 +138,84 @@ class CopyIntoSpec extends SparkSpec {
       "a lost attempt's staging must not linger")
   }
 
+  test("PATTERN globs the landing; FILES names exact paths; both loud") {
+    val land = tmpDir("landing-pat")
+    val t = tmpTable()
+    def put(rel: String, rows: Seq[(Long, String)]): Unit = {
+      val p = java.nio.file.Paths.get(land, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite")
+        .parquet(p.toString + ".d")
+      // single stable name so PATTERN/FILES can address it
+      val part = new java.io.File(p.toString + ".d").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, p)
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+      }
+      rmr(new java.io.File(p.toString + ".d"))
+    }
+    put("a_1.parquet", Seq((1L, "a")))
+    put("a_2.parquet", Seq((2L, "b")))
+    put("other/b_1.parquet", Seq((9L, "junk")))
+    // PATTERN: only the root a_* files; the sub-dir feed stays out
+    val r = TxLog.copyInto(spark, land, t, pattern = Some("a_*.parquet"))
+    assert(r.filesIngested == 2)
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // FILES: exactly the named landing-relative paths
+    val t2 = tmpTable()
+    val r2 = TxLog.copyInto(spark, land, t2,
+      files = Some(Seq("a_1.parquet", "other/b_1.parquet")))
+    assert(r2.filesIngested == 2)
+    assert(TxLog.read(spark, t2).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (9L, "junk")))
+    // a FILES entry that does not exist fails loudly
+    intercept[java.io.FileNotFoundException] {
+      TxLog.copyInto(spark, land, tmpTable(),
+        files = Some(Seq("missing.parquet")))
+    }
+    // the selectors are mutually exclusive
+    intercept[IllegalArgumentException] {
+      TxLog.copyInto(spark, land, tmpTable(),
+        pattern = Some("a_*"), files = Some(Seq("a_1.parquet")))
+    }
+    // the ledger keys by path: re-running the PATTERN copy is a no-op,
+    // and widening to FILES on the same table ingests only the new file
+    val r3 = TxLog.copyInto(spark, land, t, pattern = Some("a_*.parquet"))
+    assert(r3.filesIngested == 0)
+    val r4 = TxLog.copyInto(spark, land, t,
+      files = Some(Seq("a_1.parquet", "other/b_1.parquet")))
+    assert(r4.filesIngested == 1, "a_1 already ledgered; only b_1 lands")
+  }
+
+  test("SQL: COPY INTO with PATTERN and FILES") {
+    val land = tmpDir("landing-pat-sql")
+    val t = tmpTable()
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(land)
+    Seq((9L, "x")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(s"$land/skip")
+    TxLog.overwrite(Seq((0L, "seed")).toDF("k", "v"), t)
+    spark.sql("DROP TABLE IF EXISTS copy_pat")
+    spark.sql(s"CREATE TABLE copy_pat USING `graft-txlog` OPTIONS (path '$t')")
+    try {
+      val row = spark.sql(
+        s"COPY INTO copy_pat FROM '$land' PATTERN = 'part-*'").collect()(0)
+      assert(row.getLong(1) == 1L, "only the root part file matches")
+      assert(spark.sql("SELECT count(*) FROM copy_pat").collect()(0)
+        .getLong(0) == 2L)
+      // FILES names the skipped one explicitly
+      val rel = new java.io.File(s"$land/skip").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).head
+      val row2 = spark.sql(
+        s"COPY INTO copy_pat FROM '$land' FILES = ('skip/$rel')").collect()(0)
+      assert(row2.getLong(1) == 1L)
+      assert(spark.sql("SELECT count(*) FROM copy_pat").collect()(0)
+        .getLong(0) == 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS copy_pat")
+  }
+
   test("csv format options: headerless landings via header=false") {
     val land = tmpDir("landing-csv")
     val t = tmpTable()
