@@ -135,7 +135,7 @@ object GraftSqlParser {
   private val convertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'(\s+NO\s+STATISTICS)?\s*$""".r
   private val cloneRe =
-    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$ref\\s+SHALLOW\\s+CLONE\\s+$ref\\s*$$""".r
+    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$ref\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+$ref\\s*$$""".r
   private val copyIntoRe =
     s"""(?is)^\\s*COPY\\s+INTO\\s+$ref\\s+FROM\\s+'([^']+)'(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FILES\\s*=\\s*\\(([^)]*)\\))?\\s*$$""".r
   private val reorgPurgeRe =
@@ -433,12 +433,15 @@ object GraftSqlParser {
           Seq(Seq(v))
         })
       }
-    case cloneRe(dst, src) =>
+    case cloneRe(dst, kind, src) =>
       // src must already be a graft table (strict — cloning a non-graft
       // table is CONVERT's job); dst is a path literal, or a catalog
       // identifier that gets its default warehouse location and a
-      // USING `graft-txlog` registration after the metadata-only clone
-      resolve(src, "SHALLOW CLONE", strict = true).map { case (srcPath, _) =>
+      // USING `graft-txlog` registration after the clone. Bare CLONE
+      // (and DEEP CLONE) copy the data — the Delta default; SHALLOW
+      // stays the zero-copy metadata fork.
+      val shallow = Option(kind).exists(_.equalsIgnoreCase("SHALLOW"))
+      resolve(src, "CLONE", strict = true).map { case (srcPath, _) =>
         GraftMaintenance("graft_clone", Seq(longAttr("version")), { spark =>
           val (dstPath, register) =
             if (dst.startsWith("'"))
@@ -448,12 +451,13 @@ object GraftSqlParser {
               val tid = TableIdentifier(parts.last,
                 if (parts.length > 1) Some(parts(parts.length - 2)) else None)
               require(!spark.sessionState.catalog.tableExists(tid),
-                s"SHALLOW CLONE: table $dst already exists")
+                s"CLONE: table $dst already exists")
               (new org.apache.hadoop.fs.Path(
                 spark.sessionState.catalog.defaultTablePath(tid)).toString,
                 Some(tid))
             }
-          val v = TxLog.clone(spark, srcPath, dstPath)
+          val v = if (shallow) TxLog.clone(spark, srcPath, dstPath)
+                  else TxLog.deepClone(spark, srcPath, dstPath)
           register.foreach { tid =>
             spark.sql(s"CREATE TABLE ${tid.quotedString} USING `graft-txlog` " +
               s"OPTIONS (path '$dstPath')")

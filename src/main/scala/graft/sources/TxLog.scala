@@ -5157,6 +5157,109 @@ object TxLog {
       }).get
   }
 
+  /** DEEP CLONE (the Delta `CREATE TABLE … CLONE` default): `dst`
+    * becomes a fully independent table whose version-1 manifest
+    * references COPIES of the source's current data files (and DV
+    * sidecars) under its own root — the disaster-recovery / migration
+    * spelling next to [[clone]]'s zero-copy fork. Independence is
+    * total: the source can be vacuumed, overwritten, or deleted
+    * outright and the deep clone keeps reading; the clone's vacuum
+    * reaps its own bytes. Owned entries keep their relative paths
+    * verbatim (stats, partition metadata, and DV descriptors carry
+    * over without rewriting); entries the SOURCE itself borrowed (a
+    * deep clone OF a shallow clone) materialize under a fresh
+    * `data/<uuid>/` dir — a deep clone never borrows. Copies fan out
+    * to executors above [[vacuumDistributeThreshold]] files
+    * (attempt-unique temp + rename — file bytes are immutable, so any
+    * landed copy is correct); below it the driver copies directly.
+    * Like the shallow clone, the bloom-index PROPERTY does not carry
+    * (re-declare to rebuild sidecars); metadata (schema, constraints,
+    * partition layout, generated/identity/rename/default declarations,
+    * properties) all does. A clone abandoned by a lost target race
+    * leaves copied bytes under `dst` for the operator to remove with
+    * the directory — the target was required empty.
+    */
+  def deepClone(spark: SparkSession, src: String, dst: String): Long = {
+    val m = manifest(spark, src)
+    require(latestVersion(spark, dst).isEmpty,
+      s"clone target $dst already has committed versions")
+    val sroot = fs(spark, new Path(src)).makeQualified(new Path(src))
+    val droot = fs(spark, new Path(dst)).makeQualified(new Path(dst))
+    val cloneId = java.util.UUID.randomUUID.toString
+    def srcAbs(rel: String): Path =
+      if (isBorrowed(rel)) new Path(rel) else new Path(sroot, rel)
+    // owned rels carry over verbatim (their data/<uuid> layout is
+    // already collision-free); borrowed ones materialize fresh
+    val relMap = scala.collection.mutable.Map[String, String]()
+    def relOf(rel: String, i: Int): String = relMap.getOrElseUpdate(rel,
+      if (!isBorrowed(rel)) rel
+      else s"data/$cloneId/b${i}_${new Path(rel).getName}")
+    val dvEntries = m.dvs.getOrElse(Seq.empty)
+    val pairs: Seq[(String, String)] =
+      m.files.zipWithIndex.map { case (rel, i) =>
+        srcAbs(rel).toUri.toString -> relOf(rel, i) } ++
+      dvEntries.zipWithIndex.map { case (e, i) =>
+        srcAbs(e.dv).toUri.toString -> relOf(e.dv, m.files.size + i) }
+    val conf = spark.sessionState.newHadoopConf()
+    if (pairs.size < vacuumDistributeThreshold) {
+      val dfs = droot.getFileSystem(conf)
+      pairs.foreach { case (sa, dr) =>
+        val sp = new Path(sa)
+        org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf), sp,
+          dfs, new Path(droot, dr), false, true, conf)
+      }
+    } else {
+      val confBc = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(conf))
+      val dq = droot.toString
+      import spark.implicits._
+      spark.createDataset(pairs)
+        .repartition(math.max(1, math.min(
+          spark.sparkContext.defaultParallelism, pairs.size / 64)))
+        .foreachPartition { (it: Iterator[(String, String)]) =>
+          val base = new Path(dq)
+          val dfs = base.getFileSystem(confBc.value.value)
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId).getOrElse(0L)
+          it.foreach { case (sa, dr) =>
+            val target = new Path(base, dr)
+            if (!dfs.exists(target)) {
+              val tmp = new Path(base, s"$dr.a$attempt.tmp")
+              val sp = new Path(sa)
+              org.apache.hadoop.fs.FileUtil.copy(
+                sp.getFileSystem(confBc.value.value), sp, dfs, tmp,
+                false, true, confBc.value.value)
+              // immutable source bytes → any landed copy is correct
+              if (!dfs.rename(tmp, target)) {
+                if (!dfs.exists(target))
+                  sys.error(s"deep clone copy rename failed for $target")
+                dfs.delete(tmp, false)
+              }
+            }
+          }
+        }
+    }
+    val mapped = relMap.toMap
+    val att = Attempt("deep_clone", m.files.map(mapped),
+      m.stats.getOrElse(Seq.empty).map(e => e.copy(path = mapped(e.path))),
+      txn = Map.empty,
+      constraints = m.constraints.getOrElse(Map.empty),
+      partitionBy = m.partitionBy,
+      dvs = Some(dvEntries.map(e =>
+        e.copy(path = mapped(e.path), dv = mapped(e.dv)))),
+      generated = m.generated,
+      dropped = m.dropped,
+      identity = m.identity,
+      renames = m.renames,
+      properties = m.properties)
+    publish(spark, dst, writeNothing(spark, dst, m.schemaJson),
+      parent => {
+        require(parent.isEmpty,
+          s"clone target $dst gained a commit while cloning")
+        Some(att)
+      }).get
+  }
+
   /** CONVERT an existing plain-parquet directory into a graft-txlog
     * table IN PLACE (the public Delta `CONVERT TO DELTA` capability):
     * version 1 adopts the directory's parquet files by relative path —

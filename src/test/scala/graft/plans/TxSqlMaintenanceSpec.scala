@@ -254,6 +254,24 @@ class TxSqlMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("CREATE TABLE dst CLONE src copies the data (deep, the default)") {
+    val (name, path) = mk()
+    val dst = java.nio.file.Files.createTempDirectory("graft-sqldeep")
+      .resolve("t").toString
+    // bare CLONE (no SHALLOW) = deep, the Delta default; DEEP also spells
+    val out = spark.sql(s"CREATE TABLE '$dst' CLONE $name").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+    val m = TxLog.manifest(spark, dst)
+    assert(m.action == "deep_clone")
+    m.files.foreach(rel => assert(!rel.startsWith("/") && !rel.contains(":"),
+      s"a deep clone owns every entry: $rel"))
+    assert(TxLog.read(spark, dst).count() == 4L)
+    val dst2 = java.nio.file.Files.createTempDirectory("graft-sqldeep2")
+      .resolve("t").toString
+    spark.sql(s"CREATE TABLE '$dst2' DEEP CLONE $name")
+    assert(TxLog.manifest(spark, dst2).action == "deep_clone")
+  }
+
   test("RESTORE TO TIMESTAMP AS OF / VACUUM RETAIN HOURS / OPTIMIZE WHERE") {
     val (name, path) = mk() // v1
     spark.sql(s"UPDATE $name SET v = 'X'") // v2

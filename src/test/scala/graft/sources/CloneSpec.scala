@@ -119,4 +119,79 @@ class CloneSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { TxLog.clone(spark, src, dst) }
     assert(e.getMessage.contains("already has committed versions"))
   }
+
+  test("deep clone: byte-identical reads, total independence from the source") {
+    import org.apache.spark.sql.functions.col
+    val src = tmpTable(); val dst = tmpTable()
+    TxLog.overwrite((0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4, col("k")), src)
+    TxLog.addConstraint(spark, src, "k_ok", "k >= 0")
+    assert(TxLog.deepClone(spark, src, dst) == 1L)
+    // every manifest entry is OWNED (relative) and its bytes exist
+    val m = TxLog.manifest(spark, dst)
+    assert(m.action == "deep_clone")
+    m.files.foreach { rel =>
+      assert(!rel.startsWith("/") && !rel.contains(":"), s"borrowed: $rel")
+      assert(Files.exists(java.nio.file.Paths.get(dst, rel)), rel)
+    }
+    val expected = (0L until 100L).map(i => (i, s"v$i")).toSet
+    assert(TxLog.read(spark, dst).as[(Long, String)].collect().toSet ==
+      expected)
+    // metadata carried: constraints still enforce on the clone
+    intercept[Exception] {
+      TxLog.append(Seq((-1L, "bad")).toDF("k", "v"), dst)
+    }
+    // obliterate the SOURCE entirely — the deep clone must not notice
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(src))
+    TxLog.clearSnapshotCache()
+    assert(TxLog.read(spark, dst).as[(Long, String)].collect().toSet ==
+      expected, "a deep clone survives the source's deletion outright")
+    // and the clone's own vacuum reaps ITS files (independent lifecycle)
+    TxLog.overwrite(Seq((1L, "only")).toDF("k", "v"), dst)
+    val reaped = TxLog.vacuum(spark, dst, keepVersions = 1)
+    assert(reaped.nonEmpty, "the clone's vacuum reaps its own copies")
+    assert(TxLog.read(spark, dst).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "only")))
+  }
+
+  test("deep clone materializes a shallow clone's borrowed files and DVs") {
+    import org.apache.spark.sql.functions.col
+    val src = tmpTable(); val mid = tmpTable(); val dst = tmpTable()
+    TxLog.overwrite((0L until 20L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(2), src)
+    TxLog.delete(spark, src, col("k") < 5L, deletionVectors = true)
+    assert(TxLog.manifest(spark, src).dvs.exists(_.nonEmpty))
+    TxLog.clone(spark, src, mid) // shallow: borrows files AND dv sidecars
+    assert(TxLog.deepClone(spark, mid, dst) == 1L)
+    val m = TxLog.manifest(spark, dst)
+    (m.files ++ m.dvs.getOrElse(Seq.empty).flatMap(e => Seq(e.path, e.dv)))
+      .foreach { rel =>
+        assert(!rel.startsWith("/") && !rel.contains(":"),
+          s"a deep clone never borrows: $rel")
+      }
+    val expected = (5L until 20L).map(i => (i, s"v$i")).toSet
+    assert(TxLog.read(spark, dst).as[(Long, String)].collect().toSet ==
+      expected, "deletion vectors keep their rows dead through the copy")
+  }
+
+  test("deep clone copies from executors above the threshold") {
+    import org.apache.spark.sql.functions.col
+    val src = tmpTable(); val dst = tmpTable()
+    TxLog.overwrite((0L until 64L).map(i => (i, i * 2)).toDF("k", "x")
+      .repartition(8, col("k")), src)
+    val saved = TxLog.vacuumDistributeThreshold
+    TxLog.vacuumDistributeThreshold = 4
+    try assert(TxLog.deepClone(spark, src, dst) == 1L)
+    finally TxLog.vacuumDistributeThreshold = saved
+    assert(TxLog.read(spark, dst).as[(Long, Long)].collect().toSet ==
+      (0L until 64L).map(i => (i, i * 2)).toSet)
+    // no attempt-temp leftovers under the clone's data dirs
+    import scala.jdk.CollectionConverters._
+    val leftovers = Files.walk(java.nio.file.Paths.get(dst)).iterator()
+      .asScala.filter(_.toString.endsWith(".tmp")).toSeq
+    assert(leftovers.isEmpty, s"temp files lingered: $leftovers")
+  }
 }
