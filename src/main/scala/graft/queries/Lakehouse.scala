@@ -1229,6 +1229,30 @@ object Lakehouse {
           r2d(sum(dec2(col("o_totalprice")))).as("total"))
     }),
 
+    "q144_tx_deep_clone" -> ((s, dir) => {
+      // DEEP CLONE under the oracle gate (TxLog.deepClone scaladoc):
+      // orders published, a DV delete leaves live vectors, the table
+      // deep-clones (files + sidecars copied, nothing borrowed), and
+      // the SOURCE is then overwritten down to one poison row. The
+      // aggregate reads the CLONE: hash equality with DuckDB's
+      // delete-filtered orders proves the copy was byte-faithful
+      // (missing file drops rows, stale sidecar resurrects deleted
+      // ones) and fully independent of the source's later life.
+      val src = tmpTable("tx-q144-src")
+      val t = tmpTable("tx-q144")
+      TxLog.overwrite(Tables.orders(s, dir), src)
+      TxLog.delete(s, src, col("o_orderkey") % 7 === 2,
+        deletionVectors = true)
+      TxLog.deepClone(s, src, t)
+      TxLog.overwrite(
+        s.range(1).selectExpr("id AS o_orderkey", "'poison' AS o_comment"),
+        src)
+      TxLog.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r2d(sum(dec2(col("o_totalprice")))).as("total"))
+    }),
+
     "q141_tx_symlink" -> ((s, dir) => {
       // GENERATE symlink_format_manifest under the oracle gate
       // (TxLog.generateSymlinkManifest scaladoc): orders published
@@ -1768,6 +1792,11 @@ object Lakehouse {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 10 <> 3 GROUP BY 1""".stripMargin,
+
+    "q144_tx_deep_clone" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 7 <> 2 GROUP BY 1""".stripMargin,
 
     "q143_tx_gen_derive" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
