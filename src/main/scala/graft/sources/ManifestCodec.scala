@@ -69,7 +69,8 @@ private[sources] object ManifestCodec {
         opt[Seq[String]]("dropped"),
         opt[Map[String, IdentitySpec]]("identity"),
         opt[Map[String, String]]("renames"),
-        opt[Map[String, String]]("properties")))
+        opt[Map[String, String]]("properties"),
+        opt[Seq[String]]("features")))
     else
       Right(Manifest(lng("version"), str0("action"), seqS("files"),
         str0("schemaJson"), lng("tsMillis"),
@@ -84,7 +85,8 @@ private[sources] object ManifestCodec {
         opt[Seq[String]]("dropped"),
         opt[Map[String, IdentitySpec]]("identity"),
         opt[Map[String, String]]("renames"),
-        opt[Map[String, String]]("properties")))
+        opt[Map[String, String]]("properties"),
+        opt[Seq[String]]("features")))
   }
 
   private def fail(msg: String): Nothing =
@@ -101,7 +103,8 @@ private[sources] object ManifestCodec {
     case "version" | "base" | "tsMillis" => p.getLongValue: java.lang.Long
     case "kind" | "action" | "schemaJson" => p.getText
     case "files" | "add" | "remove" | "cdf" | "partitionBy" |
-         "bloomIndex" | "dropped" | "dvDrop" | "txnDrop" => stringArray(p)
+         "bloomIndex" | "dropped" | "dvDrop" | "txnDrop" |
+         "features" => stringArray(p)
     case "stats" | "addStats" => entryArray(p)
     case "dvs" | "dvPut" => dvArray(p)
     case "txn" | "txnPut" => longMap(p)

@@ -63,7 +63,8 @@ class ManifestCodecSpec extends AnyFunSuite {
       dropped = Some(Seq("old_col")),
       identity = Some(Map("id" -> IdentitySpec(2L, 1001L))),
       renames = Some(Map("phys" -> "logical")),
-      properties = Some(Map("graft.clusterBy" -> "k,n", "x" -> ""))))
+      properties = Some(Map("graft.clusterBy" -> "k,n", "x" -> "")),
+      features = Some(Seq("column-mapping", "deletion-vectors"))))
   }
 
   test("minimal and maximal delta records") {
@@ -86,7 +87,8 @@ class ManifestCodecSpec extends AnyFunSuite {
       dropped = Some(Seq("d")),
       identity = Some(Map("i" -> IdentitySpec(1L, 5L))),
       renames = Some(Map("p" -> "l")),
-      properties = Some(Map("k" -> "v"))))
+      properties = Some(Map("k" -> "v")),
+      features = Some(Seq("column-mapping"))))
   }
 
   test("every record in a REAL mixed-DML log decodes identically") {
