@@ -137,7 +137,7 @@ object GraftSqlParser {
   private val cloneRe =
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$ref\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+$ref\\s*$$""".r
   private val copyIntoRe =
-    s"""(?is)^\\s*COPY\\s+INTO\\s+$ref\\s+FROM\\s+'([^']+)'(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FILES\\s*=\\s*\\(([^)]*)\\))?\\s*$$""".r
+    s"""(?is)^\\s*COPY\\s+INTO\\s+$ref\\s+FROM\\s+'([^']+)'(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FILES\\s*=\\s*\\(([^)]*)\\))?(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?\\s*$$""".r
   private val reorgPurgeRe =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+$ref\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*$$""".r
   private val generateRe =
@@ -228,9 +228,10 @@ object GraftSqlParser {
 
   /** The maintenance grammar: Some(plan) when the statement is ours. */
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case copyIntoRe(r, from, fmt, pat, fileList) =>
+    case copyIntoRe(r, from, fmt, pat, fileList, fmtOpts) =>
       // COPY INTO t FROM '<landing>' [FILEFORMAT = PARQUET|ORC|JSON|CSV]
       //   [PATTERN = '<glob>'] [FILES = ('f1', 'f2', …)]
+      //   [FORMAT_OPTIONS ('header' = 'false', …)]
       // — the idempotent-ingest operator as SQL. json/csv need a
       // schema: the TARGET table's declared (manifest) schema IS the
       // schema, so an existing table ingests them directly; only a
@@ -246,6 +247,13 @@ object GraftSqlParser {
           .filter(_.nonEmpty))
         files.foreach(fl => require(fl.nonEmpty,
           "COPY INTO (SQL): FILES = () names no files"))
+        // FORMAT_OPTIONS ('k' = 'v', …): reader options, e.g. a
+        // headerless csv landing via 'header' = 'false'
+        val optRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+        val options: Map[String, String] = Option(fmtOpts)
+          .map(txt => optRe.findAllMatchIn(txt)
+            .map(m2 => m2.group(1) -> m2.group(2)).toMap)
+          .getOrElse(Map.empty)
         GraftMaintenance("graft_copy_into",
           Seq(longAttr("version"), longAttr("files_ingested"),
             longAttr("rows_ingested")), { spark =>
@@ -258,7 +266,8 @@ object GraftSqlParser {
                 "first, or use TxLog.copyInto(..., schema = Some(...))")))
           val res =
             TxLog.copyInto(spark, from, path, format = format,
-              schema = schema, pattern = Option(pat), files = files)
+              schema = schema, pattern = Option(pat), files = files,
+              options = options)
           syncCatalog(spark, ident, path) // refresh the cached relation
           Seq(Seq(res.version, res.filesIngested, res.rowsIngested))
         })

@@ -5195,18 +5195,35 @@ object TxLog {
       if (!isBorrowed(rel)) rel
       else s"data/$cloneId/b${i}_${new Path(rel).getName}")
     val dvEntries = m.dvs.getOrElse(Seq.empty)
+    // bloom sidecars ride along for OWNED entries (re-indexing a cloned
+    // 100 TB table would be a full scan); a borrowed entry's sidecar
+    // lives under the ORIGINAL table's root, unknowable from here —
+    // those files are simply unpruned until re-indexed (advisory, never
+    // wrong). Missing sidecars skip in the copier (FileNotFound-safe).
+    val bloomCols = m.bloomIndex.getOrElse(Seq.empty)
+    val bloomPairs: Seq[(String, String)] =
+      for (rel <- m.files if !isBorrowed(rel); c <- bloomCols) yield {
+        val sidecarRel =
+          s"_bloom/$rel/${java.net.URLEncoder.encode(c, "UTF-8")}.bloom"
+        new Path(sroot, sidecarRel).toUri.toString -> sidecarRel
+      }
     val pairs: Seq[(String, String)] =
       m.files.zipWithIndex.map { case (rel, i) =>
         srcAbs(rel).toUri.toString -> relOf(rel, i) } ++
       dvEntries.zipWithIndex.map { case (e, i) =>
-        srcAbs(e.dv).toUri.toString -> relOf(e.dv, m.files.size + i) }
+        srcAbs(e.dv).toUri.toString -> relOf(e.dv, m.files.size + i) } ++
+      bloomPairs
     val conf = spark.sessionState.newHadoopConf()
     if (pairs.size < vacuumDistributeThreshold) {
       val dfs = droot.getFileSystem(conf)
       pairs.foreach { case (sa, dr) =>
         val sp = new Path(sa)
-        org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf), sp,
+        try org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf), sp,
           dfs, new Path(droot, dr), false, true, conf)
+        catch { case _: java.io.FileNotFoundException =>
+          require(dr.startsWith("_bloom/"),
+            s"deep clone source file vanished mid-copy: $sa")
+        }
       }
     } else {
       val confBc = spark.sparkContext.broadcast(
@@ -5226,11 +5243,21 @@ object TxLog {
             if (!dfs.exists(target)) {
               val tmp = new Path(base, s"$dr.a$attempt.tmp")
               val sp = new Path(sa)
-              org.apache.hadoop.fs.FileUtil.copy(
-                sp.getFileSystem(confBc.value.value), sp, dfs, tmp,
-                false, true, confBc.value.value)
+              val copied =
+                try {
+                  org.apache.hadoop.fs.FileUtil.copy(
+                    sp.getFileSystem(confBc.value.value), sp, dfs, tmp,
+                    false, true, confBc.value.value)
+                  true
+                } catch { case _: java.io.FileNotFoundException =>
+                  // a bloom sidecar may legitimately not exist (advisory
+                  // index, per-file presence optional); data must
+                  if (!dr.startsWith("_bloom/"))
+                    sys.error(s"deep clone source file vanished: $sa")
+                  false
+                }
               // immutable source bytes → any landed copy is correct
-              if (!dfs.rename(tmp, target)) {
+              if (copied && !dfs.rename(tmp, target)) {
                 if (!dfs.exists(target))
                   sys.error(s"deep clone copy rename failed for $target")
                 dfs.delete(tmp, false)
@@ -5245,6 +5272,10 @@ object TxLog {
       txn = Map.empty,
       constraints = m.constraints.getOrElse(Map.empty),
       partitionBy = m.partitionBy,
+      // the sidecars were copied above (owned entries), so the index
+      // keeps pruning on the clone; borrowed-materialized files are
+      // merely unpruned until the next write re-sidecars them
+      bloomIndex = m.bloomIndex,
       dvs = Some(dvEntries.map(e =>
         e.copy(path = mapped(e.path), dv = mapped(e.dv)))),
       generated = m.generated,

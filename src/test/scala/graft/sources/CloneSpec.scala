@@ -177,6 +177,27 @@ class CloneSpec extends SparkSpec {
       expected, "deletion vectors keep their rows dead through the copy")
   }
 
+  test("deep clone carries the bloom index: sidecars copied, pruning live") {
+    import org.apache.spark.sql.functions.col
+    val src = tmpTable(); val dst = tmpTable()
+    TxLog.overwrite((0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(8, col("k")), src)
+    TxLog.setBloomIndex(spark, src, Seq("k"))
+    assert(TxLog.deepClone(spark, src, dst) == 1L)
+    assert(TxLog.bloomIndexOf(spark, dst) == Seq("k"),
+      "the index property must carry (sidecars were copied)")
+    // destroy the source: the clone's pruning must run on its OWN copies
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(src))
+    TxLog.clearSnapshotCache()
+    val pruned = TxLog.readWhere(spark, dst, Seq(("k", Some(17L), Some(17L))))
+    assert(pruned.inputFiles.length <= 3,
+      s"bloom kept ${pruned.inputFiles.length} of 8 files on the clone")
+    assert(pruned.as[(Long, String)].collect().toSeq == Seq((17L, "v17")))
+  }
+
   test("deep clone copies from executors above the threshold") {
     import org.apache.spark.sql.functions.col
     val src = tmpTable(); val dst = tmpTable()

@@ -230,6 +230,20 @@ class CopyIntoSpec extends SparkSpec {
     assert(r.rowsIngested == 3)
     assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ==
       Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    // the SQL spelling of the same knob: FORMAT_OPTIONS
+    val t2 = tmpTable()
+    TxLog.overwrite(Seq((0L, "seed")).toDF("k", "v"), t2)
+    spark.sql("DROP TABLE IF EXISTS copy_fmtopts")
+    spark.sql(
+      s"CREATE TABLE copy_fmtopts USING `graft-txlog` OPTIONS (path '$t2')")
+    try {
+      val row = spark.sql(
+        s"COPY INTO copy_fmtopts FROM '$land' FILEFORMAT = CSV " +
+          "FORMAT_OPTIONS ('header' = 'false')").collect()(0)
+      assert(row.getLong(2) == 3L, "all three headerless rows ingest")
+      assert(spark.sql("SELECT count(*) FROM copy_fmtopts")
+        .collect()(0).getLong(0) == 4L)
+    } finally spark.sql("DROP TABLE IF EXISTS copy_fmtopts")
   }
 
   test("SQL COPY INTO csv/json reads with the target table's schema") {
