@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Statistics}
+import org.apache.spark.sql.catalyst.expressions.AttributeMap
+import org.apache.spark.sql.catalyst.plans.logical.{ColumnStat, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.read.streaming.SparkDataStream
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -34,19 +35,22 @@ class TxStatsRelation(
     catalogTable: Option[CatalogTable],
     isStreaming: Boolean,
     stream: Option[SparkDataStream],
-    val rowCount: BigInt)
+    val rowCount: BigInt,
+    val colStats: Map[String, ColumnStat])
   extends LogicalRelation(relation, output, catalogTable, isStreaming,
     stream) {
 
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = relation.sizeInBytes,
-      rowCount = Some(rowCount))
+      rowCount = Some(rowCount),
+      attributeStats = AttributeMap(output.flatMap(a =>
+        colStats.get(a.name).map(a -> _))))
 
   // a self-join dedup re-instance must keep the exact cardinality too
   override def newInstance(): LogicalRelation =
     new TxStatsRelation(relation,
       output.map(_.newInstance()), catalogTable, isStreaming, stream,
-      rowCount)
+      rowCount, colStats)
 
   // the inherited case-class equality would make this node == the
   // unwrapped original, and TreeNode.mapChildren KEEPS the old child
@@ -69,8 +73,8 @@ class TxStatsRelation(
   override def hashCode(): Int = 31 * super.hashCode() + rowCount.hashCode()
 
   // makeCopy/clone build the copy reflectively from the case-class
-  // product (5 args) — the extra ctor param must ride along
-  override protected def otherCopyArgs: Seq[AnyRef] = Seq(rowCount)
+  // product (5 args) — the extra ctor params must ride along, in order
+  override protected def otherCopyArgs: Seq[AnyRef] = Seq(rowCount, colStats)
 }
 
 object TxRelationStats extends Rule[LogicalPlan] {
@@ -79,7 +83,16 @@ object TxRelationStats extends Rule[LogicalPlan] {
         if !lr.isInstanceOf[TxStatsRelation] =>
       r.metadataCount match {
         case Some(n) =>
-          new TxStatsRelation(r, out, ct, streaming, st, BigInt(n))
+          // per-column ranges feed ONLY the CBO's estimators — folding
+          // them over every file's stats is priced per plan, so compute
+          // them only when CBO is on (the sole consumer)
+          val cols: Map[String, ColumnStat] =
+            if (!conf.cboEnabled) Map.empty
+            else r.pinnedColumnStats.map { case (name, (mn, mx, nulls)) =>
+              name -> ColumnStat(min = mn, max = mx,
+                nullCount = Some(BigInt(nulls)))
+            }
+          new TxStatsRelation(r, out, ct, streaming, st, BigInt(n), cols)
         case None => lr
       }
   }

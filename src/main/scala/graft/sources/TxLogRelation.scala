@@ -98,6 +98,78 @@ class TxLogRelation(spark: SparkSession, table: String,
   private[graft] def metadataCount: Option[Long] =
     pinnedStats.map(_.map(_.rows).sum)
 
+  /** Per-column (min, max, nullCount) folded from the manifest's
+    * per-file stats — CATALYST-typed values keyed by LOGICAL column
+    * name, for the CBO's selectivity estimation (ANALYZE-free column
+    * statistics, the "statistics from the log" stance). A column is
+    * reported only when EVERY live file carries its stats (a partial
+    * fold could understate the range); timestamps stay out (their
+    * stats render is excluded from compares for the same reason
+    * pruning excludes them). DV'd snapshots report nothing — the
+    * folded values could describe deleted rows. Estimation-only
+    * consumers: an off value can skew a plan choice, never an answer.
+    */
+  private[graft] def pinnedColumnStats
+      : Map[String, (Option[Any], Option[Any], Long)] = {
+    import org.apache.spark.sql.types._
+    val entries = pinnedStats.getOrElse(return Map.empty)
+    if (entries.isEmpty) return Map.empty
+    val m = TxLog.manifestAt(spark, table, pin())
+    def toCatalyst(dt: DataType, s: String): Option[Any] =
+      try dt match {
+        case ByteType => Some(s.toByte)
+        case ShortType => Some(s.toShort)
+        case IntegerType => Some(s.toInt)
+        case LongType => Some(s.toLong)
+        case FloatType => Some(s.toFloat)
+        case DoubleType => Some(s.toDouble)
+        case d: DecimalType =>
+          Some(org.apache.spark.sql.types.Decimal(BigDecimal(s)))
+        case DateType => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaDate(java.sql.Date.valueOf(s)))
+        case StringType => Some(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case _ => None
+      } catch { case _: Exception => None }
+    // fold order: numerics compare as BigDecimal, dates/strings as
+    // their rendered strings (ISO dates order lexicographically)
+    def ordered(dt: DataType, vs: Seq[String]): Option[(String, String)] =
+      if (vs.isEmpty) None
+      else dt match {
+        case _: NumericType =>
+          try {
+            val ds = vs.map(v => BigDecimal(v) -> v)
+            Some((ds.minBy(_._1)._2, ds.maxBy(_._1)._2))
+          } catch { case _: Exception => None }
+        case DateType | StringType => Some((vs.min, vs.max))
+        case _ => None
+      }
+    schema.fields.iterator.flatMap { f =>
+      val phys = TxLog.physOfAt(m, f.name)
+      val per = entries.map(_.stats.get(phys))
+      if (per.exists(_.isEmpty)) None // some file lacks this column
+      else {
+        val cs = per.flatten
+        val nulls = cs.map(_.nulls).sum
+        val mins = cs.flatMap(_.min)
+        val maxs = cs.flatMap(_.max)
+        (ordered(f.dataType, mins), ordered(f.dataType, maxs)) match {
+          case (Some((lo, _)), Some((_, hi))) =>
+            (toCatalyst(f.dataType, lo), toCatalyst(f.dataType, hi)) match {
+              case (mn @ Some(_), mx @ Some(_)) =>
+                Some(f.name -> (mn, mx, nulls))
+              case _ => None
+            }
+          case _ if mins.isEmpty && maxs.isEmpty && cs.nonEmpty =>
+            // an all-NULL column: no range, but the null count is exact
+            Some(f.name -> ((None: Option[Any]), (None: Option[Any]), nulls))
+          case _ => None
+        }
+      }
+    }.toMap
+  }
+
   /** Cost statistics for the join planner, straight from the manifest's
     * recorded per-file sizes (the same semantics HadoopFsRelation
     * reports: total on-disk bytes). This is what lets Spark
