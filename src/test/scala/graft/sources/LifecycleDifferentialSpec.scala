@@ -136,7 +136,7 @@ class LifecycleDifferentialSpec extends SparkSpec {
     history :+= (TxLog.manifest(spark, t).version, model)
 
     (1 to ops).foreach { i =>
-      val op = rnd.nextInt(12)
+      val op = rnd.nextInt(14)
       op match {
         case 0 | 1 => // append 1-4 fresh keys
           val rows = freshKeys(1 + rnd.nextInt(4)).map(k => k -> s"v$k")
@@ -186,6 +186,29 @@ class LifecycleDifferentialSpec extends SparkSpec {
           TxLog.renameColumn(spark, t, vName, to)
           vName = to
           opLog ++= s"$i: rename -> $to\n"
+        case 12 => // deep clone over whatever state accumulated: the
+          // fork must equal the model byte-for-byte (DVs, renames,
+          // widenings, restores — every interaction), then is discarded
+          val fork = tmpTable()
+          TxLog.deepClone(spark, t, fork)
+          val cloned = TxLog.read(spark, fork)
+            .select(col("k").cast(LongType), col(vName))
+            .as[(Long, String)].collect().toMap
+          assert(cloned == model,
+            s"deep clone diverged from the model after op $i\nops:\n$opLog")
+          opLog ++= s"$i: deepClone (checked)\n"
+        case 13 => // COPY INTO from a fresh parquet landing: the
+          // idempotent-ingest path layered over every state — run it
+          // TWICE, the second must commit nothing
+          val rows = freshKeys(1 + rnd.nextInt(3)).map(k => k -> s"c$k")
+          val land = Files.createTempDirectory("graft-chaos-land").toString
+          df(rows).coalesce(1).write.mode("append").parquet(land)
+          val r1 = TxLog.copyInto(spark, land, t)
+          val r2 = TxLog.copyInto(spark, land, t)
+          assert(r1.rowsIngested == rows.size && r2.filesIngested == 0,
+            s"copyInto not exactly-once after op $i\nops:\n$opLog")
+          model ++= rows
+          opLog ++= s"$i: copyInto ${rows.map(_._1).mkString(",")}\n"
         case 11 =>
           if (!wide) { // widen k int->long exactly once
             TxLog.alterColumnType(spark, t, "k", LongType)
