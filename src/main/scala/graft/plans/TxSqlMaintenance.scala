@@ -30,10 +30,10 @@ import graft.sources.TxLog
   *   ALTER TABLE t RENAME COLUMN a TO b       -- v1 analyzer would reject
   *   CONVERT TO GRAFT '/path' [NO STATISTICS] -- adopt parquet in place
   *   COPY INTO t FROM '/landing' [FILEFORMAT = …] [PATTERN = 'glob']
-  *                                [FILES = ('f1', 'f2', …)]
+  *     [FILES = (…)] [FORMAT_OPTIONS ('k' = 'v')] [COPY_OPTIONS ('force' = 'true')]
   *   REORG TABLE t APPLY (PURGE)              -- materialize DVs only
   *   GENERATE symlink_format_manifest FOR TABLE t -- external-reader manifests
-  *   CREATE TABLE dst SHALLOW CLONE src       -- zero-copy metadata fork
+  *   CREATE TABLE dst [SHALLOW|DEEP] CLONE src [VERSION AS OF v]
   *   ALTER TABLE t ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
   *   ALTER TABLE t CLUSTER BY (a, b) / CLUSTER BY NONE
   *   ALTER TABLE t ALTER COLUMN c TYPE dt     -- metadata-only widening
@@ -135,9 +135,9 @@ object GraftSqlParser {
   private val convertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'(\s+NO\s+STATISTICS)?\s*$""".r
   private val cloneRe =
-    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$ref\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+$ref\\s*$$""".r
+    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$ref\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+$ref(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*$$""".r
   private val copyIntoRe =
-    s"""(?is)^\\s*COPY\\s+INTO\\s+$ref\\s+FROM\\s+'([^']+)'(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FILES\\s*=\\s*\\(([^)]*)\\))?(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?\\s*$$""".r
+    s"""(?is)^\\s*COPY\\s+INTO\\s+$ref\\s+FROM\\s+'([^']+)'(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FILES\\s*=\\s*\\(([^)]*)\\))?(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?\\s*$$""".r
   private val reorgPurgeRe =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+$ref\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*$$""".r
   private val generateRe =
@@ -228,7 +228,7 @@ object GraftSqlParser {
 
   /** The maintenance grammar: Some(plan) when the statement is ours. */
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case copyIntoRe(r, from, fmt, pat, fileList, fmtOpts) =>
+    case copyIntoRe(r, from, fmt, pat, fileList, fmtOpts, copyOpts) =>
       // COPY INTO t FROM '<landing>' [FILEFORMAT = PARQUET|ORC|JSON|CSV]
       //   [PATTERN = '<glob>'] [FILES = ('f1', 'f2', …)]
       //   [FORMAT_OPTIONS ('header' = 'false', …)]
@@ -254,6 +254,16 @@ object GraftSqlParser {
           .map(txt => optRe.findAllMatchIn(txt)
             .map(m2 => m2.group(1) -> m2.group(2)).toMap)
           .getOrElse(Map.empty)
+        // COPY_OPTIONS ('force' = 'true'): re-ingest listed files
+        // regardless of the ledger — explicit duplicate acceptance
+        val copyOptions: Map[String, String] = Option(copyOpts)
+          .map(txt => optRe.findAllMatchIn(txt)
+            .map(m2 => m2.group(1) -> m2.group(2)).toMap)
+          .getOrElse(Map.empty)
+        copyOptions.keys.foreach(k => require(k.equalsIgnoreCase("force"),
+          s"COPY INTO (SQL): unsupported COPY_OPTIONS key '$k' (force)"))
+        val force = copyOptions.exists { case (k, v) =>
+          k.equalsIgnoreCase("force") && v.equalsIgnoreCase("true") }
         GraftMaintenance("graft_copy_into",
           Seq(longAttr("version"), longAttr("files_ingested"),
             longAttr("rows_ingested")), { spark =>
@@ -267,7 +277,7 @@ object GraftSqlParser {
           val res =
             TxLog.copyInto(spark, from, path, format = format,
               schema = schema, pattern = Option(pat), files = files,
-              options = options)
+              options = options, force = force)
           syncCatalog(spark, ident, path) // refresh the cached relation
           Seq(Seq(res.version, res.filesIngested, res.rowsIngested))
         })
@@ -442,7 +452,7 @@ object GraftSqlParser {
           Seq(Seq(v))
         })
       }
-    case cloneRe(dst, kind, src) =>
+    case cloneRe(dst, kind, src, ver) =>
       // src must already be a graft table (strict — cloning a non-graft
       // table is CONVERT's job); dst is a path literal, or a catalog
       // identifier that gets its default warehouse location and a
@@ -465,8 +475,9 @@ object GraftSqlParser {
                 spark.sessionState.catalog.defaultTablePath(tid)).toString,
                 Some(tid))
             }
-          val v = if (shallow) TxLog.clone(spark, srcPath, dstPath)
-                  else TxLog.deepClone(spark, srcPath, dstPath)
+          val asOf = Option(ver).map(_.toLong)
+          val v = if (shallow) TxLog.clone(spark, srcPath, dstPath, asOf)
+                  else TxLog.deepClone(spark, srcPath, dstPath, asOf)
           register.foreach { tid =>
             spark.sql(s"CREATE TABLE ${tid.quotedString} USING `graft-txlog` " +
               s"OPTIONS (path '$dstPath')")

@@ -1945,7 +1945,8 @@ object TxLog {
       maxAttempts: Int = 10,
       options: Map[String, String] = Map.empty,
       pattern: Option[String] = None,
-      files: Option[Seq[String]] = None): CopyIntoResult = {
+      files: Option[Seq[String]] = None,
+      force: Boolean = false): CopyIntoResult = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     require(identityOf(spark, table).isEmpty,
       s"copyInto into identity-column table $table is not supported — " +
@@ -1997,13 +1998,20 @@ object TxLog {
           }
           buf.toSeq.sortBy(_._1)
       }
-      listed.foreach { case (p, len) =>
+      // force (the Delta COPY_OPTIONS knob) bypasses the ledger: every
+      // listed file re-ingests regardless of prior loads — the caller
+      // is explicitly accepting duplicates (a backfill re-run after a
+      // bad downstream delete); the mutation tripwire is off too, by
+      // the same declaration
+      if (!force) listed.foreach { case (p, len) =>
         ledger.get(p).foreach(prior => require(prior == len,
           s"copyInto $table: landing file $p was already ingested at " +
             s"$prior bytes but is now $len — the source mutated; fix the " +
             "landing pipeline (each file must be written once, immutably)"))
       }
-      val freshFiles = listed.filterNot { case (p, _) => ledger.contains(p) }
+      val freshFiles =
+        if (force) listed
+        else listed.filterNot { case (p, _) => ledger.contains(p) }
       if (freshFiles.isEmpty)
         return CopyIntoResult(base.getOrElse(0L), 0L, 0L)
       val paths = freshFiles.map(_._1)
@@ -2071,7 +2079,8 @@ object TxLog {
       val committed = publish(spark, table, w, parent => {
         val seen = parent.flatMap(_.txn).getOrElse(Map.empty)
         // a concurrent copy landed one of OUR files: abandon and re-diff
-        if (freshFiles.exists { case (p, _) =>
+        // (under force the ledger is advisory — no abandon, no re-diff)
+        if (!force && freshFiles.exists { case (p, _) =>
             seen.contains(copyLedgerPrefix + p) }) None
         else Some(appendAttempt(table, parent, w, txnDelta, cons))
       })
@@ -5124,8 +5133,13 @@ object TxLog {
     * clone still references — deep-copy (overwrite the clone with
     * itself) before vacuuming the source under it.
     */
-  def clone(spark: SparkSession, src: String, dst: String): Long = {
-    val m = manifest(spark, src) // loud if src has no committed versions
+  def clone(spark: SparkSession, src: String, dst: String,
+      versionAsOf: Option[Long] = None): Long = {
+    // an explicit version clones a HISTORICAL snapshot (the Delta
+    // `CLONE src VERSION AS OF v` knob — fork yesterday's state for a
+    // repro); default = latest. manifestAt is loud on a missing version
+    val m = versionAsOf.map(manifestAt(spark, src, _))
+      .getOrElse(manifest(spark, src))
     require(latestVersion(spark, dst).isEmpty,
       s"clone target $dst already has committed versions")
     val srcRoot = fs(spark, new Path(src)).makeQualified(new Path(src))
@@ -5179,8 +5193,10 @@ object TxLog {
     * leaves copied bytes under `dst` for the operator to remove with
     * the directory — the target was required empty.
     */
-  def deepClone(spark: SparkSession, src: String, dst: String): Long = {
-    val m = manifest(spark, src)
+  def deepClone(spark: SparkSession, src: String, dst: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val m = versionAsOf.map(manifestAt(spark, src, _))
+      .getOrElse(manifest(spark, src))
     require(latestVersion(spark, dst).isEmpty,
       s"clone target $dst already has committed versions")
     val sroot = fs(spark, new Path(src)).makeQualified(new Path(src))

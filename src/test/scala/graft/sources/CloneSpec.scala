@@ -198,6 +198,34 @@ class CloneSpec extends SparkSpec {
     assert(pruned.as[(Long, String)].collect().toSeq == Seq((17L, "v17")))
   }
 
+  test("CLONE ... VERSION AS OF forks a historical snapshot (both kinds)") {
+    import org.apache.spark.sql.functions.col
+    val src = tmpTable()
+    TxLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), src) // v1
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), src)               // v2
+    TxLog.delete(spark, src, col("k") === 1L)                      // v3
+    val shallow = tmpTable(); val deep = tmpTable()
+    TxLog.clone(spark, src, shallow, versionAsOf = Some(2L))
+    TxLog.deepClone(spark, src, deep, versionAsOf = Some(1L))
+    assert(TxLog.read(spark, shallow).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")), "v2 state, pre-delete")
+    assert(TxLog.read(spark, deep).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")), "v1 state")
+    intercept[Exception] {
+      TxLog.clone(spark, src, tmpTable(), versionAsOf = Some(99L))
+    }
+    // SQL spelling
+    val dst = tmpTable()
+    spark.sql("DROP TABLE IF EXISTS clone_src_v")
+    spark.sql(
+      s"CREATE TABLE clone_src_v USING `graft-txlog` OPTIONS (path '$src')")
+    try {
+      spark.sql(s"CREATE TABLE '$dst' SHALLOW CLONE clone_src_v " +
+        "VERSION AS OF 1")
+      assert(TxLog.read(spark, dst).count() == 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS clone_src_v")
+  }
+
   test("deep clone copies from executors above the threshold") {
     import org.apache.spark.sql.functions.col
     val src = tmpTable(); val dst = tmpTable()

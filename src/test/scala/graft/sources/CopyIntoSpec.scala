@@ -216,6 +216,32 @@ class CopyIntoSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS copy_pat")
   }
 
+  test("COPY_OPTIONS force re-ingests past the ledger (explicit duplicates)") {
+    val land = tmpDir("landing-force")
+    val t = tmpTable()
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(land)
+    assert(TxLog.copyInto(spark, land, t).rowsIngested == 1)
+    assert(TxLog.copyInto(spark, land, t).filesIngested == 0, "ledgered")
+    val r = TxLog.copyInto(spark, land, t, force = true)
+    assert(r.rowsIngested == 1, "force bypasses the ledger")
+    assert(TxLog.read(spark, t).count() == 2L, "duplicates by declaration")
+    // SQL spelling
+    spark.sql("DROP TABLE IF EXISTS copy_force")
+    spark.sql(s"CREATE TABLE copy_force USING `graft-txlog` OPTIONS (path '$t')")
+    try {
+      val row = spark.sql(s"COPY INTO copy_force FROM '$land' " +
+        "COPY_OPTIONS ('force' = 'true')").collect()(0)
+      assert(row.getLong(2) == 1L)
+      assert(spark.sql("SELECT count(*) FROM copy_force")
+        .collect()(0).getLong(0) == 3L)
+      intercept[Exception] {
+        spark.sql(s"COPY INTO copy_force FROM '$land' " +
+          "COPY_OPTIONS ('bogus' = 'x')").collect()
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS copy_force")
+  }
+
   test("csv format options: headerless landings via header=false") {
     val land = tmpDir("landing-csv")
     val t = tmpTable()
