@@ -33,7 +33,8 @@ import graft.sources.TxLog
   *     [FILES = (…)] [FORMAT_OPTIONS ('k' = 'v')] [COPY_OPTIONS ('force' = 'true')]
   *   REORG TABLE t APPLY (PURGE)              -- materialize DVs only
   *   GENERATE symlink_format_manifest FOR TABLE t -- external-reader manifests
-  *   CREATE TABLE dst [SHALLOW|DEEP] CLONE src [VERSION AS OF v]
+  *   CREATE TABLE dst [SHALLOW|DEEP] CLONE src
+  *     [VERSION AS OF v | TIMESTAMP AS OF 'ts']
   *   ALTER TABLE t ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
   *   ALTER TABLE t CLUSTER BY (a, b) / CLUSTER BY NONE
   *   ALTER TABLE t ALTER COLUMN c TYPE dt     -- metadata-only widening
@@ -135,7 +136,7 @@ object GraftSqlParser {
   private val convertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'(\s+NO\s+STATISTICS)?\s*$""".r
   private val cloneRe =
-    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$ref\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+$ref(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*$$""".r
+    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$ref\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+$ref(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?\\s*$$""".r
   private val copyIntoRe =
     s"""(?is)^\\s*COPY\\s+INTO\\s+$ref\\s+FROM\\s+'([^']+)'(?:\\s+FILEFORMAT\\s*=\\s*(\\w+))?(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FILES\\s*=\\s*\\(([^)]*)\\))?(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?\\s*$$""".r
   private val reorgPurgeRe =
@@ -452,7 +453,7 @@ object GraftSqlParser {
           Seq(Seq(v))
         })
       }
-    case cloneRe(dst, kind, src, ver) =>
+    case cloneRe(dst, kind, src, ver, ts) =>
       // src must already be a graft table (strict — cloning a non-graft
       // table is CONVERT's job); dst is a path literal, or a catalog
       // identifier that gets its default warehouse location and a
@@ -475,7 +476,10 @@ object GraftSqlParser {
                 spark.sessionState.catalog.defaultTablePath(tid)).toString,
                 Some(tid))
             }
-          val asOf = Option(ver).map(_.toLong)
+          // TIMESTAMP AS OF resolves through the monotonic in-commit
+          // timestamps, exactly like time travel and RESTORE
+          val asOf = Option(ver).map(_.toLong).orElse(Option(ts).map(t =>
+            TxLog.versionAtTimestamp(spark, srcPath, parseTsMillis(t))))
           val v = if (shallow) TxLog.clone(spark, srcPath, dstPath, asOf)
                   else TxLog.deepClone(spark, srcPath, dstPath, asOf)
           register.foreach { tid =>

@@ -223,6 +223,14 @@ class CloneSpec extends SparkSpec {
       spark.sql(s"CREATE TABLE '$dst' SHALLOW CLONE clone_src_v " +
         "VERSION AS OF 1")
       assert(TxLog.read(spark, dst).count() == 2L)
+      // TIMESTAMP AS OF resolves through the monotonic commit stamps
+      val tsV2 = new java.sql.Timestamp(
+        TxLog.manifestAt(spark, src, 2L).tsMillis).toString
+      val dst2 = tmpTable()
+      spark.sql(s"CREATE TABLE '$dst2' CLONE clone_src_v " +
+        s"TIMESTAMP AS OF '$tsV2'")
+      assert(TxLog.manifest(spark, dst2).action == "deep_clone")
+      assert(TxLog.read(spark, dst2).count() == 3L, "v2 state, pre-delete")
     } finally spark.sql("DROP TABLE IF EXISTS clone_src_v")
   }
 
