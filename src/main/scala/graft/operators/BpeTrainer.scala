@@ -25,13 +25,100 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
+  /** Vocabularies at or below this row count train DRIVER-SIDE: the
+    * whole (word, freq) table is collected once and the merge loop runs
+    * locally — microseconds per round instead of one Spark aggregate
+    * job + one checkpoint job per round (each round's job is tiny but
+    * its fixed scheduling/planning cost is ~100 ms, so 30 rounds of the
+    * distributed loop spend seconds computing what fits in single-digit
+    * MB of driver memory). The size probe is `limit(threshold+1)`: ONE
+    * job that either returns the complete vocabulary (≤ threshold rows
+    * — train on exactly those rows) or proves it exceeds the threshold
+    * (fall through to the distributed loop, same as before). 1M words
+    * × ~100 B is ~100 MB of driver heap at the cap — the same budget a
+    * broadcast join spends routinely; a true 100 TB-corpus vocabulary
+    * (tens of millions of types) stays on the distributed path.
+    * Overridable via spark.graft.bpe.localVocabThreshold (0 disables).
+    * BpeTrainerSpec pins local ≡ distributed merge-for-merge.
+    */
+  private def localVocabThreshold(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.bpe.localVocabThreshold")
+      .map(_.toInt).getOrElse(1000000)
+
+  /** Driver-side reference of one merge round over (syms, freq) rows:
+    * count adjacent pairs weighted by freq, pick (max n, then lexical
+    * (l, r)) — the identical total order the distributed round uses.
+    */
+  private[operators] def trainLocal(vocab: Array[(Array[String], Long)],
+      numMerges: Int, minCount: Long): Seq[(String, String)] = {
+    var cur = vocab
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (!done && round < numMerges) {
+      val counts = new java.util.HashMap[(String, String), Long]
+      cur.foreach { case (syms, freq) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.merge(k, freq, Long.box(_) + Long.box(_))
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (k, n) =>
+          if (best == null || n > best._2 ||
+              (n == best._2 && (k._1 < best._1._1 ||
+                (k._1 == best._1._1 && k._2 < best._1._2))))
+            best = (k, n)
+        }
+        if (best._2 < minCount) done = true
+        else {
+          val (l, r) = best._1
+          merges += l -> r
+          val lr = l + r
+          cur = cur.map { case (syms, freq) =>
+            // greedy left-to-right, same as the distributed fold and
+            // [[encode]]
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += lr; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result().toArray, freq)
+          }
+          round += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
   /** Learn `numMerges` merges from a (word, freq) vocabulary. Returns
     * the merges IN ORDER — the artifact a BPE tokenizer ships. Stops
     * early when no adjacent pair occurs at least `minCount` times.
+    * Small vocabularies (≤ [[localVocabThreshold]]) train driver-side
+    * — identical merges, none of the per-round job overhead.
     */
   def train(words: DataFrame, numMerges: Int, minCount: Long = 2L)
       : Seq[(String, String)] = {
     require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = words.sparkSession
+    val cap = localVocabThreshold(spark)
+    if (cap > 0) {
+      val probe = words.select(col("word").cast("string"),
+        col("freq").cast("long")).limit(cap + 1).collect()
+      if (probe.length <= cap) {
+        val vocab = probe.map(r =>
+          ((r.getString(0).split("").filter(_.nonEmpty) :+ "</w>"),
+            r.getLong(1)))
+        return trainLocal(vocab, numMerges, minCount)
+      }
+    }
     // initial symbol sequence: characters + the end-of-word marker (so
     // a merge can learn word-final units, the standard formulation)
     var cur = words.select(col("freq").cast("long").as("freq"),

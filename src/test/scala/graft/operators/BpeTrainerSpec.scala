@@ -66,6 +66,22 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got.nonEmpty && got.size >= 8) // actually learned something
   }
 
+  test("driver-local path ≡ distributed loop, merge for merge") {
+    // the threshold conf routes small vocabularies driver-side; forcing
+    // it to 0 forces the distributed loop — both must produce the exact
+    // merge sequence (same counts, same (n desc, l, r) tie-break)
+    val corpus = Seq(
+      "pair pair pairs paired un un under understand stand stands",
+      "low lower lowest slow slower slowest", "a ab abc abcd abcde")
+    val wordsDf = freqs(corpus).toSeq.toDF("word", "freq")
+    val local = BpeTrainer.train(wordsDf, numMerges = 20)
+    spark.conf.set("spark.graft.bpe.localVocabThreshold", "0")
+    try {
+      val dist = BpeTrainer.train(wordsDf, numMerges = 20)
+      assert(local == dist, s"\nlocal: $local\n dist: $dist")
+    } finally spark.conf.unset("spark.graft.bpe.localVocabThreshold")
+  }
+
   test("early stop when no pair reaches minCount; repeats merge greedily") {
     val wordsDf = Seq(("aaaa", 3L), ("ab", 1L)).toDF("word", "freq")
     val got = BpeTrainer.train(wordsDf, numMerges = 10, minCount = 2L)
