@@ -15,8 +15,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema memo per (dir, table): without an explicit schema every
+    * `spark.read.parquet` call runs a footer-reading schema-inference
+    * JOB before the real work (50–150 ms of fixed latency per read —
+    * one or more per query, hundreds across a bench sweep). The memo
+    * plays the role a catalog (Hive metastore / table format manifest)
+    * plays at production scale: infer once per session, declare
+    * thereafter. Pure METADATA — row data is never cached here, every
+    * query still computes from the parquet files.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val schema = schemaMemo.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet").schema)
+    spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

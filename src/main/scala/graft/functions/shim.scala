@@ -186,6 +186,20 @@ object Shim {
     * a fresh wrapper RDD, so unpersisting it is a no-op, and checkpoint
     * persists are RDD-level — `spark.catalog.clearCache()` can't see them.
     */
+  /** Render a Catalyst-internal value to EXACTLY the string
+    * `CAST(v AS STRING)` produces under the session's conf and zone —
+    * driver-side expression eval, no job. Used by the footer-statistics
+    * collector so per-file min/max strings derived from parquet footers
+    * are byte-identical to the ones the aggregate-scan collector casts.
+    */
+  def castToString(value: Any,
+      dt: org.apache.spark.sql.types.DataType, zoneId: String): String = {
+    val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(value, dt),
+      org.apache.spark.sql.types.StringType, Some(zoneId))
+    Option(cast.eval(null)).map(_.toString).orNull
+  }
+
   def checkpointedRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)

@@ -1692,11 +1692,204 @@ object TxLog {
     * scan's absolute paths back to manifest-relative entries
     * (fresh-write and convert layouts differ).
     */
+  /** Cap on the driver-side footer-statistics path: above this many
+    * files per stats pass the distributed aggregate scan runs instead
+    * (its fixed job cost amortizes over many files, and a giant commit
+    * should not serialize that many footer opens on the driver).
+    */
+  private[graft] val footerStatsMaxFiles = 1000
+
+  /** Per-file stats from PARQUET FOOTERS — the metadata-only collector
+    * (guide §6: stats the writer already persisted should not cost a
+    * second read of the data). For every fresh file it opens only the
+    * footer (KBs) instead of running a whole Spark aggregate job over
+    * the written bytes — per small commit that deletes one full job +
+    * its planning (~100–200 ms here, a second data pass at scale).
+    *
+    * EXACTNESS, not best-effort: the returned entries must be
+    * byte-identical to what [[statsScan]]'s aggregate would produce
+    * (these strings feed the oracle-checked q105/q106 outputs and the
+    * skipping comparisons), so every min/max is decoded to the same
+    * Catalyst value the scan would aggregate and rendered through the
+    * SAME `CAST(v AS STRING)` expression (Shim.castToString). Any shape
+    * this cannot prove equal trips the WHOLE-BATCH fallback to the
+    * aggregate scan (returns None):
+    *   - a chunk without statistics, or null-count unset;
+    *   - float/double min/max that is NaN or ±0.0 (parquet normalizes
+    *     zero signs and NaN handling differs from Spark's NaN-greatest
+    *     ordering — never guess);
+    *   - string min/max at or beyond lengths parquet may truncate/omit;
+    *   - any physical/logical type combination outside the known-exact
+    *     matrix (INT32/INT64/FLOAT/DOUBLE/BINARY-UTF8/date/timestamp-
+    *     micros-or-millis/decimal, plus the INT32→long widened read);
+    *   - more than [[footerStatsMaxFiles]] files.
+    * A column entirely absent from a file (adopted/evolved layouts)
+    * is all-NULL on read, exactly like the aggregate sees it.
+    */
+  private def footerStats(spark: SparkSession, schema: StructType,
+      skippable: Array[StructField], absFiles: Seq[String],
+      relOf: String => String): Option[Seq[FileEntry]] = {
+    if (absFiles.size > footerStatsMaxFiles) return None
+    if (spark.conf.getOption("spark.graft.stats.footer").contains("false"))
+      return None
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val conf = spark.sessionState.newHadoopConf()
+    // decode one chunk's raw statistics value to the Catalyst value the
+    // aggregate scan would have seen; None = cannot prove exact
+    def catalystOf(raw: Any, pt: org.apache.parquet.schema.PrimitiveType,
+        dt: DataType): Option[Any] = {
+      val ann = pt.getLogicalTypeAnnotation
+      (pt.getPrimitiveTypeName, dt) match {
+        case (INT32, IntegerType) => Some(raw)
+        case (INT32, LongType) => // metadata-only widened int→long file
+          Some(raw.asInstanceOf[java.lang.Integer].longValue())
+        case (INT64, LongType) => Some(raw)
+        case (INT32, ShortType) =>
+          Some(raw.asInstanceOf[java.lang.Integer].shortValue())
+        case (INT32, ByteType) =>
+          Some(raw.asInstanceOf[java.lang.Integer].byteValue())
+        case (FLOAT, FloatType) =>
+          val f = raw.asInstanceOf[java.lang.Float].floatValue()
+          if (java.lang.Float.isNaN(f) || f == 0.0f) None else Some(f)
+        case (DOUBLE, DoubleType) =>
+          val d = raw.asInstanceOf[java.lang.Double].doubleValue()
+          if (java.lang.Double.isNaN(d) || d == 0.0d) None else Some(d)
+        case (BINARY, StringType)
+            if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+          val b = raw.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+          // stay far below parquet's footer-stats truncation/omission
+          // thresholds — long values fall back to the scan
+          if (b.length >= 1024) None
+          else Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(b))
+        case (INT32, DateType)
+            if ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+          Some(raw)
+        case (INT64, TimestampType) => ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.isAdjustedToUTC &&
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+            Some(raw)
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.isAdjustedToUTC &&
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            Some(raw.asInstanceOf[java.lang.Long].longValue() * 1000L)
+          case _ => None
+        }
+        case (INT64, TimestampNTZType) => ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if !t.isAdjustedToUTC &&
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+            Some(raw)
+          case _ => None
+        }
+        case (_, d: DecimalType) => ann match {
+          case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+              if dec.getScale == d.scale =>
+            val unscaled: Option[java.math.BigInteger] =
+              pt.getPrimitiveTypeName match {
+                case INT32 => Some(java.math.BigInteger.valueOf(
+                  raw.asInstanceOf[java.lang.Integer].longValue()))
+                case INT64 => Some(java.math.BigInteger.valueOf(
+                  raw.asInstanceOf[java.lang.Long].longValue()))
+                case BINARY | FIXED_LEN_BYTE_ARRAY => Some(new java.math.BigInteger(
+                  raw.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+                case _ => None
+              }
+            unscaled.map(u => org.apache.spark.sql.types.Decimal(
+              BigDecimal(new java.math.BigDecimal(u, d.scale)), d.precision, d.scale))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    val out = Vector.newBuilder[FileEntry]
+    for (abs <- absFiles) {
+      // relOf is written for SCAN-reported spellings (URI-encoded); the
+      // footer path hands it the caller's own abs strings — any exotic
+      // path it cannot map falls back to the scan rather than failing
+      val rel = try relOf(abs) catch { case scala.util.control.NonFatal(_) =>
+        return None }
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(abs), conf)
+      val reader =
+        try org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        catch { case _: java.io.IOException => return None }
+      try {
+        val blocks = reader.getFooter.getBlocks
+        import scala.jdk.CollectionConverters._
+        val rows = blocks.asScala.map(_.getRowCount).sum
+        if (rows == 0L) out += FileEntry(rel, 0L, Map.empty)
+        else {
+          val stats = skippable.map { f =>
+            // chunks of this column across the file's row groups
+            val chunks = blocks.asScala.map(_.getColumns.asScala.find(c =>
+              c.getPath.size == 1 && c.getPath.toDotString == f.name))
+            if (chunks.forall(_.isEmpty)) {
+              // column absent from this file: all-NULL on read
+              f.name -> ColStats(None, None, rows)
+            } else if (chunks.exists(_.isEmpty)) {
+              return None // mixed presence across row groups: no proof
+            } else {
+              var nulls = 0L
+              var rawMin: Any = null
+              var rawMax: Any = null
+              var pt: org.apache.parquet.schema.PrimitiveType = null
+              for (c <- chunks.map(_.get)) {
+                val st = c.getStatistics
+                if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+                nulls += st.getNumNulls
+                if (st.hasNonNullValue) {
+                  if (pt == null) pt = c.getPrimitiveType
+                  // merge across row groups with parquet's own raw-value
+                  // comparator — the SAME ordering Spark's min/max uses
+                  // for these types (numeric natural order, unsigned
+                  // byte-wise for UTF8 strings, signed big-endian for
+                  // binary decimals)
+                  val cmp = pt.comparator.asInstanceOf[java.util.Comparator[Any]]
+                  if (rawMin == null || cmp.compare(st.genericGetMin, rawMin) < 0)
+                    rawMin = st.genericGetMin
+                  if (rawMax == null || cmp.compare(st.genericGetMax, rawMax) > 0)
+                    rawMax = st.genericGetMax
+                }
+              }
+              if (rawMin == null) {
+                // no recorded values: genuine only when every row is
+                // NULL — parquet also omits min/max for chunks that saw
+                // NaN, and those files DO have values (the scan would
+                // report NaN extremes), so anything short of all-null
+                // falls back to the scan
+                if (nulls == rows) f.name -> ColStats(None, None, nulls)
+                else return None
+              } else {
+                val lo = catalystOf(rawMin, pt, f.dataType).getOrElse(return None)
+                val hi = catalystOf(rawMax, pt, f.dataType).getOrElse(return None)
+                def render(v: Any): String =
+                  if (f.dataType == StringType) v.toString // cast is identity
+                  else org.apache.spark.sql.graftshim.Shim
+                    .castToString(v, f.dataType, zone)
+                f.name -> ColStats(Option(render(lo)), Option(render(hi)), nulls)
+              }
+            }
+          }.toMap
+          out += FileEntry(rel, rows, stats)
+        }
+      } finally reader.close()
+    }
+    Some(out.result())
+  }
+
   private def statsScan(spark: SparkSession, schema: StructType,
       absFiles: Seq[String], relOf: String => String,
       statsCols: Int = maxStatsCols): Seq[FileEntry] = {
     val skippable = schema.fields.filter(f => isSkippable(f.dataType))
       .take(statsCols.min(maxStatsCols).max(0))
+    // metadata-only fast path: footers already hold exactly these stats
+    // (falls back to the aggregate scan on ANY unprovable shape —
+    // footerStats scaladoc; FooterStatsSpec pins byte-equality)
+    footerStats(spark, schema, skippable, absFiles, relOf)
+      .foreach(entries => return entries)
     val aggs = skippable.zipWithIndex.flatMap { case (f, i) =>
       val c = col(quoted(f.name))
       Seq(min(c).cast("string").as(s"__mn_$i"),
