@@ -100,8 +100,12 @@ object Profile {
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val rec = new Recorder
     spark.sparkContext.addSparkListener(rec)
+    // opt-in: getAllStackTraces forces a safepoint per sample, which
+    // inflates and serializes the very jobs being measured — enable only
+    // when hunting for hot frames, not when reading job timings
+    val sample = sys.env.get("GRAFT_PROFILE_SAMPLE").contains("1")
     val sampler = new Sampler
-    sampler.start()
+    if (sample) sampler.start()
     keys.foreach { k =>
       val fn = SparkEntry.queries(k)
       // warmup (untimed, like Bench's warmup pass)

@@ -402,12 +402,17 @@ object LlmData {
         .select(col("prev"), col("cur"),
           round(log(lit(0.7) * col("cbg").cast("double") / col("cctx") +
             lit(0.3) * col("cu").cast("double") / col("n")), 8).as("lp"))
-      val ppl = perDoc.join(lp, Seq("prev", "cur"))
+      // cache the per-doc score table: it feeds BOTH the tercile
+      // aggregate and the final bucketing select, and it is
+      // corpus-metadata-sized (one row per document) — without the cache
+      // the perDoc⋈lp join and its aggregate run twice
+      val ppl = CacheRegistry.track(perDoc.join(lp, Seq("prev", "cur"))
         .withColumn("contrib", (col("c") * col("lp")).cast("decimal(18,8)"))
         .groupBy("doc_id")
         .agg(sum("c").as("n_bigrams"), sum("contrib").as("lp_sum"))
         .select(col("doc_id"), col("n_bigrams"),
           r4(exp(-(col("lp_sum").cast("double") / col("n_bigrams")))).as("ppl"))
+        .cache())
       val th = ppl.agg(
         expr("percentile(ppl, 1.0D/3.0D)").as("t1"),
         expr("percentile(ppl, 2.0D/3.0D)").as("t2"))

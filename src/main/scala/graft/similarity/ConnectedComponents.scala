@@ -99,11 +99,20 @@ object ConnectedComponents {
         s"ConnectedComponents: no fixpoint after $maxIters rounds — " +
           s"component diameter exceeds 2^$maxIters; raise maxIters")
 
+    // Cluster ids in `labels` are always NODE ids (min-label over node
+    // ids), and a singleton's cluster id is its own non-node doc id —
+    // the two id sets are DISJOINT, so the previous union-then-self-join
+    // (which computed the union twice and shuffled the singletons
+    // through a join that could only ever match themselves) decomposes
+    // into: size the labeled clusters alone, and stamp every singleton
+    // with its literal size of 1. Identical output, one union branch
+    // instead of two and no singleton shuffle.
     val singles = documents.select("doc_id")
       .join(nodes, Seq("doc_id"), "left_anti")
       .withColumn("cluster_id", col("doc_id"))
-    val all = labels.unionByName(singles)
-    val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    all.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+      .unionByName(singles.withColumn("cluster_size", lit(1L))
+        .select("doc_id", "cluster_id", "cluster_size"))
   }
 }

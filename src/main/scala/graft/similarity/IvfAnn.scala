@@ -100,27 +100,43 @@ object IvfAnn {
     embeddings.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
 
-  /** Assign each vector to its nearest centroid id. */
-  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("__sim").desc, col("cent_id"))
+  /** Assign each vector to its nearest centroid id.
+    *
+    * Argmax via `max_by` over the ×nlist exploded stream instead of the
+    * previous row_number window: max_by is a DeclarativeAggregate with
+    * MAP-SIDE partial aggregation, so each vector's nlist candidate rows
+    * collapse to one before the exchange and nothing is sorted — the
+    * window shape shuffled all nlist rows per vector and sorted every
+    * partition (guide §2.3 "aggregate before you shuffle"). The key
+    * struct (__sim, -cent_id) reproduces the window's exact order —
+    * cosine desc, then LOWEST centroid id (cent ids are distinct, so the
+    * winner is unique; NaN sims rank greatest under both formulations).
+    */
+  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
     embeddings
       .crossJoin(broadcast(centroids))
-      .withColumn("__sim", VecFns.cosine(col("embedding"), col("ce")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
-  }
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        VecFns.cosine(col("embedding"), col("ce")).as("__sim"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("embedding")),
+        struct(col("__sim"), (-col("cent_id")).as("__t"))).as("__w"))
+      .select(col("vec_id"), col("__w.embedding").as("embedding"),
+        col("__w.cent_id").as("cent_id"))
 
-  /** Probe assignment: each query's `nprobe` nearest centroid ids. */
-  def probes(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
-    val w = Window.partitionBy("q_id").orderBy(col("__sim").desc, col("cent_id"))
-    queries
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", VecFns.cosine(col("qe"), col("ce")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= nprobe)
+  /** Probe assignment: each query's `nprobe` nearest centroid ids —
+    * bounded-heap top-nprobe per query (plans/TopKPerKey, the same
+    * operator the q58 rewrite proves identical to the row_number
+    * window), so the probe set never sorts the exploded stream.
+    */
+  def probes(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
+    graft.plans.TopKPerKey.withRank(
+      queries
+        .crossJoin(broadcast(centroids))
+        .select(col("q_id"), col("qe"), col("cent_id"),
+          VecFns.cosine(col("qe"), col("ce")).as("__sim")),
+      Seq(col("q_id")), Seq(col("__sim").desc, col("cent_id")), nprobe,
+      rankCol = "__rk")
       .select(col("q_id"), col("qe"), col("cent_id"))
-  }
 
   /** SemDeDup-style embedding dedup (Abbas et al. 2023 pattern): block
     * the corpus by inverted list (nearest centroid), then within each

@@ -178,14 +178,16 @@ object LshAnn {
       .select(col("vec_id"), col("embedding"),
         bucket(col("embedding"), planes, dim).as("bkt"))
       .cache())
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    e.as("a").join(e.as("b"),
+    // bounded-heap top-k per query (plans/TopKPerKey — identical output
+    // to the row_number window by the q58 parity proof) instead of a
+    // full sort of every probed bucket's candidate stream
+    val cands = e.as("a").join(e.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("q_id"), col("b.vec_id").as("c_id"),
         VecFns.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopKPerKey.withRank(cands, Seq(col("q_id")),
+        Seq(col("cos").desc, col("c_id")), k, rankCol = "rank")
       .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 4).as("cos"))
   }
 }
