@@ -151,8 +151,12 @@ object BpeTrainer {
             size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(x))))
+        // LAZY checkpoint (the ConnectedComponents loop-fusion recipe):
+        // the NEXT round's argmax aggregate materializes it, so each
+        // round schedules ONE job instead of an eager-checkpoint job
+        // plus the aggregate. Lineage still truncates immediately.
         val next = cur.select(col("freq"), applied.as("syms"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         prevRdd.foreach(_.unpersist(false))
         prevRdd = org.apache.spark.sql.graftshim.Shim.checkpointedRdd(cur)
         cur = next
