@@ -391,7 +391,11 @@ object LlmData {
       val perDoc = CacheRegistry.track(bigrams
         .groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("c"))
         .cache())
-      val bc = perDoc.groupBy("prev", "cur").agg(sum("c").as("cbg"))
+      // bigram-vocabulary counts feed BOTH the context aggregate and the
+      // scoring join — cache the (much smaller than perDoc) table so the
+      // aggregate over the cached perDoc runs once
+      val bc = CacheRegistry.track(perDoc.groupBy("prev", "cur")
+        .agg(sum("c").as("cbg")).cache())
       val ctx = bc.groupBy("prev").agg(sum("cbg").as("cctx"))
       val uni = docs(s, dir)
         .select(explode(TextFns.tokens(col("text"))).as("cur"))
@@ -867,7 +871,11 @@ object LlmData {
       val perDoc = CacheRegistry.track(bigrams
         .groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("c"))
         .cache())
-      val bc = perDoc.groupBy("prev", "cur").agg(sum("c").as("cbg"))
+      // bigram-vocabulary counts feed BOTH the context aggregate and the
+      // scoring join — cache the (much smaller than perDoc) table so the
+      // aggregate over the cached perDoc runs once
+      val bc = CacheRegistry.track(perDoc.groupBy("prev", "cur")
+        .agg(sum("c").as("cbg")).cache())
       val ctx = bc.groupBy("prev").agg(sum("cbg").as("cctx"))
       val lp = bc.join(ctx, "prev").select(col("prev"), col("cur"),
         round(log(col("cbg").cast("double") / col("cctx")), 8).as("lp"))
