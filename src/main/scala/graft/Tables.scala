@@ -61,19 +61,61 @@ object Tables {
       case _ => raw
     }
   }
-  /** documents/embeddings ship as one small parquet file = ONE scan
-    * partition, so every downstream per-row computation (shingle
-    * explosion, md5, 64-dim cosines) would run in a single task.
-    * Repartition to the session's shuffle parallelism right after the
-    * scan: one trivial shuffle of a small table buys full-core fan-out
-    * for the hash/vector pipelines. (At production scale the source is
-    * many files and this repartition is unnecessary — but harmless, as
-    * it coalesces into the first required exchange.)
+  /** Scan-split memo per (dir, table): total parquet row-group count
+    * across the table's files — the number of non-empty tasks a Spark
+    * scan of it can produce. Read once per session from the footers
+    * (KBs of metadata, no data pages); pure metadata like the schema
+    * memo above.
     */
-  def documents(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "documents")
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "embeddings")
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  private val splitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]
+
+  private def scanSplits(spark: SparkSession, dir: String, name: String): Int =
+    splitMemo.computeIfAbsent((dir, name), { _ =>
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fsys = p.getFileSystem(conf)
+      val files =
+        if (fsys.getFileStatus(p).isDirectory)
+          fsys.listStatus(p).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        else Seq(fsys.getFileStatus(p))
+      files.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      }.sum
+    })
+
+  /** Scale-adaptive scan fan-out (guide §2.4/§6). The testdata ships each
+    * table as ONE single-row-group parquet file — ONE scan task no matter
+    * the split config — so every downstream per-row pipeline (decimal
+    * aggregation, shingle explosion, md5, 64-dim cosines) that runs
+    * before the first exchange is single-threaded. Repartition to session
+    * parallelism ONLY when the physical layout under-parallelizes the
+    * scan (row-group splits < cores); at production scale the source is
+    * many files/row groups, the condition is false, and NO shuffle is
+    * added — the very shuffle that would be ruinous on a 100 TB fact
+    * table. Hash-by-key rather than round-robin: deterministic under
+    * task retry, skips round-robin's local sort-before-repartition
+    * (SPARK-23207), and the key is chosen to match the table's dominant
+    * downstream clustering (events by user_id, lineitem by l_orderkey)
+    * so per-key windows/aggregates/joins REUSE the exchange instead of
+    * re-shuffling.
+    */
+  def fanned(spark: SparkSession, dir: String, name: String, df: DataFrame,
+             keys: Seq[String]): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    if (scanSplits(spark, dir, name) < n) df.repartition(n, keys.map(col): _*)
+    else df
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+    fanned(spark, dir, "documents", d, Seq("doc_id"))
+  }
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    fanned(spark, dir, "embeddings", e, Seq("vec_id"))
+  }
 }

@@ -33,8 +33,32 @@ import graft.operators._
   */
 object Core {
 
+  /** Fact-table loads. `ev`/`li` are the raw scans. `evF`/`liF` add the
+    * scale-adaptive scan fan-out (Tables.fanned scaladoc): the
+    * single-row-group testdata files give ONE scan task, so per-row work
+    * before the first exchange is otherwise single-threaded. The fanned
+    * variants are used ONLY where a bench A/B showed the exchange is
+    * reused, not added — the per-user window/daily-series family
+    * (Window.partitionBy(user_id) and (user_id, day)-grain aggregates
+    * are satisfied by hash(user_id)) and the per-order aggregates
+    * (hash(l_orderkey)). Blanket fan-out measurably REGRESSED the
+    * broadcast-probe shapes (q79–q82, q33, q62: the exchange just
+    * precedes a BroadcastHashJoin) and the non-user-keyed events
+    * queries (q22 tumbling windows), so those keep the raw load.
+    * Lakehouse lifecycle writers also keep raw loads so commit file
+    * counts stay layout-driven.
+    */
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
   private def li(s: SparkSession, dir: String): DataFrame = Tables.lineitem(s, dir)
+  private def evF(s: SparkSession, dir: String): DataFrame =
+    Tables.fanned(s, dir, "events", Tables.events(s, dir), Seq("user_id"))
+  private def liF(s: SparkSession, dir: String): DataFrame =
+    Tables.fanned(s, dir, "lineitem", Tables.lineitem(s, dir), Seq("l_orderkey"))
+  // orders stays a RAW load: it is broadcast or dimension-side in most
+  // of its uses, where a load-time fan-out exchange would just precede a
+  // BroadcastExchange and be pure overhead (measured on q71/q63).
+  private def ordRaw(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
 
   /** 2-decimal money cast (prices, discounts, taxes, quantities). */
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
@@ -54,7 +78,7 @@ object Core {
 
   /** Daily series shared by q13–q19. */
   private def daily(s: SparkSession, dir: String): DataFrame =
-    SentimentOps.dailyWithNextChange(ev(s, dir))
+    SentimentOps.dailyWithNextChange(evF(s, dir))
 
   private val dailySql =
     """WITH daily AS (
@@ -105,7 +129,7 @@ object Core {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, dir) =>
-      li(s, dir)
+      liF(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           r2d(sum(dec2(col("l_quantity")))).as("sum_qty"),
@@ -117,7 +141,7 @@ object Core {
 
     "q02_dedup_latest" -> ((s, dir) =>
       Cleaning
-        .dedupLatest(ev(s, dir), Seq("user_id", "event_type"),
+        .dedupLatest(evF(s, dir), Seq("user_id", "event_type"),
           Seq(col("ts").desc, col("event_id").desc))
         .select(
           col("user_id"), col("event_type"), col("event_id"),
@@ -141,7 +165,7 @@ object Core {
     }),
 
     "q04_date_parts" -> ((s, dir) =>
-      Cleaning.withDateParts(Tables.orders(s, dir), "o_orderdate")
+      Cleaning.withDateParts(ordRaw(s, dir), "o_orderdate")
         .groupBy("year", "month")
         .agg(
           count(lit(1)).as("n_orders"),
@@ -150,9 +174,9 @@ object Core {
           sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("urgent"))),
 
     "q05_merge_coalesce" -> ((s, dir) => {
-      val a = li(s, dir).groupBy(col("l_orderkey").as("orderkey"))
+      val a = liF(s, dir).groupBy(col("l_orderkey").as("orderkey"))
         .agg(sum(revDec).as("li_value"), count(lit(1)).as("li_count"))
-      val b = Tables.orders(s, dir)
+      val b = ordRaw(s, dir)
         .select(col("o_orderkey").as("orderkey"), dec2(col("o_totalprice")).as("o_totalprice"))
       MergeOps.mergeCoalesce(a, b, Seq("orderkey"),
         Map("merged_value" -> (col("li_value"), col("o_totalprice"))))
@@ -171,7 +195,7 @@ object Core {
       // mirror that approximation for parity (noted in SURVEY §6).
       val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
       val vDec = dec4(col("value"))
-      ev(s, dir).select(
+      evF(s, dir).select(
         col("user_id"), col("event_id"), r4(col("value")).as("value"),
         r4e(exactSlidingAvg(vDec, w, 7)).as("sma_7"),
         r4e(exactSlidingAvg(vDec, w, 20)).as("sma_20"),
@@ -185,7 +209,7 @@ object Core {
       val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
       val mid = exactSlidingAvg(dec4(col("value")), w, 20)
       val sd = stddev_samp(col("value")).over(w.rowsBetween(-19, 0))
-      ev(s, dir).select(
+      evF(s, dir).select(
         col("user_id"), col("event_id"),
         r4e(mid).as("bb_mid"), r4e(sd).as("bb_sd"),
         r4e(mid + lit(2.0) * sd).as("bb_up"),
@@ -194,7 +218,7 @@ object Core {
 
     "q08_momentum" -> ((s, dir) => {
       val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
-      Indicators.withMomentum(ev(s, dir), w, "value", Seq(1, 5, 20))
+      Indicators.withMomentum(evF(s, dir), w, "value", Seq(1, 5, 20))
         .select(
           col("user_id"), col("event_id"),
           r4e(col("mom_1")).as("mom_1"), r4e(col("mom_5")).as("mom_5"),
@@ -204,7 +228,7 @@ object Core {
     "q09_volatility" -> ((s, dir) => {
       val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
       val rollAvg = exactSlidingAvg(dec4(col("value")), w, 20)
-      Indicators.withVolatility(ev(s, dir), w, "value", 20)
+      Indicators.withVolatility(evF(s, dir), w, "value", 20)
         .withColumn("rel_value", when(rollAvg > 0.0, col("value") / rollAvg).otherwise(1.0))
         .select(
           col("user_id"), col("event_id"),
@@ -212,7 +236,7 @@ object Core {
     }),
 
     "q10_daily_agg" -> ((s, dir) =>
-      SentimentOps.dailyAgg(ev(s, dir))
+      SentimentOps.dailyAgg(evF(s, dir))
         .select(
           col("user_id"), col("day"), col("n"),
           r4e(col("v_avg")).as("v_avg"), r4(col("v_min")).as("v_min"),
@@ -222,12 +246,12 @@ object Core {
           r4e(col("click_ratio")).as("click_ratio"))),
 
     "q11_weighted_recency" -> ((s, dir) =>
-      SentimentOps.weightedRecency(ev(s, dir), tauHours = 24.0)
+      SentimentOps.weightedRecency(evF(s, dir), tauHours = 24.0)
         .select(col("user_id"), col("n"), r4e(col("weighted_avg")).as("weighted_avg"))),
 
     "q12_lead_horizons" -> ((s, dir) => {
       val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
-      Indicators.withLeadHorizons(ev(s, dir), w, "value", Seq(1, 3, 5))
+      Indicators.withLeadHorizons(evF(s, dir), w, "value", Seq(1, 3, 5))
         .select(
           col("user_id"), col("event_id"),
           r4e(col("chg_1")).as("chg_1"), r4e(col("chg_3")).as("chg_3"),
@@ -300,7 +324,7 @@ object Core {
     "q20_tpch3" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
-      val o = Tables.orders(s, dir)
+      val o = ordRaw(s, dir)
         .filter(col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
       val l = li(s, dir)
@@ -322,7 +346,7 @@ object Core {
       val n = Tables.nation(s, dir)
       val sup = Tables.supplier(s, dir)
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir)
+      val o = ordRaw(s, dir)
         .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
           col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
       val l = li(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -376,7 +400,7 @@ object Core {
     "q26_date_dim" -> ((s, dir) => {
       // populate_date_dimension (postgresql_schemas.sql:278+): calendar
       // dimension spanning the fact table's date range.
-      val span = Tables.orders(s, dir).agg(
+      val span = ordRaw(s, dir).agg(
         min(col("o_orderdate").cast("date")).as("d0"),
         max(col("o_orderdate").cast("date")).as("d1"))
       val dow = Parity.isoDow(col("date"))
@@ -392,7 +416,7 @@ object Core {
     "q27_skyline" -> ((s, dir) => {
       // Pareto frontier of orders: maximize total price, minimize order
       // date ("best deals earliest") — two-phase distributed skyline.
-      val o = Tables.orders(s, dir).select(
+      val o = ordRaw(s, dir).select(
         col("o_orderkey"), col("o_totalprice"),
         col("o_orderdate").cast("date").as("order_date"),
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("days"))
@@ -435,7 +459,7 @@ object Core {
       // Semi/anti join coverage: per market segment, customers with and
       // without any order.
       val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
-      val o = Tables.orders(s, dir).select("o_custkey")
+      val o = ordRaw(s, dir).select("o_custkey")
       val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("with_orders"))
       val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
@@ -493,7 +517,7 @@ object Core {
       // TPC-H Q13 shape: distribution of customers by order count,
       // including zero-order customers (left join + conditional count).
       val c = Tables.customer(s, dir).select("c_custkey")
-      val o = Tables.orders(s, dir).select("o_custkey")
+      val o = ordRaw(s, dir).select("o_custkey")
       c.join(o, col("c_custkey") === col("o_custkey"), "left")
         .groupBy("c_custkey")
         .agg(count(col("o_custkey")).as("n_orders"))
@@ -713,7 +737,7 @@ object Core {
       // within the period — a grouped argmin/argmax, expressed as window
       // first/last over the (key, week) partition then reduced (the values
       // are constant per group, so min() picks them deterministically).
-      val ev2 = ev(s, dir).withColumn("wk", date_trunc("week", col("ts")).cast("date"))
+      val ev2 = evF(s, dir).withColumn("wk", date_trunc("week", col("ts")).cast("date"))
       val w = Window.partitionBy("user_id", "wk").orderBy(col("ts"), col("event_id"))
       val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       ev2
@@ -763,21 +787,21 @@ object Core {
 
     "q44_rsi" -> ((s, dir) => {
       val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
-      Indicators.withRsi(ev(s, dir), w, "value", 14)
+      Indicators.withRsi(evF(s, dir), w, "value", 14)
         .select(col("user_id"), col("event_id"), r4(col("value")).as("value"),
           r4e(col("rsi_14")).as("rsi_14"))
     }),
 
     "q45_macd" -> ((s, dir) => {
       val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
-      Indicators.withMacd(ev(s, dir), w, "value", fast = 20, slow = 50, signalP = 9)
+      Indicators.withMacd(evF(s, dir), w, "value", fast = 20, slow = 50, signalP = 9)
         .select(col("user_id"), col("event_id"),
           col("macd"), col("macd_signal"), col("macd_hist"))
     }),
 
     "q46_drawdown" -> ((s, dir) => {
       val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
-      Indicators.withDrawdown(ev(s, dir), w, "value")
+      Indicators.withDrawdown(evF(s, dir), w, "value")
         .select(col("user_id"), col("event_id"), r4(col("value")).as("value"),
           r4(col("peak")).as("peak"), r4e(col("drawdown_pct")).as("drawdown_pct"))
     }),
@@ -801,7 +825,7 @@ object Core {
 
     "q52_stochastic" -> ((s, dir) => {
       val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
-      Indicators.withStochastic(ev(s, dir), w, "value", period = 14, dPeriod = 3)
+      Indicators.withStochastic(evF(s, dir), w, "value", period = 14, dPeriod = 3)
         .select(col("user_id"), col("event_id"), r4(col("value")).as("value"),
           col("stoch_k"), col("stoch_d"))
     }),
@@ -814,7 +838,7 @@ object Core {
       // 4-decimal nudged rounds; CCI's SMA pinned before the absolute
       // deviations so the deviation mean is exact decimal both sides).
       val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
-      Indicators.withChannels(ev(s, dir), w, "value", period = 20)
+      Indicators.withChannels(evF(s, dir), w, "value", period = 20)
         .select(col("user_id"), col("event_id"),
           col("donch_lo"), col("donch_hi"), col("donch_mid"),
           col("will_r"), col("cci"))
@@ -914,7 +938,7 @@ object Core {
       // precedent — never a window mean of raw doubles).
       val wd = Window.partitionBy("user_id", "day")
         .orderBy(col("ts"), col("event_id"))
-      val bars = ev(s, dir)
+      val bars = evF(s, dir)
         .withColumn("day", col("ts").cast("date"))
         .withColumn("close_v", last("value").over(
           wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
@@ -946,7 +970,7 @@ object Core {
       // the q44/q52/q57 convention extended one composition deeper.
       val wd = Window.partitionBy("user_id", "day")
         .orderBy(col("ts"), col("event_id"))
-      val bars = ev(s, dir)
+      val bars = evF(s, dir)
         .withColumn("day", col("ts").cast("date"))
         .withColumn("close_v", last("value").over(
           wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
@@ -983,7 +1007,7 @@ object Core {
       // not pegs — the honest convention).
       val w = Indicators.seriesWindow("user_id", Seq(col("ts"), col("event_id")))
       val prev = lag(col("value"), 12).over(w)
-      ev(s, dir).select(col("user_id"), col("event_id"),
+      evF(s, dir).select(col("user_id"), col("event_id"),
         r4e(when(prev.isNotNull && prev =!= 0.0,
           (col("value") - prev) / prev * 100.0)).as("roc_12"))
     }),
@@ -1096,10 +1120,10 @@ object Core {
       // a global sort). revenue ties broken by c_custkey so the LIMIT
       // boundary is deterministic cross-engine.
       val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
-      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val ordT = ordRaw(s, dir).select("o_orderkey", "o_custkey")
       li(s, dir).filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"), revDec.as("rev"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(ordT, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(r2d(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_items"))
@@ -1136,10 +1160,10 @@ object Core {
       val big = li(s, dir).groupBy("l_orderkey")
         .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
         .filter(col("total_qty") > 250.0)
-      val ord = Tables.orders(s, dir).select(
+      val ordT = ordRaw(s, dir).select(
         col("o_orderkey"), col("o_custkey"),
         col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
-      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      big.join(ordT, col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
@@ -1183,7 +1207,7 @@ object Core {
       // residual). Orders are date-pruned BEFORE the join (partition
       // pruning at scale); left_semi keeps each order once regardless of
       // matching line count, with no dedup step.
-      val o = Tables.orders(s, dir)
+      val o = ordRaw(s, dir)
         .filter(col("o_orderdate").cast("date") >= lit("1997-07-01").cast("date") &&
           col("o_orderdate").cast("date") < lit("1997-10-01").cast("date"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -1206,7 +1230,7 @@ object Core {
           col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
           col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
         .select("l_orderkey", "l_returnflag", "l_shipdate")
-      val o = Tables.orders(s, dir)
+      val o = ordRaw(s, dir)
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
       val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
       l.join(o,
@@ -1251,16 +1275,27 @@ object Core {
       // shuffle of three fact columns replaces two self-joins of the
       // fact table — the decisive rewrite at 100 TB. The tiny supplier
       // dim broadcasts onto the result.
-      val l = li(s, dir).select("l_orderkey", "l_suppkey", "l_returnflag")
-      val perOrder = l.groupBy("l_orderkey").agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_ret_supp"))
-      val ord = Tables.orders(s, dir)
+      val l = liF(s, dir).select("l_orderkey", "l_suppkey", "l_returnflag")
+      // Two-level aggregate instead of a double countDistinct: the
+      // countDistinct pair planned an Expand (×2 row duplication) whose
+      // UnknownPartitioning also discarded the scan fan-out's
+      // hash(l_orderkey), forcing two more exchanges. Per-(order,supp)
+      // max(returned) then per-order count/sum is the identical result —
+      // n_supp = distinct (order,supp) pairs, n_ret_supp = pairs with ≥1
+      // returned line — and both groupings are satisfied by
+      // hash(l_orderkey), so the branch runs with no exchange at all
+      // after the fan-out (guide §2.3/§2.4).
+      val perOrder = l
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+        .groupBy("l_orderkey").agg(
+          count(lit(1)).as("n_supp"),
+          sum(col("ret")).as("n_ret_supp"))
+      val ordT = ordRaw(s, dir)
         .filter(col("o_orderstatus") === "F").select("o_orderkey")
       val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
       l.filter(col("l_returnflag") === "R")
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(ordT, col("l_orderkey") === col("o_orderkey"))
         .join(perOrder.filter(col("n_supp") > 1 && col("n_ret_supp") === 1),
           Seq("l_orderkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
@@ -1287,7 +1322,7 @@ object Core {
       val thresh = c.filter(col("bal") > 0)
         .agg((sum(col("bal")).cast("double") / count(lit(1))).as("avg_bal"))
       c.join(broadcast(thresh), col("bal").cast("double") > col("avg_bal"))
-        .join(Tables.orders(s, dir)
+        .join(ordRaw(s, dir)
             .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
@@ -1328,7 +1363,7 @@ object Core {
       // current-state-only dim tables lack.
       val cur = Tables.customer(s, dir).select(
         col("c_custkey"), dec2(col("c_acctbal")).cast("double").as("bal"))
-      val chg = Tables.orders(s, dir).select(
+      val chg = ordRaw(s, dir).select(
         col("o_custkey").as("c_custkey"),
         dec2(col("o_totalprice")).cast("double").as("bal"),
         col("o_orderdate"), col("o_orderkey"))
@@ -1370,7 +1405,7 @@ object Core {
       // orderkey.
       val snap = Tables.customer(s, dir).select(
         col("c_custkey"), dec2(col("c_acctbal")).cast("double").as("bal"))
-      val chg = Tables.orders(s, dir).select(
+      val chg = ordRaw(s, dir).select(
         col("o_custkey").as("c_custkey"),
         dec2(col("o_totalprice")).cast("double").as("bal"),
         when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
@@ -1549,7 +1584,7 @@ object Core {
         .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
           col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"), revDec.as("rd"))
-        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        .join(ordRaw(s, dir).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
@@ -1573,7 +1608,7 @@ object Core {
       val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
       val zero = lit(0).cast("decimal(12,2)")
       li(s, dir).select(col("l_orderkey"), col("l_suppkey"), revDec.as("rd"))
-        .join(Tables.orders(s, dir)
+        .join(ordRaw(s, dir)
             .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
               col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
             .select("o_orderkey", "o_custkey", "o_orderdate"),
@@ -1601,7 +1636,7 @@ object Core {
       li(s, dir).select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), revDec.as("rd"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        .join(ordRaw(s, dir).select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("n_name").as("nation"),
@@ -1625,7 +1660,7 @@ object Core {
           Validate.Completeness("l_returnflag"),
           Validate.InRange("l_discount", 0.0, 1.0)),
         uniqueKey = Some(Seq("l_orderkey", "l_linenumber")),
-        foreignKey = Some(("l_orderkey", Tables.orders(s, dir), "o_orderkey")))),
+        foreignKey = Some(("l_orderkey", ordRaw(s, dir), "o_orderkey")))),
 
     // Forward as-of: each purchase ↔ the same user's EARLIEST click at
     // or after it (the mirror of q23's latest-before) — "next quote

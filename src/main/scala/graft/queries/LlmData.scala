@@ -606,13 +606,21 @@ object LlmData {
       // at scale): the index is read once, never shuffled.
       val d = docs(s, dir)
       val isNew = col("doc_id") % 4 === 0
-      def sigs(df: DataFrame): DataFrame =
-        HashFns.minhashSignatures(df, minhashK)
+      // ONE signature pass over the corpus, split afterwards: the index
+      // build and the batch probe previously each ran the full
+      // shingle-explode + 8-way-md5 aggregation over their disjoint
+      // slice — two scans, two explode/agg pipelines. Hashing once and
+      // filtering the cached signature table yields byte-identical
+      // index and batch rows for half the signature work (guide §1.2
+      // step 1: don't compute things twice).
+      val sigAll = CacheRegistry.track(
+        HashFns.minhashSignatures(d, minhashK)
           .select(col("doc_id"),
             concat_ws("|", (0 until minhashK).map(i => col(s"h$i")): _*).as("sig"))
+          .cache())
       val t = Lakehouse.tmpTable("d23-idx")
-      graft.sources.TxLog.overwrite(sigs(d.filter(!isNew)), t)
-      val batch = CacheRegistry.track(sigs(d.filter(isNew)).cache())
+      graft.sources.TxLog.overwrite(sigAll.filter(!isNew), t)
+      val batch = sigAll.filter(isNew)
       val hits = graft.sources.TxLog.read(s, t)
         .join(broadcast(batch.select("sig").distinct()), Seq("sig"))
         .select("sig").distinct()
