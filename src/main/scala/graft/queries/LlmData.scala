@@ -397,9 +397,20 @@ object LlmData {
       val bc = CacheRegistry.track(perDoc.groupBy("prev", "cur")
         .agg(sum("c").as("cbg")).cache())
       val ctx = bc.groupBy("prev").agg(sum("cbg").as("cctx"))
-      val uni = docs(s, dir)
-        .select(explode(TextFns.tokens(col("text"))).as("cur"))
+      // Unigram counts DERIVED from the cached bigram table instead of a
+      // second corpus-wide explode+aggregate (guide §1.2 step 1): every
+      // token occurrence is either some bigram's `cur` (w_2..w_n) or its
+      // document's FIRST token (w_1), so count(tok) = Σ cbg over
+      // cur=tok + first-token occurrences. The first-token pass is one
+      // cheap per-doc projection (no explode, one row per doc); the
+      // heavy token stream is scanned exactly once for the whole query.
+      val firstTok = docs(s, dir)
+        .select(element_at(TextFns.tokens(col("text")), 1).as("cur"))
+        .filter(col("cur").isNotNull)
         .groupBy("cur").agg(count(lit(1)).as("cu"))
+      val uni = bc.groupBy("cur").agg(sum("cbg").as("cu"))
+        .unionAll(firstTok)
+        .groupBy("cur").agg(sum("cu").as("cu"))
       val tot = uni.agg(sum("cu").cast("double").as("n"))
       val lp = bc.join(ctx, "prev").join(uni, "cur")
         .crossJoin(broadcast(tot))
