@@ -100,6 +100,25 @@ object Profile {
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val rec = new Recorder
     spark.sparkContext.addSparkListener(rec)
+    // Catalyst phase attribution (parsing/analysis/optimization/planning)
+    // for every query execution — names the driver latency the job
+    // listener cannot see. Accumulated via DriverTimers so it dumps with
+    // the TxLog phase timers.
+    if (DriverTimers.enabled)
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          private def record(
+              qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+            qe.tracker.phases.foreach { case (phase, s) =>
+              DriverTimers.add(s"catalyst.$phase", (s.endTimeMs - s.startTimeMs) * 1000000L)
+            }
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = record(qe)
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = record(qe)
+        })
     // opt-in: getAllStackTraces forces a safepoint per sample, which
     // inflates and serializes the very jobs being measured — enable only
     // when hunting for hot frames, not when reading job timings
@@ -114,6 +133,7 @@ object Profile {
       (1 to 2).foreach { pass =>
         CacheRegistry.releaseAll(); spark.catalog.clearCache()
         rec.synchronized { rec.jobs.clear() }
+        DriverTimers.reset()
         sampler.reset(); sampler.on = true
         val t0 = System.nanoTime()
         materialize(fn(spark, sfDir))
@@ -130,6 +150,7 @@ object Profile {
         sampler.top(12).foreach { case (f, n) =>
           println(f"  hot $n%4d  ${f.take(130)}")
         }
+        DriverTimers.dump()
       }
     }
     spark.stop()

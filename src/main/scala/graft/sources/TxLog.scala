@@ -1692,12 +1692,16 @@ object TxLog {
     * scan's absolute paths back to manifest-relative entries
     * (fresh-write and convert layouts differ).
     */
-  /** Cap on the driver-side footer-statistics path: above this many
-    * files per stats pass the distributed aggregate scan runs instead
-    * (its fixed job cost amortizes over many files, and a giant commit
-    * should not serialize that many footer opens on the driver).
+  /** Boundary between the two footer-statistics execution shapes: at or
+    * below this many files the footers are read on the driver's pool;
+    * above it one distributed metadata job reads them on the executors
+    * (a giant commit must not serialize that many footer opens on the
+    * driver). Overridable for tests via
+    * `-Dgraft.txlog.footerDriverMaxFiles=`.
     */
-  private[graft] val footerStatsMaxFiles = 1000
+  private[graft] def footerStatsMaxFiles: Int =
+    sys.props.get("graft.txlog.footerDriverMaxFiles").map(_.toInt)
+      .getOrElse(1000)
 
   /** Per-file stats from PARQUET FOOTERS — the metadata-only collector
     * (guide §6: stats the writer already persisted should not cost a
@@ -1721,21 +1725,79 @@ object TxLog {
     *   - string min/max at or beyond lengths parquet may truncate/omit;
     *   - any physical/logical type combination outside the known-exact
     *     matrix (INT32/INT64/FLOAT/DOUBLE/BINARY-UTF8/date/timestamp-
-    *     micros-or-millis/decimal, plus the INT32→long widened read);
-    *   - more than [[footerStatsMaxFiles]] files.
+    *     micros-or-millis/decimal, plus the INT32→long widened read).
     * A column entirely absent from a file (adopted/evolved layouts)
     * is all-NULL on read, exactly like the aggregate sees it.
+    *
+    * Execution shape: at or below [[footerStatsMaxFiles]] files the
+    * footers are read on the DRIVER, concurrently on a small pool
+    * (independent KB-sized reads; serializing them was ~8 ms × files of
+    * pure latency per commit). Above it they are read on the EXECUTORS
+    * via one `parallelize` job over the (abs, rel) pairs — the same
+    * per-file decode, the same whole-batch fallback, so a >1000-file
+    * commit no longer pays a full second data scan for stats the
+    * footers already hold (the previous behavior; the aggregate scan
+    * remains the fallback for unprovable shapes only).
     */
   private def footerStats(spark: SparkSession, schema: StructType,
       skippable: Array[StructField], absFiles: Seq[String],
       relOf: String => String): Option[Seq[FileEntry]] = {
-    if (absFiles.size > footerStatsMaxFiles) return None
     if (spark.conf.getOption("spark.graft.stats.footer").contains("false"))
       return None
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    // relOf is written for SCAN-reported spellings (URI-encoded); the
+    // footer path hands it the caller's own abs strings — any exotic
+    // path it cannot map falls back to the scan rather than failing
+    val rels =
+      try absFiles.map(relOf)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val perFile: Seq[Option[FileEntry]] =
+      if (absFiles.size <= footerStatsMaxFiles) {
+        val conf = spark.sessionState.newHadoopConf()
+        import scala.jdk.CollectionConverters._
+        val calls: Seq[java.util.concurrent.Callable[Option[FileEntry]]] =
+          absFiles.zip(rels).map { case (abs, rel) =>
+            (() => footerOfFile(conf, abs, rel, skippable, zone)): java.util.concurrent.Callable[Option[FileEntry]]
+          }
+        footerPool.invokeAll(calls.asJava).asScala.toSeq.map(_.get())
+      } else {
+        // executor-side footer reads: one metadata-only job, ~KBs per
+        // task, never the data pages
+        val confBc = spark.sparkContext.broadcast(
+          new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+        val slices = math.min(spark.sparkContext.defaultParallelism * 4,
+          math.max(1, absFiles.size / 16))
+        spark.sparkContext.parallelize(absFiles.zip(rels), slices)
+          .map { case (abs, rel) =>
+            footerOfFile(confBc.value.value, abs, rel, skippable, zone) }
+          .collect().toSeq
+      }
+    if (perFile.exists(_.isEmpty)) None else Some(perFile.map(_.get))
+  }
+
+  /** Driver-side pool for concurrent footer reads (metadata-only,
+    * latency-bound): daemon threads so an exiting session never hangs
+    * on it.
+    */
+  private lazy val footerPool = java.util.concurrent.Executors.newFixedThreadPool(
+    16,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-footer-stats")
+      t.setDaemon(true)
+      t
+    })
+
+  /** One file's [[FileEntry]] from its parquet footer alone, or None if
+    * any shape cannot be PROVEN byte-identical to the aggregate scan's
+    * answer (the exactness matrix in [[footerStats]]'s scaladoc). Pure
+    * function of (conf, path, fields, zone): safe on the driver pool and
+    * inside the distributed footer job alike.
+    */
+  private def footerOfFile(conf: org.apache.hadoop.conf.Configuration,
+      abs: String, rel: String, skippable: Array[StructField],
+      zone: String): Option[FileEntry] = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val zone = spark.sessionState.conf.sessionLocalTimeZone
-    val conf = spark.sessionState.newHadoopConf()
     // decode one chunk's raw statistics value to the Catalyst value the
     // aggregate scan would have seen; None = cannot prove exact
     def catalystOf(raw: Any, pt: org.apache.parquet.schema.PrimitiveType,
@@ -1804,80 +1866,71 @@ object TxLog {
         case _ => None
       }
     }
-    val out = Vector.newBuilder[FileEntry]
-    for (abs <- absFiles) {
-      // relOf is written for SCAN-reported spellings (URI-encoded); the
-      // footer path hands it the caller's own abs strings — any exotic
-      // path it cannot map falls back to the scan rather than failing
-      val rel = try relOf(abs) catch { case scala.util.control.NonFatal(_) =>
-        return None }
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new Path(abs), conf)
-      val reader =
-        try org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        catch { case _: java.io.IOException => return None }
-      try {
-        val blocks = reader.getFooter.getBlocks
-        import scala.jdk.CollectionConverters._
-        val rows = blocks.asScala.map(_.getRowCount).sum
-        if (rows == 0L) out += FileEntry(rel, 0L, Map.empty)
-        else {
-          val stats = skippable.map { f =>
-            // chunks of this column across the file's row groups
-            val chunks = blocks.asScala.map(_.getColumns.asScala.find(c =>
-              c.getPath.size == 1 && c.getPath.toDotString == f.name))
-            if (chunks.forall(_.isEmpty)) {
-              // column absent from this file: all-NULL on read
-              f.name -> ColStats(None, None, rows)
-            } else if (chunks.exists(_.isEmpty)) {
-              return None // mixed presence across row groups: no proof
-            } else {
-              var nulls = 0L
-              var rawMin: Any = null
-              var rawMax: Any = null
-              var pt: org.apache.parquet.schema.PrimitiveType = null
-              for (c <- chunks.map(_.get)) {
-                val st = c.getStatistics
-                if (st == null || st.isEmpty || !st.isNumNullsSet) return None
-                nulls += st.getNumNulls
-                if (st.hasNonNullValue) {
-                  if (pt == null) pt = c.getPrimitiveType
-                  // merge across row groups with parquet's own raw-value
-                  // comparator — the SAME ordering Spark's min/max uses
-                  // for these types (numeric natural order, unsigned
-                  // byte-wise for UTF8 strings, signed big-endian for
-                  // binary decimals)
-                  val cmp = pt.comparator.asInstanceOf[java.util.Comparator[Any]]
-                  if (rawMin == null || cmp.compare(st.genericGetMin, rawMin) < 0)
-                    rawMin = st.genericGetMin
-                  if (rawMax == null || cmp.compare(st.genericGetMax, rawMax) > 0)
-                    rawMax = st.genericGetMax
-                }
-              }
-              if (rawMin == null) {
-                // no recorded values: genuine only when every row is
-                // NULL — parquet also omits min/max for chunks that saw
-                // NaN, and those files DO have values (the scan would
-                // report NaN extremes), so anything short of all-null
-                // falls back to the scan
-                if (nulls == rows) f.name -> ColStats(None, None, nulls)
-                else return None
-              } else {
-                val lo = catalystOf(rawMin, pt, f.dataType).getOrElse(return None)
-                val hi = catalystOf(rawMax, pt, f.dataType).getOrElse(return None)
-                def render(v: Any): String =
-                  if (f.dataType == StringType) v.toString // cast is identity
-                  else org.apache.spark.sql.graftshim.Shim
-                    .castToString(v, f.dataType, zone)
-                f.name -> ColStats(Option(render(lo)), Option(render(hi)), nulls)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(abs), conf)
+    val reader =
+      try org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      catch { case _: java.io.IOException => return None }
+    try {
+      val blocks = reader.getFooter.getBlocks
+      import scala.jdk.CollectionConverters._
+      val rows = blocks.asScala.map(_.getRowCount).sum
+      if (rows == 0L) Some(FileEntry(rel, 0L, Map.empty))
+      else {
+        val stats = skippable.map { f =>
+          // chunks of this column across the file's row groups
+          val chunks = blocks.asScala.map(_.getColumns.asScala.find(c =>
+            c.getPath.size == 1 && c.getPath.toDotString == f.name))
+          if (chunks.forall(_.isEmpty)) {
+            // column absent from this file: all-NULL on read
+            f.name -> ColStats(None, None, rows)
+          } else if (chunks.exists(_.isEmpty)) {
+            return None // mixed presence across row groups: no proof
+          } else {
+            var nulls = 0L
+            var rawMin: Any = null
+            var rawMax: Any = null
+            var pt: org.apache.parquet.schema.PrimitiveType = null
+            for (c <- chunks.map(_.get)) {
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+              nulls += st.getNumNulls
+              if (st.hasNonNullValue) {
+                if (pt == null) pt = c.getPrimitiveType
+                // merge across row groups with parquet's own raw-value
+                // comparator — the SAME ordering Spark's min/max uses
+                // for these types (numeric natural order, unsigned
+                // byte-wise for UTF8 strings, signed big-endian for
+                // binary decimals)
+                val cmp = pt.comparator.asInstanceOf[java.util.Comparator[Any]]
+                if (rawMin == null || cmp.compare(st.genericGetMin, rawMin) < 0)
+                  rawMin = st.genericGetMin
+                if (rawMax == null || cmp.compare(st.genericGetMax, rawMax) > 0)
+                  rawMax = st.genericGetMax
               }
             }
-          }.toMap
-          out += FileEntry(rel, rows, stats)
-        }
-      } finally reader.close()
-    }
-    Some(out.result())
+            if (rawMin == null) {
+              // no recorded values: genuine only when every row is
+              // NULL — parquet also omits min/max for chunks that saw
+              // NaN, and those files DO have values (the scan would
+              // report NaN extremes), so anything short of all-null
+              // falls back to the scan
+              if (nulls == rows) f.name -> ColStats(None, None, nulls)
+              else return None
+            } else {
+              val lo = catalystOf(rawMin, pt, f.dataType).getOrElse(return None)
+              val hi = catalystOf(rawMax, pt, f.dataType).getOrElse(return None)
+              def render(v: Any): String =
+                if (f.dataType == StringType) v.toString // cast is identity
+                else org.apache.spark.sql.graftshim.Shim
+                  .castToString(v, f.dataType, zone)
+              f.name -> ColStats(Option(render(lo)), Option(render(hi)), nulls)
+            }
+          }
+        }.toMap
+        Some(FileEntry(rel, rows, stats))
+      }
+    } finally reader.close()
   }
 
   private def statsScan(spark: SparkSession, schema: StructType,
@@ -3065,7 +3118,7 @@ object TxLog {
               if (extraFields.isEmpty) m.schemaJson
               else StructType(DataType.fromJson(m.schemaJson)
                 .asInstanceOf[StructType].fields ++ extraFields).json
-            writeCdf(spark, table, w,
+            writeCdf(spark, table, w.dataRel,
               aliasLogical(toDf(spark, t, readJson, w.fresh), m)
                 .withColumn("_change_type", lit("insert")))
           }
@@ -3224,7 +3277,7 @@ object TxLog {
             val ins = insAssigned
               .getOrElse(outCols(acted.filter(col("__act").isin(insTags: _*))))
               .withColumn("_change_type", lit("insert"))
-            writeCdf(spark, table, w, pre.unionByName(post).unionByName(ins))
+            writeCdf(spark, table, w.dataRel, pre.unionByName(post).unionByName(ins))
           }
 
         if (!deletionVectors) {
@@ -3782,7 +3835,7 @@ object TxLog {
           // below would fail, and readChangeFeed expects logical)
           val post = aliasLogical(toDf(spark, t, m.schemaJson, w.fresh), m)
             .withColumn("_change_type", lit("insert"))
-          writeCdf(spark, table, w, pre.unionByName(post))
+          writeCdf(spark, table, w.dataRel, pre.unionByName(post))
         }
       val committed = publish(spark, table, w, parent =>
         if (parent.map(_.version).contains(m.version))
@@ -3829,7 +3882,7 @@ object TxLog {
       // downstream incremental view retract the retired partition
       val cdfFiles =
         if (!changeFeed) Seq.empty
-        else writeCdf(spark, table, w,
+        else writeCdf(spark, table, w.dataRel,
           readLive(spark, new Path(table), m, gone.toSeq.sorted)
             .withColumn("_change_type", lit("delete")))
       val committed = publish(spark, table, w, parent =>
@@ -3911,7 +3964,7 @@ object TxLog {
   private[graft] var casRaceHook: () => Unit = () => ()
 
   private def findTouched(spark: SparkSession, t: Path, m: Manifest,
-      cond: Column): Seq[Touched] = {
+      cond: Column): Seq[Touched] = graft.DriverTimers.time("findTouched") {
     if (m.files.isEmpty) return Seq.empty
     // LIVE rows only: a deletion-vectored row can't be touched again,
     // and the full-file tier compares against live counts
@@ -3960,24 +4013,25 @@ object TxLog {
       if (touched.isEmpty) return m.version
       val live = liveRowsOf(m)
       val (drop, rewrite) = touched.partition(h => live.get(h.rel).contains(h.matches))
-      val w =
-        if (rewrite.isEmpty) writeNothing(spark, table, m.schemaJson)
+      // CDF: the deleted rows' pre-images. Opt-in because tier-2 files
+      // are otherwise never read — recording their pre-images turns the
+      // metadata-only drop into a read of exactly the dropped files
+      // (still never a rewrite). Written CONCURRENTLY with the data
+      // write (overlapCdf — both read only the parent snapshot).
+      val cdfChanges =
+        if (!changeFeed) None
+        else Some(readLive(spark, t, m, touched.map(_.rel))
+          .filter(coalesce(cond, lit(false)))
+          .withColumn("_change_type", lit("delete")))
+      val (w, cdfFiles) = overlapCdf(spark, table, cdfChanges) { relOpt =>
+        if (rewrite.isEmpty) writeNothing(spark, table, m.schemaJson, relOpt)
         else writeData(
           // live rows: the rewrite MATERIALIZES any existing deletion
           // vectors on the boundary files (never carried forward)
           readLive(spark, t, m, rewrite.map(_.rel))
             .filter(!coalesce(cond, lit(false))),
-          table, m.partitionBy.getOrElse(Seq.empty))
-      // CDF: the deleted rows' pre-images. Opt-in because tier-2 files
-      // are otherwise never read — recording their pre-images turns the
-      // metadata-only drop into a read of exactly the dropped files
-      // (still never a rewrite).
-      val cdfFiles =
-        if (!changeFeed) Seq.empty
-        else writeCdf(spark, table, w,
-          readLive(spark, t, m, touched.map(_.rel))
-            .filter(coalesce(cond, lit(false)))
-            .withColumn("_change_type", lit("delete")))
+          table, m.partitionBy.getOrElse(Seq.empty), relOpt)
+      }
       val gone = touched.map(_.rel).toSet
       casRaceHook()
       // row-removing: constraints flow through unguarded. On a lost
@@ -4061,7 +4115,7 @@ object TxLog {
           val post = aliasLogical(toDf(spark, t, m.schemaJson, w.fresh), m)
             .filter(coalesce(cond, lit(false)))
             .withColumn("_change_type", lit("insert"))
-          writeCdf(spark, table, w, pre.unionByName(post))
+          writeCdf(spark, table, w.dataRel, pre.unionByName(post))
         }
       val gone = touched.map(_.rel).toSet
       val committed = publish(spark, table, w, parent =>
@@ -4113,7 +4167,7 @@ object TxLog {
       if (plan.touched.isEmpty) return m.version
       val cdfFiles =
         if (!changeFeed) Seq.empty
-        else writeCdf(spark, table, w,
+        else writeCdf(spark, table, w.dataRel,
           readLive(spark, t, m, plan.touched)
             .filter(coalesce(cond, lit(false)))
             .withColumn("_change_type", lit("delete")))
@@ -4290,20 +4344,22 @@ object TxLog {
       // assignments can violate a CHECK constraint — enforce on the
       // rewritten rows like any other row-changing write
       val cons = m.constraints.getOrElse(Map.empty)
-      val w = writeData(enforcing(applySet(touchedDf), cons), table,
-        m.partitionBy.getOrElse(Seq.empty))
       // CDF: matched rows' pre-images and post-images (the Delta
       // update_preimage/update_postimage pair), derived from the same
-      // snapshot files the rewrite read.
-      val cdfFiles =
-        if (!changeFeed) Seq.empty
+      // snapshot files the rewrite read — independent of the fresh
+      // write's output, so it runs CONCURRENTLY with it (overlapCdf).
+      val cdfChanges =
+        if (!changeFeed) None
         else {
           val matched = touchedDf.filter(hit)
-          writeCdf(spark, table, w,
-            matched.withColumn("_change_type", lit("update_preimage"))
-              .unionByName(applySet(matched)
-                .withColumn("_change_type", lit("update_postimage"))))
+          Some(matched.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(applySet(matched)
+              .withColumn("_change_type", lit("update_postimage"))))
         }
+      val (w, cdfFiles) = overlapCdf(spark, table, cdfChanges) { relOpt =>
+        writeData(enforcing(applySet(touchedDf), cons), table,
+          m.partitionBy.getOrElse(Seq.empty), relOpt)
+      }
       val gone = touched.map(_.rel).toSet
       casRaceHook()
       // lost CAS: rebase onto a winner that left our touched files
@@ -4384,7 +4440,7 @@ object TxLog {
         m.partitionBy.getOrElse(Seq.empty), dataRelOpt = Some(dataRel))
       val cdfFiles =
         if (!changeFeed) Seq.empty
-        else writeCdf(spark, table, w,
+        else writeCdf(spark, table, w.dataRel,
           matchedDf.withColumn("_change_type", lit("update_preimage"))
             .unionByName(applySet(matchedDf)
               .withColumn("_change_type", lit("update_postimage"))))
@@ -4721,16 +4777,63 @@ object TxLog {
     * dir if the commit is abandoned, and referenced by the manifest's
     * `cdf` field when it publishes.
     */
-  private def writeCdf(spark: SparkSession, table: String, w: Written,
-      changes: DataFrame): Seq[String] = {
+  private def writeCdf(spark: SparkSession, table: String, dataRel: String,
+      changes: DataFrame): Seq[String] = graft.DriverTimers.time("writeCdf") {
     val f = fs(spark, new Path(table))
     val t = f.makeQualified(new Path(table))
-    val rel = s"${w.dataRel}/_cdf"
+    val rel = s"$dataRel/_cdf"
     val dir = new Path(t, rel)
-    changes.write.parquet(dir.toString)
+    txWriter(changes.write).parquet(dir.toString)
     f.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n")
   }
+
+  /** Daemon pool for the CDF side of [[overlapCdf]] — one extra Spark
+    * action in flight at a time is all a single commit ever needs.
+    */
+  private lazy val cdfPool = java.util.concurrent.Executors.newFixedThreadPool(
+    2,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-cdf-write")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Run one commit's DATA write and CDF write as CONCURRENT Spark
+    * actions (guide §2.6 — overlap independent jobs): the change-data
+    * frame reads only the parent snapshot's files, never the fresh
+    * write's output, so the two jobs are independent, and each carries
+    * ~0.2 s of fixed write-command cost that otherwise serializes on
+    * the driver. The commit-private `data/<uuid>/` dir is chosen UP
+    * FRONT so the CDF lands under it (same abandonment unit); the data
+    * write's fresh-file listing excludes the `_cdf`/`_dv` subdirs, so a
+    * CDF file that lands first can never be mistaken for data. With no
+    * change feed this is exactly the old sequential path.
+    */
+  private def overlapCdf(spark: SparkSession, table: String,
+      changes: Option[DataFrame])(write: Option[String] => Written)
+      : (Written, Seq[String]) =
+    changes match {
+      case None => (write(None), Seq.empty)
+      case Some(ch) =>
+        val rel = newDataRel()
+        val fut = cdfPool.submit(
+          (() => writeCdf(spark, table, rel, ch)):
+            java.util.concurrent.Callable[Seq[String]])
+        val w =
+          try write(Some(rel))
+          catch { case e: Throwable =>
+            // let the CDF job drain before propagating, so abandon/retry
+            // never races a write into the dir it is about to delete
+            try fut.get() catch { case _: Throwable => () }
+            throw e
+          }
+        val cdf =
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause }
+        (w, cdf)
+    }
 
   /** Dir-name sentinel Spark's writer uses for a NULL (or empty-string)
     * partition value.
@@ -4856,9 +4959,40 @@ object TxLog {
   private[graft] val dataWriteCount =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Commit-protocol trim for MANIFEST-GATED writes (guide §7.3's
+    * commit-protocol cost, the Delta/Iceberg argument): files under
+    * `data/<uuid>/` are invisible until a published manifest references
+    * them, so the rename-based job-commit ceremony buys nothing here —
+    * task-side final renames (FileOutputCommitter algorithm 2, with
+    * task commits still arbitrated by the OutputCommitCoordinator, so
+    * retries/speculation stay exactly-once), no `_SUCCESS` marker
+    * (readers resolve through the manifest, never the directory), no
+    * parquet summary sidecars. An aborted job leaves at worst an
+    * orphaned `data/<uuid>/` dir — the same abandonment unit as before,
+    * reaped by vacuum/abandon. Scoped per write via options: census
+    * writes (whose reader checks `_SUCCESS`) and any non-TxLog write
+    * keep the stock protocol. Honest sizing (interleaved WriteProbe
+    * A/B): ~5% of a small commit's cost on the local filesystem, where
+    * rename is cheap — the knob is kept because on object storage the
+    * per-file job-commit rename IS the dominant commit cost, and the
+    * manifest gate is precisely what makes skipping it safe.
+    */
+  private def txWriter(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    w.option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .option("parquet.summary.metadata.level", "NONE")
+
   private def writeData(df0: DataFrame, table: String,
       partitionBy: Seq[String] = Seq.empty,
-      dataRelOpt: Option[String] = None): Written = {
+      dataRelOpt: Option[String] = None): Written =
+    graft.DriverTimers.time("writeData")(
+      writeData0(df0, table, partitionBy, dataRelOpt))
+
+  private def writeData0(df0: DataFrame, table: String,
+      partitionBy: Seq[String],
+      dataRelOpt: Option[String]): Written = {
     dataWriteCount.incrementAndGet()
     val spark = df0.sparkSession
     val mOpt = latestVersion(spark, table)
@@ -4898,7 +5032,8 @@ object TxLog {
     val writeMode = if (dataRelOpt.isDefined) "append" else "error"
     val schema = asNullable(df.schema).asInstanceOf[StructType]
     if (partitionBy.isEmpty)
-      df.write.mode(writeMode).parquet(dataDir.toString)
+      graft.DriverTimers.time("writeData.job") {
+        txWriter(df.write).mode(writeMode).parquet(dataDir.toString) }
     else {
       partitionBy.foreach { c =>
         require(schema.fieldNames.contains(c),
@@ -4909,10 +5044,10 @@ object TxLog {
       }
       val dup = partitionBy.foldLeft(df)((acc, c) =>
         acc.withColumn(gpPrefix + c, col(quoted(c))))
-      dup.write.mode(writeMode).partitionBy(partitionBy.map(gpPrefix + _): _*)
+      txWriter(dup.write).mode(writeMode)
+        .partitionBy(partitionBy.map(gpPrefix + _): _*)
         .parquet(dataDir.toString)
     }
-    val it = f.listFiles(dataDir, true)
     val freshBuf = scala.collection.mutable.ArrayBuffer[String]()
     // per-file on-disk sizes, captured from the same listing that finds
     // the files — they become the manifest's cost statistics, which is
@@ -4920,19 +5055,33 @@ object TxLog {
     // auto-broadcast small transactional tables in joins
     val sizeBuf = scala.collection.mutable.Map[String, Long]()
     val dataDirStr = f.makeQualified(dataDir).toString
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath.toString
-      if (p.endsWith(".parquet") && p.startsWith(dataDirStr + "/")) {
-        val rel = dataRel + "/" + p.stripPrefix(dataDirStr + "/")
-        freshBuf += rel
-        sizeBuf(rel) = st.getLen
+    // MANUAL recursion, never descending into the commit-private
+    // sidecar dirs that share data/<uuid>/ but are not data: `_cdf`
+    // change files (parquet, possibly being written CONCURRENTLY by
+    // overlapCdf — a blanket recursive listing would race its
+    // in-flight `_temporary` dir) and `_dv` deletion vectors.
+    // Partition dirs (`__gp_…=`) are walked as before.
+    def walk(d: Path): Unit =
+      f.listStatus(d).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name != "_cdf" && name != "_dv" && name != "_temporary")
+            walk(st.getPath)
+        } else if (name.endsWith(".parquet")) {
+          val p = st.getPath.toString
+          if (p.startsWith(dataDirStr + "/")) {
+            val rel = dataRel + "/" + p.stripPrefix(dataDirStr + "/")
+            freshBuf += rel
+            sizeBuf(rel) = st.getLen
+          }
+        }
       }
-    }
+    walk(dataDir)
     val fresh = freshBuf.toSeq.sorted
     val stats =
       if (fresh.isEmpty) Seq.empty
-      else collectStats(spark, t, schema, fresh)
+      else graft.DriverTimers.time("writeData.stats") {
+        collectStats(spark, t, schema, fresh) }
     // a 0-row part file never surfaces in collectStats' grouped
     // aggregate (no rows, no group) — record it explicitly so the
     // manifest's per-file row counts are COMPLETE, which is what lets
@@ -5032,6 +5181,10 @@ object TxLog {
     * orphaned data directory is deleted and None is returned.
     */
   private def publish(spark: SparkSession, table: String, w: Written,
+      compose: Option[Manifest] => Option[Attempt]): Option[Long] =
+    graft.DriverTimers.time("publish")(publish0(spark, table, w, compose))
+
+  private def publish0(spark: SparkSession, table: String, w: Written,
       compose: Option[Manifest] => Option[Attempt]): Option[Long] = {
     val f = fs(spark, new Path(table))
     val t = f.makeQualified(new Path(table))

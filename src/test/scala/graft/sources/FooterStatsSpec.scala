@@ -85,6 +85,30 @@ class FooterStatsSpec extends SparkSpec {
     assertSame(df)
   }
 
+  test("distributed footer path (> footerDriverMaxFiles): byte-equal") {
+    // force every footer-stats pass through the EXECUTOR-side job (the
+    // >1000-files shape) and re-prove byte-equality against the
+    // aggregate scan on the adversarial value battery
+    import spark.implicits._
+    sys.props("graft.txlog.footerDriverMaxFiles") = "0"
+    try {
+      assert(TxLog.footerStatsMaxFiles == 0)
+      val df = spark.range(0, 1000, 1, 3).select(
+        col("id"),
+        (col("id").cast("double") / 7.0d).as("d"),
+        concat(lit("véà-"), col("id")).as("s"),
+        date_add(to_date(lit("1994-01-01")), col("id").cast("int")).as("dt"),
+        timestamp_seconds(lit(1704067200L) + col("id") * 3600).as("ts"),
+        (col("id").cast("decimal(12,2)") * -3.21).cast("decimal(12,2)").as("m"),
+        when(col("id") % 3 === 0, col("id").cast("double")).as("nullable_d"),
+        lit(null).cast("string").as("all_null"))
+      assertSame(df)
+      // fallback shapes must still fall back whole-batch, distributed too
+      assertSame(Seq((1L, Double.NaN), (2L, 1.5)).toDF("id", "d"))
+      assertSame(Seq((1L, "a" * 5000), (2L, "c")).toDF("id", "s"))
+    } finally sys.props.remove("graft.txlog.footerDriverMaxFiles")
+  }
+
   test("convert with absent columns: all-null stats match the scan") {
     import spark.implicits._
     def convertStats(dir: String): Seq[(Long, Map[String, TxLog.ColStats])] = {
